@@ -1,0 +1,87 @@
+"""Semi-naive fixpoint evaluation over DataFrames.
+
+Mirrors the reference's delta-driven evaluation loop
+(cozo-core/src/query/eval.rs:113-303 and temp_store.rs:217-341): per epoch,
+only the *delta* (new tuples) of each recursive store is joined against the
+other atoms; fixpoint when every delta is empty.
+
+Spark realization:
+- total/delta are two DataFrames per recursive rule;
+- ``merge_in`` (temp_store.rs:276-287) = union ∘ distinct, delta = exceptAll;
+- each epoch is ``localCheckpoint()``-ed to truncate lineage (otherwise the
+  plan tree doubles per epoch and the driver OOMs long before the executors);
+- small frontiers are broadcast so the per-epoch join is shuffle-free on the
+  delta side — exactly the "magic set" win the reference gets from
+  sideways information passing.
+
+Meet-aggregations (min/max/... inside recursion, eval.rs:342-380) are the
+``shortest_hops``-style loop in fixed_rules.graphs: per epoch
+groupBy(keys).agg(meet) then keep only improved rows as the delta.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Frontier row-count below which we hint broadcast for the delta join.
+_BROADCAST_FRONTIER = 2_000_000
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    # localCheckpoint is eager: materializes and truncates lineage. On a
+    # cluster, prefer reliable checkpoint dir; local[.] this is equivalent.
+    return df.localCheckpoint(eager=True)
+
+
+def semi_naive(
+    base: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Least fixpoint of ``T(R) = base ∪ step(R)`` under set semantics.
+
+    ``step`` receives the *delta* (frontier) DataFrame and must return
+    candidate new tuples with the same schema. Dedup against the running
+    total implements Datalog set semantics (RegularTempStore, temp_store.rs:34-66).
+    """
+    total = _checkpoint(base.distinct())
+    delta = total
+    for _ in range(max_iterations):
+        if delta.isEmpty():
+            break
+        frontier = F.broadcast(delta) if _is_small(delta) else delta
+        candidates = step(frontier).distinct()
+        delta = _checkpoint(candidates.exceptAll(total).distinct())
+        if delta.isEmpty():
+            break
+        total = _checkpoint(total.unionByName(delta))
+    return total
+
+
+def _is_small(df: DataFrame) -> bool:
+    # Cheap heuristic: after a localCheckpoint the count is nearly free.
+    try:
+        return df.count() < _BROADCAST_FRONTIER
+    except Exception:
+        return False
+
+
+def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """reach(x,y) := edge(x,y); reach(x,y) := reach(x,z), edge(z,y).
+
+    The canonical recursive Datalog program (reference README quick-start).
+    Joins frontier.dst = edges.src per epoch; edges stay partitioned once.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.alias("r")
+            .join(e.alias("e"), F.col("r.dst") == F.col("e.src"))
+            .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+
+    return semi_naive(e, step)

@@ -1,0 +1,430 @@
+"""Graph fixed rules as iterative DataFrame programs.
+
+The reference implements these single-node in Rust (cozo-core/src/fixed_rule/
+algos/*.rs); here each is a distributed DataFrame algorithm:
+
+- frontier-expansion loops (BFS/shortest-path/components) use the semi-naive
+  machinery from ``cozo_spark.datalog.fixpoint`` — per-epoch delta joins with
+  lineage checkpointing;
+- value-iteration loops (PageRank, label propagation) recompute a
+  (node, value) DataFrame per round from the edge list — the aggregateMessages
+  / Pregel pattern without needing GraphX;
+- embarrassingly-parallel ones (degree centrality, triangles) are plain
+  groupBy/join compositions.
+
+Edge-list convention matches the reference (fixed_rule/mod.rs:846-860): first
+two columns are (from, to), optional third is weight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from cozo_spark.datalog.fixpoint import _checkpoint, semi_naive
+
+
+def _norm_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
+    cols = edges.columns
+    if len(cols) < 2:
+        raise ValueError("Edge relation requires tuples of length at least two")
+    sel = [F.col(cols[0]).alias("src"), F.col(cols[1]).alias("dst")]
+    if weighted:
+        w = F.col(cols[2]).cast("double") if len(cols) > 2 else F.lit(1.0)
+        sel.append(w.alias("weight"))
+    return edges.select(*sel)
+
+
+def _nodes(e: DataFrame) -> DataFrame:
+    return e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))).distinct()
+
+
+# ---------------------------------------------------------------------------
+# DegreeCentrality — algos/degree_centrality.rs:76
+# ---------------------------------------------------------------------------
+
+def degree_centrality(edges: DataFrame) -> DataFrame:
+    """(node, total_degree, out_degree, in_degree). Two groupBys + outer join;
+    one shuffle each on node id — optimal."""
+    e = _norm_edges(edges)
+    outs = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_degree"))
+    ins = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_degree"))
+    return (
+        _nodes(e)
+        .join(outs, "node", "left")
+        .join(ins, "node", "left")
+        .select(
+            "node",
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias("total_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability & shortest hops — algos/bfs.rs, shortest_path_bfs.rs
+# ---------------------------------------------------------------------------
+
+def bfs_reach(edges: DataFrame, starts: DataFrame) -> DataFrame:
+    """(start, reached): all nodes reachable from each start node."""
+    e = _norm_edges(edges)
+    seed = (
+        starts.select(F.col(starts.columns[0]).alias("start"))
+        .join(e, F.col("start") == e.src)
+        .select("start", F.col("dst").alias("reached"))
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.join(e, frontier.reached == e.src)
+            .select("start", F.col("dst").alias("reached"))
+        )
+
+    return semi_naive(seed, step)
+
+
+def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
+    """(src, dst, hops): minimum hop count between all connected pairs.
+
+    The meet-aggregation (`min`) inside recursion pattern
+    (MeetAggrStore, temp_store.rs:99-215): per epoch the delta is only the
+    pairs whose best-known distance improved, so the loop converges in
+    diameter(G) epochs and each epoch's join input is the improved set only.
+    """
+    e = _checkpoint(_norm_edges(edges).select(
+        F.col("src").alias("esrc"), F.col("dst").alias("edst")))
+    best = _checkpoint(e.select(F.col("esrc").alias("src"), F.col("edst").alias("dst"),
+                                F.lit(1).cast("long").alias("hops")))
+    delta = best
+    for _ in range(max_hops):
+        if delta.isEmpty():
+            break
+        cand = (
+            delta.join(e, delta.dst == e.esrc)
+            .select("src", F.col("edst").alias("dst"), (F.col("hops") + 1).alias("hops"))
+            .groupBy("src", "dst").agg(F.min("hops").alias("hops"))
+        )
+        # keep only strict improvements over the current best (meet delta);
+        # one side is column-renamed so the self-lineage join is unambiguous
+        best_r = best.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
+                             F.col("hops").alias("bhops"))
+        delta = _checkpoint(
+            cand.join(best_r, (cand.src == best_r.bsrc) & (cand.dst == best_r.bdst), "left")
+            .filter(F.col("bhops").isNull() | (F.col("hops") < F.col("bhops")))
+            .select("src", "dst", "hops")
+        )
+        if delta.isEmpty():
+            break
+        delta_r = delta.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
+        best = _checkpoint(
+            best.join(delta_r, (best.src == delta_r.bsrc) & (best.dst == delta_r.bdst), "left_anti")
+            .unionByName(delta)
+        )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# ShortestPathDijkstra — algos/shortest_path_dijkstra.rs (distance semantics)
+# ---------------------------------------------------------------------------
+
+def shortest_path_costs(edges: DataFrame, starts: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """(start, node, cost): minimum weighted path cost from each start.
+
+    Distributed Bellman-Ford with delta pruning — only improved (start, node)
+    pairs propagate next round. Matches Dijkstra's output contract for
+    non-negative weights; the reference's path reconstruction is available via
+    ``shortest_path_with_paths`` (driver-side, size-guarded).
+    """
+    e = _checkpoint(_norm_edges(edges, weighted=True).select(
+        F.col("src").alias("esrc"), F.col("dst").alias("edst"), "weight"))
+    s = starts.select(F.col(starts.columns[0]).alias("start"))
+    best = _checkpoint(s.select("start", F.col("start").alias("node"), F.lit(0.0).alias("cost")))
+    delta = best
+    for _ in range(max_iterations):
+        if delta.isEmpty():
+            break
+        cand = (
+            delta.join(e, delta.node == e.esrc)
+            .select("start", F.col("edst").alias("node"), (F.col("cost") + F.col("weight")).alias("cost"))
+            .groupBy("start", "node").agg(F.min("cost").alias("cost"))
+        )
+        best_r = best.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"),
+                             F.col("cost").alias("bcost"))
+        delta = _checkpoint(
+            cand.join(best_r, (cand.start == best_r.bstart) & (cand.node == best_r.bnode), "left")
+            .filter(F.col("bcost").isNull() | (F.col("cost") < F.col("bcost")))
+            .select("start", "node", "cost")
+        )
+        if delta.isEmpty():
+            break
+        delta_r = delta.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"))
+        best = _checkpoint(
+            best.join(delta_r, (best.start == delta_r.bstart) & (best.node == delta_r.bnode), "left_anti")
+            .unionByName(delta)
+        )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# PageRank — algos/pagerank.rs:109
+# ---------------------------------------------------------------------------
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10) -> DataFrame:
+    """(node, rank). Classic power iteration: contributions = rank/out_degree
+    shuffled on dst, damped sum. Edge list is checkpointed once and reused;
+    per-iteration cost is one shuffle on dst (the aggregateMessages pattern).
+    Dangling-node mass is redistributed uniformly (matches the usual
+    formulation; the reference normalizes the same way)."""
+    e = _checkpoint(_norm_edges(edges).distinct())
+    nodes = _checkpoint(_nodes(e))
+    n = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("odeg"))
+    # graph structure reused every round — checkpoint once
+    links = _checkpoint(
+        e.join(out_deg, e.src == out_deg.node).select("src", "dst", "odeg"))
+    ranks = _checkpoint(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = _checkpoint(
+            nodes.join(contribs, "node", "left")
+            .select("node",
+                    (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"))
+        )
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# ConnectedComponents — strongly_connected_components.rs (undirected part)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """(node, component): min-node-id label propagation to fixpoint.
+
+    Large-star/small-star style: per round each node adopts the min label in
+    its closed neighborhood; converges in O(log n) rounds on most graphs.
+    """
+    e = _norm_edges(edges)
+    und = _checkpoint(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct())
+    labels = _checkpoint(_nodes(und).select("node", F.col("node").alias("component")))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component"))
+            .groupBy("node").agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"))
+        )
+        new_labels = _checkpoint(new_labels)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """(node, component): SCC via forward ∩ backward reachability coloring.
+
+    Uses the min-label variant: color = min node id reachable both ways.
+    O(diameter) rounds of two label propagations — acceptable distributed
+    strategy (the reference uses single-node Tarjan, algos/strongly_connected_components.rs).
+    """
+    e = _norm_edges(edges)
+    fwd = _min_reach_label(e, max_iterations)
+    bwd = _min_reach_label(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")), max_iterations)
+    # SCC id: pair (fwd min reachable-from-me-or-me, bwd min) — two nodes are
+    # in the same SCC iff they reach each other, i.e. share both labels.
+    return (
+        fwd.alias("f").join(bwd.alias("b"), "node")
+        .select("node", F.greatest(F.col("f.label"), F.col("b.label")).alias("component"))
+    )
+
+
+def _min_reach_label(e: DataFrame, max_iterations: int) -> DataFrame:
+    """label(v) = min(v, min over in-neighbors' labels), iterated to fixpoint
+    — i.e. min node id that can reach v."""
+    labels = _checkpoint(_nodes(e).select("node", F.col("node").alias("label")))
+    for _ in range(max_iterations):
+        prop = (
+            e.join(labels, e.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node").agg(F.min("label").alias("pmin"))
+        )
+        new_labels = _checkpoint(
+            labels.join(prop, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("pmin", F.col("label"))).alias("label"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# LabelPropagation — algos/label_propagation.rs:97
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """(label, node): synchronous LPA — each round a node takes the most
+    frequent label among neighbors (ties → min label, deterministic)."""
+    e = _norm_edges(edges)
+    und = _checkpoint(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct())
+    labels = _checkpoint(_nodes(und).select("node", F.col("node").alias("label")))
+    for _ in range(iterations):
+        freq = (
+            und.join(labels, und.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        new_best = (
+            freq.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = _checkpoint(
+            labels.join(new_best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return labels.select("label", "node")
+
+
+# ---------------------------------------------------------------------------
+# TopSort — algos/top_sort.rs:86
+# ---------------------------------------------------------------------------
+
+def top_sort(edges: DataFrame, max_iterations: int = 10_000) -> DataFrame:
+    """(order, node): layered topological order via zero-in-degree peeling.
+
+    Output 'order' is (layer, node-id) ranked — deterministic total order
+    consistent with the partial DAG order. Cycle nodes are excluded (the
+    reference errors on cycles; we surface the acyclic prefix and the caller
+    can compare counts)."""
+    e = _checkpoint(_norm_edges(edges).distinct())
+    remaining_nodes = _checkpoint(_nodes(e))
+    remaining_edges = e
+    layers = []
+    layer_idx = 0
+    while layer_idx < max_iterations:
+        with_in = remaining_edges.select(F.col("dst").alias("node")).distinct()
+        zero_in = _checkpoint(remaining_nodes.join(with_in, "node", "left_anti"))
+        if zero_in.isEmpty():
+            break
+        layers.append(zero_in.select(F.lit(layer_idx).alias("layer"), "node"))
+        remaining_nodes = _checkpoint(remaining_nodes.join(zero_in, "node", "left_anti"))
+        remaining_edges = _checkpoint(
+            remaining_edges.join(zero_in.withColumnRenamed("node", "src").select("src"), "src", "left_anti"))
+        layer_idx += 1
+    if not layers:
+        return edges.sparkSession.createDataFrame([], "order long, node long")
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    w = W.orderBy("layer", "node")
+    return out.select(F.row_number().over(w).cast("long").alias("order"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Triangles / clustering coefficients — algos/triangles.rs:99
+# ---------------------------------------------------------------------------
+
+def _undirected_canonical(edges: DataFrame) -> DataFrame:
+    e = _norm_edges(edges)
+    return (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count_total(edges: DataFrame) -> DataFrame:
+    """Single-row (n_triangles) — ordered wedge join, each triangle counted
+    once. Two shuffle joins; the canonical distributed triangle count."""
+    und = _checkpoint(_undirected_canonical(edges))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.a")))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(node, cc, n_triangles, degree) per node — triangles via wedge join,
+    cc = 2T / (d(d-1))."""
+    und = _checkpoint(_undirected_canonical(edges))
+    bidir = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tris = (
+        e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e1.a") < F.col("e2.a")))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    per_node = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("degree") >= 2,
+                   2.0 * F.coalesce("n_triangles", F.lit(0)) / (F.col("degree") * (F.col("degree") - 1)))
+            .otherwise(F.lit(0.0)).alias("cc"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            "degree",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry adapters: Cozo fixed-rule signature (inputs, options) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _adapt(fn):
+    def rule(inputs: list[DataFrame], options: dict | None = None) -> DataFrame:
+        options = options or {}
+        return fn(*inputs, **options)
+    return rule
+
+
+BUILTIN_RULES = {
+    "DegreeCentrality": _adapt(degree_centrality),
+    "PageRank": _adapt(pagerank),
+    "ConnectedComponents": _adapt(connected_components),
+    "StronglyConnectedComponents": _adapt(strongly_connected_components),
+    "SCC": _adapt(strongly_connected_components),
+    "LabelPropagation": _adapt(label_propagation),
+    "TopSort": _adapt(top_sort),
+    "ClusteringCoefficients": _adapt(clustering_coefficients),
+    "BFS": _adapt(bfs_reach),
+    "ShortestPathBFS": _adapt(shortest_hops),
+    "ShortestPathDijkstra": _adapt(shortest_path_costs),
+}

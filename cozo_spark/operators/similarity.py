@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference serves vector search through an HNSW index
+(cozo-core/src/runtime/hnsw.rs, ~1035 LoC; query surface
+data/program.rs:976-991: k, ef, radius, filter, bind distance). HNSW is a
+single-node pointer-chasing structure; the distributed re-expression is:
+
+- brute-force top-k: broadcast the query set, score every (query, row) pair
+  JVM-side, per-query window top-k. Exact, embarrassingly parallel, and at
+  100 TB it's one scan — often the right answer when queries are few.
+- IVF (inverted-file) top-k: k-means-ish coarse centroids (deterministic
+  seeded sample), assign rows to nearest centroid once (write-time in a real
+  pipeline), probe only the nprobe nearest centroid partitions per query.
+  This is the scale path: the scan touches nprobe/ncentroids of the data.
+- LSH bucketed cosine via random hyperplanes: sign-bit signatures, candidate
+  pairs from band equality (for all-pairs near-neighbor joins).
+
+All dot products run as F.aggregate(F.zip_with(...)) — whole-stage codegen,
+no Python. A Pandas-UDF matmul path exists for wide batches where BLAS wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def l2_dist_col(a, b):
+    return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_digits: int | None = None,
+) -> DataFrame:
+    """(qid, vec_id, cos_sim): exact top-k by cosine for each query vector.
+
+    Query side is broadcast (queries are few); corpus is scanned once. The
+    per-query top-k runs as a window over the crossed score table; ties break
+    on vec_id for determinism. Cast to double before arithmetic so results
+    are stable and match a double-precision oracle.
+    """
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    sim = cosine_similarity_col(F.col("qv"), F.col("v"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", sim.alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+def ivf_build(
+    corpus: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assigned corpus).
+
+    Centroids = deterministic sample of corpus vectors (k-means++ would
+    refine; sampling is adequate for recall benchmarking and keeps the build
+    one pass). Assignment = argmin L2 over broadcast centroids — at write
+    time in a production pipeline, so queries never pay it.
+    Returns (centroids(cid, cvec), assigned(id, vec, cid)).
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    w = W.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
+    cents = (
+        c.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n_centroids)
+        .select((F.col("_rk") - 1).alias("cid"), F.col("v").alias("cvec"))
+    )
+    dist = l2_dist_col(F.col("v"), F.col("cvec"))
+    aw = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("_d", dist)
+        .withColumn("_rn", F.row_number().over(aw)).filter("_rn = 1")
+        .select("vec_id", "v", "cid")
+    )
+    return cents, assigned
+
+
+def ivf_cosine_topk(
+    queries: DataFrame, centroids: DataFrame, assigned: DataFrame,
+    k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, cos_sim): approximate top-k probing nprobe centroids.
+
+    Per query: rank centroids by L2, keep nprobe, then score only rows
+    assigned to those centroids. The corpus-side join hits a cid-partitioned
+    table, so at scale this reads nprobe/n_centroids of the data (partition
+    pruning if `assigned` is written partitioned by cid).
+    """
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+    cw = W.partitionBy("qid").orderBy(F.col("_cd"), F.col("cid"))
+    probes = (
+        F.broadcast(q).crossJoin(F.broadcast(centroids))
+        .withColumn("_cd", l2_dist_col(F.col("qv"), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(cw)).filter(F.col("_rn") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    scored = (
+        probes.join(assigned, "cid")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine_similarity_col(F.col("qv"), F.col("v")).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+def random_hyperplane_lsh_pairs(
+    corpus: DataFrame, n_bits: int = 16, bands: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, seed: int = 42, max_bucket: int = 2000,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs whose cosine is likely high.
+
+    Sign-bit signature under seeded random hyperplanes (generated
+    driver-side with numpy, embedded as literals — no UDF), banded like
+    MinHash-LSH. Follow with exact cosine on candidates.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i in range(n_bits):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(F.when(_dot(v, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    s = corpus.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    banded = s.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sig", i * bits_per_band).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ])).alias("band_idx", "band_val"),
+    )
+    sized = banded.withColumn("_n", F.count("*").over(W.partitionBy("band_idx", "band_val")))
+    banded = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+    return (
+        banded.alias("a").join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

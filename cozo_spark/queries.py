@@ -1,0 +1,820 @@
+"""Operator-inventory query battery: Spark DataFrame implementation + DuckDB
+oracle SQL side by side.
+
+Each entry exercises one operator family from SURVEY.md §2 (citations in each
+docstring point at the reference implementation it mirrors). The driver runs
+the Spark callable and the oracle SQL at sf0.01 and hash-compares results, so:
+
+- every computed column is aliased identically on both sides,
+- double aggregates are rounded to a fixed precision on both sides,
+- top-k queries tie-break on a unique key so ordering is deterministic.
+
+Scale notes (100 TB thinking) are inline: which side broadcasts, what
+shuffles, what pushes down.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+        # default; read nanos as long and truncate to µs (same truncation
+        # DuckDB applies). Runtime-settable SQL conf, works on any session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.1 rows 1: InlineFixedRA — constant relation (ra.rs:737-831)
+# ---------------------------------------------------------------------------
+
+@query(
+    "inline_fixed_const",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, v) ORDER BY k
+    """,
+)
+def inline_fixed_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant relation `<- [[...]]` (reference ra.rs:737-831)."""
+    return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string").orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 rows 3, 6, 11: stored scan + bounded-range pushdown + residual filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_quantity <= 45 AND l_returnflag = 'R'
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + range bounds + residual filter (ra.rs:1343-1369, expr.rs:660-690).
+
+    Filters and the 3-column projection reach the parquet scan
+    (PushedFilters / ReadSchema in .explain) — Catalyst's equivalent of the
+    reference's compute_bounds key-range pushdown.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_quantity") <= 45)
+                  & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 rows 4-5, 9: equi-joins (point lookup / prefix / general inner)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_point_lookup",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK point-lookup join (ra.rs:1259-1304) → broadcast hash join.
+
+    customer is the small side; broadcast keeps it shuffle-free at any scale
+    where the dim fits an executor (~15M rows at sf100 still < 64 MB codegen'd).
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o.o_totalprice), 2) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-deep multiway equi-join (InnerJoin ra.rs:2028-2400) + group agg.
+
+    nation/region are broadcast; orders⋈customer is the only shuffle. At
+    100 TB, orders and customer shuffle on custkey once; everything after is
+    map-side.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 rows 7, 10: negation → anti-join; magic-set semi-join
+# ---------------------------------------------------------------------------
+
+@query(
+    "neg_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def neg_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified negation `not *orders{...}` (NegJoin ra.rs:1923-2025)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (magic-set sideways information passing, magic.rs:55-642)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 rows 12-13: unification (withColumn) and multi-unification (explode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "unify_expr",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice * 1.1, 2) AS taxed,
+           CAST(p_size % 7 AS INTEGER) AS size_bucket,
+           upper(p_brand) AS brand_uc
+    FROM part WHERE p_size >= 25
+    """,
+)
+def unify_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unification `x = expr` (UnificationRA ra.rs:67-178) → withColumn."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed"),
+        (F.col("p_size") % 7).cast("int").alias("size_bucket"),
+        F.upper("p_brand").alias("brand_uc"),
+    )
+
+
+@query(
+    "unify_explode",
+    oracle="""
+    SELECT p_partkey, unnest(range(1, p_size % 4 + 2)) AS x
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def unify_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-unification `x in list` → row explosion (ra.rs:134-161)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.explode(F.sequence(F.lit(1).cast("long"), (F.col("p_size") % 4 + 1).cast("long"))).alias("x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 set operations: union (multi-clause rules), intersect, except
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union_dedup",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-clause rule head = set union w/ dedup (temp_store.rs:62-97)."""
+    c = _t(spark, sf_dir, "customer").filter("c_acctbal > 9000").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").filter("s_acctbal > 9000").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 aggregations (normal family) — aggr.rs:1158-1185 registry
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2)                              AS sum_qty,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2)      AS revenue,
+           ROUND(avg(l_extendedprice), 4)                         AS avg_price,
+           CAST(count(*) AS BIGINT)                               AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT)             AS n_orders,
+           ROUND(min(l_quantity), 2)                              AS min_qty,
+           ROUND(max(l_quantity), 2)                              AS max_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/mean/min/max/count_unique (aggr.rs:420-680) — TPC-H Q1 shape.
+
+    Partial aggregation (map-side combine) happens automatically; the shuffle
+    carries only |groups| × partitions rows.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(var_samp(l_quantity), 4)    AS var_qty,
+           ROUND(stddev_samp(l_quantity), 4) AS std_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variance / std_dev (aggr.rs:438,469)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity > 0)                    AS all_pos,
+           bool_or(l_discount > 0.09)                  AS any_deep_discount,
+           CAST(bit_and(l_orderkey % 256) AS BIGINT)   AS band,
+           CAST(bit_or(l_orderkey % 256) AS BIGINT)    AS bor,
+           CAST(bit_xor(l_orderkey % 256) AS BIGINT)   AS bxor
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """and/or (aggr.rs:68,113) and bit_and/bit_or/bit_xor (aggr.rs:985-1123)."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey") % 256
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bit_and(k).alias("band"),
+        F.bit_or(k).alias("bor"),
+        F.bit_xor(k).alias("bxor"),
+    )
+
+
+@query(
+    "agg_product",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(exp(sum(ln(1 + l_tax))), 4) AS tax_product
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """product aggregation (aggr.rs:547) via exp∘sum∘ln — distributable."""
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 101 = 0")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.sum(F.ln(1 + F.col("l_tax")))), 4).alias("tax_product")
+    )
+
+
+@query(
+    "agg_min_cost",
+    oracle="""
+    SELECT l_returnflag,
+           arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
+           arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
+           max_by(l_suppkey, l_orderkey * 10 + l_linenumber)  AS last_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_cost / smallest_by / latest_by (aggr.rs:719-882) → min_by/max_by.
+
+    Ordering key (l_orderkey*10 + l_linenumber) is unique ⇒ deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ordk = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_partkey", ordk).alias("first_part"),
+        F.max_by("l_partkey", ordk).alias("last_part"),
+        F.max_by("l_suppkey", ordk).alias("last_supp"),
+    )
+
+
+@query(
+    "agg_collect_unique",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique / collect (aggr.rs:153,355) → collect_set, rendered sorted."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_group_count",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_count (aggr.rs:171) — value-distribution histogram."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 rows 19-21: sort, limit/offset, top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:order + :limit top-k (db.rs:1576-1589). Spark executes as TakeOrdered —
+    per-partition heap + driver merge, no full sort, no full shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    ORDER BY c_custkey LIMIT 20 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:limit/:offset (db.rs:1529-1644)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.orderBy("c_custkey").select("c_custkey", "c_name").offset(10).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 / §2.7 ReorderSort — rank within groups (reorder_sort.rs:1-153)
+# ---------------------------------------------------------------------------
+
+@query(
+    "reorder_sort_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+      FROM customer)
+    WHERE rnk <= 5
+    """,
+)
+def reorder_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReorderSort fixed rule (sort_by + take per group) → Window row_number."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §1.3 time travel — validity as-of read (query/ra.rs:1125-1243)
+# ---------------------------------------------------------------------------
+
+@query(
+    "validity_asof",
+    oracle="""
+    SELECT user_id, event_type AS last_type, ROUND(value, 2) AS last_value
+    FROM (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-03-01 00:00:00')
+    WHERE rn = 1
+    """,
+)
+def validity_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`*rel{..} @ ts` as-of semantics (StoredWithValidityRA ra.rs:1125-1243):
+    per key, latest fact at-or-before the read timestamp. SCD-2 read expressed
+    as window-dedup; at scale the partitionBy key shuffle is the only cost and
+    the filter on ts prunes row groups before it."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= "2024-03-01 00:00:00")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("last_type"),
+                F.round("value", 2).alias("last_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar functions — string/math/json battery (functions.rs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lc,
+           upper(p_brand)                                  AS brand_uc,
+           length(p_name)                                  AS name_len,
+           substr(p_type, 1, 5)                            AS type_pre,
+           concat(p_brand, ':', p_type)                    AS brand_type,
+           replace(p_name, ' ', '_')                       AS name_us,
+           trim(concat('  ', p_name, ' '))                 AS name_trim,
+           (p_name LIKE '%al%')                            AS has_al,
+           starts_with(p_type, 'STANDARD')                 AS is_std,
+           ROUND(abs(p_retailprice - 1000.0), 2)           AS abs_diff,
+           CAST(floor(p_retailprice / 100) AS BIGINT)      AS price_bucket,
+           CAST(ceil(p_retailprice / 100) AS BIGINT)       AS price_bucket_hi,
+           ROUND(sqrt(p_retailprice), 4)                   AS price_sqrt,
+           ROUND(ln(p_retailprice + 1), 4)                 AS price_ln,
+           ROUND(pow(p_size, 2), 1)                        AS size_sq,
+           CAST(p_size % 10 AS INTEGER)                    AS size_mod,
+           CAST(sign(p_retailprice - 1000.0) AS DOUBLE)    AS price_sign
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function inventory sample (functions.rs:382-1894): all JVM-side
+    built-ins, zero Python in the hot path."""
+    p = _t(spark, sf_dir, "part").filter("p_partkey <= 500")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_pre"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.col("p_name").contains("al").alias("has_al"),
+        F.col("p_type").startswith("STANDARD").alias("is_std"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_diff"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+        F.ceil(F.col("p_retailprice") / 100).alias("price_bucket_hi"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.round(F.ln(F.col("p_retailprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_size") % 10).cast("int").alias("size_mod"),
+        F.signum(F.col("p_retailprice") - 1000.0).cast("double").alias("price_sign"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access `->` / json_to_scalar (functions.rs:76-296)."""
+    ev = _t(spark, sf_dir, "events").filter("event_id < 100")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 2) AS total
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_timestamp/parse_timestamp family (functions.rs:2441-2526) +
+    tumbling-window-by-day aggregation (streaming §2.8 batch analogue)."""
+    ev = _t(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph queries on a derived edge relation (§2.7 fixed rules)
+# edges: deterministic projection of orders → (src, dst) in [0, 50)
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+    SELECT DISTINCT CAST(o_custkey % 50 AS BIGINT) AS src,
+                    CAST(o_orderkey % 50 AS BIGINT) AS dst
+    FROM orders WHERE o_orderkey % 20 = 0 AND o_custkey % 50 <> o_orderkey % 50
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderkey") % 20 == 0)
+                 & (F.col("o_custkey") % 50 != F.col("o_orderkey") % 50))
+        .select((F.col("o_custkey") % 50).cast("long").alias("src"),
+                (F.col("o_orderkey") % 50).cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree_centrality",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outs AS (SELECT src AS node, count(*) AS o FROM edges GROUP BY 1),
+    ins  AS (SELECT dst AS node, count(*) AS i FROM edges GROUP BY 1)
+    SELECT n.node,
+           CAST(COALESCE(o.o, 0) + COALESCE(i.i, 0) AS BIGINT) AS total_degree,
+           CAST(COALESCE(o.o, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(i.i, 0) AS BIGINT) AS in_degree
+    FROM nodes n LEFT JOIN outs o ON n.node = o.node LEFT JOIN ins i ON n.node = i.node
+    """,
+)
+def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DegreeCentrality fixed rule (algos/degree_centrality.rs:76) — pure
+    DataFrame groupBy, embarrassingly parallel at any scale."""
+    from cozo_spark.fixed_rules.graphs import degree_centrality
+    return degree_centrality(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_reachability",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+    """,
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive Datalog transitive closure (semi-naive fixpoint,
+    eval.rs:113-303) — delta-driven DataFrame loop."""
+    from cozo_spark.datalog.fixpoint import transitive_closure
+    return transitive_closure(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    paths(src, dst, d) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+      UNION
+      SELECT p.src, e.dst, p.d + 1 FROM paths p JOIN edges e ON p.dst = e.src
+      WHERE p.d < 50
+    )
+    SELECT src, dst, CAST(min(d) AS BIGINT) AS hops FROM paths GROUP BY src, dst
+    """,
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShortestPathBFS (algos/shortest_path_bfs.rs) as meet-aggregation
+    (`min`) inside recursion — the MeetAggrStore pattern (temp_store.rs:99-215)."""
+    from cozo_spark.fixed_rules.graphs import shortest_hops
+    return shortest_hops(_edges(spark, sf_dir), max_hops=50)
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH dedges AS ({_EDGES_SQL}),
+    und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dedges
+            GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM und e1 JOIN und e2 ON e1.b = e2.a AND e1.a < e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusteringCoefficients triangle counting (algos/triangles.rs:99) via
+    ordered 2-path join — the standard distributed triangle algorithm."""
+    from cozo_spark.fixed_rules.graphs import triangle_count_total
+    return triangle_count_total(_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (beyond-reference, first-class)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest. One shuffle on the hash;
+    at 100 TB, hash first so the shuffle moves 32-byte keys, not documents."""
+    from cozo_spark.operators.dedup import exact_dedup_groups
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                                  AS n_chars_m,
+           CAST(array_length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / quality-signal extraction — whole-stage-codegen string
+    ops, no Python."""
+    from cozo_spark.operators.text import token_stats
+    return token_stats(_t(spark, sf_dir, "documents").filter("doc_id < 200"))
+
+
+@query(
+    "text_word_topk",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY freq DESC, word LIMIT 20
+    """,
+)
+def text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS tokenizer analogue (fts/tokenizer) → explode + count + top-k."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word").limit(20)
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.qid, d.vec_id,
+             ROUND(list_cosine_similarity(q.qv, d.v), 6) AS cos_sim
+      FROM q CROSS JOIN d WHERE q.qid <> d.vec_id)
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (HNSW result contract, runtime/hnsw.rs) —
+    broadcast the query set, score JVM-side with zip_with/aggregate, window
+    top-k. The IVF/LSH variant in operators.similarity is the 100 TB path."""
+    from cozo_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    return cosine_topk(queries, emb, k=10, round_digits=6)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship entry query: multiway join + aggregation + top-k (the shape of
+    the reference's air-routes 'top route-count airports' tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+        .limit(10)
+    )

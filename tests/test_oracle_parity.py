@@ -1,0 +1,92 @@
+"""Replicates the driver's correctness gate locally: run every entry in
+__spark_entry__.queries() at sf0.01 and compare with its DuckDB oracle —
+row count, column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+    return con.execute(sql).fetch_df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm_cell(v.item())
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def _query_names():
+    import __spark_entry__ as E
+
+    return sorted(E.queries())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_oracle_parity(spark, name):
+    import __spark_entry__ as E
+
+    sdf = E.queries()[name](spark, SF_ORACLE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    oracle = E.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check, mirrors the driver
+        return
+
+    pdf = _duck(oracle)
+    duck_cols = list(pdf.columns)
+    duck_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
+    s_norm = _norm_rows(spark_cols, spark_rows)
+    d_norm = _norm_rows(duck_cols, duck_rows)
+    if s_norm != d_norm:
+        diffs = [(a, b) for a, b in zip(s_norm, d_norm) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns
