@@ -69,6 +69,11 @@ def compile_expr(e, bound: set, typer=None) -> Column:
         if e.fn == "if":
             args = [compile_expr(a, bound, typer) for a in e.args]
             return F.when(args[0], args[1]).otherwise(args[2] if len(args) > 2 else F.lit(None))
+        if e.fn == "json_get" and len(e.args) == 2:
+            if not isinstance(e.args[1], Const):
+                raise QueryError("JSON path (`->` key) must be a constant")
+            return SCALAR_FUNCTIONS["json_get"](
+                compile_expr(e.args[0], bound, typer), e.args[1].value)
         if e.fn in ("length", "reverse", "first", "last") and len(e.args) == 1:
             t = _static_type(e.args[0], typer)
             if e.fn == "length" and t is not None and t.startswith("array"):

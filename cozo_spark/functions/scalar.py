@@ -172,11 +172,11 @@ def _unicode_normalize(a: Column, form: Column) -> Column:
 
 # --- regex (functions.rs:1380-1445) ------------------------------------------
 
-fn("regex_matches")(lambda a, p: a.rlike(p))
+fn("regex_matches")(lambda a, p: F.regexp_like(a, p))
 fn("regex_replace")(lambda a, p, r: F.regexp_replace(a, p, r))  # NB: Spark replaces all
 fn("regex_replace_all")(lambda a, p, r: F.regexp_replace(a, p, r))
 fn("regex_extract")(lambda a, p: F.regexp_extract_all(a, p, F.lit(0)))
-fn("regex_extract_first")(lambda a, p: F.regexp_extract(a, p, 0))
+fn("regex_extract_first")(lambda a, p: F.regexp_substr(a, p))
 
 # --- list/array (functions.rs:71-75, 1526-1830, 2363-2428) -------------------
 
@@ -222,16 +222,18 @@ fn("json")(lambda a: F.to_json(a))
 fn("parse_json")(lambda a: a)  # JSON kept as string; access via get_json_object
 fn("dump_json")(lambda a: F.to_json(a))
 fn("json_object")(lambda *xs: F.to_json(F.create_map(*xs)))
-fn("json_get")(lambda a, k: F.get_json_object(a, F.concat(F.lit("$."), k) if isinstance(k, Column) else f"$.{k}"))
+# JSON path must be a literal (the reference compiles `->` paths statically
+# too); compile_expr unwraps Const keys to python strings before this call.
+fn("json_get")(lambda a, k: F.get_json_object(a, f"$.{k}"))
 fn("is_json")(lambda a: F.get_json_object(a, "$") .isNotNull())
 
 # --- type predicates & casts (functions.rs:1454-2029) -------------------------
 
 fn("is_null")(lambda a: a.isNull())
-fn("is_int")(lambda a: a.cast("long").isNotNull())
-fn("is_float")(lambda a: a.cast(_D).isNotNull())
-fn("is_num")(lambda a: a.cast(_D).isNotNull())
-fn("is_string")(lambda a: a.cast("string").isNotNull())
+fn("is_int")(lambda a: a.try_cast("long").isNotNull())
+fn("is_float")(lambda a: a.try_cast(_D).isNotNull())
+fn("is_num")(lambda a: a.try_cast(_D).isNotNull())
+fn("is_string")(lambda a: a.try_cast("string").isNotNull())
 fn("is_finite")(lambda a: ~(F.isnan(a.cast(_D)) | (F.abs(a.cast(_D)) == float("inf"))))
 fn("is_infinite")(lambda a: F.abs(a.cast(_D)) == float("inf"))
 fn("is_nan")(lambda a: F.isnan(a.cast(_D)))
@@ -243,12 +245,13 @@ fn("to_unity")(lambda a: _to_unity(a))
 
 
 def _to_unity(a: Column) -> Column:
-    # null/false/0/""/[] → 0 else 1 (functions.rs:1945-1970)
+    # null/false/0/""/[] → 0 else 1 (functions.rs:1945-1970); try_cast keeps
+    # the branches ANSI-safe on non-numeric strings
     return (
         F.when(a.isNull(), 0)
-        .when(a.cast("string") == "", 0)
-        .when(a.cast("string") == "false", 0)
-        .when(a.cast(_D) == 0.0, 0)
+        .when(a.try_cast("string") == "", 0)
+        .when(a.try_cast("string") == "false", 0)
+        .when(a.try_cast(_D) == 0.0, 0)
         .otherwise(1)
     )
 

@@ -801,6 +801,128 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=10, round_digits=6)
 
 
+# ---------------------------------------------------------------------------
+# CozoScript queries through the Datalog engine (cozo_spark.datalog) —
+# the same operators, exercised via the reference's own query language.
+# ---------------------------------------------------------------------------
+
+def _db(spark: SparkSession, sf_dir: str, tables: tuple):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    for t in tables:
+        db.register_dataframe(t, _t(spark, sf_dir, t))
+    return db
+
+
+@query(
+    "datalog_filter_join",
+    oracle="""
+    SELECT c.c_name AS name, n.n_name AS nation, c.c_acctbal AS bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9500
+    """,
+)
+def datalog_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CozoScript rule: named-field atoms + filter + join, compiled to
+    broadcast-joined DataFrames by the engine."""
+    db = _db(spark, sf_dir, ("customer", "nation"))
+    return db.run_script_df("""
+    ?[name, nation, bal] := *customer{c_name: name, c_nationkey: nk, c_acctbal: bal},
+                            *nation{n_nationkey: nk, n_name: nation},
+                            bal > 9500.0
+    """)
+
+
+@query(
+    "datalog_agg",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n,
+           ROUND(max(o_totalprice), 2) AS top
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def datalog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregations in rule heads (aggr.rs registry) through the engine."""
+    db = _db(spark, sf_dir, ("orders",))
+    df = db.run_script_df("""
+    ?[prio, count(k), max(p)] := *orders{o_orderkey: k, o_orderstatus: 'F',
+                                         o_orderpriority: prio, o_totalprice: p}
+    """)
+    return df.select(F.col("prio"), F.col("k").alias("n"), F.round("p", 2).alias("top"))
+
+
+@query(
+    "datalog_negation",
+    oracle="""
+    SELECT c.c_custkey AS k FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def datalog_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified negation `not *orders{...}` → anti-join via the engine."""
+    db = _db(spark, sf_dir, ("customer", "orders"))
+    return db.run_script_df("""
+    ?[k] := *customer{c_custkey: k}, not *orders{o_custkey: k}
+    """)
+
+
+@query(
+    "datalog_recursion",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+    """,
+)
+def datalog_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive Datalog (transitive closure) evaluated by the engine's
+    semi-naive fixpoint — the reference's hallmark query shape."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    return db.run_script_df("""
+    reach[a, b] := *edge[a, b]
+    reach[a, c] := reach[a, b], *edge[b, c]
+    ?[src, dst] := reach[src, dst]
+    """)
+
+
+@query(
+    "datalog_shortest_min",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    paths(src, dst, d) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+      UNION
+      SELECT p.src, e.dst, p.d + 1 FROM paths p JOIN edges e ON p.dst = e.src
+      WHERE p.d < 50
+    )
+    SELECT dst, CAST(min(d) AS BIGINT) AS d
+    FROM paths WHERE src = 1 GROUP BY dst
+    """,
+)
+def datalog_shortest_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meet-aggregation (min) INSIDE recursion — the engine's MeetAggrStore
+    path: per-epoch delta = strictly-improved rows only."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    return db.run_script_df("""
+    sp[b, min(d)] := *edge[1, b], d = 1
+    sp[c, min(d)] := sp[b, d1], *edge[b, c], d = d1 + 1
+    ?[dst, d] := sp[dst, d]
+    """)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship entry query: multiway join + aggregation + top-k (the shape of
     the reference's air-routes 'top route-count airports' tests)."""

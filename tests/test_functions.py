@@ -1,0 +1,244 @@
+"""Scalar function & aggregation unit tests — the analogue of the
+reference's cozo-core/src/data/tests/functions.rs (112 direct op_* calls)
+and tests/aggrs.rs. Batched into a handful of Spark actions for speed."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _eval_batch(spark, exprs: dict):
+    """Evaluate many scalar expressions in one action; returns name -> value."""
+    from cozo_spark.functions.scalar import build_call
+
+    cols = []
+    for name, (fn, args) in exprs.items():
+        cols.append(build_call(fn, [F.lit(a) if not hasattr(a, "_jc") else a for a in args]).alias(name))
+    row = spark.range(1).select(*cols).collect()[0]
+    return row.asDict()
+
+
+def test_arithmetic(spark):
+    r = _eval_batch(spark, {
+        "add_int": ("add", [1, 2]),
+        "add_float": ("add", [1, 2.5]),
+        "sub": ("sub", [5, 3]),
+        "mul": ("mul", [6, 7]),
+        "div_ints": ("div", [7, 2]),          # always float (functions.rs:615-668)
+        "minus": ("minus", [3]),
+        "abs": ("abs", [-4.5]),
+        "signum_neg": ("signum", [-9]),
+        "floor": ("floor", [3.7]),
+        "ceil": ("ceil", [3.2]),
+        "round": ("round", [2.567, 2]),
+        "mod": ("mod", [10, 3]),
+        "pow": ("pow", [2, 10]),
+        "sqrt": ("sqrt", [16]),
+        "exp2": ("exp2", [3]),
+        "ln": ("ln", [math.e]),
+        "log2": ("log2", [8]),
+        "log10": ("log10", [1000]),
+        "maxv": ("max", [3, 9, 5]),
+        "minv": ("min", [3, 9, 5]),
+        "atan2": ("atan2", [1.0, 1.0]),
+    })
+    assert r["add_int"] == 3
+    assert r["add_float"] == 3.5
+    assert r["sub"] == 2 and r["mul"] == 42
+    assert r["div_ints"] == 3.5
+    assert r["minus"] == -3
+    assert r["abs"] == 4.5
+    assert r["signum_neg"] == -1
+    assert r["floor"] == 3 and r["ceil"] == 4
+    assert r["round"] == 2.57
+    assert r["mod"] == 1
+    assert r["pow"] == 1024.0
+    assert r["sqrt"] == 4.0
+    assert r["exp2"] == 8.0
+    assert abs(r["ln"] - 1.0) < 1e-12
+    assert r["log2"] == 3.0 and r["log10"] == 3.0
+    assert r["maxv"] == 9 and r["minv"] == 3
+    assert abs(r["atan2"] - math.pi / 4) < 1e-12
+
+
+def test_comparison_logic(spark):
+    r = _eval_batch(spark, {
+        "eq_num": ("eq", [1, 1.0]),   # Int vs Float compares numerically
+        "neq": ("neq", [1, 2]),
+        "gt": ("gt", [2, 1]),
+        "le": ("le", [2, 2]),
+        "and3": ("and", [True, True, False]),
+        "or3": ("or", [False, False, True]),
+        "negate": ("negate", [False]),
+        "coalesce": ("coalesce", [None, None, 42]),
+        "if_t": ("if", [True, "yes", "no"]),
+    })
+    assert r["eq_num"] is True
+    assert r["neq"] is True and r["gt"] is True and r["le"] is True
+    assert r["and3"] is False and r["or3"] is True and r["negate"] is True
+    assert r["coalesce"] == 42
+    assert r["if_t"] == "yes"
+
+
+def test_strings(spark):
+    r = _eval_batch(spark, {
+        "concat": ("concat", ["ab", "cd", "ef"]),
+        "includes": ("str_includes", ["hello world", "lo w"]),
+        "lower": ("lowercase", ["HeLLo"]),
+        "upper": ("uppercase", ["HeLLo"]),
+        "trim": ("trim", ["  x  "]),
+        "trim_start": ("trim_start", ["  x  "]),
+        "trim_end": ("trim_end", ["  x  "]),
+        "starts": ("starts_with", ["hello", "he"]),
+        "ends": ("ends_with", ["hello", "lo"]),
+        "len_str": ("length", ["hello"]),
+        "rx_match": ("regex_matches", ["abc123", "[a-c]+\\d+"]),
+        "rx_repl": ("regex_replace_all", ["a1b2", "\\d", "_"]),
+        "rx_first": ("regex_extract_first", ["a12b34", "\\d+"]),
+        "pad": ("pad_start", ["7", 3, "0"]),
+        "rev": ("reverse_string", ["abc"]),
+    })
+    assert r["concat"] == "abcdef"
+    assert r["includes"] is True
+    assert r["lower"] == "hello" and r["upper"] == "HELLO"
+    assert r["trim"] == "x" and r["trim_start"] == "x  " and r["trim_end"] == "  x"
+    assert r["starts"] is True and r["ends"] is True
+    assert r["len_str"] == 5
+    assert r["rx_match"] is True
+    assert r["rx_repl"] == "a_b_"
+    assert r["rx_first"] == "12"
+    assert r["pad"] == "007"
+    assert r["rev"] == "cba"
+
+
+def test_lists(spark):
+    arr = F.array(F.lit(3), F.lit(1), F.lit(2))
+    r = _eval_batch(spark, {
+        "mk": ("list", [1, 2, 3]),
+        "append": ("append", [arr, 9]),
+        "prepend": ("prepend", [arr, 0]),
+        "sorted": ("sorted", [arr]),
+        "reversed": ("reverse", [arr]),
+        "first": ("first", [arr]),
+        "last": ("last", [arr]),
+        "get1": ("get", [arr, 1]),          # 0-indexed → element 2
+        "slice": ("slice", [arr, 0, 2]),
+        "is_in": ("is_in", [2, arr]),
+        "union": ("union", [arr, F.array(F.lit(2), F.lit(4))]),
+        "inter": ("intersection", [arr, F.array(F.lit(2), F.lit(4))]),
+        "diff": ("difference", [arr, F.array(F.lit(1))]),
+        "chunks": ("chunks", [F.array(*[F.lit(i) for i in range(5)]), 2]),
+        "chunks_ex": ("chunks_exact", [F.array(*[F.lit(i) for i in range(5)]), 2]),
+        "windows": ("windows", [F.array(*[F.lit(i) for i in range(4)]), 2]),
+    })
+    assert r["mk"] == [1, 2, 3]
+    assert r["append"] == [3, 1, 2, 9] and r["prepend"] == [0, 3, 1, 2]
+    assert r["sorted"] == [1, 2, 3] and r["reversed"] == [2, 1, 3]
+    assert r["first"] == 3 and r["last"] == 2 and r["get1"] == 1
+    assert r["slice"] == [3, 1]
+    assert r["is_in"] is True
+    assert sorted(r["union"]) == [1, 2, 3, 4]
+    assert r["inter"] == [2]
+    assert r["diff"] == [3, 2]
+    assert r["chunks"] == [[0, 1], [2, 3], [4]]
+    assert r["chunks_ex"] == [[0, 1], [2, 3]]
+    assert r["windows"] == [[0, 1], [1, 2], [2, 3]]
+
+
+def test_types_and_casts(spark):
+    r = _eval_batch(spark, {
+        "is_null": ("is_null", [None]),
+        "to_int": ("to_int", ["42"]),
+        "to_float": ("to_float", ["2.5"]),
+        "to_string": ("to_string", [42]),
+        "to_bool": ("to_bool", ["true"]),
+        "unity_zero": ("to_unity", [0]),
+        "unity_str": ("to_unity", ["x"]),
+        "unity_empty": ("to_unity", [""]),
+        "is_nan": ("is_nan", [float("nan")]),
+        "is_inf": ("is_infinite", [float("inf")]),
+        "is_fin": ("is_finite", [1.5]),
+    })
+    assert r["is_null"] is True
+    assert r["to_int"] == 42 and r["to_float"] == 2.5
+    assert r["to_string"] == "42" and r["to_bool"] is True
+    assert r["unity_zero"] == 0 and r["unity_str"] == 1 and r["unity_empty"] == 0
+    assert r["is_nan"] is True and r["is_inf"] is True and r["is_fin"] is True
+
+
+def test_vectors_and_geo(spark):
+    a = F.array(F.lit(1.0), F.lit(0.0))
+    b = F.array(F.lit(0.0), F.lit(1.0))
+    r = _eval_batch(spark, {
+        "l2": ("l2_dist", [a, b]),
+        "cos": ("cos_dist", [a, b]),
+        "ip": ("ip_dist", [a, b]),
+        "l2n": ("l2_normalize", [F.array(F.lit(3.0), F.lit(4.0))]),
+        # London→Paris great-circle, degrees input (reference functions.rs:2134+)
+        "hav": ("haversine_deg_input", [51.5074, -0.1278, 48.8566, 2.3522]),
+        "d2r": ("deg_to_rad", [180.0]),
+        "r2d": ("rad_to_deg", [math.pi]),
+    })
+    assert abs(r["l2"] - math.sqrt(2)) < 1e-12
+    assert abs(r["cos"] - 1.0) < 1e-12
+    assert abs(r["ip"] - 1.0) < 1e-12
+    assert r["l2n"] == [0.6, 0.8]
+    assert abs(r["hav"] * 6371 - 343.5) < 1.0  # ~343.5 km
+    assert abs(r["d2r"] - math.pi) < 1e-12 and abs(r["r2d"] - 180.0) < 1e-12
+
+
+def test_json_and_encoding(spark):
+    from cozo_spark.functions.scalar import SCALAR_FUNCTIONS as S
+
+    r = _eval_batch(spark, {
+        "b64e": ("encode_base64", [F.lit("hi").cast("binary")]),
+        "int_range2": ("int_range", [2, 6]),
+    })
+    assert r["b64e"] == "aGk="
+    assert r["int_range2"] == [2, 3, 4, 5]
+    row = spark.range(1).select(
+        S["json_get"](F.lit('{"a": {"b": 5}}'), "a").alias("jget")).collect()[0]
+    assert row["jget"] == '{"b":5}'
+
+
+def test_aggregations_direct(spark):
+    from cozo_spark.functions.aggregates import AGGREGATIONS
+
+    df = spark.createDataFrame(
+        [(1, 2.0, True, [1, 2]), (1, 3.0, False, [2, 3]), (2, 4.0, True, [3])],
+        "k long, v double, b boolean, lst array<long>")
+    r = df.groupBy("k").agg(
+        AGGREGATIONS["count"].build(F.col("v")).alias("cnt"),
+        AGGREGATIONS["sum"].build(F.col("v")).alias("s"),
+        AGGREGATIONS["mean"].build(F.col("v")).alias("m"),
+        AGGREGATIONS["min"].build(F.col("v")).alias("mn"),
+        AGGREGATIONS["max"].build(F.col("v")).alias("mx"),
+        AGGREGATIONS["and"].build(F.col("b")).alias("ba"),
+        AGGREGATIONS["or"].build(F.col("b")).alias("bo"),
+        AGGREGATIONS["union"].build(F.col("lst")).alias("u"),
+        AGGREGATIONS["product"].build(F.col("v")).alias("p"),
+        AGGREGATIONS["choice"].build(F.col("v")).alias("ch"),
+    ).orderBy("k").collect()
+    r1, r2 = r[0], r[1]
+    assert r1["cnt"] == 2 and r1["s"] == 5.0 and r1["m"] == 2.5
+    assert r1["mn"] == 2.0 and r1["mx"] == 3.0
+    assert r1["ba"] is False and r1["bo"] is True
+    assert r1["u"] == [1, 2, 3]
+    assert abs(r1["p"] - 6.0) < 1e-9
+    assert r1["ch"] == 2.0
+    assert r2["cnt"] == 1 and r2["p"] == 4.0
+
+
+def test_product_signs(spark):
+    from cozo_spark.functions.aggregates import AGGREGATIONS
+
+    df = spark.createDataFrame([(1, -2.0), (1, 3.0), (2, -2.0), (2, -3.0), (3, 0.0), (3, 5.0)],
+                               "k long, v double")
+    r = {row["k"]: row["p"] for row in df.groupBy("k").agg(
+        AGGREGATIONS["product"].build(F.col("v")).alias("p")).collect()}
+    assert abs(r[1] - (-6.0)) < 1e-9   # odd negatives → negative
+    assert abs(r[2] - 6.0) < 1e-9      # even negatives → positive
+    assert r[3] == 0.0                 # any zero → zero
