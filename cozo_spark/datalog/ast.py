@@ -67,6 +67,16 @@ class NamedRelApply:
 
 
 @dataclass
+class SearchApply:
+    """`~rel:idx{bindings | opts}` index-search atom (HNSW/FTS/LSH —
+    data/program.rs:976-1563)."""
+    rel: str
+    idx: str
+    pairs: dict   # col -> Expr|None bindings (like NamedRelApply)
+    opts: dict    # option name -> Expr
+
+
+@dataclass
 class Unify:
     var: str
     expr: Expr

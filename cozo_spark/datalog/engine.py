@@ -388,7 +388,14 @@ class CozoDb:
             if inp.kind == "rule":
                 if inp.name not in stores:
                     raise QueryError(f"fixed rule input {inp.name!r} not yet evaluated")
-                inputs.append(stores[inp.name])
+                store = stores[inp.name]
+                if inp.bindings:
+                    if len(inp.bindings) != len(store.columns):
+                        raise QueryError(
+                            f"fixed rule input {inp.name!r}: {len(inp.bindings)} bindings "
+                            f"for arity {len(store.columns)}")
+                    store = store.toDF(*inp.bindings)
+                inputs.append(store)
             else:
                 base = self._resolve_relation(inp.name)
                 if base is None:
@@ -422,6 +429,14 @@ class CozoDb:
         rel = self.relations.get(name)
         return rel.key_names if rel else None
 
+    def _search(self, rel_name: str, idx_name: str, opts: dict):
+        from cozo_spark.operators import indices as IX
+
+        rel = self.relations.get(rel_name)
+        if rel is None:
+            raise QueryError(f"relation {rel_name!r} not found")
+        return IX.search(self, rel, idx_name, opts)
+
     def _resolve_relation(self, name: str) -> Optional[DataFrame]:
         if name.startswith("_"):
             return self.temp_relations.get(name)
@@ -435,7 +450,8 @@ class CozoDb:
 
     def _eval_clauses_once(self, name, clauses, stores, overrides=None) -> DataFrame:
         tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
-                              key_resolver=self._resolve_keys)
+                              key_resolver=self._resolve_keys,
+                              search_resolver=self._search)
         parts = []
         width = None
         for cl in clauses:
@@ -496,7 +512,8 @@ class CozoDb:
                 if skip:
                     continue
                 tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
-                                      key_resolver=self._resolve_keys)
+                                      key_resolver=self._resolve_keys,
+                                      search_resolver=self._search)
                 outs.append(self._canon(tr.translate(cl.head, body)))
             if not outs:
                 return None
@@ -635,11 +652,13 @@ class CozoDb:
             else:
                 keep = rel.df.join(new.select(*key_names).distinct(), on=key_names, how="left_anti")
                 rel.df = _checkpoint(keep.unionByName(new))
+            self._after_mutation(rel, "put", new)
         elif op in ("rm", "delete"):
             key_names = rel.key_names
             rel.df = _checkpoint(
                 rel.df.join(data.select(*[c for c in cols if c in key_names]).distinct(),
                             on=[c for c in cols if c in key_names], how="left_anti"))
+            self._after_mutation(rel, "rm", data)
         elif op == "ensure":
             present = data.exceptAll(rel.df.select(*cols))
             if not present.isEmpty():
@@ -668,6 +687,27 @@ class CozoDb:
         else:
             raise QueryError(f"unsupported temp op :{op}")
         return NamedRows(["status"], [["OK"]])
+
+    def _after_mutation(self, rel: StoredRelation, kind: str, rows: DataFrame) -> None:
+        """Post-mutation hooks: invalidate index artifacts (rebuilt lazily on
+        next search) and fire triggers (query/stored.rs:669-773) with `_new`
+        bound to the mutated rows."""
+        from cozo_spark.operators import indices as IX
+
+        IX.invalidate(rel)
+        triggers = rel.put_triggers if kind == "put" else rel.rm_triggers
+        if not triggers:
+            return
+        saved = self.temp_relations.get("_new")
+        self.temp_relations["_new"] = rows
+        try:
+            for script in triggers:
+                self.run_script(script)
+        finally:
+            if saved is None:
+                self.temp_relations.pop("_new", None)
+            else:
+                self.temp_relations["_new"] = saved
 
     def _coerce_to_schema(self, data: DataFrame, rel: StoredRelation) -> DataFrame:
         """Write-time coercion (reference relation.rs:173-457): cast each
@@ -774,6 +814,50 @@ class CozoDb:
             for t in op["targets"]:
                 self.relations[t].access_level = op["level"]
             return NamedRows(["status"], [["OK"]])
+        if kind in ("index", "hnsw", "fts", "lsh"):
+            from cozo_spark.operators.indices import IndexDef
+
+            verb = op["verb"]
+            rel_name, idx_name = op["target"]
+            rel = self.relations.get(rel_name)
+            if rel is None:
+                raise QueryError(f"relation {rel_name!r} not found")
+            if verb == "drop":
+                rel.indices.pop(idx_name, None)
+                return NamedRows(["status"], [["OK"]])
+            kind_map = {"index": "regular", "hnsw": "hnsw", "fts": "fts", "lsh": "lsh"}
+            rel.indices[idx_name] = IndexDef(
+                kind_map[kind], options=op.get("fields", {}), columns=op.get("columns", []))
+            return NamedRows(["status"], [["OK"]])
+        if kind == "indices":
+            rel = self.relations.get(op["target"])
+            if rel is None:
+                raise QueryError(f"relation {op['target']!r} not found")
+            rows = [[n, d.kind] for n, d in sorted(rel.indices.items())]
+            return NamedRows(["name", "kind"], rows)
+        if kind == "set_triggers":
+            rel = self.relations.get(op["target"])
+            if rel is None:
+                raise QueryError(f"relation {op['target']!r} not found")
+            rel.put_triggers, rel.rm_triggers, rel.replace_triggers = [], [], []
+            for tkind, script in op.get("triggers", []):
+                if tkind == "put":
+                    rel.put_triggers.append(script)
+                elif tkind == "rm":
+                    rel.rm_triggers.append(script)
+                elif tkind == "replace":
+                    rel.replace_triggers.append(script)
+                else:
+                    raise QueryError(f"unknown trigger kind {tkind!r}")
+            return NamedRows(["status"], [["OK"]])
+        if kind == "show_triggers":
+            rel = self.relations.get(op["target"])
+            if rel is None:
+                raise QueryError(f"relation {op['target']!r} not found")
+            rows = ([["put", s] for s in rel.put_triggers]
+                    + [["rm", s] for s in rel.rm_triggers]
+                    + [["replace", s] for s in rel.replace_triggers])
+            return NamedRows(["kind", "script"], rows)
         if kind == "fixed_rules":
             from cozo_spark.fixed_rules import fixed_rule_names
             return NamedRows(["rule"], [[n] for n in fixed_rule_names()])

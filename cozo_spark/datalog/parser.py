@@ -17,8 +17,8 @@ from typing import Any, Optional
 from cozo_spark.datalog.ast import (
     Call, ColDef, Cond, Conj, Const, ConstRule, Disj, FixedApply, FixedInput,
     HeadAggr, HeadVar, ListEx, NamedRelApply, Negation, ObjectEx, OutOpts,
-    Param, Program, RelApply, RuleApply, RuleClause, SortSpec, TableSchema,
-    Unify, Var,
+    Param, Program, RelApply, RuleApply, RuleClause, SearchApply, SortSpec,
+    TableSchema, Unify, Var,
 )
 
 
@@ -273,6 +273,8 @@ class Parser:
             return Negation(self.parse_atom())
         if t.kind == "relident":
             return self.parse_relation_apply()
+        if t.kind == "searchident":
+            return self.parse_search_apply()
         if t.kind == "punct" and t.text == "(":
             # grouped rule body (conjunction of disjunctions)
             save = self.i
@@ -314,6 +316,33 @@ class Parser:
                 self.eat("ident", "in")
                 return Unify(var, self.parse_expr(), multi=True)
         return Cond(self.parse_expr())
+
+    def parse_search_apply(self) -> SearchApply:
+        t = self.eat("searchident")
+        full = t.text[1:]
+        if ":" not in full:
+            raise ParseError(f"search atom needs rel:index, got ~{full}")
+        rel, idx = full.rsplit(":", 1)
+        self.eat("punct", "{")
+        pairs = {}
+        while not (self.at("punct", "|") or self.at("punct", "}")):
+            col = self._eat_var()
+            if self.try_eat("punct", ":"):
+                pairs[col] = self.parse_expr()
+            else:
+                pairs[col] = None
+            if not self.try_eat("punct", ","):
+                break
+        opts = {}
+        if self.try_eat("punct", "|"):
+            while not self.at("punct", "}"):
+                key = self.eat("ident").text
+                self.eat("punct", ":")
+                opts[key] = self.parse_expr()
+                if not self.try_eat("punct", ","):
+                    break
+        self.eat("punct", "}")
+        return SearchApply(rel, idx, pairs, opts)
 
     def parse_relation_apply(self):
         t = self.eat("relident")
@@ -590,14 +619,19 @@ class Parser:
                     elif tk.kind == "punct" and tk.text == "}":
                         depth -= 1
                     self.i += 1
-                triggers.append((kind, (start, self.i - 1)))
+                triggers.append((kind, self._reconstruct(start, self.i - 1)))
             out["triggers"] = triggers
         elif op in ("index", "hnsw", "fts", "lsh"):
             verb = self.eat("ident").text
             out["verb"] = verb
-            rel = self.eat("ident").text
-            self.eat("punct", ":")
-            idx = self.eat("ident").text
+            # compound_or_index_ident tokenizes as one ident ('rel:idx')
+            full = self.eat("ident").text
+            if ":" in full:
+                rel, idx = full.rsplit(":", 1)
+            else:
+                rel = full
+                self.eat("punct", ":")
+                idx = self.eat("ident").text
             out["target"] = (rel, idx)
             if verb == "create":
                 self.eat("punct", "{")
@@ -617,6 +651,17 @@ class Parser:
         else:
             raise ParseError(f"unsupported sys op ::{op}")
         return out
+
+    def _reconstruct(self, a: int, b: int) -> str:
+        """Rebuild source text from a token span (used for trigger bodies and
+        imperative query blocks, which are re-parsed at execution time)."""
+        parts = []
+        for t in self.toks[a:b]:
+            if t.kind == "string":
+                parts.append('"' + t.text.replace("\\", "\\\\").replace('"', '\\"') + '"')
+            else:
+                parts.append(t.text)
+        return " ".join(parts)
 
     # -- expressions --------------------------------------------------------------
 

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 
 from cozo_spark.datalog.ast import (
     Call, Cond, Conj, Const, Disj, HeadAggr, HeadVar, ListEx, NamedRelApply,
-    Negation, ObjectEx, Param, RelApply, RuleApply, RuleClause, Unify, Var,
-    expr_vars,
+    Negation, ObjectEx, Param, RelApply, RuleApply, RuleClause, SearchApply,
+    Unify, Var, expr_vars,
 )
 from cozo_spark.functions.aggregates import AGGREGATIONS
 from cozo_spark.functions.scalar import SCALAR_FUNCTIONS
@@ -208,12 +208,16 @@ class ClauseTranslator:
     """Translates one flat conjunction into a DataFrame whose columns are the
     clause's bound variables."""
 
-    def __init__(self, spark, resolver: Resolver, key_resolver=None):
+    def __init__(self, spark, resolver: Resolver, key_resolver=None,
+                 search_resolver=None):
         self.spark = spark
         self.resolver = resolver
         # key_resolver(name) -> list of PK column names (or None): needed by
         # validity as-of reads, whose dedup window partitions on the key prefix
         self.key_resolver = key_resolver or (lambda name: None)
+        # search_resolver(rel, idx, opts) -> DataFrame: executes ~rel:idx
+        # search atoms (HNSW/FTS/LSH, engine-provided)
+        self.search_resolver = search_resolver
 
     def translate(self, head, body: list) -> DataFrame:
         atoms = list(body)
@@ -261,6 +265,9 @@ class ClauseTranslator:
             return self._join(df, bound, right)
         if isinstance(atom, NamedRelApply):
             right = self._named_frame(atom)
+            return self._join(df, bound, right)
+        if isinstance(atom, SearchApply):
+            right = self._search_frame(atom)
             return self._join(df, bound, right)
         if isinstance(atom, Unify):
             return self._apply_unify(df, bound, atom)
@@ -340,6 +347,44 @@ class ClauseTranslator:
         for f in filters:
             out = out.filter(f)
         return out.select(*sel) if sel else out.select(F.lit(1).alias("__exists__")).limit(1)
+
+    def _search_frame(self, atom: SearchApply) -> DataFrame:
+        """`~rel:idx{bindings | opts}` → engine-executed index search joined
+        like a named relation atom (HnswSearchRA/FtsSearchRA/LshSearchRA)."""
+        if self.search_resolver is None:
+            raise QueryError("index search atoms not available in this context")
+        opts = {}
+        for key, e in atom.opts.items():
+            ok, v = try_const(e)
+            if not ok:
+                raise QueryError(f"search option {key!r} must be constant")
+            opts[key] = v
+        base = self.search_resolver(atom.rel, atom.idx, opts)
+        sel = []
+        filters = []
+        for col, e in atom.pairs.items():
+            if col not in base.columns:
+                raise QueryError(f"~{atom.rel}:{atom.idx}: no column {col!r}")
+            c = F.col(col)
+            if e is None or (isinstance(e, Var) and e.name == col):
+                sel.append(c)
+            elif isinstance(e, Var):
+                if e.name == "_":
+                    continue
+                sel.append(c.alias(e.name))
+            else:
+                ok, v = try_const(e)
+                if not ok:
+                    raise QueryError(f"~{atom.rel}:{atom.idx}: non-constant binding for {col}")
+                filters.append(c == F.lit(v))
+        # bind_score / bind_distance columns surface as vars automatically
+        for opt_key in ("bind_score", "bind_distance"):
+            if opt_key in opts and str(opts[opt_key]) in base.columns:
+                sel.append(F.col(str(opts[opt_key])))
+        out = base
+        for f in filters:
+            out = out.filter(f)
+        return out.select(*sel) if sel else out
 
     def _as_of(self, base: DataFrame, validity_expr, rel_name: str = "") -> DataFrame:
         """`@ ts` time-travel read (StoredWithValidityRA, query/ra.rs:1125-1243):

@@ -415,6 +415,28 @@ def _adapt(fn):
     return rule
 
 
+def _local_rules():
+    from cozo_spark.fixed_rules import local_graphs as L
+
+    return {
+        # reference semantics incl. path reconstruction — driver-side like the
+        # reference itself (see local_graphs module docstring)
+        "ShortestPathDijkstra": _adapt(L.shortest_path_dijkstra),
+        "KShortestPathYen": _adapt(L.k_shortest_path_yen),
+        "ShortestPathAStar": _adapt(L.shortest_path_astar),
+        "DFS": _adapt(L.dfs),
+        "DepthFirstSearch": _adapt(L.dfs),
+        "BFS": _adapt(L.bfs_paths),
+        "BreadthFirstSearch": _adapt(L.bfs_paths),
+        "MinimumSpanningTreePrim": _adapt(L.minimum_spanning_tree_prim),
+        "MinimumSpanningForestKruskal": _adapt(L.minimum_spanning_forest_kruskal),
+        "BetweennessCentrality": _adapt(L.betweenness_centrality),
+        "ClosenessCentrality": _adapt(L.closeness_centrality),
+        "CommunityDetectionLouvain": _adapt(L.community_detection_louvain),
+        "RandomWalk": _adapt(L.random_walk),
+    }
+
+
 BUILTIN_RULES = {
     "DegreeCentrality": _adapt(degree_centrality),
     "PageRank": _adapt(pagerank),
@@ -424,7 +446,9 @@ BUILTIN_RULES = {
     "LabelPropagation": _adapt(label_propagation),
     "TopSort": _adapt(top_sort),
     "ClusteringCoefficients": _adapt(clustering_coefficients),
-    "BFS": _adapt(bfs_reach),
+    # distributed distance-only variants (the scale path)
+    "BFSReach": _adapt(bfs_reach),
     "ShortestPathBFS": _adapt(shortest_hops),
-    "ShortestPathDijkstra": _adapt(shortest_path_costs),
+    "ShortestPathCosts": _adapt(shortest_path_costs),
+    **_local_rules(),
 }

@@ -1,0 +1,465 @@
+"""Driver-side graph algorithms for rules that don't fan out.
+
+The reference implements ALL of its graph algorithms single-node
+(cozo-core/src/fixed_rule/algos/*.rs, rayon at best); for the algorithms
+whose control structure is inherently sequential (priority-queue Dijkstra
+with path reconstruction, Yen's k-shortest, A*, DFS preorder, MST, Louvain,
+Brandes betweenness) we do the same: collect the edge list to the driver
+under a size guard and run a tight Python implementation, returning the
+result as a DataFrame. Parity with the reference is exact; the distributed
+versions in ``graphs.py`` cover the fan-out cases (PageRank, CC, LPA,
+BFS/SSSP distances, degree, triangles) that matter at 100 TB.
+
+Size guard: collecting >_MAX_DRIVER_EDGES edges raises — at that scale use
+the distributed variant instead.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+
+_MAX_DRIVER_EDGES = 5_000_000
+
+
+def _collect_edges(edges: DataFrame, weighted: bool = False):
+    cols = edges.columns
+    if len(cols) < 2:
+        raise ValueError("Edge relation requires tuples of length at least two")
+    take = 3 if weighted and len(cols) > 2 else 2
+    rows = edges.select(*cols[:take]).limit(_MAX_DRIVER_EDGES + 1).collect()
+    if len(rows) > _MAX_DRIVER_EDGES:
+        raise ValueError(
+            f"edge list exceeds driver-side guard ({_MAX_DRIVER_EDGES}); "
+            "use the distributed variant")
+    if take == 3:
+        return [(r[0], r[1], float(r[2])) for r in rows]
+    return [(r[0], r[1], 1.0) for r in rows]
+
+
+def _adj(edge_list, undirected=False):
+    adj = defaultdict(list)
+    for a, b, w in edge_list:
+        adj[a].append((b, w))
+        if undirected:
+            adj[b].append((a, w))
+    for k in adj:
+        adj[k].sort()
+    return adj
+
+
+def _dijkstra(adj, start, goal=None):
+    dist = {start: 0.0}
+    prev = {}
+    pq = [(0.0, start)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        if goal is not None and u == goal:
+            break
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(pq, (nd, v))
+    return dist, prev
+
+
+def _path(prev, start, end):
+    out = [end]
+    while out[-1] != start:
+        if out[-1] not in prev:
+            return None
+        out.append(prev[out[-1]])
+    return list(reversed(out))
+
+
+# --- ShortestPathDijkstra with paths (algos/shortest_path_dijkstra.rs:432) ---
+
+def shortest_path_dijkstra(edges: DataFrame, starts: DataFrame, goals: DataFrame,
+                           undirected: bool = False) -> DataFrame:
+    """(start, goal, cost, path) — exact reference output contract."""
+    el = _collect_edges(edges, weighted=True)
+    adj = _adj(el, undirected)
+    ss = [r[0] for r in starts.collect()]
+    gs = [r[0] for r in goals.collect()]
+    rows = []
+    for s in ss:
+        dist, prev = _dijkstra(adj, s)
+        for g in gs:
+            if g in dist:
+                rows.append((s, g, dist[g], [str(x) for x in _path(prev, s, g)]))
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
+    typ = "string" if isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, cost double, path array<string>")
+
+
+# --- KShortestPathYen (algos/yen.rs:211) --------------------------------------
+
+def k_shortest_path_yen(edges: DataFrame, starts: DataFrame, goals: DataFrame,
+                        k: int = 3, undirected: bool = False) -> DataFrame:
+    """(start, goal, cost, path): k loopless shortest paths (Yen 1971)."""
+    el = _collect_edges(edges, weighted=True)
+    base_adj = _adj(el, undirected)
+    rows = []
+    for s in [r[0] for r in starts.collect()]:
+        for g in [r[0] for r in goals.collect()]:
+            for cost, path in _yen(base_adj, s, g, k):
+                rows.append((s, g, cost, [str(x) for x in path]))
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
+    typ = "string" if isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, cost double, path array<string>")
+
+
+def _yen(adj, s, g, k):
+    dist, prev = _dijkstra(adj, s, g)
+    if g not in dist:
+        return []
+    first = _path(prev, s, g)
+    paths = [(dist[g], first)]
+    candidates: list = []
+    for _ in range(1, k):
+        prev_cost, prev_path = paths[-1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            removed = set()
+            for cost, p in paths:
+                if p[: i + 1] == root and len(p) > i + 1:
+                    removed.add((p[i], p[i + 1]))
+            mod_adj = {
+                u: [(v, w) for v, w in vs if (u, v) not in removed and v not in root[:-1]]
+                for u, vs in adj.items()
+            }
+            d2, p2 = _dijkstra(mod_adj, spur, g)
+            if g in d2:
+                spur_path = _path(p2, spur, g)
+                total = root[:-1] + spur_path
+                root_cost = sum(_edge_w(adj, total[j], total[j + 1]) for j in range(i))
+                cand = (root_cost + d2[g], total)
+                if cand not in candidates and cand not in paths:
+                    heapq.heappush(candidates, cand)
+        if not candidates:
+            break
+        paths.append(heapq.heappop(candidates))
+    return paths
+
+
+def _edge_w(adj, u, v):
+    for x, w in adj.get(u, ()):
+        if x == v:
+            return w
+    return float("inf")
+
+
+# --- ShortestPathAStar (algos/astar.rs:180) ------------------------------------
+
+def shortest_path_astar(edges: DataFrame, starts_goals: DataFrame,
+                        heuristic=None) -> DataFrame:
+    """(start, goal, cost, path). Heuristic: fn(node, goal) -> float
+    (defaults to 0 = Dijkstra; the reference evaluates a CozoScript expr —
+    engine callers pass a compiled closure)."""
+    el = _collect_edges(edges, weighted=True)
+    adj = _adj(el)
+    h = heuristic or (lambda n, g: 0.0)
+    rows = []
+    for r in starts_goals.collect():
+        s, g = r[0], r[1]
+        res = _astar(adj, s, g, h)
+        if res is not None:
+            cost, path = res
+            rows.append((s, g, cost, [str(x) for x in path]))
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
+    typ = "string" if isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, cost double, path array<string>")
+
+
+def _astar(adj, s, g, h):
+    dist = {s: 0.0}
+    prev = {}
+    pq = [(h(s, g), s)]
+    while pq:
+        _, u = heapq.heappop(pq)
+        if u == g:
+            return dist[u], _path(prev, s, g)
+        for v, w in adj.get(u, ()):
+            nd = dist[u] + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(pq, (nd + h(v, g), v))
+    return None
+
+
+# --- DFS (algos/dfs.rs:122) -----------------------------------------------------
+
+def dfs(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> DataFrame:
+    """(start, reached, path): preorder DFS, lexicographic neighbor order —
+    matches the reference's deterministic iteration order."""
+    el = _collect_edges(edges)
+    adj = _adj(el)
+    rows = []
+    for r in starts.collect():
+        s = r[0]
+        seen = {s}
+        stack = [(s, [s])]
+        count = 0
+        while stack:
+            u, path = stack.pop()
+            if u != s:
+                rows.append((s, u, [str(x) for x in path]))
+                count += 1
+                if limit is not None and count >= limit:
+                    break
+            for v, _ in reversed(adj.get(u, ())):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append((v, path + [v]))
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "start long, reached long, path array<string>")
+    typ = "string" if isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"start {typ}, reached {typ}, path array<string>")
+
+
+def bfs_paths(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> DataFrame:
+    """(start, reached, path): BFS order with first-found path (algos/bfs.rs)."""
+    from collections import deque
+
+    el = _collect_edges(edges)
+    adj = _adj(el)
+    rows = []
+    for r in starts.collect():
+        s = r[0]
+        seen = {s}
+        q = deque([(s, [s])])
+        count = 0
+        while q:
+            u, path = q.popleft()
+            if u != s:
+                rows.append((s, u, [str(x) for x in path]))
+                count += 1
+                if limit is not None and count >= limit:
+                    break
+            for v, _ in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    q.append((v, path + [v]))
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "start long, reached long, path array<string>")
+    typ = "string" if isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"start {typ}, reached {typ}, path array<string>")
+
+
+# --- MST: Prim / Kruskal (algos/prim.rs, kruskal.rs) ------------------------------
+
+def minimum_spanning_tree_prim(edges: DataFrame) -> DataFrame:
+    """(from, to, weight) edges of the MST (undirected interpretation)."""
+    el = _collect_edges(edges, weighted=True)
+    adj = _adj(el, undirected=True)
+    if not adj:
+        return edges.sparkSession.createDataFrame([], "src long, dst long, weight double")
+    start = min(adj)
+    visited = {start}
+    pq = [(w, start, v) for v, w in adj[start]]
+    heapq.heapify(pq)
+    rows = []
+    while pq:
+        w, u, v = heapq.heappop(pq)
+        if v in visited:
+            continue
+        visited.add(v)
+        rows.append((u, v, w))
+        for x, w2 in adj.get(v, ()):
+            if x not in visited:
+                heapq.heappush(pq, (w2, v, x))
+    spark = edges.sparkSession
+    typ = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"src {typ}, dst {typ}, weight double")
+
+
+def minimum_spanning_forest_kruskal(edges: DataFrame) -> DataFrame:
+    """(from, to, weight): Kruskal with union-find — handles disconnected
+    graphs (forest), matching the reference's Kruskal variant."""
+    el = _collect_edges(edges, weighted=True)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    for a, b, w in sorted(el, key=lambda t: (t[2], str(t[0]), str(t[1]))):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            rows.append((a, b, w))
+    spark = edges.sparkSession
+    typ = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows or [], f"src {typ}, dst {typ}, weight double")
+
+
+# --- Centralities (algos/all_pairs_shortest_path.rs:176) ---------------------------
+
+def betweenness_centrality(edges: DataFrame, undirected: bool = False) -> DataFrame:
+    """(node, centrality) via Brandes' algorithm — O(V·E), documented as the
+    reference's own cost profile."""
+    from collections import deque
+
+    el = _collect_edges(edges, weighted=False)
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b, _ in el:
+        adj[a].append(b)
+        nodes.update((a, b))
+        if undirected:
+            adj[b].append(a)
+    cb = dict.fromkeys(nodes, 0.0)
+    for s in nodes:
+        stack = []
+        pred = defaultdict(list)
+        sigma = dict.fromkeys(nodes, 0)
+        sigma[s] = 1
+        d = dict.fromkeys(nodes, -1)
+        d[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj.get(v, ()):
+                if d[w] < 0:
+                    d[w] = d[v] + 1
+                    q.append(w)
+                if d[w] == d[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = dict.fromkeys(nodes, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                cb[w] += delta[w]
+        # (directed: no halving; reference reports raw counts)
+    rows = sorted(cb.items(), key=lambda t: str(t[0]))
+    spark = edges.sparkSession
+    typ = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"node {typ}, centrality double")
+
+
+def closeness_centrality(edges: DataFrame, undirected: bool = False) -> DataFrame:
+    """(node, centrality): 1 / mean shortest distance to reachable nodes."""
+    el = _collect_edges(edges, weighted=True)
+    adj = _adj(el, undirected)
+    nodes = set()
+    for a, b, _ in el:
+        nodes.update((a, b))
+    rows = []
+    for n in nodes:
+        dist, _ = _dijkstra(adj, n)
+        others = [d for k, d in dist.items() if k != n]
+        rows.append((n, (len(others) / sum(others)) if others and sum(others) > 0 else 0.0))
+    rows.sort(key=lambda t: str(t[0]))
+    spark = edges.sparkSession
+    typ = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"node {typ}, centrality double")
+
+
+# --- Louvain community detection (algos/louvain.rs:318) -----------------------------
+
+def community_detection_louvain(edges: DataFrame, max_passes: int = 10) -> DataFrame:
+    """(community, node): single-level-iterated Louvain modularity optimization
+    (deterministic node order). The reference is also single-machine here."""
+    el = _collect_edges(edges, weighted=True)
+    w_adj: dict = defaultdict(lambda: defaultdict(float))
+    for a, b, w in el:
+        if a == b:
+            continue
+        w_adj[a][b] += w
+        w_adj[b][a] += w
+    nodes = sorted(w_adj, key=str)
+    m2 = sum(sum(vs.values()) for vs in w_adj.values())  # = 2m
+    if m2 == 0:
+        return edges.sparkSession.createDataFrame([], "community long, node long")
+    comm = {n: i for i, n in enumerate(nodes)}
+    k = {n: sum(w_adj[n].values()) for n in nodes}
+    sigma_tot = defaultdict(float)
+    for n in nodes:
+        sigma_tot[comm[n]] += k[n]
+    for _ in range(max_passes):
+        moved = False
+        for n in nodes:
+            c0 = comm[n]
+            sigma_tot[c0] -= k[n]
+            neigh_w = defaultdict(float)
+            for v, w in w_adj[n].items():
+                neigh_w[comm[v]] += w
+            best_c, best_gain = c0, 0.0
+            for c, w_in in sorted(neigh_w.items()):
+                gain = w_in - sigma_tot[c] * k[n] / m2
+                if gain > best_gain + 1e-12:
+                    best_gain, best_c = gain, c
+            comm[n] = best_c
+            sigma_tot[best_c] += k[n]
+            if best_c != c0:
+                moved = True
+        if not moved:
+            break
+    # renumber communities by min member for determinism
+    groups = defaultdict(list)
+    for n, c in comm.items():
+        groups[c].append(n)
+    rows = []
+    for _, members in groups.items():
+        label = min(members, key=str)
+        for n in members:
+            rows.append((label, n))
+    rows.sort(key=lambda t: (str(t[0]), str(t[1])))
+    spark = edges.sparkSession
+    typ = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"community {typ}, node {typ}")
+
+
+# --- RandomWalk (algos/random_walk.rs:138) -------------------------------------------
+
+def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 10,
+                iterations: int = 1, seed: int = 42) -> DataFrame:
+    """(idx, start, path): seeded uniform random walks (deterministic)."""
+    import random
+
+    el = _collect_edges(edges)
+    adj = _adj(el)
+    rnd = random.Random(seed)
+    rows = []
+    idx = 0
+    for r in starts.collect():
+        s = r[0]
+        for _ in range(iterations):
+            path = [s]
+            cur = s
+            for _ in range(steps):
+                nbrs = adj.get(cur, ())
+                if not nbrs:
+                    break
+                cur = rnd.choice(nbrs)[0]
+                path.append(cur)
+            rows.append((idx, s, [str(x) for x in path]))
+            idx += 1
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "idx long, start long, path array<string>")
+    typ = "string" if isinstance(rows[0][1], str) else "long"
+    return spark.createDataFrame(rows, f"idx long, start {typ}, path array<string>")

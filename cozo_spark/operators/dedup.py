@@ -69,9 +69,10 @@ def minhash_signatures(
     import random
 
     rnd = random.Random(seed)
-    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_perm)]
+    # coefficient ranges sized so a*x + b < 2^61 — no int64 overflow under
+    # ANSI arithmetic (a < 2^30, x < 2^31, b < 2^30)
+    params = [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30)) for _ in range(num_perm)]
     sh = _shingles(df.select(id_col, text_col), text_col, shingle_n)
-    # x folded into [0, 2^31) so a*x stays within long range pre-mod
     x = F.pmod(F.col("_gram_hash"), F.lit(1 << 31))
     aggs = [
         F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))).alias(f"_h{i}")

