@@ -34,6 +34,10 @@ HEADLINE = [
     "dedup_exact",
     "text_word_topk",
     "ann_cosine_topk",
+    "minhash_lsh_pairs",
+    "sessionize",
+    "window_running_sum",
+    "datalog_recursion",
 ]
 
 

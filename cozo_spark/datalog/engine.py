@@ -695,6 +695,9 @@ class CozoDb:
         from cozo_spark.operators import indices as IX
 
         IX.invalidate(rel)
+        feed = getattr(self, "changefeed", None)
+        if feed is not None:
+            feed.record(rel.name, kind, rows)
         triggers = rel.put_triggers if kind == "put" else rel.rm_triggers
         if not triggers:
             return

@@ -182,14 +182,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
     shuffle on id.
     """
     sh = _shingles(df.select(id_col, text_col), text_col, shingle_n)
+    # bit 63 would overflow a Python-side long literal; shiftleft computes the
+    # mask JVM-side where 1<<63 wraps to Long.MIN as intended
+    def mask(i):
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
     aggs = [
-        F.sum(F.when(F.col("_gram_hash").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"_b{i}")
+        F.sum(F.when(F.col("_gram_hash").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(64)
     ]
     per_doc = sh.groupBy(id_col).agg(*aggs)
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"_b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return per_doc.select(id_col, sig.alias("simhash"))
 

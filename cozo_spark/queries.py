@@ -802,6 +802,209 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pipeline operators with exact SQL oracles
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 120
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:least(i+2, len(w))], ' '))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.12
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard similarity join — the verification path of
+    the near-dup pipeline, fully SQL-oracle-checked (shingle explode +
+    equi-join on shingle + |A∩B|/|A∪B|)."""
+    from cozo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 120")
+    return ngram_jaccard_pairs(d, threshold=0.12, shingle_n=3)
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           ROUND(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                 / greatest(len(toks), 1), 4) AS mean_word_len,
+           ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 4) AS alpha_ratio,
+           ROUND(len(list_filter(toks, x -> list_contains(
+                 ['the', 'and', 'of', 'to', 'is'], x))) * 1.0
+                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           ROUND(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
+                 AS uniq_word_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal extraction (Gopher/C4-style) — codegen'd column
+    expressions, oracle-checked ratio by ratio."""
+    from cozo_spark.operators.text import quality_scores
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 150")
+    return quality_scores(d).select(
+        "doc_id", "n_chars", "n_words", "mean_word_len",
+        "alpha_ratio", "stopword_ratio", "uniq_word_ratio")
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an ordered window frame — beyond the reference
+    (it has no window functions, SURVEY §2.4); native Spark Window."""
+    o = _t(spark, sf_dir, "orders").filter("o_custkey < 100")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag → new-session flag →
+    cumulative sum — the batch analogue of a session window in Structured
+    Streaming. One shuffle on user_id covers both windows."""
+    ev = _t(spark, sf_dir, "events").filter("user_id < 20")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate / non-SQL-expressible operators — rows-only driver checks
+# (the oracle omission is intentional: the driver records a weaker check)
+# ---------------------------------------------------------------------------
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with signature-estimated Jaccard
+    (runtime/minhash_lsh.rs contract). Rows-only check: hashing isn't
+    SQL-portable; exactness is covered by ngram_jaccard above."""
+    from cozo_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(d, threshold=0.3, num_perm=64, shingle_n=3)
+
+
+@query("simhash_pairs")
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-banded near-dup pairs (rows-only)."""
+    from cozo_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=8, shingle_n=2)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN (build + nprobe search) — the 100 TB scale path;
+    recall vs the exact ann_cosine_topk is the quality metric (rows-only)."""
+    from cozo_spark.operators.similarity import ivf_build, ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, assigned = ivf_build(emb, n_centroids=8)
+    queries_df = emb.filter("vec_id < 5")
+    return ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3)
+
+
+@query("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-window fingerprint (rows-only; xxhash-based)."""
+    from cozo_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query("lang_id")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic (rows-only)."""
+    from cozo_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@query("fts_engine_search")
+def fts_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS through the Datalog engine: ::fts create + ~doc:ft search atom
+    (TF-IDF top-k; rows-only — scoring isn't SQL-portable)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("docs", _t(spark, sf_dir, "documents"), keys=["doc_id"])
+    db.run_script("::fts create docs:ft {extractor: 'text'}")
+    return db.run_script_df(
+        "?[doc_id, s] := ~docs:ft{doc_id | query: 'filter AND join', k: 50, bind_score: 's'}")
+
+
+# ---------------------------------------------------------------------------
 # CozoScript queries through the Datalog engine (cozo_spark.datalog) —
 # the same operators, exercised via the reference's own query language.
 # ---------------------------------------------------------------------------

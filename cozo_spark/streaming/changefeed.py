@@ -1,0 +1,90 @@
+"""Change feed: relation mutations as a Structured Streaming source.
+
+The reference's closest capabilities (SURVEY §2.8) are mutation callbacks
+(Db::register_callback, runtime/callback.rs:19-57) delivering
+(CallbackOp::Put|Rm, new_rows, old_rows), and an SSE endpoint
+(/changes/:relation). This module is the Spark-native upgrade:
+
+- every mutation appends a JSON-lines increment to a spool directory
+  (relation, op, ts, row payload) — the mutation log;
+- ``stream(spark)`` returns ``spark.readStream`` over the spool: a real
+  Structured Streaming source supporting watermarks, windowed aggregations,
+  and ``foreachBatch`` sinks — trigger logic across micro-batches becomes
+  idempotent foreachBatch (exactly-once when the sink is transactional);
+- in-process callbacks fire synchronously per mutation for parity with the
+  reference's channel-based API.
+
+At scale the spool directory is an object-store prefix and the stream runs
+continuously; locally, ``Trigger.AvailableNow`` drains it in tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CHANGE_SCHEMA = T.StructType([
+    T.StructField("relation", T.StringType()),
+    T.StructField("op", T.StringType()),          # 'put' | 'rm'
+    T.StructField("ts", T.DoubleType()),          # event time, epoch seconds
+    T.StructField("row", T.StringType()),         # JSON-encoded row payload
+])
+
+
+class ChangeFeed:
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._lock = threading.Lock()
+        self._seq = 0
+        self.callbacks: dict[str, list[Callable]] = {}
+
+    # -- producer side (engine hooks) -----------------------------------------
+
+    def record(self, relation: str, op: str, rows: DataFrame) -> None:
+        payload = [r.asDict(recursive=True) for r in rows.collect()]
+        now = time.time()
+        lines = [json.dumps({"relation": relation, "op": op, "ts": now,
+                             "row": json.dumps(p, default=str)})
+                 for p in payload]
+        with self._lock:
+            self._seq += 1
+            path = os.path.join(self.spool_dir, f"changes-{self._seq:08d}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        for cb in self.callbacks.get(relation, []):
+            cb(op, payload)
+
+    def register_callback(self, relation: str, fn: Callable) -> None:
+        """Reference Db::register_callback (db.rs:789-830): fn(op, rows)."""
+        self.callbacks.setdefault(relation, []).append(fn)
+
+    # -- consumer side ----------------------------------------------------------
+
+    def stream(self, spark: SparkSession, relation: Optional[str] = None) -> DataFrame:
+        s = (spark.readStream.schema(CHANGE_SCHEMA)
+             .option("maxFilesPerTrigger", 64)
+             .json(self.spool_dir))
+        if relation is not None:
+            s = s.filter(s.relation == relation)
+        return s
+
+    def batch(self, spark: SparkSession, relation: Optional[str] = None) -> DataFrame:
+        """The same log as a batch DataFrame (for replay / backfill)."""
+        b = spark.read.schema(CHANGE_SCHEMA).json(self.spool_dir)
+        if relation is not None:
+            b = b.filter(b.relation == relation)
+        return b
+
+
+def attach_changefeed(db, spool_dir: str) -> ChangeFeed:
+    """Enable the change feed on a CozoDb: every put/rm is spooled."""
+    feed = ChangeFeed(spool_dir)
+    db.changefeed = feed
+    return feed

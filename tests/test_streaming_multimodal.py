@@ -1,0 +1,101 @@
+"""Change-feed streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_changefeed_and_callbacks(spark, tmp_path):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.streaming.changefeed import attach_changefeed
+
+    db = CozoDb(spark)
+    feed = attach_changefeed(db, str(tmp_path / "spool"))
+    events = []
+    feed.register_callback("kv", lambda op, rows: events.append((op, len(rows))))
+
+    db.run_script(":create kv {k: Int => v: String}")
+    db.run_script("?[k, v] <- [[1, 'a'], [2, 'b']] :put kv {k => v}")
+    db.run_script("?[k] <- [[1]] :rm kv {k}")
+
+    assert events == [("put", 2), ("rm", 1)]
+    log = feed.batch(spark).orderBy("ts")
+    ops = [r["op"] for r in log.collect()]
+    assert ops.count("put") == 2 and ops.count("rm") == 1
+
+
+def test_changefeed_structured_stream(spark, tmp_path):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.streaming.changefeed import attach_changefeed
+
+    db = CozoDb(spark)
+    feed = attach_changefeed(db, str(tmp_path / "spool2"))
+    db.run_script(":create ev {k: Int => v: Int}")
+    for i in range(3):
+        db.run_script(f"?[k, v] <- [[{i}, {i * 10}]] :put ev {{k => v}}")
+
+    # windowed count over the stream, drained with availableNow
+    s = feed.stream(spark, "ev")
+    agg = s.groupBy("relation", "op").count()
+    q = (agg.writeStream.format("memory").queryName("feed_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = {(r["relation"], r["op"]): r["count"]
+            for r in spark.sql("select * from feed_counts").collect()}
+    assert rows[("ev", "put")] == 3
+
+
+@pytest.fixture()
+def media(spark):
+    from cozo_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image/png", b"\x89PNG-fake-1", {"width": 64, "height": 64,
+                                             "duration_ms": None, "sample_rate": None}),
+        (2, "image/png", b"\x89PNG-fake-2", {"width": 32, "height": 32,
+                                             "duration_ms": None, "sample_rate": None}),
+        (3, "video/mp4", b"vid-fake", {"width": 640, "height": 480,
+                                       "duration_ms": 3500, "sample_rate": None}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features(media):
+    from cozo_spark.operators.multimodal import extract_image_features
+
+    out = extract_image_features(media.filter("media_type = 'image/png'"), fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bytes"] == len(b"\x89PNG-fake-1")
+    assert len(rows[1]["features"]) == 8
+    # deterministic: same content → same features
+    out2 = {r["media_id"]: r["features"]
+            for r in extract_image_features(media.filter("media_id = 1"), fake=True).collect()}
+    assert out2[1] == list(rows[1]["features"])
+    # unit norm
+    assert sum(x * x for x in rows[1]["features"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_real_decode_is_gated(media):
+    from cozo_spark.operators.multimodal import extract_image_features
+
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, fake=False)
+
+
+def test_frame_sampling(media):
+    from cozo_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(media.filter("media_type = 'video/mp4'"), every_ms=1000)
+    rows = sorted((r["frame_idx"], r["frame_ts_ms"]) for r in out.collect())
+    assert rows == [(0, 0), (1, 1000), (2, 2000)]  # 3500ms → 3 frames
+
+
+def test_repartition_for_blobs(media):
+    from cozo_spark.operators.multimodal import repartition_for_blobs
+
+    sized = media.withColumn("n_bytes", F.length("content").cast("long"))
+    out = repartition_for_blobs(sized, target_bytes_per_partition=8)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 3
