@@ -189,6 +189,54 @@ class CozoDb:
         rows = [list(r) for r in res.collect()]
         return NamedRows(res.columns, rows)
 
+    def run_script_read_only(self, script: str, params: Optional[dict] = None) -> NamedRows:
+        """Reject scripts with mutation side effects (db.rs:422-430)."""
+        parsed = parse_script(script, params)
+        if isinstance(parsed, Program) and parsed.opts.store_op:
+            raise QueryError("script is not read-only")
+        if isinstance(parsed, dict) and parsed.get("sysop") not in (
+                "relations", "columns", "indices", "describe", "explain",
+                "fixed_rules", "show_triggers", "running"):
+            raise QueryError("sys op is not read-only")
+        return self.run_script(script, params)
+
+    def evaluate_expressions(self, expr_src: str, params: Optional[dict] = None):
+        """Expression-only mini-evaluator (db.rs:1878-1927)."""
+        from cozo_spark.datalog.parser import Parser
+
+        p = Parser(expr_src, params)
+        e = p.parse_expr()
+        if not p.done():
+            raise QueryError(f"trailing input after expression: {p.peek()}")
+        from cozo_spark.datalog.translate import compile_expr
+
+        row = self.spark.range(1).select(compile_expr(e, set()).alias("v")).collect()
+        return row[0]["v"]
+
+    def register_fixed_rule(self, name: str, fn) -> None:
+        """User-registrable UDTF surface (Db::register_fixed_rule,
+        db.rs:760-788): fn(inputs: list[DataFrame], options: dict) -> DataFrame."""
+        from cozo_spark.fixed_rules import register_fixed_rule
+
+        register_fixed_rule(name, fn)
+
+    def export_relations(self, names: list) -> dict:
+        """::export analogue — JSON-able {rel: {headers, rows}} (db.rs:448-530)."""
+        from cozo_spark.sources.readers import export_relations
+
+        return export_relations(self, names)
+
+    def import_relations(self, payload: dict) -> None:
+        """::import analogue (db.rs:531-620)."""
+        from cozo_spark.sources.readers import import_relations
+
+        import_relations(self, payload)
+
+    def multi_transaction(self, write: bool = True) -> "MultiTransaction":
+        """Interactive multi-statement transaction (run_multi_transaction,
+        db.rs:298-397): queries see staged state; commit swaps atomically."""
+        return MultiTransaction(self, write)
+
     def run_script_df(self, script: str, params: Optional[dict] = None):
         """Like run_script but returns the result DataFrame when the script is
         a pure query (lets callers keep the plan lazy)."""
@@ -876,3 +924,66 @@ class CozoDb:
                 lines.append([name, kind_s, n_clauses])
             return NamedRows(["rule", "kind", "clauses"], lines)
         raise QueryError(f"unsupported sys op ::{kind}")
+
+
+class MultiTransaction:
+    """Interactive transaction session (reference db.rs:298-397, HTTP
+    /transact): statements run against a private copy-on-write view of the
+    registry; ``commit`` publishes all staged relation states atomically
+    (single-writer registry swap — the Delta-transaction analogue),
+    ``abort`` discards them. Mirrors the reference's per-transaction
+    snapshot isolation for a single writer; concurrent-writer conflicts
+    surface at commit as a simple last-write check.
+    """
+
+    def __init__(self, db: CozoDb, write: bool = True):
+        import copy
+
+        self.base = db
+        self.write = write
+        # shadow CozoDb sharing the SparkSession but with its own registry
+        self.shadow = CozoDb(db.spark)
+        self.shadow.relations = {
+            n: StoredRelation(r.name, list(r.keys), list(r.non_keys), r.df,
+                              r.access_level, list(r.put_triggers),
+                              list(r.rm_triggers), list(r.replace_triggers),
+                              dict(r.indices))
+            for n, r in db.relations.items()
+        }
+        self.shadow.temp_relations = dict(db.temp_relations)
+        self._base_snapshot = {n: r.df for n, r in db.relations.items()}
+        self.done = False
+
+    def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
+        if self.done:
+            raise QueryError("transaction already finished")
+        if not self.write:
+            return self.shadow.run_script_read_only(script, params)
+        return self.shadow.run_script(script, params)
+
+    def commit(self) -> None:
+        if self.done:
+            raise QueryError("transaction already finished")
+        if self.write:
+            for n, df in self._base_snapshot.items():
+                cur = self.base.relations.get(n)
+                if cur is not None and cur.df is not df:
+                    raise QueryError(
+                        f"write-write conflict on relation {n!r}: concurrent mutation")
+            self.base.relations = self.shadow.relations
+            self.base.temp_relations = self.shadow.temp_relations
+        self.done = True
+
+    def abort(self) -> None:
+        self.done = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if not self.done:
+            if exc_type is None:
+                self.commit()
+            else:
+                self.abort()
+        return False

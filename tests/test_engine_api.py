@@ -1,0 +1,107 @@
+"""Engine API surface: transactions, read-only, expression evaluator,
+export/import, user fixed rules (reference entry points 2-3 + auxiliaries)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_multi_transaction_commit(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create acct {id: Int => bal: Int}")
+    db.run_script("?[i, b] <- [[1, 100], [2, 50]] :put acct {id => bal}")
+
+    with db.multi_transaction() as tx:
+        tx.run_script("?[i, b] <- [[1, 70]] :put acct {id => bal}")
+        tx.run_script("?[i, b] <- [[2, 80]] :put acct {id => bal}")
+        # staged state visible inside the tx
+        r = tx.run_script("?[b] := *acct[1, b]")
+        assert r.rows == [[70]]
+        # base unchanged until commit
+        r0 = db.run_script("?[b] := *acct[1, b]")
+        assert r0.rows == [[100]]
+    r1 = db.run_script("?[i, b] := *acct[i, b]")
+    assert sorted(tuple(x) for x in r1.rows) == [(1, 70), (2, 80)]
+
+
+def test_multi_transaction_abort(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create t2 {k: Int}")
+    db.run_script("?[k] <- [[1]] :put t2 {k}")
+    tx = db.multi_transaction()
+    tx.run_script("?[k] <- [[2]] :put t2 {k}")
+    tx.abort()
+    assert db.run_script("?[k] := *t2[k]").rows == [[1]]
+
+
+def test_multi_transaction_conflict(spark):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    db = CozoDb(spark)
+    db.run_script(":create t3 {k: Int}")
+    tx = db.multi_transaction()
+    tx.run_script("?[k] <- [[1]] :put t3 {k}")
+    # concurrent mutation on base → conflict at commit
+    db.run_script("?[k] <- [[9]] :put t3 {k}")
+    with pytest.raises(QueryError, match="conflict"):
+        tx.commit()
+
+
+def test_read_only_rejects_mutations(spark):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    db = CozoDb(spark)
+    db.run_script(":create ro {k: Int}")
+    with pytest.raises(QueryError, match="read-only"):
+        db.run_script_read_only("?[k] <- [[1]] :put ro {k}")
+    assert db.run_script_read_only("::relations").rows
+
+
+def test_evaluate_expressions(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    assert db.evaluate_expressions("1 + 2 * 3") == 7
+    assert db.evaluate_expressions("concat('a', 'b')") == "ab"
+    assert db.evaluate_expressions("$x * 2", params={"x": 21}) == 42
+
+
+def test_export_import(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create ex {k: Int => v: String}")
+    db.run_script("?[k, v] <- [[1, 'a'], [2, 'b']] :put ex {k => v}")
+    payload = db.export_relations(["ex"])
+    assert payload["ex"]["headers"] == ["k", "v"]
+
+    db2 = CozoDb(spark)
+    db2.run_script(":create ex {k: Int => v: String}")
+    db2.import_relations(payload)
+    r = db2.run_script("?[k, v] := *ex[k, v]")
+    assert sorted(tuple(x) for x in r.rows) == [(1, "a"), (2, "b")]
+
+
+def test_user_fixed_rule(spark):
+    """The UDTF surface: register a custom rule, call it from CozoScript."""
+    from pyspark.sql import functions as F
+    from cozo_spark.datalog.engine import CozoDb
+
+    def doubler(inputs, options):
+        factor = options.get("factor", 2)
+        df = inputs[0]
+        return df.select(*[(F.col(c) * factor).alias(c) for c in df.columns])
+
+    db = CozoDb(spark)
+    db.register_fixed_rule("Doubler", doubler)
+    r = db.run_script("""
+    nums[x] <- [[1], [2], [3]]
+    ?[x] <~ Doubler(nums[x], factor: 10)
+    """)
+    assert sorted(x[0] for x in r.rows) == [10, 20, 30]

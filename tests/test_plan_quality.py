@@ -1,0 +1,99 @@
+"""Plan-quality assertions: the properties that decide whether a plan
+survives a 100× scale-up. These are the .explain('formatted') checks the
+operators were tuned against — kept as tests so regressions surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def props(spark):
+    from cozo_spark.plans.inspect import plan_properties
+
+    def get(qname):
+        from cozo_spark import queries as Q
+
+        return plan_properties(Q.QUERIES[qname](spark, SF_ORACLE))
+
+    return get
+
+
+def test_scan_pushdown(props):
+    p = props("scan_filter_project")
+    # range + equality filters reach the parquet scan
+    assert p["pushed_filters"], p["plan"][:2000]
+    joined = ",".join(p["pushed_filters"])
+    assert "l_quantity" in joined and "l_returnflag" in joined
+    # projection pruned: none of the 7 unreferenced columns are read
+    assert all("l_extendedprice" not in s and "l_shipdate" not in s
+               and "l_suppkey" not in s for s in p["read_schemas"]), p["read_schemas"]
+
+
+def test_join_point_lookup_broadcasts(props):
+    p = props("join_point_lookup")
+    assert p["n_broadcast_joins"] >= 1
+    assert p["n_sortmerge_joins"] == 0
+
+
+def test_multiway_join_broadcasts_dims(props):
+    p = props("join_multiway")
+    # nation + region broadcast; orders⋈customer may be any strategy
+    assert p["n_broadcast_joins"] >= 2
+
+
+def test_topk_is_take_ordered(props):
+    # :order + :limit compiles to TakeOrdered (per-partition heap + driver
+    # merge), not a full sort — the difference between O(n log k) and a
+    # cluster-wide range-partitioned sort at 100 TB
+    p = props("sort_topk")
+    assert p["has_take_ordered"], p["plan"][:1500]
+
+
+def test_agg_partial_before_shuffle(props):
+    p = props("agg_basic")
+    # partial_ aggregate functions before the exchange = map-side combine
+    assert "partial_sum" in p["plan"] or "partial_count" in p["plan"]
+
+
+def test_anti_join_no_extra_shuffle(props):
+    p = props("neg_join_anti")
+    # customer vs orders anti-join: orders side reduced to the join key only
+    assert any("o_custkey" in s and "o_orderkey" not in s for s in p["read_schemas"]), \
+        p["read_schemas"]
+
+
+def test_dedup_exact_prunes_text(props):
+    # the md5 groupBy needs text but not lang/source columns
+    p = props("dedup_exact")
+    assert all("lang" not in s and "source" not in s for s in p["read_schemas"]), \
+        p["read_schemas"]
+
+
+def test_vectorized_scans(props):
+    # Batched: true = vectorized columnar parquet reader feeding codegen
+    # stages (AQE hides codegen ids pre-execution; batched scan is the
+    # visible proxy)
+    for q in ("agg_basic", "join_multiway", "validity_asof"):
+        p = props(q)
+        assert p["batched_scan"], f"{q} scan is not vectorized"
+
+
+def test_datalog_engine_pushes_filters(spark):
+    """Filters written in CozoScript reach the parquet scan through the
+    engine's translation — Catalyst pushdown composes with our translator."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.plans.inspect import plan_properties
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "lineitem", spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet"))
+    df = db.run_script_df(
+        "?[k, q] := *lineitem{l_orderkey: k, l_quantity: q}, q > 45.0")
+    p = plan_properties(df)
+    assert any("l_quantity" in f for f in p["pushed_filters"]), p["pushed_filters"]
+    # column pruning: only the two referenced columns are read
+    assert any("l_orderkey" in s and "l_partkey" not in s for s in p["read_schemas"]), \
+        p["read_schemas"]
