@@ -886,6 +886,30 @@ class CozoDb:
                 raise QueryError(f"relation {op['target']!r} not found")
             rows = [[n, d.kind] for n, d in sorted(rel.indices.items())]
             return NamedRows(["name", "kind"], rows)
+        if kind == "describe":
+            rel = self.relations.get(op["target"])
+            if rel is None:
+                raise QueryError(f"relation {op['target']!r} not found")
+            rows = []
+            for c in rel.keys:
+                rows.append([rel.name, c.name, True, c.typing or "Any"])
+            for c in rel.non_keys:
+                rows.append([rel.name, c.name, False, c.typing or "Any"])
+            return NamedRows(["relation", "column", "is_key", "type"], rows)
+        if kind == "running":
+            # Spark jobs are tracked by the scheduler; surface active job ids
+            sc = self.spark.sparkContext
+            try:
+                ids = sc.statusTracker().getActiveJobsIds()
+            except Exception:
+                ids = []
+            return NamedRows(["job_id"], [[int(i)] for i in ids])
+        if kind == "kill":
+            try:
+                self.spark.sparkContext.cancelJobGroup(str(op.get("expr")))
+            except Exception:
+                pass
+            return NamedRows(["status"], [["OK"]])
         if kind == "set_triggers":
             rel = self.relations.get(op["target"])
             if rel is None:

@@ -567,6 +567,8 @@ class Parser:
         out: dict[str, Any] = {"sysop": op}
         if op in ("relations", "running", "compact", "fixed_rules"):
             pass
+        elif op == "kill":
+            out["expr"] = const_eval(self.parse_expr())
         elif op in ("columns", "indices", "describe", "show_triggers"):
             out["target"] = self.eat("ident").text
         elif op in ("remove", "rename"):

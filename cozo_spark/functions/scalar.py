@@ -306,6 +306,83 @@ def _l2_normalize(a: Column) -> Column:
 fn("encode_base64")(lambda a: F.base64(a))
 fn("decode_base64")(lambda a: F.unbase64(a))
 
-# Functions that require Python (kept out of hot paths); listed for coverage
-# accounting — each raises a clear error if used before a UDF is registered.
-UDF_BACKED = ["t2s", "rand_uuid_v1", "uuid_timestamp", "pack_bits", "unpack_bits", "rand_choose", "rand_vec"]
+# --- UDF-backed long tail (kept out of hot paths) ----------------------------
+# (functions.rs:1126-1252 pack/unpack_bits; 2305-2354 rand_*; 2527-2570 uuid;
+#  1446-1453 t2s)
+
+fn("rand_choose")(lambda lst: F.element_at(
+    lst, (F.floor(F.rand() * F.size(lst)) + 1).cast("int")))
+
+
+def _lazy_udf(name, ret):
+    """Define a python UDF at first call (keeps import time clean)."""
+    def wrap(pyfn):
+        def build(*args):
+            from pyspark.sql import types as T
+
+            u = F.udf(pyfn, returnType=ret())
+            return u(*args)
+        SCALAR_FUNCTIONS[name] = build
+        return build
+    return wrap
+
+
+from pyspark.sql import types as _T  # noqa: E402
+
+
+@_lazy_udf("pack_bits", lambda: _T.BinaryType())
+def _pack_bits(bits):
+    if bits is None:
+        return None
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i // 8] |= 0x80 >> (i % 8)
+    return bytes(out)
+
+
+@_lazy_udf("unpack_bits", lambda: _T.ArrayType(_T.BooleanType()))
+def _unpack_bits(data):
+    if data is None:
+        return None
+    return [bool(byte & (0x80 >> i)) for byte in data for i in range(8)]
+
+
+@_lazy_udf("rand_vec", lambda: _T.ArrayType(_T.DoubleType()))
+def _rand_vec(n):
+    import random
+
+    return [random.random() for _ in range(n)]
+
+
+@_lazy_udf("rand_uuid_v1", lambda: _T.StringType())
+def _rand_uuid_v1():
+    import uuid
+
+    return str(uuid.uuid1())
+
+
+@_lazy_udf("uuid_timestamp", lambda: _T.DoubleType())
+def _uuid_timestamp(u):
+    import uuid
+
+    try:
+        parsed = uuid.UUID(u)
+        if parsed.version != 1:
+            return None
+        # 100-ns intervals since 1582-10-15 → epoch seconds
+        return (parsed.time - 0x01B21DD213814000) / 1e7
+    except (ValueError, AttributeError):
+        return None
+
+
+# minimal traditional→simplified mapping for the most common characters;
+# the reference bundles a full OpenCC-style table (functions.rs:1446-1453) —
+# swap in a complete mapping resource for production Chinese text.
+_T2S = str.maketrans("體國學會語說讀寫聽見長門問間開關東車馬魚鳥龍點發經濟歷當後來對裡愛時實現場報記計讓認識",
+                     "体国学会语说读写听见长门问间开关东车马鱼鸟龙点发经济历当后来对里爱时实现场报记计让认识")
+
+
+@_lazy_udf("t2s", lambda: _T.StringType())
+def _t2s(s):
+    return s.translate(_T2S) if s is not None else None
