@@ -50,6 +50,22 @@ def main() -> None:
     # query, not session startup
     Q.flagship(spark, sf_dir).collect()
 
+    # warm the Python worker pool (spawn + pandas/numpy import) the same way:
+    # the first Arrow-batched UDF otherwise pays ~8s of one-time interpreter
+    # startup that steady-state pipelines never see (workers are reused)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _noop(s):
+        import numpy  # noqa: F401
+        return s
+
+    _noop.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    warm = F.pandas_udf(T.LongType())(_noop)
+    spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .select(warm("id")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]

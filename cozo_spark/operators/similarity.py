@@ -132,6 +132,31 @@ def ivf_cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) — all unordered pairs with cosine >= threshold.
+
+    Exact embedding-cosine near-duplicate join. The self-join is the
+    verification path; at 100 TB you never run it raw — generate candidates
+    with random_hyperplane_lsh_pairs (bands over sign-bit signatures, one
+    shuffle) and score only candidates with this same codegen'd expression.
+    The scoring itself is zip_with/aggregate — whole-stage codegen, no
+    Python in the hot path.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        c.alias("a").join(c.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def random_hyperplane_lsh_pairs(
     corpus: DataFrame, n_bits: int = 16, bands: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

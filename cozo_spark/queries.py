@@ -801,6 +801,28 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=10, round_digits=6)
 
 
+@query(
+    "embed_cosine_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate join: all pairs with cosine >= t.
+
+    Exact self-join here (the verification path, fully oracle-checked); at
+    100 TB candidates come from random_hyperplane_lsh_pairs (sign-bit LSH,
+    one shuffle) and only candidates are scored — same codegen'd zip_with/
+    aggregate scoring expression either way."""
+    from cozo_spark.operators.similarity import cosine_neardup_pairs
+    return cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, round_digits=6)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline operators with exact SQL oracles
 # ---------------------------------------------------------------------------

@@ -1,0 +1,211 @@
+"""HTTP API shim over the engine — the cozo-bin server surface.
+
+Mirrors cozo-bin/src/server.rs:243-260 (routes) on the Python stdlib
+ThreadingHTTPServer — no extra dependencies, one thread per request, the
+SparkSession is shared (Spark is thread-safe for job submission; heavy work
+runs on executors, the HTTP layer only drives plans and collects results).
+
+| route | reference | here |
+|---|---|---|
+| POST /text-query            | server.rs:245 | run_script(script, params) → NamedRows JSON |
+| GET  /export/{rels}         | server.rs:246 | export_relations (comma-separated names) |
+| PUT  /import                | server.rs:247 | import_relations(payload) |
+| POST /backup                | server.rs:248 | JSON snapshot of every stored relation to a file |
+| POST /import-from-backup    | server.rs:249 | restore selected relations from a snapshot |
+| GET  /changes/{relation}    | server.rs:249 (SSE) | SSE stream fed by the mutation callback bus |
+| POST /transact, /transact/{id} | server.rs:255-256 | interactive MultiTransaction sessions |
+
+The reference's /rules/{name} remote-custom-rule channel (server.rs:250) is
+served in-process instead: CozoDb.register_fixed_rule is the same UDTF
+surface without the long-poll plumbing.
+
+Auth parity: like the reference (which requires an auth token off loopback),
+pass ``auth_token=...`` to require an ``x-cozo-auth`` header on every request.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+
+class CozoServer:
+    """Serve a CozoDb over HTTP. ``port=0`` picks a free port (tests)."""
+
+    def __init__(self, db, host: str = "127.0.0.1", port: int = 0,
+                 auth_token: Optional[str] = None):
+        self.db = db
+        self.auth_token = auth_token
+        self._txn_lock = threading.Lock()
+        self._txns: dict[int, object] = {}
+        self._txn_seq = 0
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "CozoServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    # -- transaction registry ------------------------------------------------
+
+    def open_txn(self, write: bool) -> int:
+        with self._txn_lock:
+            self._txn_seq += 1
+            tid = self._txn_seq
+            self._txns[tid] = self.db.multi_transaction(write=write)
+        return tid
+
+    def get_txn(self, tid: int):
+        txn = self._txns.get(tid)
+        if txn is None:
+            raise KeyError(f"no such transaction {tid}")
+        return txn
+
+    def close_txn(self, tid: int) -> None:
+        self._txns.pop(tid, None)
+
+
+def _make_handler(server: CozoServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # -- plumbing ---------------------------------------------------------
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n).decode("utf-8"))
+
+        def _json(self, payload: dict, status: int = 200) -> None:
+            data = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _err(self, exc: Exception, status: int = 400) -> None:
+            self._json({"ok": False, "message": str(exc)}, status)
+
+        def _authed(self) -> bool:
+            if server.auth_token is None:
+                return True
+            if self.headers.get("x-cozo-auth") == server.auth_token:
+                return True
+            self._json({"ok": False, "message": "unauthorized"}, 401)
+            return False
+
+        # -- routes -----------------------------------------------------------
+
+        def do_POST(self):
+            if not self._authed():
+                return
+            try:
+                if self.path == "/text-query":
+                    body = self._body()
+                    res = server.db.run_script(body["script"], body.get("params") or {})
+                    self._json({"ok": True, **res.as_dict()})
+                elif self.path == "/backup":
+                    body = self._body()
+                    names = list(server.db.relations)
+                    snap = server.db.export_relations(names)
+                    with open(body["path"], "w") as f:
+                        json.dump({"relations": snap}, f, default=str)
+                    self._json({"ok": True, "relations": names})
+                elif self.path == "/import-from-backup":
+                    body = self._body()
+                    with open(body["path"]) as f:
+                        snap = json.load(f)["relations"]
+                    want = body.get("relations") or list(snap)
+                    server.db.import_relations({k: v for k, v in snap.items() if k in want})
+                    self._json({"ok": True, "relations": want})
+                elif self.path == "/transact":
+                    body = self._body()
+                    tid = server.open_txn(write=bool(body.get("write", True)))
+                    self._json({"ok": True, "id": tid})
+                elif self.path.startswith("/transact/"):
+                    tid = int(self.path.rsplit("/", 1)[1])
+                    body = self._body()
+                    res = server.get_txn(tid).run_script(
+                        body["script"], body.get("params") or {})
+                    self._json({"ok": True, **res.as_dict()})
+                else:
+                    self._json({"ok": False, "message": "not found"}, 404)
+            except Exception as e:  # surface engine errors as 400s
+                self._err(e)
+
+        def do_PUT(self):
+            if not self._authed():
+                return
+            try:
+                if self.path == "/import":
+                    server.db.import_relations(self._body())
+                    self._json({"ok": True})
+                elif self.path.startswith("/transact/"):
+                    tid = int(self.path.rsplit("/", 1)[1])
+                    body = self._body()
+                    txn = server.get_txn(tid)
+                    if body.get("abort"):
+                        txn.abort()
+                    else:
+                        txn.commit()
+                    server.close_txn(tid)
+                    self._json({"ok": True})
+                else:
+                    self._json({"ok": False, "message": "not found"}, 404)
+            except Exception as e:
+                self._err(e)
+
+        def do_GET(self):
+            if not self._authed():
+                return
+            try:
+                if self.path.startswith("/export/"):
+                    names = [n for n in self.path[len("/export/"):].split(",") if n]
+                    self._json({"ok": True, "data": server.db.export_relations(names)})
+                elif self.path.startswith("/changes/"):
+                    self._sse_changes(self.path[len("/changes/"):])
+                else:
+                    self._json({"ok": False, "message": "not found"}, 404)
+            except Exception as e:
+                self._err(e)
+
+        def _sse_changes(self, relation: str) -> None:
+            """SSE mutation feed (server.rs:249): one `data:` event per
+            mutation batch, fed by the in-process callback bus."""
+            feed = getattr(server.db, "changefeed", None)
+            if feed is None:
+                self._json({"ok": False, "message": "no changefeed attached"}, 400)
+                return
+            q: queue.Queue = queue.Queue()
+            feed.register_callback(relation, lambda op, rows: q.put((op, rows)))
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                while True:
+                    op, rows = q.get()
+                    msg = json.dumps({"op": op, "relation": relation, "rows": rows},
+                                     default=str)
+                    self.wfile.write(f"data: {msg}\n\n".encode("utf-8"))
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client hung up
+
+    return Handler

@@ -106,7 +106,9 @@ def export_relations(db, names: list) -> dict:
 
 
 def import_relations(db, payload: dict) -> None:
-    """::import analogue (db.rs:531-620): replace relation contents from JSON."""
+    """::import analogue (db.rs:531-620): rows are *put* (upserted by key)
+    into pre-existing relations — existing rows with non-colliding keys
+    survive, matching the reference's per-row tx.put loop."""
     from cozo_spark.datalog.fixpoint import _checkpoint
 
     for name, data in payload.items():
@@ -120,4 +122,8 @@ def import_relations(db, payload: dict) -> None:
                                           else None)
         else:
             df = db.spark.createDataFrame([], rel.df.schema)
+        key_cols = [c.name for c in rel.keys]
+        if key_cols:
+            kept = rel.df.join(df.select(*key_cols), key_cols, "left_anti")
+            df = kept.unionByName(df)
         rel.df = _checkpoint(df)

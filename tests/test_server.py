@@ -1,0 +1,121 @@
+"""HTTP API shim tests — the cozo-bin server surface (server.rs:243-260)
+served over stdlib ThreadingHTTPServer, exercised with urllib in-process."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+def _req(port, path, method="GET", body=None, headers=None, timeout=30):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json", **(headers or {})})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read().decode())
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.server import CozoServer
+    from cozo_spark.streaming.changefeed import attach_changefeed
+
+    db = CozoDb(spark)
+    attach_changefeed(db, str(tmp_path / "spool"))
+    srv = CozoServer(db).start()
+    yield srv
+    srv.stop()
+
+
+def test_text_query_roundtrip(server):
+    _req(server.port, "/text-query", "POST",
+         {"script": ":create kv {k: Int => v: String}"})
+    _req(server.port, "/text-query", "POST",
+         {"script": "?[k, v] <- [[1, 'a'], [2, 'b']] :put kv {k => v}"})
+    res = _req(server.port, "/text-query", "POST",
+               {"script": "?[k, v] := *kv[k, v], k >= $lo", "params": {"lo": 2}})
+    assert res["ok"] and res["headers"] == ["k", "v"]
+    assert res["rows"] == [[2, "b"]]
+
+
+def test_export_import_and_backup(server, tmp_path):
+    _req(server.port, "/text-query", "POST",
+         {"script": ":create t {k: Int => v: Int}"})
+    _req(server.port, "/text-query", "POST",
+         {"script": "?[k, v] <- [[1, 10]] :put t {k => v}"})
+    exported = _req(server.port, "/export/t")["data"]
+    assert exported["t"]["rows"] == [[1, 10]]
+
+    # backup → wipe → restore
+    bpath = str(tmp_path / "snap.json")
+    assert _req(server.port, "/backup", "POST", {"path": bpath})["ok"]
+    _req(server.port, "/text-query", "POST", {"script": "?[k] <- [[1]] :rm t {k}"})
+    assert _req(server.port, "/export/t")["data"]["t"]["rows"] == []
+    _req(server.port, "/import-from-backup", "POST",
+         {"path": bpath, "relations": ["t"]})
+    assert _req(server.port, "/export/t")["data"]["t"]["rows"] == [[1, 10]]
+
+    # PUT /import merges rows directly
+    _req(server.port, "/import", "PUT",
+         {"t": {"headers": ["k", "v"], "rows": [[2, 20]]}})
+    rows = _req(server.port, "/export/t")["data"]["t"]["rows"]
+    assert sorted(rows) == [[1, 10], [2, 20]]
+
+
+def test_transact_commit_and_conflict_isolation(server):
+    _req(server.port, "/text-query", "POST",
+         {"script": ":create acct {k: Int => v: Int}"})
+    tid = _req(server.port, "/transact", "POST", {"write": True})["id"]
+    _req(server.port, f"/transact/{tid}", "POST",
+         {"script": "?[k, v] <- [[1, 100]] :put acct {k => v}"})
+    # not visible outside the txn until commit
+    out = _req(server.port, "/text-query", "POST",
+               {"script": "?[k, v] := *acct[k, v]"})
+    assert out["rows"] == []
+    _req(server.port, f"/transact/{tid}", "PUT", {"commit": True})
+    out = _req(server.port, "/text-query", "POST",
+               {"script": "?[k, v] := *acct[k, v]"})
+    assert out["rows"] == [[1, 100]]
+
+
+def test_changes_sse_stream(server):
+    _req(server.port, "/text-query", "POST",
+         {"script": ":create ev {k: Int => v: Int}"})
+    got = []
+
+    def _listen():
+        req = urllib.request.Request(f"http://127.0.0.1:{server.port}/changes/ev")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            line = r.readline().decode()
+            got.append(json.loads(line[len("data: "):]))
+
+    t = threading.Thread(target=_listen, daemon=True)
+    t.start()
+    import time
+    time.sleep(0.5)  # let the listener register its callback
+    _req(server.port, "/text-query", "POST",
+         {"script": "?[k, v] <- [[7, 70]] :put ev {k => v}"})
+    t.join(timeout=30)
+    assert got and got[0]["op"] == "put" and got[0]["relation"] == "ev"
+    assert got[0]["rows"][0]["k"] == 7
+
+
+def test_auth_token_enforced(spark, tmp_path):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.server import CozoServer
+
+    srv = CozoServer(CozoDb(spark), auth_token="s3cret").start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(srv.port, "/text-query", "POST", {"script": "?[x] <- [[1]]"})
+        assert ei.value.code == 401
+        ok = _req(srv.port, "/text-query", "POST", {"script": "?[x] <- [[1]]"},
+                  headers={"x-cozo-auth": "s3cret"})
+        assert ok["rows"] == [[1]]
+    finally:
+        srv.stop()
