@@ -328,6 +328,23 @@ class CozoDb:
             self._eval_scc(scc, prog, clause_map, stores)
         return stores
 
+    def _scc_read_outside(self, scc, prog, exclude: set) -> bool:
+        """True if any rule outside `scc` (and outside `exclude`) references an
+        SCC member — positively, under negation, or as fixed-rule input."""
+        for rname, rule in prog.rules.items():
+            if rname in scc or rname in exclude:
+                continue
+            d, nd = set(), set()
+            if isinstance(rule, list):
+                for cl in rule:
+                    for atom in cl.body:
+                        self._collect_deps(atom, prog, d, nd)
+            elif isinstance(rule, FixedApply):
+                d = {inp.name for inp in rule.inputs if inp.kind == "rule"}
+            if (d | nd) & set(scc):
+                return True
+        return False
+
     def _collect_deps(self, atom, prog, pos: set, neg: set) -> None:
         if isinstance(atom, RuleApply):
             pos.add(atom.name)
@@ -526,6 +543,51 @@ class CozoDb:
         meet = {r: any(isinstance(h, HeadAggr) for cl in clause_map[r] for h in cl.head)
                 for r in scc}
 
+        # :limit early exit (QueryLimiter eval.rs:33-61, applied db.rs:1529-1539):
+        # Datalog is monotone within a stratum, so any entry row derived from
+        # *partial* recursive totals is in the final result — when the query is
+        # unordered with a :limit, probe the entry rule against the running
+        # totals each epoch and stop the whole fixpoint at limit+offset rows.
+        # Sound only when: nothing but '?' reads this SCC (its totals stay
+        # partial), '?' touches the SCC positively (no negation — that's
+        # non-monotone), '?' has no normal aggregation (wrong over a partial
+        # set), and all of '?'s other deps are already evaluated.
+        early_stop_at = None
+        entry_dep_rules: set = set()
+        opts = getattr(prog, "opts", None)
+        if (opts is not None and opts.limit is not None and not opts.sorters
+                and opts.assert_kind is None):
+            target = opts.limit + (opts.offset or 0)
+            if not self._scc_read_outside(scc, prog, exclude={"?"}):
+                if "?" in scc and not meet.get("?"):
+                    early_stop_at = target
+                elif "?" in clause_map and "?" not in scc:
+                    d, nd = set(), set()
+                    for cl in clause_map["?"]:
+                        for atom in cl.body:
+                            self._collect_deps(atom, prog, d, nd)
+                    entry_aggr = any(isinstance(h, HeadAggr)
+                                     for cl in clause_map["?"] for h in cl.head)
+                    entry_dep_rules = d & set(scc)
+                    if (entry_dep_rules and not (nd & set(scc)) and not entry_aggr
+                            and not ((d - set(scc)) - set(stores))):
+                        early_stop_at = target
+
+        def _entry_rows_reached() -> bool:
+            if early_stop_at is None:
+                return False
+            if "?" in scc:
+                probe = totals["?"]
+            else:
+                if any(totals[r] is None for r in entry_dep_rules):
+                    return False
+                probe = self._eval_clauses_once(
+                    "?", clause_map["?"], stores,
+                    overrides={r: totals[r] for r in scc if totals[r] is not None})
+            if probe is None:
+                return False
+            return probe.limit(early_stop_at).count() >= early_stop_at
+
         def eval_rule(r: str, use_delta: bool) -> Optional[DataFrame]:
             parts = []
             for cl in clause_map[r]:
@@ -578,7 +640,9 @@ class CozoDb:
             totals[r] = base
             deltas[r] = base
         # fixpoint loop
-        for _ in range(self.MAX_FIXPOINT_EPOCHS):
+        self._last_fixpoint_epochs = 0
+        for _epoch in range(self.MAX_FIXPOINT_EPOCHS):
+            self._last_fixpoint_epochs = _epoch + 1
             any_delta = False
             new_totals = dict(totals)
             new_deltas = {}
@@ -608,6 +672,8 @@ class CozoDb:
             totals.update(new_totals)
             deltas.update(new_deltas)
             if not any_delta:
+                break
+            if _entry_rows_reached():
                 break
         for r in scc:
             stores[r] = totals[r] if totals[r] is not None else self.spark.createDataFrame(

@@ -1083,14 +1083,19 @@ def datalog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datalog_negation",
     oracle="""
     SELECT c.c_custkey AS k FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
     """,
 )
 def datalog_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified negation `not *orders{...}` → anti-join via the engine."""
+    """Stratified negation of a *derived rule* (`not has_f[k]`) — exercises
+    the rule-store anti-join path, non-vacuously at sf0.01 (every customer
+    has orders, but ~14% have no 'F'-status order)."""
     db = _db(spark, sf_dir, ("customer", "orders"))
     return db.run_script_df("""
-    ?[k] := *customer{c_custkey: k}, not *orders{o_custkey: k}
+    has_f[k] := *orders{o_custkey: k, o_orderstatus: s}, s == 'F'
+    ?[k] := *customer{c_custkey: k}, not has_f[k]
     """)
 
 

@@ -244,3 +244,33 @@ def test_validity_asof(spark):
     assert rows(r2) == [("b", 7)]
     r3 = db4.run_script("?[k, v] := *hist{k, v @ 120}")
     assert rows(r3) == [("a", 1)]
+
+
+def test_limit_early_exit_stops_fixpoint(spark):
+    """QueryLimiter parity (eval.rs:33-61, db.rs:1529-1539): an unordered
+    :limit query over a recursive rule stops the fixpoint as soon as the
+    entry rule can serve limit+offset rows — a 60-deep chain must not run
+    60 epochs for :limit 2."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create chain {fr: Int, to: Int}")
+    edges = [[i, i + 1] for i in range(60)]
+    d.run_script(f"?[fr, to] <- {edges} :put chain {{fr, to}}")
+
+    r = d.run_script(
+        "reach[a, b] := *chain[a, b]\n"
+        "reach[a, c] := reach[a, b], *chain[b, c]\n"
+        "?[a, b] := reach[a, b]\n"
+        ":limit 2")
+    assert len(r.rows) == 2
+    assert d._last_fixpoint_epochs < 10
+
+    # ordered query must NOT early-exit (needs the full closure to sort)
+    r = d.run_script(
+        "reach[a, b] := *chain[a, b]\n"
+        "reach[a, c] := reach[a, b], *chain[b, c]\n"
+        "?[a, b] := reach[a, b]\n"
+        ":order -b :limit 1")
+    assert r.rows[0][1] == 60  # max b only reachable after the full closure
+    assert d._last_fixpoint_epochs >= 59
