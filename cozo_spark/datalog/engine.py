@@ -290,8 +290,14 @@ class CozoDb:
                 clauses = []
                 for cl in rule:
                     for conj in expand_disjunctions(cl.body):
-                        clauses.append(RuleClause(cl.head, conj))
+                        clauses.append(RuleClause(cl.head, list(conj)))
                 clause_map[name] = clauses
+
+        # goal-directed recursion: push caller constants into recursive rules
+        # (magic.rs:55-642, restricted linear-transmission core — see magic.py)
+        if not prog.opts.disable_magic_rewrite:
+            from cozo_spark.datalog.magic import magic_restrict
+            magic_restrict(prog, clause_map)
 
         # const and fixed rules evaluate eagerly (they depend only on stored
         # relations and other rules' results — fixed rules may reference rule

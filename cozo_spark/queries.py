@@ -1126,6 +1126,35 @@ def datalog_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "datalog_magic_reach",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges WHERE src = 1
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT dst FROM reach
+    """,
+)
+def datalog_magic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goal-directed recursion: `?[b] := reach[1, b]` — the magic-set
+    rewrite (magic.py; magic.rs:55-642) pushes the caller's constant into
+    the recursion, so the fixpoint explores node 1's component only. At
+    scale this is the difference between closing the whole graph and one
+    component."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    return db.run_script_df("""
+    reach[a, b] := *edge[a, b]
+    reach[a, c] := reach[a, b], *edge[b, c]
+    ?[dst] := reach[1, dst]
+    """)
+
+
+@query(
     "datalog_shortest_min",
     oracle=f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),

@@ -274,3 +274,53 @@ def test_limit_early_exit_stops_fixpoint(spark):
         ":order -b :limit 1")
     assert r.rows[0][1] == 60  # max b only reachable after the full closure
     assert d._last_fixpoint_epochs >= 59
+
+
+def test_magic_rewrite_goal_directed_recursion(spark):
+    """Magic-set restriction (magic.rs:55-642, linear-transmission core):
+    `?[b] := reach[1, b]` must explore only node 1's component — a big
+    disconnected chain elsewhere must not extend the fixpoint."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create medge {fr: Int, to: Int}")
+    comp_a = [[1, 2], [2, 3], [3, 4]]
+    comp_b = [[i, i + 1] for i in range(100, 140)]  # long chain, unrelated
+    d.run_script(f"?[fr, to] <- {comp_a + comp_b} :put medge {{fr, to}}")
+
+    script = (
+        "reach[a, b] := *medge[a, b]\n"
+        "reach[a, c] := reach[a, b], *medge[b, c]\n"
+        "?[b] := reach[1, b]")
+    r = d.run_script(script)
+    assert rows(r) == [(2,), (3,), (4,)]
+    assert d._last_fixpoint_epochs <= 5  # comp_b's 40-deep chain not explored
+
+    r2 = d.run_script(script + "\n:disable_magic_rewrite true")
+    assert rows(r2) == [(2,), (3,), (4,)]
+    assert d._last_fixpoint_epochs >= 39  # full closure without the rewrite
+
+
+def test_magic_rewrite_skips_unbound_and_negated_callers(spark):
+    """No rewrite when any caller binds the position to a variable; negated
+    constant callers still see the complete seeded subset."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create nedge {fr: Int, to: Int}")
+    d.run_script("?[fr, to] <- [[1, 2], [2, 3], [5, 6]] :put nedge {fr, to}")
+
+    # var-bound caller alongside const caller → rewrite must not fire
+    r = d.run_script(
+        "reach[a, b] := *nedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *nedge[b, c]\n"
+        "all_src[a] := reach[a, _b]\n"
+        "?[a] := all_src[a], not reach[5, a]")
+    assert rows(r) == [(1,), (2,), (5,)]  # reach[5,·]={6}: nothing excluded
+
+    # pure negated-const caller: anti-join over the seeded subset
+    r2 = d.run_script(
+        "reach[a, b] := *nedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *nedge[b, c]\n"
+        "?[x] := x in [2, 3, 6], not reach[1, x]")
+    assert rows(r2) == [(6,)]
