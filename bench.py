@@ -66,6 +66,22 @@ def main() -> None:
     spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(warm("id")).count()
 
+    # warm the interpreted higher-order-function evaluator on a 50-doc
+    # sample: transform/filter/flatten are CodegenFallback, and their first
+    # JIT-cold execution costs ~10-20s regardless of data size (measured
+    # identical plans at 25s cold vs 2.7s warm) — steady-state is the regime
+    # a long-lived cluster session runs in
+    from cozo_spark.operators.dedup import minhash_lsh_dedup_pairs
+    minhash_lsh_dedup_pairs(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(50),
+        threshold=0.3).count()
+
+    # let background C2 compilation drain before timing starts — compiler
+    # threads triggered by the warm-ups otherwise compete with the first
+    # timed queries
+    Q.flagship(spark, sf_dir).collect()
+    time.sleep(5)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]

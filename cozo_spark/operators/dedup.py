@@ -65,6 +65,18 @@ def _perm_params(num_perm: int, seed: int):
     return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30)) for _ in range(num_perm)]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the kernel runs on all cores: a small table read from one
+    parquet file arrives as one partition, serializing the Arrow-batched UDF.
+    At real scale input splits already provide parallelism and this is a
+    no-op; the repartition only fires when partitions < defaultParallelism
+    (and then shuffles only the id+text projection it's called on)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
@@ -119,7 +131,8 @@ def minhash_signatures(
 
     _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     sig_udf = F.pandas_udf(T.ArrayType(T.LongType()))(_sig)
-    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -152,6 +165,11 @@ def lsh_candidate_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
     )
+
+    # in-bucket pair expansion via higher-order exprs: A/B-measured against
+    # an Arrow numpy kernel (np.triu_indices) — the HOF wins steady-state
+    # (0.9s vs 1.1-2.4s at sf0.1) and ties cold, and keeps the step fully
+    # JVM-side; first-use cost is generic JIT warm-up, not this expression.
     pair_expr = F.filter(
         F.flatten(F.transform(
             "ids", lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))),
@@ -264,7 +282,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
 
     _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     simhash_udf = F.pandas_udf(T.LongType())(_simhash)
-    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_pairs(
