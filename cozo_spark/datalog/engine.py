@@ -523,15 +523,28 @@ class CozoDb:
         tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
                               key_resolver=self._resolve_keys,
                               search_resolver=self._search)
-        parts = []
-        width = None
-        for cl in clauses:
-            df = self._canon(tr.translate(cl.head, cl.body))
-            if width is None:
-                width = len(df.columns)
-            elif len(df.columns) != width:
+        width = len(clauses[0].head)
+        for cl in clauses[1:]:
+            if len(cl.head) != width:
                 raise QueryError(f"rule {name!r}: clauses disagree on arity")
-            parts.append(df)
+        if any(isinstance(h, HeadAggr) for h in clauses[0].head):
+            # all clause bodies feed ONE aggregation over the raw (multiset)
+            # match stream — initial_rule_aggr_eval (eval.rs:381-506)
+            # accumulates every clause's tuples into the same store
+            from cozo_spark.datalog.translate import aggregate_head
+
+            for cl in clauses[1:]:
+                for h0, h in zip(clauses[0].head, cl.head):
+                    if isinstance(h0, HeadAggr) != isinstance(h, HeadAggr) or (
+                            isinstance(h0, HeadAggr) and h0.aggr != h.aggr):
+                        raise QueryError(
+                            f"rule {name!r}: clauses disagree on aggregations")
+            raws = [tr.translate(cl.head, cl.body, raw=True) for cl in clauses]
+            raw = raws[0]
+            for p in raws[1:]:
+                raw = raw.unionByName(p)
+            return self._canon(aggregate_head(raw, clauses[0].head))
+        parts = [self._canon(tr.translate(cl.head, cl.body)) for cl in clauses]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

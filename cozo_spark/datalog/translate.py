@@ -219,7 +219,7 @@ class ClauseTranslator:
         # search atoms (HNSW/FTS/LSH, engine-provided)
         self.search_resolver = search_resolver
 
-    def translate(self, head, body: list) -> DataFrame:
+    def translate(self, head, body: list, raw: bool = False) -> DataFrame:
         atoms = list(body)
         df: Optional[DataFrame] = None
         bound: set = set()
@@ -255,6 +255,16 @@ class ClauseTranslator:
             # Unit seed: a body of only constant conditions (ra.rs InlineFixed Unit)
             df = self.spark.range(1).select(F.lit(1).alias("__unit__"))
             bound = set()
+        if raw:
+            # positional projection of the head's input columns, multiplicity
+            # preserved — the caller unions clause streams and aggregates once
+            cols = []
+            for i, h in enumerate(head):
+                nm = h.name if isinstance(h, HeadVar) else h.var
+                if nm not in bound:
+                    raise QueryError(f"head variable {nm!r} unbound in body")
+                cols.append(F.col(nm).alias(f"__h{i}"))
+            return df.select(*cols)
         return self._project_head(df, bound, head)
 
     # -- atom application -------------------------------------------------------
@@ -496,35 +506,46 @@ class ClauseTranslator:
                     raise QueryError(f"head variable {h.name!r} unbound in body")
                 cols.append(F.col(h.name))
             return df.select(*cols).distinct()
-        keys = [h.name for h in head if isinstance(h, HeadVar)]
-        aggs = []
-        for idx, h in enumerate(aggrs):
-            if h.aggr not in AGGREGATIONS:
-                raise QueryError(f"unknown aggregation {h.aggr!r}")
-            spec = AGGREGATIONS[h.aggr]
-            extra = [const_eval(e) for e in h.extra]
-            aggs.append(spec.build(F.col(h.var), *extra).alias(f"__agg_{idx}"))
-        # Datalog set semantics: aggregate over the deduplicated body rows;
-        # the same var may feed several aggregations, so project each name once
-        proj = list(dict.fromkeys(keys + [h.var for h in aggrs]))
-        deduped = df.select(*proj).distinct()
-        if keys:
-            out = deduped.groupBy(*keys).agg(*aggs)
+        raw = df.select(*[
+            F.col(h.name if isinstance(h, HeadVar) else h.var).alias(f"__h{i}")
+            for i, h in enumerate(head)])
+        return aggregate_head(raw, head)
+
+
+def aggregate_head(raw: DataFrame, head: list) -> DataFrame:
+    """Head aggregation over the raw positional match stream (__h0..__hN).
+
+    Multiset semantics: the reference feeds every tuple the RA iterator
+    yields into the aggregation objects (initial_rule_aggr_eval,
+    eval.rs:381-506) — air_routes.rs:189-210 asserts `a[count(fr)] :=
+    *route{fr}` is 50,637 (per-row multiplicity), NOT the distinct fr set.
+    So no dedup before aggregating; set semantics applies to the aggregated
+    OUTPUT (which groupBy produces deduplicated by construction)."""
+    aggs = []
+    for i, h in enumerate(head):
+        if not isinstance(h, HeadAggr):
+            continue
+        if h.aggr not in AGGREGATIONS:
+            raise QueryError(f"unknown aggregation {h.aggr!r}")
+        spec = AGGREGATIONS[h.aggr]
+        extra = [const_eval(e) for e in h.extra]
+        aggs.append(spec.build(F.col(f"__h{i}"), *extra).alias(f"__agg_{i}"))
+    keys = [f"__h{i}" for i, h in enumerate(head) if isinstance(h, HeadVar)]
+    out = raw.groupBy(*keys).agg(*aggs) if keys else raw.agg(*aggs)
+    # restore head ordering; aggregate output columns keep their var names
+    sel = []
+    used: set = set()
+    for i, h in enumerate(head):
+        if isinstance(h, HeadVar):
+            name = h.name
+            while name in used:
+                name += "_"
+            used.add(name)
+            sel.append(F.col(f"__h{i}").alias(name))
         else:
-            out = deduped.agg(*aggs)
-        # restore head ordering; aggregate output columns keep their var names
-        sel = []
-        used: set = set()
-        agg_i = 0
-        for h in head:
-            if isinstance(h, HeadVar):
-                sel.append(F.col(h.name))
-                used.add(h.name)
-            else:
-                name = h.var
-                while name in used:  # e.g. ?[k, count(v), sum(v)]
-                    name += "_"
-                used.add(name)
-                sel.append(F.col(f"__agg_{agg_i}").alias(name))
-                agg_i += 1
-        return out.select(*sel)
+            name = h.var
+            while name in used:  # e.g. ?[k, count(v), sum(v)]
+                name += "_"
+            used.add(name)
+            sel.append(F.col(f"__agg_{i}").alias(name))
+    return out.select(*sel)

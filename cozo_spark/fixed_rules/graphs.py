@@ -421,6 +421,7 @@ def _local_rules():
     return {
         # reference semantics incl. path reconstruction — driver-side like the
         # reference itself (see local_graphs module docstring)
+        "ShortestPathBFS": _adapt(L.shortest_path_bfs),
         "ShortestPathDijkstra": _adapt(L.shortest_path_dijkstra),
         "KShortestPathYen": _adapt(L.k_shortest_path_yen),
         "ShortestPathAStar": _adapt(L.shortest_path_astar),
@@ -448,7 +449,7 @@ BUILTIN_RULES = {
     "ClusteringCoefficients": _adapt(clustering_coefficients),
     # distributed distance-only variants (the scale path)
     "BFSReach": _adapt(bfs_reach),
-    "ShortestPathBFS": _adapt(shortest_hops),
+    "ShortestPathHops": _adapt(shortest_hops),
     "ShortestPathCosts": _adapt(shortest_path_costs),
     **_local_rules(),
 }

@@ -262,6 +262,51 @@ def bfs_paths(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> 
     return spark.createDataFrame(rows, f"start {typ}, reached {typ}, path array<string>")
 
 
+def shortest_path_bfs(edges: DataFrame, starting: DataFrame, goals: DataFrame) -> DataFrame:
+    """(start, goal, path|null): unweighted shortest path per (start, goal)
+    pair via BFS with backtrace — algos/shortest_path_bfs.rs:33-112 (three
+    relation inputs: edges, starting nodes, ending nodes; unreachable goals
+    emit a null path)."""
+    from collections import deque
+
+    el = _collect_edges(edges)
+    adj = _adj(el)
+    starts = [r[0] for r in starting.collect()]
+    ends = [r[0] for r in goals.collect()]
+    rows = []
+    for s in starts:
+        backtrace = {}
+        seen = {s}
+        pending = set(ends)
+        pending.discard(s)
+        q = deque([s])
+        while q and pending:
+            u = q.popleft()
+            for v, _ in adj.get(u, ()):
+                if v in seen:
+                    continue
+                seen.add(v)
+                backtrace[v] = u
+                pending.discard(v)
+                q.append(v)
+        for g in ends:
+            if g == s:
+                rows.append((s, g, [str(s)]))
+            elif g in backtrace:
+                path = [g]
+                while path[-1] != s:
+                    path.append(backtrace[path[-1]])
+                path.reverse()
+                rows.append((s, g, [str(x) for x in path]))
+            else:
+                rows.append((s, g, None))
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "start long, goal long, path array<string>")
+    typ = "string" if isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, path array<string>")
+
+
 # --- MST: Prim / Kruskal (algos/prim.rs, kruskal.rs) ------------------------------
 
 def minimum_spanning_tree_prim(edges: DataFrame) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Air-routes-style end-to-end suite (cozo-core/tests/air_routes.rs shape):
+CSV → CsvReader fixed rule → stored relations → the reference's flagship
+query patterns (string filters at :375, range predicates :385-405, negation
+:423-478, groupBy-count distributions :480-510, top-k :512+, multi-hop
+joins, graph fixed rules :155-320) on a small deterministic graph."""
+
+from __future__ import annotations
+
+import pytest
+
+NODES = [
+    ("ATL", "US", 34),  # code, country, runway-ish metric
+    ("JFK", "US", 22),
+    ("LHR", "UK", 25),
+    ("LGW", "UK", 19),
+    ("CDG", "FR", 28),
+    ("NRT", "JP", 30),
+]
+EDGES = [
+    ("ATL", "JFK"), ("JFK", "LHR"), ("LHR", "CDG"), ("CDG", "NRT"),
+    ("ATL", "LHR"), ("LGW", "CDG"), ("JFK", "CDG"),
+]
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    from cozo_spark.datalog.engine import CozoDb
+
+    root = tmp_path_factory.mktemp("air")
+    nodes_csv = root / "nodes.csv"
+    nodes_csv.write_text("code,country,rw\n" +
+                         "\n".join(f"{c},{k},{r}" for c, k, r in NODES) + "\n")
+    edges_csv = root / "edges.csv"
+    edges_csv.write_text("fr,to\n" + "\n".join(f"{a},{b}" for a, b in EDGES) + "\n")
+
+    d = CozoDb(spark)
+    d.run_script(":create airport {code: String => country: String, rw: Int}")
+    d.run_script(":create route {fr: String, to: String}")
+    d.run_script(f"""
+    ?[code, country, rw] <~ CsvReader(types: ['String', 'String', 'Int'],
+                                      url: 'file://{nodes_csv}',
+                                      has_headers: true)
+    :put airport {{code => country, rw}}
+    """)
+    d.run_script(f"""
+    ?[fr, to] <~ CsvReader(types: ['String', 'String'],
+                           url: 'file://{edges_csv}', has_headers: true)
+    :put route {{fr, to}}
+    """)
+    return d
+
+
+def rows(res):
+    return sorted(tuple(r) for r in res.rows)
+
+
+def test_load_counts(db):
+    assert db.run_script("?[count(code)] := *airport[code, _, _]").rows == [[6]]
+    assert db.run_script("?[count(fr)] := *route[fr, _]").rows == [[7]]
+
+
+def test_string_filter_starts_with(db):
+    # air_routes.rs:375 — starts_with on code
+    r = db.run_script("?[c] := *airport{code: c}, starts_with(c, 'L')")
+    assert rows(r) == [("LGW",), ("LHR",)]
+
+
+def test_range_predicate(db):
+    # air_routes.rs:385-405 — numeric range on node attribute
+    r = db.run_script("?[c, rw] := *airport{code: c, rw}, rw >= 25, rw < 31")
+    assert rows(r) == [("CDG", 28), ("LHR", 25), ("NRT", 30)]
+
+
+def test_negation_no_outgoing(db):
+    # air_routes.rs:423-478 — airports with no outgoing route
+    r = db.run_script("?[c] := *airport{code: c}, not *route{fr: c}")
+    assert rows(r) == [("NRT",)]
+
+
+def test_groupby_count_distribution(db):
+    # air_routes.rs:480-510 — out-degree distribution per country
+    r = db.run_script("""
+    ?[country, count(fr)] := *airport{code: fr, country}, *route{fr}
+    """)
+    assert rows(r) == [("FR", 1), ("UK", 2), ("US", 4)]
+
+
+def test_topk_order_limit(db):
+    # air_routes.rs:512+ — top-2 airports by metric
+    r = db.run_script("?[c, rw] := *airport{code: c, rw} :order -rw :limit 2")
+    assert [tuple(x) for x in r.rows] == [("ATL", 34), ("NRT", 30)]
+
+
+def test_two_hop_join(db):
+    # multi-hop: destinations reachable from ATL in exactly 2 hops
+    r = db.run_script("""
+    ?[c] := *route{fr: 'ATL', to: m}, *route{fr: m, to: c}
+    """)
+    assert rows(r) == [("CDG",), ("LHR",)]
+
+
+def test_union_rule_clauses(db):
+    r = db.run_script("""
+    hub[c] := *airport{code: c, rw}, rw > 30
+    hub[c] := *airport{code: c, country}, country == 'JP'
+    ?[c] := hub[c]
+    """)
+    assert rows(r) == [("ATL",), ("NRT",)]
+
+
+def test_shortest_path_bfs_fixed_rule(db):
+    # air_routes.rs:212/300 — hop-shortest path via fixed rule
+    r = db.run_script("""
+    starting[] <- [['ATL']]
+    goals[] <- [['NRT']]
+    ?[start, goal, path] <~ ShortestPathBFS(*route[], starting[], goals[])
+    """)
+    assert len(r.rows) == 1
+    path = r.rows[0][2]
+    assert path[0] == "ATL" and path[-1] == "NRT" and len(path) == 4
+
+
+def test_recursion_reachable_from(db):
+    r = db.run_script("""
+    reach[b] := *route{fr: 'LGW', to: b}
+    reach[c] := reach[b], *route{fr: b, to: c}
+    ?[c] := reach[c]
+    """)
+    assert rows(r) == [("CDG",), ("NRT",)]
