@@ -79,9 +79,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """(id, lang_pred, lang_score): stopword-marker language heuristic.
 
     Scores each candidate language by marker-token hit count; argmax wins
-    (ties → lexicographically first language — deterministic). A real
-    deployment swaps in a fastText-style model via Pandas UDF; the plumbing
-    (one pass, argmax over a small score struct) is identical.
+    (ties → lexicographically LAST language, via struct-max — deterministic).
+    A real deployment swaps in a fastText-style model via Pandas UDF; the
+    plumbing (one pass, argmax over a small score struct) is identical.
     """
     toks = F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
     d = df.withColumn("_toks", toks)
@@ -98,7 +98,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return d.select(
         F.col(id_col),
         best["lang"].alias("lang_pred"),
-        (best["score"] / F.greatest(F.size("_toks"), F.lit(1))).alias("lang_score"),
+        F.round(best["score"] / F.greatest(F.size("_toks"), F.lit(1)), 6).alias("lang_score"),
     )
 
 
@@ -106,9 +106,11 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 window: int = 8) -> DataFrame:
     """(id, fingerprint): winnowing-style document fingerprint — min rolling
     token-window hash. Robust to small edits at the ends; used as a cheap
-    near-dup prefilter."""
+    near-dup prefilter. Hash is md5 of the joined window (engine-portable, so
+    the result is oracle-checkable; swap in xxhash64 for cheaper hashing when
+    cross-engine comparability doesn't matter)."""
     toks = F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
     d = df.withColumn("_toks", toks)
     idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - window, F.lit(0)))
-    win_hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice("_toks", i + 1, window), " ")))
+    win_hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")))
     return d.select(F.col(id_col), F.array_min(win_hashes).alias("fingerprint"))

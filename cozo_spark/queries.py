@@ -997,17 +997,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3)
 
 
-@query("doc_fingerprint")
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(len(toks) - 8, 0) + 2),
+             i -> md5(array_to_string(toks[i:i+7], ' ')))) AS fingerprint
+    FROM t
+    """,
+)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-window fingerprint (rows-only; xxhash-based)."""
+    """Winnowing-style rolling-window fingerprint: min md5 over 8-token
+    sliding windows — fully oracle-checked (same window join + md5 + min on
+    both engines)."""
     from cozo_spark.operators.text import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
-@query("lang_id")
+def _lang_markers_sql() -> str:
+    from cozo_spark.operators.text import _LANG_MARKERS
+    return ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in ws))
+        for lang, ws in sorted(_LANG_MARKERS.items()))
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, l.lang,
+             len(list_filter(toks, x -> list_contains(l.markers, x))) AS score
+      FROM t, (VALUES {_lang_markers_sql()}) AS l(lang, markers)
+    )
+    SELECT doc_id, lang AS lang_pred,
+           ROUND(score * 1.0 / greatest(len(toks), 1), 6) AS lang_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, lang DESC) AS rn FROM s)
+    WHERE rn = 1
+    """,
+)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language-ID heuristic (rows-only)."""
+    """Stopword-marker language-ID heuristic — argmax over per-language
+    marker hit counts, ties to the lexicographically last language (struct
+    max on both sides)."""
     from cozo_spark.operators.text import language_id
 
     return language_id(_t(spark, sf_dir, "documents"))
