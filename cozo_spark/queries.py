@@ -159,13 +159,17 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
     """,
 )
 def neg_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified negation `not *orders{...}` (NegJoin ra.rs:1923-2025)."""
+    """Stratified negation `not *orders{...}` (NegJoin ra.rs:1923-2025).
+    Status predicate keeps the check non-vacuous at sf0.01 (every customer
+    has orders, ~10% have no 'O'-status order)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -265,14 +269,18 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nk FROM customer
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    """Acctbal filters keep the difference non-empty at sf0.01 (unfiltered,
+    every nation has both customers and suppliers — vacuous)."""
+    c = _t(spark, sf_dir, "customer").filter("c_acctbal > 9000") \
+        .select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").filter("s_acctbal > 9000") \
+        .select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)
 
 
@@ -852,7 +860,7 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.12
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
     """,
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,7 +870,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter("doc_id < 120")
-    return ngram_jaccard_pairs(d, threshold=0.12, shingle_n=3)
+    return ngram_jaccard_pairs(d, threshold=0.02, shingle_n=3)
 
 
 @query(
