@@ -324,3 +324,24 @@ def test_magic_rewrite_skips_unbound_and_negated_callers(spark):
         "reach[a, c] := reach[a, b], *nedge[b, c]\n"
         "?[x] := x in [2, 3, 6], not reach[1, x]")
     assert rows(r2) == [(6,)]
+
+
+def test_magic_rewrite_composes_with_limit_early_exit(spark):
+    """Seeded recursion + :limit — the magic restriction narrows the frontier
+    to the seed's component AND the limiter stops the fixpoint early."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create cedge {fr: Int, to: Int}")
+    comp_a = [[1, i + 1] for i in range(1, 30)]      # star: 1 -> 2..30 (depth 1)
+    comp_b = [[i, i + 1] for i in range(100, 160)]   # 60-deep chain elsewhere
+    d.run_script(f"?[fr, to] <- {comp_a + comp_b} :put cedge {{fr, to}}")
+
+    r = d.run_script(
+        "reach[a, b] := *cedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *cedge[b, c]\n"
+        "?[b] := reach[1, b]\n"
+        ":limit 3")
+    assert len(r.rows) == 3
+    assert all(2 <= b <= 30 for (b,) in r.rows)  # only component-A nodes
+    assert d._last_fixpoint_epochs <= 3
