@@ -764,6 +764,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pre-tokenizer regex (contractions,
+    space-prefixed letter/digit runs, punctuation runs) — the token-budget
+    estimator of a training-data pipeline. Pure regexp_extract_all on both
+    engines (Java regex vs RE2, identical on this lookahead-free pattern);
+    whole-stage codegen, no Python."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long").alias("n_bpe_tokens"))
+
+
+@query(
     "text_word_topk",
     oracle="""
     SELECT word, CAST(count(*) AS BIGINT) AS freq
