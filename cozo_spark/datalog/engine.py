@@ -427,8 +427,26 @@ class CozoDb:
         rows = [tuple(r) for r in data]
         width = len(rows[0])
         names = names or [f"_{i}" for i in range(width)]
-        df = self.spark.createDataFrame(rows, schema=self._infer_schema(rows, names))
+        schema = self._infer_schema(rows, names)
+        rows = [self._coerce_row(r, schema) for r in rows]
+        df = self.spark.createDataFrame(rows, schema=schema)
         return df.distinct()
+
+    @staticmethod
+    def _coerce_row(row, schema: T.StructType):
+        """Mixed Int/Float constant columns unify to Float (documented
+        divergence: the reference keeps 1 and 1.0 as distinct values in set
+        semantics, value.rs:575-598; a single-typed Spark column cannot, and
+        mixed-type columns are not exercised by the test corpus)."""
+        def conv(v, dt):
+            if v is None:
+                return None
+            if isinstance(dt, T.DoubleType) and isinstance(v, int) and not isinstance(v, bool):
+                return float(v)
+            if isinstance(dt, T.ArrayType) and isinstance(v, (list, tuple)):
+                return [conv(x, dt.elementType) for x in v]
+            return v
+        return tuple(conv(v, f.dataType) for v, f in zip(row, schema.fields))
 
     @staticmethod
     def _infer_schema(rows, names) -> T.StructType:

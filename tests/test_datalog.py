@@ -345,3 +345,16 @@ def test_magic_rewrite_composes_with_limit_early_exit(spark):
     assert len(r.rows) == 3
     assert all(2 <= b <= 30 for (b,) in r.rows)  # only component-A nodes
     assert d._last_fixpoint_epochs <= 3
+
+
+def test_mixed_int_float_const_coerces(spark):
+    """Mixed Int/Float constant columns unify to Float (documented
+    divergence from the reference's distinct-value ordering,
+    value.rs:575-598 — a single-typed column can't hold both)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    r = d.run_script("?[x] <- [[1], [1.5], [2]]")
+    assert rows(r) == [(1.0,), (1.5,), (2.0,)]
+    r2 = d.run_script("?[x, v] <- [[1, [1, 2.5]], [2, [3, 4]]]")
+    assert rows(r2) == [(1, [1.0, 2.5]), (2, [3.0, 4.0])]
