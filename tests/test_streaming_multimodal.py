@@ -99,3 +99,75 @@ def test_repartition_for_blobs(media):
     out = repartition_for_blobs(sized, target_bytes_per_partition=8)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 3
+
+
+def test_stateful_running_counts_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists across micro-batches
+    AND across query restarts via the checkpoint."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.streaming.changefeed import attach_changefeed
+    from cozo_spark.streaming.stateful import running_counts
+
+    db = CozoDb(spark)
+    feed = attach_changefeed(db, str(tmp_path / "spool3"))
+    db.run_script(":create sv {k: Int => v: Int}")
+    for i in range(3):
+        db.run_script(f"?[k, v] <- [[{i}, {i}]] :put sv {{k => v}}")
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r["key"]] = r["n"]
+
+        out = running_counts(feed.stream(spark, "sv"), "op")
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return got
+
+    assert drain()["put"] == 3
+
+    # two more mutations, restart the query on the same checkpoint:
+    # state resumes at 3 and counts through to 5
+    for i in (10, 11):
+        db.run_script(f"?[k, v] <- [[{i}, {i}]] :put sv {{k => v}}")
+    assert drain()["put"] == 5
+
+
+def test_stateful_stream_sessionize_timeout(spark, tmp_path):
+    """stream_sessionize: events accumulate into per-key session state;
+    the processing-time timeout sweep (run by the engine on the drain's
+    final batch) closes and emits the session with its event count."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.streaming.changefeed import attach_changefeed
+    from cozo_spark.streaming.stateful import stream_sessionize
+
+    db = CozoDb(spark)
+    feed = attach_changefeed(db, str(tmp_path / "spool4"))
+    db.run_script(":create zv {k: Int => v: Int}")
+    db.run_script("?[k, v] <- [[1, 1], [2, 2]] :put zv {k => v}")
+
+    ckpt = str(tmp_path / "ckpt4")
+    got = []
+
+    def drain():
+        def sink(batch_df, _bid):
+            got.extend((r["key"], r["n_events"]) for r in batch_df.collect())
+        out = stream_sessionize(feed.stream(spark, "zv"), "op", "ts", gap_seconds=1.0)
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert got == [("put", 2)]  # both events in ONE session, closed by sweep
+
+    # a later, separate burst forms a NEW session (state was cleared)
+    db.run_script("?[k] <- [[2]] :rm zv {k}")
+    drain()
+    assert got.count(("put", 2)) == 1 and ("rm", 1) in got
