@@ -124,10 +124,31 @@ def flatten_conjunction(atoms: list) -> list:
     return out
 
 
+def negation_normal_form(atom):
+    """Push negations down to leaf atoms (reference logical.rs:61-130):
+    ¬(A ∧ B) → ¬A ∨ ¬B, ¬(A ∨ B) → ¬A ∧ ¬B, ¬¬A → A. Safety of the
+    resulting leaf negations (all vars bound) is enforced at translation."""
+    if isinstance(atom, Conj):
+        return Conj([negation_normal_form(a) for a in atom.atoms])
+    if isinstance(atom, Disj):
+        return Disj([negation_normal_form(a) for a in atom.branches])
+    if isinstance(atom, Negation):
+        inner = atom.atom
+        if isinstance(inner, Negation):
+            return negation_normal_form(inner.atom)
+        if isinstance(inner, Conj):
+            return Disj([negation_normal_form(Negation(a)) for a in inner.atoms])
+        if isinstance(inner, Disj):
+            return Conj([negation_normal_form(Negation(a)) for a in inner.branches])
+        return atom
+    return atom
+
+
 def expand_disjunctions(body: list) -> list[list]:
-    """DNF expansion (reference query/logical.rs:132-238): every Disj in the
-    body multiplies the clause into one conjunction per branch."""
-    body = flatten_conjunction(body)
+    """NNF then DNF expansion (reference query/logical.rs:61-238): negations
+    are pushed to leaves, then every Disj in the body multiplies the clause
+    into one conjunction per branch."""
+    body = flatten_conjunction([negation_normal_form(a) for a in body])
     choice_sets = []
     for a in body:
         if isinstance(a, Disj):
@@ -135,9 +156,6 @@ def expand_disjunctions(body: list) -> list[list]:
             for b in a.branches:
                 branches.append(flatten_conjunction([b]))
             choice_sets.append(branches)
-        elif isinstance(a, Negation) and isinstance(a.atom, Disj):
-            # ¬(A ∨ B) → ¬A ∧ ¬B (NNF negation pushdown, logical.rs:61-130)
-            choice_sets.append([[Negation(b) for b in a.atom.branches]])
         else:
             choice_sets.append([[a]])
     expanded = []
@@ -146,8 +164,7 @@ def expand_disjunctions(body: list) -> list[list]:
         for part in combo:
             conj.extend(part)
         # nested disjunctions can surface again after flattening
-        if any(isinstance(x, Disj) or (isinstance(x, Negation) and isinstance(x.atom, Disj))
-               for x in conj):
+        if any(isinstance(x, Disj) for x in conj):
             expanded.extend(expand_disjunctions(conj))
         else:
             expanded.append(conj)

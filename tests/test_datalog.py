@@ -56,6 +56,30 @@ def test_disjunction(db):
     assert rows(r) == [(1, 2), (3, 4)]
 
 
+def test_negated_conjunction_de_morgan(db):
+    # ¬(A ∧ B) → ¬A ∨ ¬B (NNF pushdown, reference logical.rs:93-107)
+    r = db.run_script("?[a, b] := *edge[a, b], not (a > 1, b < 5)")
+    assert rows(r) == [(1, 2), (2, 5)]
+
+
+def test_negated_conjunction_of_atoms(db):
+    # both conjuncts are relation atoms over bound vars; the NNF rewrite
+    # splits the clause into two anti-join clauses whose union is the answer
+    r = db.run_script("?[a, b] := *edge[a, b], not (*edge[_, a], *edge[b, _])")
+    assert rows(r) == [(1, 2), (2, 5), (3, 4)]
+
+
+def test_negated_disjunction(db):
+    # ¬(A ∨ B) → ¬A ∧ ¬B
+    r = db.run_script("?[a, b] := *edge[a, b], not (a == 1 or b == 4)")
+    assert rows(r) == [(2, 3), (2, 5)]
+
+
+def test_double_negation(db):
+    r = db.run_script("?[a, b] := *edge[a, b], not not a == 1")
+    assert rows(r) == [(1, 2)]
+
+
 def test_multi_clause_union(db):
     r = db.run_script("""
     r[a, b] := *edge[a, b], a == 1

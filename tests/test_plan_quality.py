@@ -97,3 +97,29 @@ def test_datalog_engine_pushes_filters(spark):
     # column pruning: only the two referenced columns are read
     assert any("l_orderkey" in s and "l_partkey" not in s for s in p["read_schemas"]), \
         p["read_schemas"]
+
+
+def test_constant_binding_pushed_to_scan(spark):
+    """A constant bound in a relation-atom position (the same restriction the
+    magic-set rewrite injects into base clauses) materializes as an ordinary
+    equality predicate, and Catalyst pushes it into the parquet scan —
+    goal-directed queries start from a pruned scan, not a full-table scan.
+    (The derived-column edge frames used by the graph queries can't push —
+    the filter sits above the projection — so this asserts on a parquet-backed
+    relation, the case that matters at 100 TB.)"""
+    from pyspark.sql import functions as F
+
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.plans.inspect import plan_properties
+
+    db = CozoDb(spark)
+    edges = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .select(F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst"))
+    )
+    db.register_dataframe("edge", edges)
+    df = db.run_script_df("?[b] := *edge[1, b]")
+    p = plan_properties(df)
+    joined = ",".join(p["pushed_filters"])
+    assert "o_custkey" in joined and ("EqualTo" in joined or "1" in joined), \
+        p["pushed_filters"]
