@@ -74,6 +74,14 @@ def compile_expr(e, bound: set, typer=None) -> Column:
                 raise QueryError("JSON path (`->` key) must be a constant")
             return SCALAR_FUNCTIONS["json_get"](
                 compile_expr(e.args[0], bound, typer), e.args[1].value)
+        if e.fn in _TYPE_PREDICATES and len(e.args) == 1:
+            t = _static_type(e.args[0], typer)
+            verdict = _TYPE_PREDICATES[e.fn](t) if t is not None else None
+            if verdict is True:
+                # a NULL in a typed column is Null, not that type
+                return compile_expr(e.args[0], bound, typer).isNotNull()
+            if verdict is False:
+                return F.lit(False)
         if e.fn in ("length", "reverse", "first", "last") and len(e.args) == 1:
             t = _static_type(e.args[0], typer)
             if e.fn == "length" and t is not None and t.startswith("array"):
@@ -84,6 +92,24 @@ def compile_expr(e, bound: set, typer=None) -> Column:
             raise QueryError(f"unknown function {e.fn!r}")
         return SCALAR_FUNCTIONS[e.fn](*[compile_expr(a, bound, typer) for a in e.args])
     raise QueryError(f"cannot compile expression {e!r}")
+
+
+# Column-type → answer for the runtime type predicates (functions.rs:
+# 1454-1563): Spark columns are statically typed, so the schema is the type
+# tag. Returning None falls through to the dynamic fallback in scalar.py
+# (try_cast probes for untyped literals).
+_INT_T = ("bigint", "int", "smallint", "tinyint")
+_FLOAT_T = ("double", "float")
+_TYPE_PREDICATES = {
+    "is_list": lambda t: t.startswith("array"),
+    "is_vec": lambda t: t in ("array<float>", "array<double>"),
+    "is_bytes": lambda t: t == "binary",
+    "is_int": lambda t: True if t in _INT_T else (False if t in _FLOAT_T or t in ("string", "boolean", "binary") or t.startswith("array") else None),
+    "is_float": lambda t: True if t in _FLOAT_T else (False if t in _INT_T or t in ("string", "boolean", "binary") or t.startswith("array") else None),
+    "is_num": lambda t: True if t in _INT_T or t in _FLOAT_T else (False if t in ("string", "boolean", "binary") or t.startswith("array") else None),
+    "is_string": lambda t: True if t == "string" else (False if t in _INT_T or t in _FLOAT_T or t in ("boolean", "binary") or t.startswith("array") else None),
+    "is_uuid": lambda t: False if t != "string" and not t.startswith("void") else None,
+}
 
 
 def _static_type(e, typer):

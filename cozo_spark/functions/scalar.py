@@ -173,7 +173,6 @@ def _unicode_normalize(a: Column, form: Column) -> Column:
 # --- regex (functions.rs:1380-1445) ------------------------------------------
 
 fn("regex_matches")(lambda a, p: F.regexp_like(a, p))
-fn("regex_replace")(lambda a, p, r: F.regexp_replace(a, p, r))  # NB: Spark replaces all
 fn("regex_replace_all")(lambda a, p, r: F.regexp_replace(a, p, r))
 fn("regex_extract")(lambda a, p: F.regexp_extract_all(a, p, F.lit(0)))
 fn("regex_extract_first")(lambda a, p: F.regexp_substr(a, p))
@@ -226,6 +225,9 @@ fn("json_object")(lambda *xs: F.to_json(F.create_map(*xs)))
 # too); compile_expr unwraps Const keys to python strings before this call.
 fn("json_get")(lambda a, k: F.get_json_object(a, f"$.{k}"))
 fn("is_json")(lambda a: F.get_json_object(a, "$") .isNotNull())
+# json scalars are stored in their JSON text form; `$` extraction unquotes
+# strings and passes numbers/bools through (functions.rs:316-322)
+fn("json_to_scalar")(lambda a: F.get_json_object(a, "$"))
 
 # --- type predicates & casts (functions.rs:1454-2029) -------------------------
 
@@ -237,6 +239,20 @@ fn("is_string")(lambda a: a.try_cast("string").isNotNull())
 fn("is_finite")(lambda a: ~(F.isnan(a.cast(_D)) | (F.abs(a.cast(_D)) == float("inf"))))
 fn("is_infinite")(lambda a: F.abs(a.cast(_D)) == float("inf"))
 fn("is_nan")(lambda a: F.isnan(a.cast(_D)))
+# container-type predicates (functions.rs:1514-1563): Spark columns are
+# statically typed, so compile_expr answers these from the schema when it
+# can (see translate._TYPE_PREDICATES); the fallbacks below handle untyped
+# call sites — a value that reached here as a non-array Column is not a
+# list/vec/bytes.
+fn("is_list")(lambda a: F.lit(False))
+fn("is_vec")(lambda a: F.lit(False))
+fn("is_bytes")(lambda a: F.lit(False))
+_UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+# Uuid maps to StringType in canonical text form (SURVEY §1.1), so the
+# predicate is a shape check rather than a runtime type tag
+fn("is_uuid")(lambda a: F.coalesce(a.try_cast("string").rlike(_UUID_RE), F.lit(False)))
+fn("to_uuid")(lambda a: F.when(
+    a.try_cast("string").rlike(_UUID_RE), F.lower(a.try_cast("string"))))
 fn("to_int")(lambda a: a.cast("long"))
 fn("to_float")(lambda a: a.cast(_D))
 fn("to_string")(lambda a: a.cast("string"))
@@ -254,6 +270,13 @@ def _to_unity(a: Column) -> Column:
         .when(a.try_cast(_D) == 0.0, 0)
         .otherwise(1)
     )
+
+
+# validity constructor (functions.rs:2572-2587): ts µs + optional assert flag
+fn("validity")(lambda ts, is_assert=None: F.struct(
+    ts.cast("long").alias("ts"),
+    (is_assert.cast("boolean") if is_assert is not None
+     else F.lit(True)).alias("is_assert")))
 
 
 # --- time (functions.rs:2441-2526): now() is float seconds since epoch --------
@@ -374,6 +397,79 @@ def _uuid_timestamp(u):
         return (parsed.time - 0x01B21DD213814000) / 1e7
     except (ValueError, AttributeError):
         return None
+
+
+@_lazy_udf("regex_replace", lambda: _T.StringType())
+def _regex_replace(s, p, r):
+    # first-occurrence-only (functions.rs op_regex_replace uses
+    # Regex::replace); Spark's regexp_replace is replace-all, so this one
+    # stays a UDF — use regex_replace_all in hot paths
+    import re
+
+    if s is None or p is None or r is None:
+        return None
+    # translate Rust/Java `$1` group refs to python `\1`; `$$` → literal `$`
+    repl = r.replace("\\", "\\\\")
+    repl = re.sub(r"\$(\d+)", r"\\\1", repl).replace("$$", "$")
+    return re.sub(p, repl, s, count=1)
+
+
+@_lazy_udf("set_json_path", lambda: _T.StringType())
+def _set_json_path(js, path, value):
+    # functions.rs:82-91: walk the path (creating missing object levels like
+    # the reference's pointer walk), set the leaf to the value's JSON form.
+    # `value` arrives as the native python value of its Column type.
+    import json
+
+    if js is None or path is None:
+        return None
+    if not path:
+        return json.dumps(value, separators=(",", ":"))
+    doc = json.loads(js)
+    cur = doc
+    for p in path[:-1]:
+        if isinstance(cur, list):
+            cur = cur[int(p)]
+        elif isinstance(cur, dict):
+            if p not in cur or not isinstance(cur[p], (dict, list)):
+                cur[p] = {}
+            cur = cur[p]
+        else:
+            return None
+    last = path[-1]
+    if isinstance(cur, list):
+        cur[int(last)] = value
+    else:
+        cur[last] = value
+    return json.dumps(doc, separators=(",", ":"))
+
+
+@_lazy_udf("remove_json_path", lambda: _T.StringType())
+def _remove_json_path(js, path):
+    # functions.rs:157-180: remove the leaf addressed by the path
+    import json
+
+    if js is None or not path:
+        return None
+    doc = json.loads(js)
+    cur = doc
+    for p in path[:-1]:
+        if isinstance(cur, list):
+            cur = cur[int(p)]
+        elif isinstance(cur, dict):
+            if p not in cur:
+                return json.dumps(doc, separators=(",", ":"))
+            cur = cur[p]
+        else:
+            return None
+    last = path[-1]
+    if isinstance(cur, dict):
+        cur.pop(last, None)
+    elif isinstance(cur, list):
+        i = int(last)
+        if 0 <= i < len(cur):
+            cur.pop(i)
+    return json.dumps(doc, separators=(",", ":"))
 
 
 # minimal traditional→simplified mapping for the most common characters;

@@ -10,6 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def SCALAR(name):
+    from cozo_spark.functions.scalar import SCALAR_FUNCTIONS
+
+    return SCALAR_FUNCTIONS[name]
+
+
 def _eval_batch(spark, exprs: dict):
     """Evaluate many scalar expressions in one action; returns name -> value."""
     from cozo_spark.functions.scalar import build_call
@@ -242,3 +248,129 @@ def test_product_signs(spark):
     assert abs(r[1] - (-6.0)) < 1e-9   # odd negatives → negative
     assert abs(r[2] - 6.0) < 1e-9      # even negatives → positive
     assert r[3] == 0.0                 # any zero → zero
+
+
+def test_trig_and_conversions(spark):
+    r = _eval_batch(spark, {
+        "sin": ("sin", [math.pi / 2]),
+        "cos": ("cos", [0.0]),
+        "tan": ("tan", [0.0]),
+        "asin": ("asin", [1.0]),
+        "acos": ("acos", [1.0]),
+        "atan": ("atan", [1.0]),
+        "sinh": ("sinh", [0.0]),
+        "cosh": ("cosh", [0.0]),
+        "tanh": ("tanh", [0.0]),
+        "exp": ("exp", [1.0]),
+        "d2r": ("deg_to_rad", [180.0]),
+        "r2d": ("rad_to_deg", [math.pi]),
+        "hav": ("haversine_deg_input", [0.0, 0.0, 0.0, 180.0]),
+    })
+    assert abs(r["sin"] - 1.0) < 1e-12 and r["cos"] == 1.0 and r["tan"] == 0.0
+    assert abs(r["asin"] - math.pi / 2) < 1e-12 and r["acos"] == 0.0
+    assert abs(r["atan"] - math.pi / 4) < 1e-12
+    assert r["sinh"] == 0.0 and r["cosh"] == 1.0 and r["tanh"] == 0.0
+    assert abs(r["exp"] - math.e) < 1e-12
+    assert abs(r["d2r"] - math.pi) < 1e-12 and abs(r["r2d"] - 180.0) < 1e-12
+    # antipodal points: half the great circle (functions.rs haversine tests)
+    assert abs(r["hav"] - math.pi) < 1e-9
+
+
+def test_string_tail(spark):
+    r = _eval_batch(spark, {
+        "chars": ("chars", ["abc"]),
+        "from_sub": ("from_substrings", [F.array(F.lit("ab"), F.lit("cd"))]),
+        "nfc": ("unicode_normalize", ["é", "nfc"]),
+        "nfd": ("unicode_normalize", ["é", "nfd"]),
+        "rx_replace_one": ("regex_replace", ["a1b2", "\\d", "_"]),
+        "rx_extract": ("regex_extract", ["a12b34", "\\d+"]),
+        "slice_str": ("slice_string", ["hello", 1, 3]),
+        "t2s": ("t2s", ["中國學會"]),
+    })
+    assert r["chars"] == ["a", "b", "c"]
+    assert r["from_sub"] == "abcd"
+    assert r["nfc"] == "é"
+    assert r["nfd"] == "é"
+    assert r["rx_replace_one"] == "a_b2"
+    assert r["rx_extract"] == ["12", "34"]
+    assert r["slice_str"] == "el"
+    assert r["t2s"] == "中国学会"
+
+
+def test_bits_uuid_rand(spark):
+    import re as _re
+
+    r = _eval_batch(spark, {
+        "band": ("bit_and", [12, 10]),
+        "bor": ("bit_or", [12, 10]),
+        "bxor": ("bit_xor", [12, 10]),
+        "bnot": ("bit_not", [0]),
+        "pack": ("encode_base64", [SCALAR("pack_bits")(F.array(
+            F.lit(True), F.lit(False), F.lit(True)))]),
+        "unpack": ("unpack_bits", [F.lit(bytes([0b10100000]))]),
+        "u4": ("rand_uuid_v4", []),
+        "u1ts": ("uuid_timestamp", [SCALAR("rand_uuid_v1")()]),
+        "rf": ("rand_float", []),
+        "ri": ("rand_int", [1, 6]),
+        "rb": ("rand_bernoulli", [1.0]),
+        "now": ("now", []),
+    })
+    assert r["band"] == 8 and r["bor"] == 14 and r["bxor"] == 6 and r["bnot"] == -1
+    assert r["pack"] == "oA=="  # 0b10100000
+    assert r["unpack"][:3] == [True, False, True] and len(r["unpack"]) == 8
+    assert _re.match(r"^[0-9a-f-]{36}$", r["u4"])
+    assert r["u1ts"] is not None and r["u1ts"] > 1.5e9  # sane epoch seconds
+    assert 0.0 <= r["rf"] < 1.0
+    assert 1 <= r["ri"] <= 6
+    assert r["rb"] is True
+    assert r["now"] > 1.5e9
+
+
+def test_type_predicates_and_uuid_casts(spark):
+    r = _eval_batch(spark, {
+        "isu_t": ("is_uuid", ["f47ac10b-58cc-4372-a567-0e02b2c3d479"]),
+        "isu_f": ("is_uuid", ["not-a-uuid"]),
+        "tou": ("to_uuid", ["F47AC10B-58CC-4372-A567-0E02B2C3D479"]),
+        "tou_bad": ("to_uuid", ["nope"]),
+        "isl_f": ("is_list", ["str"]),
+        "isv_f": ("is_vec", [1]),
+        "isb_f": ("is_bytes", [1.5]),
+    })
+    assert r["isu_t"] is True and r["isu_f"] is False
+    assert r["tou"] == "f47ac10b-58cc-4372-a567-0e02b2c3d479"
+    assert r["tou_bad"] is None
+    assert r["isl_f"] is False and r["isv_f"] is False and r["isb_f"] is False
+
+
+def test_type_predicates_static_dispatch(spark):
+    """compile_expr answers is_list/is_vec/is_bytes/is_int/... from the
+    DataFrame schema (the type oracle), including NULL → false."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    r = db.run_script("""
+    ?[il, iv, ii, fs, nn] := x in [[1, 2]], v = vec([1.0, 2.0]), n = 3,
+        il = is_list(x), iv = is_vec(v), ii = is_int(n),
+        fs = is_string(n), nn = is_null(n)
+    """)
+    assert list(r.rows[0]) == [True, True, True, False, False]
+
+
+def test_json_path_edit(spark):
+    r = _eval_batch(spark, {
+        "setp": ("set_json_path", [
+            '{"a":{"b":1},"c":[1,2]}', F.array(F.lit("a"), F.lit("b")), 9]),
+        "setp_new": ("set_json_path", [
+            '{}', F.array(F.lit("x"), F.lit("y")), "v"]),
+        "remp": ("remove_json_path", ['{"a":{"b":1,"c":2}}',
+                                      F.array(F.lit("a"), F.lit("b"))]),
+        "scalar_str": ("json_to_scalar", ['"hi"']),
+        "scalar_num": ("json_to_scalar", ['5']),
+        "validity": ("dump_json", [SCALAR("validity")(F.lit(123))]),
+    })
+    import json
+    assert json.loads(r["setp"]) == {"a": {"b": 9}, "c": [1, 2]}
+    assert json.loads(r["setp_new"]) == {"x": {"y": "v"}}
+    assert json.loads(r["remp"]) == {"a": {"c": 2}}
+    assert r["scalar_str"] == "hi" and r["scalar_num"] == "5"
+    assert json.loads(r["validity"]) == {"ts": 123, "is_assert": True}
