@@ -42,7 +42,7 @@ _reg("mean", False, lambda v: F.avg(v))
 _reg("variance", False, lambda v: F.var_samp(v))
 _reg("std_dev", False, lambda v: F.stddev_samp(v))
 _reg("unique", False, lambda v: F.array_sort(F.collect_set(v)))
-_reg("group_count", False, lambda v: F.count(v))
+_reg("group_count", False, lambda v: _group_count(v))
 _reg("collect", False, lambda v, cap=None: F.collect_list(v) if cap is None else F.slice(F.collect_list(v), 1, cap))
 _reg("choice_rand", False, lambda v: F.any_value(v))
 _reg("latest_by", False, lambda v: _pair_by(v, F.max_by))
@@ -55,14 +55,32 @@ _reg("max", True, lambda v: F.max(v))
 _reg("and", True, lambda v: F.bool_and(v))
 _reg("or", True, lambda v: F.bool_or(v))
 _reg("union", True, lambda v: F.array_sort(F.array_distinct(F.flatten(F.collect_list(v)))))
-_reg("intersection", True, lambda v: F.aggregate(
-    F.collect_list(v), F.lit(None).cast("array<string>"),
-    lambda acc, x: F.when(acc.isNull(), x).otherwise(F.array_intersect(acc, x))))
+_reg("intersection", True, lambda v: _intersection(v))
 _reg("choice", True, lambda v: F.min(v))
 _reg("min_cost", True, lambda v: _pair_by(v, F.min_by))
 _reg("shortest", True, lambda v: F.min_by(v, F.struct(F.size(v), v)))
 _reg("bit_and", True, lambda v: F.bit_and(v))
 _reg("bit_or", True, lambda v: F.bit_or(v))
+
+
+def _group_count(v: Column) -> Column:
+    # histogram of values, sorted: list of (value, count) pairs
+    # (aggr.rs:171-193 returns [[k, n], ...] from a BTreeMap)
+    lst = F.collect_list(v)
+    return F.transform(
+        F.array_sort(F.array_distinct(lst)),
+        lambda x: F.struct(x.alias("value"),
+                           F.size(F.filter(lst, lambda y: y == x)).alias("count")))
+
+
+def _intersection(v: Column) -> Column:
+    # fold array_intersect over the collected lists, seeded with the first
+    # list so the accumulator keeps the value column's element type
+    lsts = F.collect_list(v)
+    return F.aggregate(
+        F.slice(lsts, F.lit(2), F.greatest(F.size(lsts) - 1, F.lit(0))),
+        F.element_at(lsts, 1),
+        lambda acc, x: F.array_intersect(acc, x))
 
 
 def _product(v: Column) -> Column:

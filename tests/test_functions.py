@@ -374,3 +374,51 @@ def test_json_path_edit(spark):
     assert json.loads(r["remp"]) == {"a": {"c": 2}}
     assert r["scalar_str"] == "hi" and r["scalar_num"] == "5"
     assert json.loads(r["validity"]) == {"ts": 123, "is_assert": True}
+
+
+def test_aggregations_tail(spark):
+    """The rest of the 25-aggregation registry (reference tests/aggrs.rs)."""
+    from cozo_spark.functions.aggregates import AGGREGATIONS as A
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 3, [1, 2]),
+         (1, 2.0, 6, [2, 3]),
+         (1, 2.0, 12, [2])],
+        "k long, v double, i long, lst array<long>")
+    r = df.groupBy("k").agg(
+        A["count_unique"].build(F.col("v")).alias("cu"),
+        A["variance"].build(F.col("v")).alias("var"),
+        A["std_dev"].build(F.col("v")).alias("sd"),
+        A["unique"].build(F.col("v")).alias("uq"),
+        A["collect"].build(F.col("v")).alias("cl"),
+        A["collect"].build(F.col("v"), 2).alias("cl2"),
+        A["group_count"].build(F.col("v")).alias("gc"),
+        A["intersection"].build(F.col("lst")).alias("ix"),
+        A["bit_and"].build(F.col("i")).alias("ba"),
+        A["bit_or"].build(F.col("i")).alias("bo"),
+        A["bit_xor"].build(F.col("i")).alias("bx"),
+        A["shortest"].build(F.col("lst")).alias("sh"),
+        A["choice_rand"].build(F.col("v")).alias("cr"),
+    ).collect()[0]
+    assert r["cu"] == 2
+    assert abs(r["var"] - 3.0) < 1e-9          # var_samp of (5,2,2)
+    assert abs(r["sd"] - 3.0 ** 0.5) < 1e-9
+    assert sorted(r["uq"]) == [2.0, 5.0]
+    assert sorted(r["cl"]) == [2.0, 2.0, 5.0] and len(r["cl2"]) == 2
+    assert [(p["value"], p["count"]) for p in r["gc"]] == [(2.0, 2), (5.0, 1)]
+    assert r["ix"] == [2]                       # common to all three lists
+    assert r["ba"] == 3 & 6 & 12 and r["bo"] == 3 | 6 | 12 and r["bx"] == 3 ^ 6 ^ 12
+    assert r["sh"] == [2]                       # shortest list
+    assert r["cr"] in (2.0, 5.0)
+    # [data, key] pairs (aggr.rs:719-882): all three return the data element
+    paired = spark.createDataFrame(
+        [(1, [5.0, 10.0]), (1, [2.0, 12.0]), (1, [7.0, 9.0])],
+        "k long, dv array<double>")
+    r2 = paired.groupBy("k").agg(
+        A["latest_by"].build(F.col("dv")).alias("lb"),
+        A["smallest_by"].build(F.col("dv")).alias("sb"),
+        A["min_cost"].build(F.col("dv")).alias("mc"),
+    ).collect()[0]
+    assert r2["lb"] == 2.0   # data at max key 12
+    assert r2["sb"] == 7.0   # data at min key 9
+    assert r2["mc"] == 7.0
