@@ -49,24 +49,24 @@ def semi_naive(
     """
     total = _checkpoint(base.distinct())
     delta = total
-    for _ in range(max_iterations):
-        if delta.isEmpty():
+    for epoch in range(max_iterations):
+        # one action per epoch: the count both detects fixpoint and sizes the
+        # broadcast decision (delta is checkpointed, so this is near-free)
+        n = delta.count()
+        if n == 0:
             break
-        frontier = F.broadcast(delta) if _is_small(delta) else delta
+        frontier = F.broadcast(delta) if n < _BROADCAST_FRONTIER else delta
         candidates = step(frontier).distinct()
-        delta = _checkpoint(candidates.exceptAll(total).distinct())
-        if delta.isEmpty():
-            break
-        total = _checkpoint(total.unionByName(delta))
+        # candidates is already a set; exceptAll against total keeps it one
+        delta = _checkpoint(candidates.exceptAll(total))
+        # total = union of checkpointed deltas: each union child is a
+        # checkpoint leaf, so the plan stays shallow — re-materializing the
+        # whole total every epoch (O(n·epochs) writes) is not needed; a
+        # periodic checkpoint bounds plan width on long recursions
+        total = total.unionByName(delta)
+        if (epoch + 1) % 8 == 0:
+            total = _checkpoint(total)
     return total
-
-
-def _is_small(df: DataFrame) -> bool:
-    # Cheap heuristic: after a localCheckpoint the count is nearly free.
-    try:
-        return df.count() < _BROADCAST_FRONTIER
-    except Exception:
-        return False
 
 
 def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -99,29 +99,31 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
                                 F.lit(1).cast("long").alias("hops")))
     delta = best
     for _ in range(max_hops):
-        if delta.isEmpty():
-            break
         cand = (
             delta.join(e, delta.dst == e.esrc)
             .select("src", F.col("edst").alias("dst"), (F.col("hops") + 1).alias("hops"))
             .groupBy("src", "dst").agg(F.min("hops").alias("hops"))
         )
-        # keep only strict improvements over the current best (meet delta);
-        # one side is column-renamed so the self-lineage join is unambiguous
+        # one full-outer join merges the meet-update and the improvement
+        # delta (MeetAggrStore::merge_in, temp_store.rs:182-215): new best =
+        # least(candidate, previous), delta = rows whose value improved.
+        # One checkpoint materializes both views of the epoch.
         best_r = best.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
                              F.col("hops").alias("bhops"))
-        delta = _checkpoint(
-            cand.join(best_r, (cand.src == best_r.bsrc) & (cand.dst == best_r.bdst), "left")
-            .filter(F.col("bhops").isNull() | (F.col("hops") < F.col("bhops")))
-            .select("src", "dst", "hops")
+        merged = _checkpoint(
+            cand.join(best_r, (cand.src == best_r.bsrc) & (cand.dst == best_r.bdst), "full_outer")
+            .select(
+                F.coalesce(cand.src, F.col("bsrc")).alias("src"),
+                F.coalesce(cand.dst, F.col("bdst")).alias("dst"),
+                F.least(cand.hops, F.col("bhops")).alias("hops"),
+                (cand.hops.isNotNull()
+                 & (F.col("bhops").isNull() | (cand.hops < F.col("bhops")))).alias("_imp"),
+            )
         )
+        delta = merged.filter("_imp").drop("_imp")
+        best = merged.drop("_imp")
         if delta.isEmpty():
             break
-        delta_r = delta.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
-        best = _checkpoint(
-            best.join(delta_r, (best.src == delta_r.bsrc) & (best.dst == delta_r.bdst), "left_anti")
-            .unionByName(delta)
-        )
     return best
 
 
@@ -143,27 +145,29 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame, max_iterations: int
     best = _checkpoint(s.select("start", F.col("start").alias("node"), F.lit(0.0).alias("cost")))
     delta = best
     for _ in range(max_iterations):
-        if delta.isEmpty():
-            break
         cand = (
             delta.join(e, delta.node == e.esrc)
             .select("start", F.col("edst").alias("node"), (F.col("cost") + F.col("weight")).alias("cost"))
             .groupBy("start", "node").agg(F.min("cost").alias("cost"))
         )
+        # merged meet-update + improvement delta in one full-outer join
+        # (same pattern as shortest_hops; MeetAggrStore::merge_in)
         best_r = best.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"),
                              F.col("cost").alias("bcost"))
-        delta = _checkpoint(
-            cand.join(best_r, (cand.start == best_r.bstart) & (cand.node == best_r.bnode), "left")
-            .filter(F.col("bcost").isNull() | (F.col("cost") < F.col("bcost")))
-            .select("start", "node", "cost")
+        merged = _checkpoint(
+            cand.join(best_r, (cand.start == best_r.bstart) & (cand.node == best_r.bnode), "full_outer")
+            .select(
+                F.coalesce(cand.start, F.col("bstart")).alias("start"),
+                F.coalesce(cand.node, F.col("bnode")).alias("node"),
+                F.least(cand.cost, F.col("bcost")).alias("cost"),
+                (cand.cost.isNotNull()
+                 & (F.col("bcost").isNull() | (cand.cost < F.col("bcost")))).alias("_imp"),
+            )
         )
+        delta = merged.filter("_imp").drop("_imp")
+        best = merged.drop("_imp")
         if delta.isEmpty():
             break
-        delta_r = delta.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"))
-        best = _checkpoint(
-            best.join(delta_r, (best.start == delta_r.bstart) & (best.node == delta_r.bnode), "left_anti")
-            .unionByName(delta)
-        )
     return best
 
 

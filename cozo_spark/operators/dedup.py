@@ -166,17 +166,32 @@ def lsh_candidate_pairs(
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
     )
 
-    # in-bucket pair expansion via higher-order exprs: A/B-measured against
-    # an Arrow numpy kernel (np.triu_indices) — the HOF wins steady-state
-    # (0.9s vs 1.1-2.4s at sf0.1) and ties cold, and keeps the step fully
-    # JVM-side; first-use cost is generic JIT warm-up, not this expression.
-    pair_expr = F.filter(
-        F.flatten(F.transform(
-            "ids", lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))),
-        lambda p: p["id_a"] < p["id_b"],
-    )
+    # in-bucket pair expansion as an Arrow numpy kernel (np.triu_indices).
+    # The higher-order-function formulation is slightly faster when the JVM
+    # has it JIT-compiled (0.9s vs ~1.2s at sf0.1) but CodegenFallback
+    # interpretation makes its latency depend on code-cache state (measured
+    # 10s+ outliers mid-bench); the kernel's C inner loop is flat.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _bucket_pairs(ids_series):
+        import numpy as np
+
+        out = []
+        for ids in ids_series:
+            x = np.asarray(ids, dtype=np.int64)
+            i, j = np.triu_indices(len(x), k=1)
+            lo = np.minimum(x[i], x[j])
+            hi = np.maximum(x[i], x[j])
+            out.append([(int(a), int(b)) for a, b in zip(lo, hi)])
+        return pd.Series(out)
+
+    _bucket_pairs.__annotations__ = {"ids_series": pd.Series, "return": pd.Series}
+    pairs_udf = F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType())])))(_bucket_pairs)
     return (
-        buckets.select(F.explode(pair_expr).alias("p"))
+        buckets.select(F.explode(pairs_udf("ids")).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
@@ -194,18 +209,34 @@ def minhash_lsh_dedup_pairs(
     reference's semantics see runtime/minhash_lsh.rs:1-389 + parse/sys.rs:62-74
     (n_perm / target threshold → band planning).
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     rows_per_band = max(1, num_perm // bands)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     bdf = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0), lambda acc, v: acc + v,
-    ) / F.lit(float(num_perm))
+
+    # signature match fraction as an Arrow-batched numpy kernel: the
+    # zip_with+aggregate formulation is CodegenFallback (interpreted) and its
+    # latency depends on whether the JVM has JIT-compiled the interpreter path
+    # at that moment (measured 1.2s warm / 6-14s after code-cache eviction);
+    # the kernel is flat ~1.2s regardless and shuffles nothing extra
+    def _frac(sa, sb):
+        import numpy as np
+
+        if len(sa) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(sa.values)
+        B = np.stack(sb.values)
+        return pd.Series((A == B).mean(axis=1))
+
+    _frac.__annotations__ = {"sa": pd.Series, "sb": pd.Series, "return": pd.Series}
+    frac_udf = F.pandas_udf(T.DoubleType())(_frac)
     return (
         pairs.join(a, "id_a").join(bdf, "id_b")
-        .withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", frac_udf("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
