@@ -726,6 +726,77 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_total(_edges(spark, sf_dir))
 
 
+@query(
+    "graph_two_hop",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT e1.src AS start, CAST(COUNT(DISTINCT e2.dst) AS BIGINT) AS n2
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+    WHERE e2.dst <> e1.src
+    GROUP BY e1.src
+    """,
+)
+def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighbourhood size per start node — the reference's Pokec bench
+    'friends-of-friends expansion' shape (benches/pokec.rs:300-720). One
+    equi-join on the hop key + one groupBy; output bounded by Σ deg²."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("src").alias("start"), F.col("dst").alias("mid"))
+    e2 = e.select(F.col("src").alias("mid"), F.col("dst").alias("dst"))
+    return (
+        e1.join(e2, "mid")
+        .filter(F.col("dst") != F.col("start"))
+        .groupBy("start").agg(F.countDistinct("dst").alias("n2"))
+    )
+
+
+@query(
+    "graph_cycle3",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_cycles
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+    WHERE e1.src < e2.src AND e1.src < e3.src
+    """,
+)
+def graph_cycle3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-cycle count — the Pokec bench 'cycle pattern match' shape
+    (benches/pokec.rs:300-720). Canonical rotation (smallest node leads)
+    counts each cycle once; two hash joins on node keys."""
+    e = _edges(spark, sf_dir)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    return (
+        e1.join(e2, "b").join(e3, ["c", "a"])
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .agg(F.count("*").alias("n_cycles"))
+    )
+
+
+@query(
+    "datalog_two_hop",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT e1.src AS a, CAST(COUNT(DISTINCT e2.dst) AS BIGINT) AS n2
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src
+    WHERE e2.dst <> e1.src
+    GROUP BY e1.src
+    """,
+)
+def datalog_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 2-hop expansion written in CozoScript and compiled by the
+    engine — multi-hop positional joins + count_unique head aggregation."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    return db.run_script_df("""
+    ?[a, count_unique(c)] := *edge[a, b], *edge[b, c], c != a
+    """).withColumnRenamed("c", "n2")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (beyond-reference, first-class)
 # ---------------------------------------------------------------------------
