@@ -246,27 +246,52 @@ def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFram
 
 
 def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
-    """(node, component): SCC via forward ∩ backward reachability coloring.
+    """(node, component): SCC via iterated min-label forward/backward peeling.
 
-    Uses the min-label variant: color = min node id reachable both ways.
-    O(diameter) rounds of two label propagations — acceptable distributed
-    strategy (the reference uses single-node Tarjan, algos/strongly_connected_components.rs).
+    Per round, within the unassigned subgraph: fwdmin(v) = min id that can
+    reach v, bwdmin(v) = min id v can reach. fwdmin(v) == bwdmin(v) == m
+    holds exactly when m reaches v AND v reaches m, i.e. v ∈ SCC(m) — so
+    every matched node is assigned correctly, and at least the subgraph's
+    min-id SCC resolves each round (its min node trivially has both labels
+    equal to itself). Assigned nodes and their edges are peeled; rounds are
+    bounded by the SCC-DAG depth. The reference is single-node Tarjan
+    (algos/strongly_connected_components.rs:149); this is the standard
+    distributed label-propagation trade-off.
     """
-    e = _norm_edges(edges)
-    fwd = _min_reach_label(e, max_iterations)
-    bwd = _min_reach_label(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")), max_iterations)
-    # SCC id: pair (fwd min reachable-from-me-or-me, bwd min) — two nodes are
-    # in the same SCC iff they reach each other, i.e. share both labels.
-    return (
-        fwd.alias("f").join(bwd.alias("b"), "node")
-        .select("node", F.greatest(F.col("f.label"), F.col("b.label")).alias("component"))
-    )
+    e = _checkpoint(_norm_edges(edges).distinct())
+    remaining_e = e
+    remaining_n = _checkpoint(_nodes(e))
+    parts = []
+    for _ in range(max_iterations):
+        if remaining_n.isEmpty():
+            break
+        f = _min_reach_label(remaining_e, max_iterations, nodes=remaining_n)
+        b = _min_reach_label(
+            remaining_e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            max_iterations, nodes=remaining_n)
+        scc = _checkpoint(
+            f.alias("f").join(b.alias("b"), "node")
+            .filter(F.col("f.label") == F.col("b.label"))
+            .select("node", F.col("f.label").alias("component")))
+        parts.append(scc)
+        remaining_n = _checkpoint(remaining_n.join(scc, "node", "left_anti"))
+        remaining_e = _checkpoint(
+            remaining_e
+            .join(scc.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(scc.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .select("src", "dst"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def _min_reach_label(e: DataFrame, max_iterations: int) -> DataFrame:
+def _min_reach_label(e: DataFrame, max_iterations: int, nodes: DataFrame | None = None) -> DataFrame:
     """label(v) = min(v, min over in-neighbors' labels), iterated to fixpoint
-    — i.e. min node id that can reach v."""
-    labels = _checkpoint(_nodes(e).select("node", F.col("node").alias("label")))
+    — i.e. min node id that can reach v. ``nodes`` overrides the vertex set
+    (needed when isolated nodes have no remaining edges)."""
+    base = nodes if nodes is not None else _nodes(e)
+    labels = _checkpoint(base.select("node", F.col("node").alias("label")))
     for _ in range(max_iterations):
         prop = (
             e.join(labels, e.src == labels.node)

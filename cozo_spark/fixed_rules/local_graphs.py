@@ -216,11 +216,13 @@ def dfs(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> DataFr
         count = 0
         while stack:
             u, path = stack.pop()
-            if u != s:
-                rows.append((s, u, [str(x) for x in path]))
-                count += 1
-                if limit is not None and count >= limit:
-                    break
+            # the reference tests the condition on every popped candidate,
+            # INCLUDING the start node (algos/dfs.rs:58-81) — unlike BFS,
+            # which only tests discovered neighbors (algos/bfs.rs:59-93)
+            rows.append((s, u, [str(x) for x in path]))
+            count += 1
+            if limit is not None and count >= limit:
+                break
             for v, _ in reversed(adj.get(u, ())):
                 if v not in seen:
                     seen.add(v)

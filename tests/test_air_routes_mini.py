@@ -127,3 +127,112 @@ def test_recursion_reachable_from(db):
     ?[c] := reach[c]
     """)
     assert rows(r) == [("CDG",), ("NRT",)]
+
+
+# --- fixed rules through CozoScript (air_routes.rs:155-320 ordering) ---------
+
+
+def test_degree_centrality_rule(db):
+    # air_routes.rs:284
+    r = db.run_script("?[n, t, o, i] <~ DegreeCentrality(*route[])")
+    got = {row[0]: tuple(row[1:]) for row in r.rows}
+    assert got["ATL"] == (2, 2, 0)
+    assert got["CDG"] == (4, 1, 3)
+    assert got["NRT"] == (1, 0, 1)
+
+
+def test_connected_components_rule(db):
+    # air_routes.rs:252 — whole graph is one (undirected) component
+    r = db.run_script("?[n, c] <~ ConnectedComponents(*route[])")
+    comps = {row[1] for row in r.rows}
+    assert len(r.rows) == 6 and len(comps) == 1
+
+
+def test_scc_rule(db):
+    # air_routes.rs:236 — DAG → every node its own SCC
+    r = db.run_script("?[n, c] <~ StronglyConnectedComponents(*route[])")
+    comps = {row[1] for row in r.rows}
+    assert len(r.rows) == 6 and len(comps) == 6
+
+
+def test_dijkstra_rule(db):
+    # air_routes.rs:300 — unweighted: every edge costs 1
+    r = db.run_script("""
+    starting[] <- [['ATL']]
+    goals[] <- [['NRT']]
+    ?[start, goal, cost, path] <~ ShortestPathDijkstra(*route[], starting[], goals[])
+    """)
+    assert len(r.rows) == 1
+    start, goal, cost, path = r.rows[0]
+    assert (start, goal, cost) == ("ATL", "NRT", 3.0)
+    assert path[0] == "ATL" and path[-1] == "NRT" and len(path) == 4
+
+
+def test_yen_k_shortest_rule(db):
+    # air_routes.rs:320 — two cost-3 routes, then one cost-4
+    r = db.run_script("""
+    starting[] <- [['ATL']]
+    goals[] <- [['NRT']]
+    ?[start, goal, cost, path] <~ KShortestPathYen(*route[], starting[], goals[], k: 3)
+    """)
+    costs = sorted(row[2] for row in r.rows)
+    assert costs == [3.0, 3.0, 4.0]
+
+
+def test_dfs_rule_preorder(db):
+    # air_routes.rs:155 — lexicographic preorder from ATL
+    r = db.run_script("""
+    starting[] <- [['ATL']]
+    ?[start, reached, path] <~ DFS(*route[], starting[])
+    """)
+    order = [row[1] for row in r.rows]
+    assert order == ["ATL", "JFK", "CDG", "NRT", "LHR"]
+    assert r.rows[0][2] == ["ATL"]  # start itself is emitted with path [start]
+
+
+def test_topsort_rule(db):
+    # DAG: every edge must go forward in the order
+    r = db.run_script("?[o, n] <~ TopSort(*route[])")
+    pos = {row[1]: row[0] for row in r.rows}
+    assert len(pos) == 6
+    for fr, to in EDGES:
+        assert pos[fr] < pos[to], (fr, to)
+
+
+def test_pagerank_rule(db):
+    r = db.run_script("?[n, rank] <~ PageRank(*route[])")
+    ranks = {row[0]: row[1] for row in r.rows}
+    assert len(ranks) == 6 and all(v > 0 for v in ranks.values())
+    # CDG has 3 inbound routes, ATL none — rank must reflect it
+    assert ranks["CDG"] > ranks["ATL"]
+
+
+# --- language features (runtime/tests.rs shapes) -----------------------------
+
+
+def test_parameter_substitution(db):
+    r = db.run_script("?[c] := *airport{code: c, country: $ctry}",
+                      params={"ctry": "UK"})
+    assert rows(r) == [("LGW",), ("LHR",)]
+
+
+def test_disjunction_or(db):
+    r = db.run_script(
+        "?[c] := *airport{code: c, country}, (country == 'FR' or country == 'JP')")
+    assert rows(r) == [("CDG",), ("NRT",)]
+
+
+def test_order_offset_limit(db):
+    # runtime/tests.rs:29 — :offset skips after the sort
+    r = db.run_script("?[c, rw] := *airport{code: c, rw} :order -rw :limit 2 :offset 1")
+    assert [tuple(x) for x in r.rows] == [("NRT", 30), ("LHR", 28)] or \
+        [tuple(x) for x in r.rows] == [("NRT", 30), ("CDG", 28)]
+
+
+def test_mean_collect_aggregations(db):
+    r = db.run_script("""
+    ?[country, mean(rw), collect(c)] := *airport{code: c, country, rw}
+    """)
+    got = {row[0]: (row[1], sorted(row[2])) for row in r.rows}
+    assert got["US"] == (28.0, ["ATL", "JFK"])
+    assert got["UK"] == (22.0, ["LGW", "LHR"])

@@ -106,6 +106,28 @@ def test_scc(cyc):
     assert comp[1] != comp[4]  # bridge is one-way: separate SCCs
 
 
+def test_scc_diamond_not_merged(spark):
+    """1→5, 1→6, 5→2, 6→2: nodes 5 and 6 share min-reaching (1) and
+    min-reached (2) nodes but are NOT mutually reachable — every SCC is a
+    singleton. (Regression for the label-pair shortcut, which merged them.)"""
+    from cozo_spark.fixed_rules.graphs import strongly_connected_components
+
+    e = spark.createDataFrame([(1, 5), (1, 6), (5, 2), (6, 2)], "src long, dst long")
+    comp = {r["node"]: r["component"] for r in strongly_connected_components(e).collect()}
+    assert len(comp) == 4 and len(set(comp.values())) == 4
+
+
+def test_scc_two_cycles_bridged(spark):
+    """Two 2-cycles joined by a one-way bridge stay separate components."""
+    from cozo_spark.fixed_rules.graphs import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [(10, 11), (11, 10), (11, 20), (20, 21), (21, 20)], "src long, dst long")
+    comp = {r["node"]: r["component"] for r in strongly_connected_components(e).collect()}
+    assert comp[10] == comp[11] and comp[20] == comp[21]
+    assert comp[10] != comp[20]
+
+
 def test_topsort(g):
     from cozo_spark.fixed_rules.graphs import top_sort
 
