@@ -492,7 +492,15 @@ class CozoDb:
                 if inp.kind == "named_relation" and inp.bindings:
                     base = base.select(*[F.col(c).alias(v) for c, v in inp.bindings])
                 inputs.append(base)
-        options = {k: const_eval(v) for k, v in rule.options.items()}
+        options = {}
+        for k, v in rule.options.items():
+            try:
+                options[k] = const_eval(v)
+            except Exception:
+                # non-constant option (e.g. DFS/BFS `condition:`, A*
+                # `heuristic:`) — pass the expression AST through; the rule
+                # compiles it against its node relation's columns
+                options[k] = v
         out = fn(inputs, options)
         names = [h.name for h in rule.head]
         if names:

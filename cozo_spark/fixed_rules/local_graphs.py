@@ -203,26 +203,56 @@ def _astar(adj, s, g, h):
 
 # --- DFS (algos/dfs.rs:122) -----------------------------------------------------
 
-def dfs(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> DataFrame:
+def _allowed_nodes(nodes_df: DataFrame, condition):
+    """Evaluate a `condition:` expression AST against the nodes relation;
+    returns the set of node ids (first column) passing it. Mirrors the
+    reference's per-candidate condition check (algos/dfs.rs:40-81 /
+    bfs.rs:40-93) — evaluated set-at-a-time on the DataFrame instead."""
+    if condition is None:
+        return None
+    from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+    bound = set(nodes_df.columns)
+    col = compile_expr(condition, bound, _df_typer(nodes_df))
+    first = nodes_df.columns[0]
+    return {r[0] for r in nodes_df.filter(col).select(first).collect()}
+
+
+def dfs(edges: DataFrame, nodes: DataFrame | None = None, starts: DataFrame | None = None,
+        condition=None, limit: int | None = None) -> DataFrame:
     """(start, reached, path): preorder DFS, lexicographic neighbor order —
-    matches the reference's deterministic iteration order."""
+    matches the reference's deterministic iteration order. Input shapes follow
+    algos/dfs.rs:33-36: (edges), (edges, starting), or
+    (edges, nodes, starting); `condition:` gates which visited nodes are
+    emitted (traversal continues regardless), `limit:` caps emissions."""
     el = _collect_edges(edges)
     adj = _adj(el)
+    if starts is None:
+        starts = nodes  # 2-input form: DFS(edges, starting)
+    allowed = _allowed_nodes(nodes, condition) if nodes is not None else None
+    if starts is None:
+        spark = edges.sparkSession
+        all_nodes = sorted({x for a, b in el for x in (a, b)})
+        starts = spark.createDataFrame([(n,) for n in all_nodes], ["node"])
     rows = []
+    seen: set = set()  # shared across starts (algos/dfs.rs:48-53)
+    done = False
     for r in starts.collect():
         s = r[0]
-        seen = {s}
+        if s in seen or done:
+            continue
+        seen.add(s)
         stack = [(s, [s])]
-        count = 0
         while stack:
             u, path = stack.pop()
             # the reference tests the condition on every popped candidate,
             # INCLUDING the start node (algos/dfs.rs:58-81) — unlike BFS,
             # which only tests discovered neighbors (algos/bfs.rs:59-93)
-            rows.append((s, u, [str(x) for x in path]))
-            count += 1
-            if limit is not None and count >= limit:
-                break
+            if allowed is None or u in allowed:
+                rows.append((s, u, [str(x) for x in path]))
+                if limit is not None and len(rows) >= limit:
+                    done = True
+                    break
             for v, _ in reversed(adj.get(u, ())):
                 if v not in seen:
                     seen.add(v)
@@ -234,24 +264,39 @@ def dfs(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> DataFr
     return spark.createDataFrame(rows, f"start {typ}, reached {typ}, path array<string>")
 
 
-def bfs_paths(edges: DataFrame, starts: DataFrame, limit: int | None = None) -> DataFrame:
-    """(start, reached, path): BFS order with first-found path (algos/bfs.rs)."""
+def bfs_paths(edges: DataFrame, nodes: DataFrame | None = None,
+              starts: DataFrame | None = None, condition=None,
+              limit: int | None = None) -> DataFrame:
+    """(start, reached, path): BFS order with first-found path (algos/bfs.rs).
+    Same input shapes as DFS; per the reference, the condition is tested on
+    discovered neighbors only — the start node is never emitted
+    (bfs.rs:59-93)."""
     from collections import deque
 
     el = _collect_edges(edges)
     adj = _adj(el)
+    if starts is None:
+        starts = nodes
+    allowed = _allowed_nodes(nodes, condition) if nodes is not None else None
+    if starts is None:
+        spark = edges.sparkSession
+        all_nodes = sorted({x for a, b in el for x in (a, b)})
+        starts = spark.createDataFrame([(n,) for n in all_nodes], ["node"])
     rows = []
+    seen: set = set()  # shared across starts (bfs.rs:48-55)
+    done = False
     for r in starts.collect():
         s = r[0]
-        seen = {s}
+        if s in seen or done:
+            continue
+        seen.add(s)
         q = deque([(s, [s])])
-        count = 0
         while q:
             u, path = q.popleft()
-            if u != s:
+            if u != s and (allowed is None or u in allowed):
                 rows.append((s, u, [str(x) for x in path]))
-                count += 1
-                if limit is not None and count >= limit:
+                if limit is not None and len(rows) >= limit:
+                    done = True
                     break
             for v, _ in adj.get(u, ()):
                 if v not in seen:

@@ -236,3 +236,30 @@ def test_mean_collect_aggregations(db):
     got = {row[0]: (row[1], sorted(row[2])) for row in r.rows}
     assert got["US"] == (28.0, ["ATL", "JFK"])
     assert got["UK"] == (22.0, ["LGW", "LHR"])
+
+
+def test_dfs_condition_option(db):
+    # air_routes.rs:155-175 — condition gates emission; traversal continues
+    r = db.run_script("""
+    starting[] <- [['ATL']]
+    ?[start, reached, path] <~ DFS(*route[], *airport[code], starting[],
+                                   condition: (code == 'CDG'))
+    """)
+    assert len(r.rows) == 1
+    start, reached, path = r.rows[0]
+    assert (start, reached) == ("ATL", "CDG")
+    assert path[0] == "ATL" and path[-1] == "CDG"
+
+
+def test_bfs_condition_option(db):
+    # BFS tests the condition on discovered neighbors only (bfs.rs:59-93)
+    r = db.run_script("""
+    starting[] <- [['ATL']]
+    ?[start, reached, path] <~ BFS(*route[], *airport[code], starting[],
+                                   condition: (rw > 25))
+    """)
+    got = {row[1]: row[2] for row in r.rows}
+    # ATL (rw 34) is the start → never emitted; JFK 22 / LHR 25 filtered out
+    assert set(got) == {"CDG", "NRT"}
+    assert got["CDG"] == ["ATL", "JFK", "CDG"]
+    assert got["NRT"] == ["ATL", "JFK", "CDG", "NRT"]
