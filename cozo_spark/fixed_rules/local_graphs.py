@@ -162,17 +162,46 @@ def _edge_w(adj, u, v):
 
 # --- ShortestPathAStar (algos/astar.rs:180) ------------------------------------
 
-def shortest_path_astar(edges: DataFrame, starts_goals: DataFrame,
+def shortest_path_astar(edges: DataFrame, nodes: DataFrame | None = None,
+                        starting: DataFrame | None = None,
+                        goals: DataFrame | None = None,
                         heuristic=None) -> DataFrame:
-    """(start, goal, cost, path). Heuristic: fn(node, goal) -> float
-    (defaults to 0 = Dijkstra; the reference evaluates a CozoScript expr —
-    engine callers pass a compiled closure)."""
+    """(start, goal, cost, path).
+
+    Reference form (algos/astar.rs:37-60, air_routes.rs:266-278):
+    ``ShortestPathAStar(*route[], nodes[node, ...], starting[], goals[...],
+    heuristic: expr)`` — the heuristic expression sees the node relation's
+    binding columns plus the goal relation's, evaluated per (node, goal).
+    We compile it once over nodes × goals with the engine's expression
+    compiler; A* itself is driver-side like the reference. 2-input legacy
+    form: (edges, starts_goals) with an optional python callable heuristic.
+    """
     el = _collect_edges(edges, weighted=True)
     adj = _adj(el)
-    h = heuristic or (lambda n, g: 0.0)
     rows = []
-    for r in starts_goals.collect():
-        s, g = r[0], r[1]
+    if goals is None:
+        # (edges, starts_goals[, callable heuristic]) compatibility form
+        starts_goals = nodes if nodes is not None else starting
+        h = heuristic if callable(heuristic) else (lambda n, g: 0.0)
+        pairs = [(r[0], r[1]) for r in starts_goals.collect()]
+    else:
+        if heuristic is None or callable(heuristic):
+            h = heuristic or (lambda n, g: 0.0)
+        else:
+            # heuristic is an expression AST over nodes+goals binding columns
+            from pyspark.sql import functions as F
+
+            from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+            cross = nodes.crossJoin(goals)
+            bound = set(cross.columns)
+            hcol = compile_expr(heuristic, bound, _df_typer(cross)).cast("double")
+            nid, gid = nodes.columns[0], goals.columns[0]
+            table = {(r[0], r[1]): (r[2] if r[2] is not None else 0.0)
+                     for r in cross.select(F.col(nid), F.col(gid), hcol).collect()}
+            h = lambda n, g: table.get((n, g), 0.0)  # noqa: E731
+        pairs = [(s[0], g[0]) for s in starting.collect() for g in goals.collect()]
+    for s, g in pairs:
         res = _astar(adj, s, g, h)
         if res is not None:
             cost, path = res

@@ -263,3 +263,19 @@ def test_bfs_condition_option(db):
     assert set(got) == {"CDG", "NRT"}
     assert got["CDG"] == ["ATL", "JFK", "CDG"]
     assert got["NRT"] == ["ATL", "JFK", "CDG", "NRT"]
+
+
+def test_astar_rule_with_heuristic(db):
+    # air_routes.rs:266-278 shape: the nodes rule's binding columns (+ the
+    # goal rule's) are the heuristic expression's variables
+    r = db.run_script("""
+    node_rw[node, rw1] := *airport{code: node, rw: rw1}
+    starting[] <- [['ATL']]
+    goal[g, rw2] := g = 'NRT', *airport{code: g, rw: rw2}
+    ?[start, goal, cost, path] <~ ShortestPathAStar(*route[], node_rw[node, rw1],
+        starting[], goal[g, rw2], heuristic: abs(rw1 - rw2) / 100.0)
+    """)
+    assert len(r.rows) == 1
+    s, g, cost, path = r.rows[0]
+    assert (s, g, cost) == ("ATL", "NRT", 3.0)
+    assert path[0] == "ATL" and path[-1] == "NRT" and len(path) == 4
