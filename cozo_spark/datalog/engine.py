@@ -491,6 +491,23 @@ class CozoDb:
                     raise QueryError(f"relation {inp.name!r} not found")
                 if inp.kind == "named_relation" and inp.bindings:
                     base = base.select(*[F.col(c).alias(v) for c, v in inp.bindings])
+                elif inp.kind == "relation" and inp.bindings:
+                    # positional bindings rename the first k columns — these
+                    # names are what expression options (heuristic/weight/
+                    # condition) see (get_binding_map, fixed_rule/mod.rs)
+                    cols = base.columns
+                    if len(inp.bindings) > len(cols):
+                        raise QueryError(
+                            f"fixed rule input {inp.name!r}: {len(inp.bindings)} bindings "
+                            f"for arity {len(cols)}")
+                    taken = set(inp.bindings)
+                    tail = []
+                    for c in cols[len(inp.bindings):]:
+                        while c in taken:
+                            c += "_"
+                        taken.add(c)
+                        tail.append(c)
+                    base = base.toDF(*(list(inp.bindings) + tail))
                 inputs.append(base)
         options = {}
         for k, v in rule.options.items():

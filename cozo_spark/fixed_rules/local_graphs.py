@@ -80,19 +80,62 @@ def _path(prev, start, end):
 
 # --- ShortestPathDijkstra with paths (algos/shortest_path_dijkstra.rs:432) ---
 
+def _dijkstra_multi(adj, start):
+    """Dijkstra keeping ALL optimal predecessors (for keep_ties)."""
+    from collections import defaultdict as dd
+
+    eps = 1e-12
+    dist = {start: 0.0}
+    preds = dd(set)
+    pq = [(0.0, start)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")) + eps:
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            cur = dist.get(v, float("inf"))
+            if nd < cur - eps:
+                dist[v] = nd
+                preds[v] = {u}
+                heapq.heappush(pq, (nd, v))
+            elif abs(nd - cur) <= eps:
+                preds[v].add(u)
+    return dist, preds
+
+
+def _all_paths(preds, start, end):
+    if end == start:
+        return [[start]]
+    out = []
+    for p in sorted(preds.get(end, ()), key=str):
+        for pre in _all_paths(preds, start, p):
+            out.append(pre + [end])
+    return out
+
+
 def shortest_path_dijkstra(edges: DataFrame, starts: DataFrame, goals: DataFrame,
-                           undirected: bool = False) -> DataFrame:
-    """(start, goal, cost, path) — exact reference output contract."""
+                           undirected: bool = False, keep_ties: bool = False) -> DataFrame:
+    """(start, goal, cost, path) — exact reference output contract incl.
+    ``undirected:`` and ``keep_ties:`` (one row per tied optimal path)
+    options (algos/shortest_path_dijkstra.rs)."""
     el = _collect_edges(edges, weighted=True)
     adj = _adj(el, undirected)
     ss = [r[0] for r in starts.collect()]
     gs = [r[0] for r in goals.collect()]
     rows = []
     for s in ss:
-        dist, prev = _dijkstra(adj, s)
-        for g in gs:
-            if g in dist:
-                rows.append((s, g, dist[g], [str(x) for x in _path(prev, s, g)]))
+        if keep_ties:
+            dist, preds = _dijkstra_multi(adj, s)
+            for g in gs:
+                if g in dist:
+                    for path in _all_paths(preds, s, g):
+                        rows.append((s, g, dist[g], [str(x) for x in path]))
+        else:
+            dist, prev = _dijkstra(adj, s)
+            for g in gs:
+                if g in dist:
+                    rows.append((s, g, dist[g], [str(x) for x in _path(prev, s, g)]))
     spark = edges.sparkSession
     if not rows:
         return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
@@ -556,13 +599,38 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10) -> DataF
 
 # --- RandomWalk (algos/random_walk.rs:138) -------------------------------------------
 
-def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 10,
-                iterations: int = 1, seed: int = 42) -> DataFrame:
-    """(idx, start, path): seeded uniform random walks (deterministic)."""
+def random_walk(edges: DataFrame, nodes: DataFrame | None = None,
+                starts: DataFrame | None = None, steps: int = 10,
+                iterations: int = 1, weight=None, seed: int = 42) -> DataFrame:
+    """(idx, start, path): seeded random walks (deterministic via seed).
+
+    Reference form (algos/random_walk.rs:34-120): (edges, nodes, starting)
+    with ``steps:`` (required there), ``iterations:``, and an optional
+    ``weight:`` expression over the node + edge binding columns, evaluated
+    per candidate edge to bias sampling. The weight table is computed
+    set-at-a-time (nodes ⋈ edges on the current-node id) with the engine's
+    expression compiler."""
     import random
 
     el = _collect_edges(edges)
     adj = _adj(el)
+    if starts is None:
+        starts = nodes
+    if starts is None:
+        spark = edges.sparkSession
+        all_nodes = sorted({x for a, b in el for x in (a, b)})
+        starts = spark.createDataFrame([(n,) for n in all_nodes], ["node"])
+    wtable = None
+    if weight is not None and not callable(weight) and nodes is not None:
+        from pyspark.sql import functions as F
+
+        from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+        ncols, ecols = nodes.columns, edges.columns
+        j = nodes.join(edges, F.col(ncols[0]) == F.col(ecols[0]))
+        wcol = compile_expr(weight, set(ncols) | set(ecols), _df_typer(j)).cast("double")
+        wtable = {(r[0], r[1]): max(float(r[2]), 0.0) if r[2] is not None else 0.0
+                  for r in j.select(F.col(ecols[0]), F.col(ecols[1]), wcol).collect()}
     rnd = random.Random(seed)
     rows = []
     idx = 0
@@ -575,7 +643,13 @@ def random_walk(edges: DataFrame, starts: DataFrame, steps: int = 10,
                 nbrs = adj.get(cur, ())
                 if not nbrs:
                     break
-                cur = rnd.choice(nbrs)[0]
+                if wtable is not None:
+                    ws = [wtable.get((cur, v), 0.0) for v, _ in nbrs]
+                    if sum(ws) <= 0:
+                        break
+                    cur = rnd.choices([v for v, _ in nbrs], weights=ws)[0]
+                else:
+                    cur = rnd.choice(nbrs)[0]
                 path.append(cur)
             rows.append((idx, s, [str(x) for x in path]))
             idx += 1
