@@ -175,13 +175,22 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame, max_iterations: int
 # PageRank — algos/pagerank.rs:109
 # ---------------------------------------------------------------------------
 
-def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10) -> DataFrame:
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
+             theta: float | None = None, epsilon: float = 0.0001,
+             undirected: bool = False) -> DataFrame:
     """(node, rank). Classic power iteration: contributions = rank/out_degree
     shuffled on dst, damped sum. Edge list is checkpointed once and reused;
     per-iteration cost is one shuffle on dst (the aggregateMessages pattern).
     Dangling-node mass is redistributed uniformly (matches the usual
-    formulation; the reference normalizes the same way)."""
-    e = _checkpoint(_norm_edges(edges).distinct())
+    formulation; the reference normalizes the same way). Reference option
+    names honored (pagerank.rs:36-39): ``theta`` (= damping), ``epsilon``
+    (early stop when max |Δrank| falls below it), ``undirected``."""
+    if theta is not None:
+        damping = theta
+    e = _norm_edges(edges)
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = _checkpoint(e.distinct())
     nodes = _checkpoint(_nodes(e))
     n = nodes.count()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("odeg"))
@@ -201,11 +210,22 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10) -> D
             .collect()[0]["dm"]
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = _checkpoint(
+        new_ranks = _checkpoint(
             nodes.join(contribs, "node", "left")
             .select("node",
                     (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"))
         )
+        if epsilon and epsilon > 0:
+            max_delta = (
+                new_ranks.alias("a").join(ranks.alias("b"), "node")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if max_delta is not None and max_delta < epsilon:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 
@@ -316,19 +336,31 @@ def _min_reach_label(e: DataFrame, max_iterations: int, nodes: DataFrame | None 
 # LabelPropagation — algos/label_propagation.rs:97
 # ---------------------------------------------------------------------------
 
-def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def label_propagation(edges: DataFrame, iterations: int = 10,
+                      max_iter: int | None = None,
+                      undirected: bool = False) -> DataFrame:
     """(label, node): synchronous LPA — each round a node takes the most
-    frequent label among neighbors (ties → min label, deterministic)."""
+    frequent label among neighbors (ties → min label, deterministic).
+    Reference options (label_propagation.rs:35-36): ``max_iter``,
+    ``undirected`` (false → votes come from out-neighbors only)."""
+    if max_iter is not None:
+        iterations = max_iter
     e = _norm_edges(edges)
-    und = _checkpoint(
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct())
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = _checkpoint(e.distinct())
     labels = _checkpoint(_nodes(und).select("node", F.col("node").alias("label")))
     for _ in range(iterations):
-        freq = (
+        votes = (
             und.join(labels, und.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
-            .groupBy("node", "label").agg(F.count("*").alias("cnt"))
         )
+        if not undirected:
+            # synchronous LPA oscillates on directed cycles (the reference's
+            # async in-place updates don't, label_propagation.rs:56-96); a
+            # self-vote is the standard sync stabilizer
+            votes = votes.unionByName(labels.select("node", "label"))
+        freq = votes.groupBy("node", "label").agg(F.count("*").alias("cnt"))
         w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
         new_best = (
             freq.withColumn("rn", F.row_number().over(w)).filter("rn = 1")

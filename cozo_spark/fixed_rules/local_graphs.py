@@ -544,9 +544,18 @@ def closeness_centrality(edges: DataFrame, undirected: bool = False) -> DataFram
 
 # --- Louvain community detection (algos/louvain.rs:318) -----------------------------
 
-def community_detection_louvain(edges: DataFrame, max_passes: int = 10) -> DataFrame:
+def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
+                                max_iter: int | None = None, delta: float = 0.0001,
+                                keep_depth: int | None = None,
+                                undirected: bool = False) -> DataFrame:
     """(community, node): single-level-iterated Louvain modularity optimization
-    (deterministic node order). The reference is also single-machine here."""
+    (deterministic node order). The reference is also single-machine here.
+    Reference option names accepted (louvain.rs:37-40): ``max_iter``,
+    ``delta`` (min modularity gain to move), ``undirected`` (we already
+    symmetrize weights), ``keep_depth`` (single-level output here — the
+    flattened community assignment the reference returns for depth 1)."""
+    if max_iter is not None:
+        max_passes = max_iter
     el = _collect_edges(edges, weighted=True)
     w_adj: dict = defaultdict(lambda: defaultdict(float))
     for a, b, w in el:
@@ -571,7 +580,7 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10) -> DataF
             neigh_w = defaultdict(float)
             for v, w in w_adj[n].items():
                 neigh_w[comm[v]] += w
-            best_c, best_gain = c0, 0.0
+            best_c, best_gain = c0, max(delta, 0.0)
             for c, w_in in sorted(neigh_w.items()):
                 gain = w_in - sigma_tot[c] * k[n] / m2
                 if gain > best_gain + 1e-12:

@@ -314,3 +314,17 @@ def test_random_walk_weighted(db):
     assert len(r1.rows) == 2 and r1.rows == r2.rows  # seeded → deterministic
     for row in r1.rows:
         assert row[1] == "ATL" and row[2][0] == "ATL" and len(row[2]) >= 2
+
+
+def test_pagerank_reference_options(db):
+    # pagerank.rs:36-39 option names: theta/epsilon/undirected
+    r = db.run_script(
+        "?[n, rank] <~ PageRank(*route[], theta: 0.5, epsilon: 0.0000001, undirected: true)")
+    ranks = {row[0]: row[1] for row in r.rows}
+    assert len(ranks) == 6 and all(v > 0 for v in ranks.values())
+
+
+def test_label_propagation_rule(db):
+    # label_propagation.rs:35-36 option names: max_iter/undirected
+    r = db.run_script("?[label, n] <~ LabelPropagation(*route[], max_iter: 5, undirected: true)")
+    assert len(r.rows) == 6  # one (label, node) row per airport
