@@ -42,31 +42,73 @@ def _register_builtins() -> None:
     register_fixed_rule("Constant", readers.constant)
 
     def reorder_sort(inputs: list, options: dict | None = None) -> DataFrame:
-        """ReorderSort (fixed_rule/utilities/reorder_sort.rs:1-153): sort by
-        expressions, optionally emit rank, with skip/take — Window-based."""
+        """ReorderSort (fixed_rule/utilities/reorder_sort.rs:30-125):
+        ``sort_by:`` expression (a list expr = multi-key), ``out:`` list of
+        output expressions over the input bindings, ``descending``,
+        ``break_ties`` (true → row position, false → competition rank over
+        the sorter value), ``skip``/``take`` applied to row positions."""
         from pyspark.sql import Window as W
         from pyspark.sql import functions as F
 
+        from cozo_spark.datalog.ast import ListEx, Var
+        from cozo_spark.datalog.translate import _df_typer, compile_expr
+
         options = dict(options or {})
         df = inputs[0]
-        sort_cols = options.get("sort_by", df.columns)
-        if isinstance(sort_cols, str):
-            sort_cols = [sort_cols]
-        desc = options.get("descending", False)
-        cols = [F.col(c).desc() if desc else F.col(c).asc() for c in sort_cols]
-        # break_ties=false (default) keeps row ordering deterministic by all cols
-        if not options.get("break_ties", False):
-            cols += [F.col(c).asc() for c in df.columns if c not in sort_cols]
-        out = df.withColumn("_rank", F.row_number().over(W.orderBy(*cols)).cast("long"))
-        skip = int(options.get("skip", 0))
+        bound = set(df.columns)
+        typer = _df_typer(df)
+
+        def to_col(e):
+            if isinstance(e, str):
+                return F.col(e)
+            if isinstance(e, (int, float, bool)):
+                return F.lit(e)
+            if hasattr(e, "cast"):  # already a Column
+                return e
+            return compile_expr(e, bound, typer)
+
+        sb = options.get("sort_by")
+        if sb is None:
+            sorter = F.struct(*[F.col(c) for c in df.columns])
+        elif isinstance(sb, ListEx):
+            sorter = F.struct(*[compile_expr(x, bound, typer) for x in sb.items])
+        elif isinstance(sb, (list, tuple)):
+            sorter = F.struct(*[to_col(x) for x in sb])
+        else:
+            sorter = to_col(sb)
+        desc = bool(options.get("descending", False))
+        work = df.withColumn("_sorter", sorter)
+        order = [F.col("_sorter").desc() if desc else F.col("_sorter").asc()]
+        # value-deterministic position among ties (the reference keeps input
+        # order; DataFrames have none, so full-tuple order stands in)
+        order += [F.col(c).asc() for c in df.columns]
+        w = W.orderBy(*order)
+        pos = F.row_number().over(w).cast("long")
+        rank = pos if options.get("break_ties", False) else \
+            F.rank().over(W.orderBy(F.col("_sorter").desc() if desc else F.col("_sorter").asc())).cast("long")
+        work = work.withColumn("_pos", pos).withColumn("_rank", rank)
+        skip = int(options.get("skip", 0) or 0)
         take = options.get("take")
         if skip:
-            out = out.filter(F.col("_rank") > skip)
-        if take is not None:
-            out = out.filter(F.col("_rank") <= skip + int(take))
-        if options.get("out", True):
-            return out.select("_rank", *df.columns)
-        return out.select(*df.columns)
+            work = work.filter(F.col("_pos") > skip)
+        if take:
+            work = work.filter(F.col("_pos") <= skip + int(take))
+
+        out_spec = options.get("out")
+        if out_spec is None or out_spec is True:
+            out_cols = [F.col(c) for c in df.columns]
+        elif out_spec is False:
+            return work.select(*df.columns)
+        elif isinstance(out_spec, ListEx):
+            out_cols = []
+            for i, e in enumerate(out_spec.items):
+                name = e.name if isinstance(e, Var) else f"out_{i}"
+                out_cols.append(compile_expr(e, bound, typer).alias(name))
+        elif isinstance(out_spec, (list, tuple)):
+            out_cols = [to_col(x) for x in out_spec]
+        else:
+            out_cols = [to_col(out_spec)]
+        return work.select(F.col("_rank"), *out_cols)
 
     register_fixed_rule("ReorderSort", reorder_sort)
 

@@ -171,3 +171,30 @@ def test_reorder_sort_rule(spark):
     ?[rank, x, y] <~ ReorderSort(vals[x, y], sort_by: 'y', descending: false)
     """)
     assert [tuple(row) for row in sorted(r.rows)] == [(1, 2, 10), (2, 3, 20), (3, 1, 30)]
+
+
+def test_reorder_sort_expression_options(spark):
+    # reorder_sort.rs:36-58: `out:` is a list of expressions over the input
+    # bindings, `sort_by:` an expression; default rank is competition-style
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    r = d.run_script("""
+    vals[] <- [[1, 10], [2, 5], [3, 8]]
+    ?[rank, doubled] <~ ReorderSort(vals[x, y], out: [x * 2], sort_by: y,
+                                    descending: true)
+    """)
+    assert sorted(tuple(row) for row in r.rows) == [(1, 2), (2, 6), (3, 4)]
+    # tied sorter values share a competition rank (1, 1, 3)
+    r2 = d.run_script("""
+    vals[] <- [[1, 5], [2, 5], [3, 1]]
+    ?[rank, x] <~ ReorderSort(vals[x, y], out: [x], sort_by: y, descending: true)
+    """)
+    assert sorted(tuple(row) for row in r2.rows) == [(1, 1), (1, 2), (3, 3)]
+    # break_ties: true → strict row positions; skip/take window the positions
+    r3 = d.run_script("""
+    vals[] <- [[1, 5], [2, 5], [3, 1], [4, 0]]
+    ?[rank, x] <~ ReorderSort(vals[x, y], out: [x], sort_by: y, descending: true,
+                              break_ties: true, skip: 1, take: 2)
+    """)
+    assert sorted(tuple(row) for row in r3.rows) == [(2, 2), (3, 3)]
