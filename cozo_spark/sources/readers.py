@@ -65,7 +65,13 @@ def json_reader(inputs: list, options: dict | None = None) -> DataFrame:
     fields = options.get("fields", [])
     null_if_absent = options.get("null_if_absent", False)
     prepend_index = options.get("prepend_index", False)
-    df = _spark().read.json(url)  # handles JSON-lines natively
+    json_lines = options.get("json_lines", True)
+    if json_lines:
+        df = _spark().read.json(url)  # JSON-lines natively
+    else:
+        # jlines.rs:42: non-lines mode — whole-file JSON value (array of
+        # objects / single object) via Spark's multiLine reader
+        df = _spark().read.option("multiLine", "true").json(url)
     cols = []
     for f in fields:
         if f in df.columns:

@@ -198,3 +198,17 @@ def test_reorder_sort_expression_options(spark):
                               break_ties: true, skip: 1, take: 2)
     """)
     assert sorted(tuple(row) for row in r3.rows) == [(2, 2), (3, 3)]
+
+
+def test_json_reader_not_lines(spark, tmp_path):
+    # jlines.rs:42 json_lines: false — whole-file JSON array of objects
+    from cozo_spark.datalog.engine import CozoDb
+
+    p = tmp_path / "arr.json"
+    p.write_text('[{"name": "a", "n": 1},\n {"name": "b", "n": 2}]')
+    d = CozoDb(spark)
+    r = d.run_script(f"""
+    ?[name, n] <~ JsonReader(url: 'file://{p}', fields: ['name', 'n'],
+                             json_lines: false)
+    """)
+    assert sorted(tuple(x) for x in r.rows) == [("a", 1), ("b", 2)]
