@@ -409,9 +409,14 @@ class ClauseTranslator:
         opts = {}
         for key, e in atom.opts.items():
             ok, v = try_const(e)
-            if not ok:
+            if ok:
+                opts[key] = v
+            elif key == "filter":
+                # filter: expression over the relation's columns, applied
+                # before top-k (HnswSearch filter, data/program.rs:989)
+                opts[key] = e
+            else:
                 raise QueryError(f"search option {key!r} must be constant")
-            opts[key] = v
         base = self.search_resolver(atom.rel, atom.idx, opts)
         sel = []
         filters = []
@@ -430,8 +435,9 @@ class ClauseTranslator:
                 if not ok:
                     raise QueryError(f"~{atom.rel}:{atom.idx}: non-constant binding for {col}")
                 filters.append(c == F.lit(v))
-        # bind_score / bind_distance columns surface as vars automatically
-        for opt_key in ("bind_score", "bind_distance"):
+        # bind_* columns surface as vars automatically
+        for opt_key in ("bind_score", "bind_distance", "bind_vector",
+                        "bind_field", "bind_field_idx"):
             if opt_key in opts and str(opts[opt_key]) in base.columns:
                 sel.append(F.col(str(opts[opt_key])))
         out = base

@@ -116,8 +116,22 @@ def search(db, rel, idx_name: str, opts: dict) -> DataFrame:
             nq = F.sqrt(F.aggregate(F.transform(q, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
             d = 1.0 - dot / (nv * nq)
         scored = rel.df.withColumn(dist_name, d)
+        if opts.get("filter") is not None:
+            # filter expression over the relation's columns, applied before
+            # top-k — the reference evaluates it during the graph walk
+            # (HnswSearch filter, data/program.rs:989); set-at-a-time here
+            from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+            fcol = compile_expr(opts["filter"], set(rel.df.columns), _df_typer(rel.df))
+            scored = scored.filter(fcol)
         if "radius" in opts:
             scored = scored.filter(F.col(dist_name) <= float(opts["radius"]))
+        if "bind_vector" in opts:
+            scored = scored.withColumn(str(opts["bind_vector"]), F.col(vec_col))
+        if "bind_field" in opts:
+            scored = scored.withColumn(str(opts["bind_field"]), F.lit(vec_col))
+        if "bind_field_idx" in opts:
+            scored = scored.withColumn(str(opts["bind_field_idx"]), F.lit(0).cast("long"))
         return scored.orderBy(F.col(dist_name).asc(), F.col(key).asc()).limit(k)
     if idx.kind == "lsh":
         return _lsh_search(db, rel, idx, str(opts["query"]), k)

@@ -212,3 +212,17 @@ def test_json_reader_not_lines(spark, tmp_path):
                              json_lines: false)
     """)
     assert sorted(tuple(x) for x in r.rows) == [("a", 1), ("b", 2)]
+
+
+def test_hnsw_filter_and_binds(db):
+    # HnswSearch filter + bind_vector/bind_field (data/program.rs:976-991):
+    # filter excludes the exact match (id 1) before top-k
+    r = db.run_script("""
+    ?[id, d, vec, fld] := ~vecs:ann{id | query: [1.0, 0.0, 0.0, 0.0], k: 2,
+                                    bind_distance: 'd', bind_vector: 'vec',
+                                    bind_field: 'fld', filter: id != 1}
+    :order d
+    """)
+    assert [row[0] for row in r.rows] == [3, 4]
+    assert r.rows[0][2] == [0.9, 0.1, 0.0, 0.0]
+    assert r.rows[0][3] == "v"
