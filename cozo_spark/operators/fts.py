@@ -224,14 +224,26 @@ class FtsIndex:
         idx = _checkpoint(build_fts_index(df, text_col, id_col, tokenizer, filters))
         return cls(idx, df.count(), tokenizer, filters)
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        """(doc_id, score) top-k by TF-IDF (fts/indexing.rs scoring)."""
+    def search(self, query: str, k: int = 10, score_kind: str = "tf_idf",
+               candidates: DataFrame | None = None) -> DataFrame:
+        """(doc_id, score) top-k by TF-IDF or plain TF (fts/indexing.rs
+        scoring; score_kind param of FtsSearch, data/program.rs:1283-1301).
+        ``candidates`` (doc_id frame) restricts the result BEFORE top-k —
+        the filter: option's semantics."""
+        self._score_kind = str(score_kind).lower().replace("-", "_")
         ast = parse_fts_query(query)
         scored = self._eval(ast)
+        if candidates is not None:
+            scored = scored.join(candidates, "doc_id")
         return (
             scored.orderBy(F.col("score").desc(), F.col("doc_id"))
             .limit(k)
         )
+
+    def _idf_factor(self, df_count: int) -> float:
+        if getattr(self, "_score_kind", "tf_idf") == "tf":
+            return 1.0
+        return float(_idf(self.n_docs, max(df_count, 1)))
 
     # posting set for one phrase, scored
     def _phrase_postings(self, p: FtsPhrase) -> DataFrame:
@@ -241,7 +253,7 @@ class FtsIndex:
         if p.prefix and len(p.terms) == 1:
             posts = idx.filter(F.col("term").startswith(p.terms[0]))
             df_count = posts.select("doc_id").distinct().count()
-            idf = F.lit(float(_idf(self.n_docs, max(df_count, 1))))
+            idf = F.lit(self._idf_factor(df_count))
             return (posts.groupBy("doc_id")
                     .agg((F.sum("tf") * idf * p.boost).alias("score")))
         parts = []
@@ -261,7 +273,7 @@ class FtsIndex:
         score = None
         for i, t in enumerate(p.terms):
             dfc = self._df_count(t)
-            s = F.col(f"tf_{i}") * F.lit(float(_idf(self.n_docs, dfc)))
+            s = F.col(f"tf_{i}") * F.lit(self._idf_factor(dfc))
             score = s if score is None else score + s
         return cur.select("doc_id", (score * p.boost).alias("score"))
 
@@ -314,7 +326,7 @@ class FtsIndex:
         return (
             self.df.filter(F.col("term") == t)
             .select("doc_id",
-                    (F.col("tf") * F.lit(float(_idf(self.n_docs, dfc))) * p.boost).alias(f"ns_{tag}"),
+                    (F.col("tf") * F.lit(self._idf_factor(dfc)) * p.boost).alias(f"ns_{tag}"),
                     F.col("positions").alias(f"np_{tag}"))
         )
 

@@ -95,7 +95,16 @@ def search(db, rel, idx_name: str, opts: dict) -> DataFrame:
     key = rel.key_names[0]
     k = int(opts.get("k", 10))
     if idx.kind == "fts":
-        posting = idx.artifact.search(str(opts["query"]), k=k)
+        candidates = None
+        if opts.get("filter") is not None:
+            from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+            fcol = compile_expr(opts["filter"], set(rel.df.columns), _df_typer(rel.df))
+            candidates = rel.df.filter(fcol).select(F.col(key).alias("doc_id"))
+        posting = idx.artifact.search(
+            str(opts["query"]), k=k,
+            score_kind=str(opts.get("score_kind", "tf_idf")),
+            candidates=candidates)
         score_name = str(opts.get("bind_score", "score"))
         out = (rel.df.join(posting.withColumnRenamed("doc_id", key), key)
                .withColumnRenamed("score", score_name))

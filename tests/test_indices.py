@@ -226,3 +226,14 @@ def test_hnsw_filter_and_binds(db):
     assert [row[0] for row in r.rows] == [3, 4]
     assert r.rows[0][2] == [0.9, 0.1, 0.0, 0.0]
     assert r.rows[0][3] == "v"
+
+
+def test_fts_score_kind_and_filter(db):
+    # score_kind: 'tf' drops the idf factor; filter restricts BEFORE top-k
+    r = db.run_script("""
+    ?[id, s] := ~doc:ft{id | query: 'quick', k: 10, bind_score: 's',
+                        score_kind: 'tf', filter: id > 1}
+    """)
+    ids = sorted(row[0] for row in r.rows)
+    assert 1 not in ids and ids == [4, 5]
+    assert all(row[1] > 0 for row in r.rows)
