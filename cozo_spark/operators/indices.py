@@ -143,11 +143,13 @@ def search(db, rel, idx_name: str, opts: dict) -> DataFrame:
             scored = scored.withColumn(str(opts["bind_field_idx"]), F.lit(0).cast("long"))
         return scored.orderBy(F.col(dist_name).asc(), F.col(key).asc()).limit(k)
     if idx.kind == "lsh":
-        return _lsh_search(db, rel, idx, str(opts["query"]), k)
+        return _lsh_search(db, rel, idx, str(opts["query"]), k,
+                           filter_expr=opts.get("filter"))
     raise KeyError(f"index kind {idx.kind!r} is not searchable")
 
 
-def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int) -> DataFrame:
+def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int,
+                filter_expr=None) -> DataFrame:
     from cozo_spark.operators.dedup import minhash_signatures
 
     art = idx.artifact
@@ -164,7 +166,13 @@ def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int) -> DataFrame:
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") > 0)
         .select(key, "est_jaccard")
-        .orderBy(F.col("est_jaccard").desc(), F.col(key))
-        .limit(k)
     )
+    if filter_expr is not None:
+        # filter: option (LshSearch, data/program.rs:1151) — restrict the
+        # candidate set before top-k
+        from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+        fcol = compile_expr(filter_expr, set(rel.df.columns), _df_typer(rel.df))
+        matches = matches.join(rel.df.filter(fcol).select(key), key)
+    matches = matches.orderBy(F.col("est_jaccard").desc(), F.col(key)).limit(k)
     return rel.df.join(matches, key)

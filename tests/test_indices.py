@@ -237,3 +237,18 @@ def test_fts_score_kind_and_filter(db):
     ids = sorted(row[0] for row in r.rows)
     assert 1 not in ids and ids == [4, 5]
     assert all(row[1] > 0 for row in r.rows)
+
+
+def test_lsh_filter_option(db):
+    # LshSearch filter: (data/program.rs:1151) — excludes doc 1 pre-top-k
+    base = db.run_script("""
+    ?[id] := ~doc:near{id | query: 'the quick brown fox jumped over the lazy dog', k: 5}
+    """)
+    filt = db.run_script("""
+    ?[id] := ~doc:near{id | query: 'the quick brown fox jumped over the lazy dog',
+                       k: 5, filter: id != 1}
+    """)
+    base_ids = {row[0] for row in base.rows}
+    filt_ids = {row[0] for row in filt.rows}
+    assert 1 in base_ids and 1 not in filt_ids
+    assert filt_ids == base_ids - {1}
