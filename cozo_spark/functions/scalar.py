@@ -186,9 +186,11 @@ fn("sorted")(lambda lst: F.array_sort(lst))
 fn("reverse")(lambda lst: F.reverse(lst))
 fn("first")(lambda lst: F.element_at(lst, 1))
 fn("last")(lambda lst: F.element_at(lst, -1))
-fn("get")(lambda lst, i: F.element_at(lst, i + 1))        # Cozo is 0-indexed
-fn("maybe_get")(lambda lst, i: F.try_element_at(lst, i + 1))
-fn("slice")(lambda lst, s, e: F.slice(lst, s + 1, e - s))
+# Cozo is 0-indexed; element_at/slice require INT positions, so long-typed
+# index columns are cast down (element_at errors on BIGINT otherwise)
+fn("get")(lambda lst, i: F.element_at(lst, (i + 1).cast("int")))
+fn("maybe_get")(lambda lst, i: F.try_element_at(lst, (i + 1).cast("int")))
+fn("slice")(lambda lst, s, e: F.slice(lst, (s + 1).cast("int"), (e - s).cast("int")))
 fn("union")(lambda *xs: _fold(F.array_union, xs))
 fn("intersection")(lambda *xs: _fold(F.array_intersect, xs))
 fn("difference")(lambda a, b: F.array_except(a, b))
