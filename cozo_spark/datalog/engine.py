@@ -1067,15 +1067,59 @@ class CozoDb:
         if kind == "compact":
             return NamedRows(["status"], [["OK"]])
         if kind == "explain":
+            # per-atom plan table in the reference's shape (db.rs:968-1191:
+            # stratum/rule/atom rows with join kinds); our join strategy
+            # column reports what the translator will emit, the physical
+            # pick (broadcast vs sort-merge) being Catalyst's at runtime
             prog = op["program"]
-            lines = []
-            for name, rule in prog.rules.items():
-                kind_s = ("inline" if isinstance(rule, list)
-                          else type(rule).__name__)
-                n_clauses = len(rule) if isinstance(rule, list) else 1
-                lines.append([name, kind_s, n_clauses])
-            return NamedRows(["rule", "kind", "clauses"], lines)
+            return NamedRows(
+                ["rule", "kind", "clause", "atom", "op", "ref", "detail"],
+                self._explain_rows(prog))
         raise QueryError(f"unsupported sys op ::{kind}")
+
+    def _explain_rows(self, prog) -> list:
+        from cozo_spark.datalog.ast import (
+            Cond as _Cond, Negation as _Neg, RelApply as _Rel,
+            NamedRelApply as _NRel, RuleApply as _Rule, SearchApply as _Search,
+            Unify as _Unify)
+
+        def atom_row(a, first: bool):
+            if isinstance(a, _Rule):
+                vars_ = ",".join(getattr(x, "name", "_") for x in a.args)
+                op = "scan" if first else "equi_join"
+                return op, a.name, f"[{vars_}]"
+            if isinstance(a, (_Rel, _NRel)):
+                op = "stored_scan" if first else "stored_join"
+                if isinstance(a, _NRel):
+                    cols = ",".join(a.pairs)
+                    return op, f"*{a.name}", f"{{{cols}}}"
+                vars_ = ",".join(getattr(x, "name", "_") for x in a.args)
+                return op, f"*{a.name}", f"[{vars_}]"
+            if isinstance(a, _Neg):
+                _, ref, det = atom_row(a.atom, False)
+                return "neg_join(anti)", ref, det
+            if isinstance(a, _Search):
+                return "index_search", f"~{a.rel}:{a.idx}", ",".join(a.pairs)
+            if isinstance(a, _Unify):
+                return "unify", a.var, "explode" if a.multi else "bind"
+            if isinstance(a, _Cond):
+                return "filter", "", repr(a.expr)[:60]
+            return type(a).__name__, "", ""
+
+        rows = []
+        for name, rule in prog.rules.items():
+            if isinstance(rule, list):
+                for ci, cl in enumerate(rule):
+                    for ai, atom in enumerate(cl.body):
+                        op, ref, det = atom_row(atom, ai == 0)
+                        rows.append([name, "inline", ci, ai, op, ref, det])
+            elif isinstance(rule, FixedApply):
+                ins = ",".join(i.name for i in rule.inputs)
+                rows.append([name, "fixed", 0, 0, "fixed_rule",
+                             rule.rule_name, ins])
+            else:
+                rows.append([name, "const", 0, 0, "inline_fixed", "", ""])
+        return rows
 
 
 class MultiTransaction:

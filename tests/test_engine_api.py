@@ -105,3 +105,23 @@ def test_user_fixed_rule(spark):
     ?[x] <~ Doubler(nums[x], factor: 10)
     """)
     assert sorted(x[0] for x in r.rows) == [10, 20, 30]
+
+
+def test_explain_atom_table(spark):
+    # ::explain emits the reference's per-atom plan table shape
+    # (db.rs:968-1191): rule / clause / atom rows with op kinds
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", spark.createDataFrame([(1, 2)], "fr long, to long"))
+    r = db.run_script("""::explain {
+    reach[a, b] := *edge[a, b]
+    reach[a, c] := reach[a, b], *edge[b, c], b > 0
+    ?[a, b] := reach[a, b], not *edge[a, 9]
+    }""")
+    assert r.headers == ["rule", "kind", "clause", "atom", "op", "ref", "detail"]
+    ops = [(row[0], row[4]) for row in r.rows]
+    assert ("reach", "stored_scan") in ops
+    assert ("reach", "stored_join") in ops
+    assert ("reach", "filter") in ops
+    assert ("?", "neg_join(anti)") in ops
