@@ -62,6 +62,13 @@ _reg("shortest", True, lambda v: F.min_by(v, F.struct(F.size(v), v)))
 _reg("bit_and", True, lambda v: F.bit_and(v))
 _reg("bit_or", True, lambda v: F.bit_or(v))
 
+# beyond-reference extensions (SURVEY §2.3 note): sketch aggregations Spark
+# provides natively — essential at 100 TB where exact count_unique shuffles
+# every distinct value
+_reg("approx_count_unique", False, lambda v, rsd=0.05: F.approx_count_distinct(v, rsd))
+_reg("percentile", False, lambda v, p=0.5: F.percentile_approx(v, p))
+_reg("median", False, lambda v: F.median(v))
+
 
 def _group_count(v: Column) -> Column:
     # histogram of values, sorted: list of (value, count) pairs

@@ -422,3 +422,19 @@ def test_aggregations_tail(spark):
     assert r2["lb"] == 2.0   # data at max key 12
     assert r2["sb"] == 7.0   # data at min key 9
     assert r2["mc"] == 7.0
+
+
+def test_aggregations_sketch_extensions(spark):
+    """Beyond-reference sketch aggregations (SURVEY §2.3): usable from
+    CozoScript heads like any registry entry."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "vals", spark.createDataFrame([(i % 7, float(i)) for i in range(100)],
+                                      "k long, v double"))
+    r = db.run_script("?[approx_count_unique(k), percentile(v, 0.5), median(v)] := *vals[k, v]")
+    acd, p50, med = r.rows[0]
+    assert 6 <= acd <= 8          # ~7 distinct keys within rsd
+    assert 40.0 <= p50 <= 60.0
+    assert med == 49.5
