@@ -341,6 +341,21 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag, ROUND(median(l_extendedprice), 2) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median (beyond-reference sketch-family extension, exact here) —
+    deterministic in both engines, so fully hash-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 2).alias("med_price"))
+
+
+@query(
     "agg_bool_bit",
     oracle="""
     SELECT l_linestatus,
