@@ -555,6 +555,9 @@ class CozoDb:
         if name.startswith("_"):
             return self.temp_relations.get(name)
         rel = self.relations.get(name)
+        if rel is not None and rel.access_level == "hidden":
+            # reads require >= ReadOnly (compile.rs:221) — hidden blocks them
+            raise QueryError(f"relation {name!r} is hidden")
         return rel.df if rel else None
 
     @staticmethod
@@ -793,7 +796,13 @@ class CozoDb:
         rel = self.relations.get(name)
         if rel is None:
             raise QueryError(f"stored relation {name!r} not found")
-        if rel.access_level in ("read_only", "hidden"):
+        if op in ("ensure", "ensure_not"):
+            # assertions require >= Protected (stored.rs:229,539)
+            if rel.access_level in ("read_only", "hidden"):
+                raise QueryError(f"relation {name!r} is {rel.access_level}")
+        elif rel.access_level != "normal":
+            # writes require Normal (stored.rs:75: access_level < Normal
+            # bails — protected/read_only/hidden all block them)
             raise QueryError(f"relation {name!r} is {rel.access_level}")
         cols = self._target_columns(rel, opts, df)
         data = self._coerce_to_schema(df.toDF(*cols), rel)

@@ -125,3 +125,27 @@ def test_explain_atom_table(spark):
     assert ("reach", "stored_join") in ops
     assert ("reach", "filter") in ops
     assert ("?", "neg_join(anti)") in ops
+
+
+def test_access_levels_enforced(spark):
+    # AccessLevel ordering Hidden < ReadOnly < Protected < Normal
+    # (runtime/relation.rs:122-128): mutation needs Normal (stored.rs:75),
+    # reads need >= ReadOnly (compile.rs:221)
+    import pytest
+
+    from cozo_spark.datalog.engine import CozoDb, QueryError
+
+    db = CozoDb(spark)
+    db.run_script(":create al {k: Int => v: Int}")
+    db.run_script("?[k, v] <- [[1, 10]] :put al {k => v}")
+    db.run_script("::access_level protected al")
+    with pytest.raises(QueryError):
+        db.run_script("?[k, v] <- [[2, 20]] :put al {k => v}")
+    assert db.run_script("?[k] := *al[k, _]").rows == [[1]]  # reads still ok
+    db.run_script("?[k, v] <- [[1, 10]] :ensure al {k => v}")  # assertions ok on protected
+    db.run_script("::access_level hidden al")
+    with pytest.raises(QueryError):
+        db.run_script("?[k] := *al[k, _]")
+    db.run_script("::access_level normal al")
+    db.run_script("?[k, v] <- [[2, 20]] :put al {k => v}")
+    assert sorted(r[0] for r in db.run_script("?[k] := *al[k, _]").rows) == [1, 2]
