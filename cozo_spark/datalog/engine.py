@@ -986,6 +986,10 @@ class CozoDb:
             for t in op["targets"]:
                 if t not in self.relations:
                     raise QueryError(f"relation {t!r} not found")
+                if self.relations[t].access_level != "normal":
+                    # destroy requires Normal (relation.rs:695)
+                    raise QueryError(
+                        f"relation {t!r} is {self.relations[t].access_level}")
                 del self.relations[t]
             return NamedRows(["status"], [["OK"]])
         if kind == "rename":
@@ -1051,6 +1055,9 @@ class CozoDb:
             rel = self.relations.get(op["target"])
             if rel is None:
                 raise QueryError(f"relation {op['target']!r} not found")
+            if rel.access_level in ("read_only", "hidden"):
+                # set triggers requires >= Protected (relation.rs:564)
+                raise QueryError(f"relation {op['target']!r} is {rel.access_level}")
             rel.put_triggers, rel.rm_triggers, rel.replace_triggers = [], [], []
             for tkind, script in op.get("triggers", []):
                 if tkind == "put":
