@@ -994,6 +994,10 @@ class CozoDb:
             return NamedRows(["status"], [["OK"]])
         if kind == "rename":
             for old, new in op["targets"]:
+                if old in self.relations and self.relations[old].access_level != "normal":
+                    # rename requires Normal (relation.rs:1427)
+                    raise QueryError(
+                        f"relation {old!r} is {self.relations[old].access_level}")
                 if old not in self.relations:
                     raise QueryError(f"relation {old!r} not found")
                 if new in self.relations:

@@ -28,7 +28,25 @@ _CSV_TYPE = {
 
 
 def _strip_url(url: str) -> str:
-    return url[7:] if url.startswith("file://") else url
+    """file:// → local path; http(s):// → fetched to a temp file (the
+    reference's CsvReader/JsonReader accept both, csv.rs:56-99 — Hadoop's
+    FS has no http scheme, so we stage the payload locally; on a cluster
+    this runs on the driver and the temp file is parallelized like any
+    local read)."""
+    if url.startswith("file://"):
+        return url[7:]
+    if url.startswith(("http://", "https://")):
+        import tempfile
+        import urllib.request
+
+        suffix = ".csv" if ".csv" in url else (".json" if ".json" in url else ".dat")
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            data = resp.read()
+        f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        f.write(data)
+        f.close()
+        return f.name
+    return url
 
 
 def _spark() -> SparkSession:

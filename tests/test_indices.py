@@ -252,3 +252,29 @@ def test_lsh_filter_option(db):
     filt_ids = {row[0] for row in filt.rows}
     assert 1 in base_ids and 1 not in filt_ids
     assert filt_ids == base_ids - {1}
+
+
+def test_csv_reader_http_url(spark, tmp_path):
+    # csv.rs:56-99 accepts http(s):// URLs; we stage them to a temp file
+    import http.server
+    import threading
+
+    from cozo_spark.datalog.engine import CozoDb
+
+    (tmp_path / "h.csv").write_text("a,b\n1,x\n2,y\n")
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **k)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        d = CozoDb(spark)
+        r = d.run_script(f"""
+        ?[a, b] <~ CsvReader(types: ['Int', 'String'],
+                             url: 'http://127.0.0.1:{port}/h.csv',
+                             has_headers: true)
+        """)
+        assert sorted(tuple(x) for x in r.rows) == [(1, "x"), (2, "y")]
+    finally:
+        srv.shutdown()
