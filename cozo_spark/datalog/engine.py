@@ -232,6 +232,20 @@ class CozoDb:
 
         import_relations(self, payload)
 
+    def backup(self, directory: str) -> None:
+        """Parquet snapshot backup (the reference's backup surface,
+        db.rs:621-758, re-expressed as executor-side parquet writes)."""
+        from cozo_spark.sources.readers import backup_parquet
+
+        backup_parquet(self, directory)
+
+    def restore(self, directory: str) -> None:
+        """Restore relations (schema, data, triggers, access levels) from a
+        ``backup`` directory."""
+        from cozo_spark.sources.readers import restore_parquet
+
+        restore_parquet(self, directory)
+
     def multi_transaction(self, write: bool = True) -> "MultiTransaction":
         """Interactive multi-statement transaction (run_multi_transaction,
         db.rs:298-397): queries see staged state; commit swaps atomically."""

@@ -149,3 +149,21 @@ def test_access_levels_enforced(spark):
     db.run_script("::access_level normal al")
     db.run_script("?[k, v] <- [[2, 20]] :put al {k => v}")
     assert sorted(r[0] for r in db.run_script("?[k] := *al[k, _]").rows) == [1, 2]
+
+
+def test_parquet_backup_restore_roundtrip(spark, tmp_path):
+    # executor-side parquet snapshot (scale analogue of db.rs:621-758 backup)
+    from cozo_spark.datalog.engine import CozoDb
+
+    src = CozoDb(spark)
+    src.run_script(":create bk {k: Int => v: String}")
+    src.run_script("?[k, v] <- [[1, 'a'], [2, 'b']] :put bk {k => v}")
+    src.run_script("::access_level read_only bk")
+    src.backup(str(tmp_path / "snap"))
+
+    dst = CozoDb(spark)
+    dst.restore(str(tmp_path / "snap"))
+    assert sorted(tuple(r) for r in
+                  dst.run_script("?[k, v] := *bk[k, v]").rows) == [(1, "a"), (2, "b")]
+    assert dst.relations["bk"].access_level == "read_only"
+    assert dst.relations["bk"].key_names == ["k"]
