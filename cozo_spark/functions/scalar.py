@@ -401,6 +401,33 @@ def _uuid_timestamp(u):
         return None
 
 
+@_lazy_udf("json_merge", lambda: _T.StringType())
+def _json_merge(*docs):
+    # `++` deep-merge on Json values (op_concat json arm + deep_merge_json,
+    # functions.rs:1280-1310): objects merge recursively, arrays extend,
+    # scalars take the right side. Explicitly named here because our JSON
+    # values are statically string-typed — `a ++ b` on strings is string
+    # concat; use json_merge(a, b, ...) for the json semantics.
+    import json
+
+    def merge(v1, v2):
+        if isinstance(v1, dict) and isinstance(v2, dict):
+            out = dict(v1)
+            for k, x in v2.items():
+                out[k] = merge(out.get(k), x)
+            return out
+        if isinstance(v1, list) and isinstance(v2, list):
+            return v1 + v2
+        return v2
+
+    acc = None
+    for d in docs:
+        if d is None:
+            return None
+        acc = merge(acc, json.loads(d))
+    return json.dumps(acc, separators=(",", ":"))
+
+
 @_lazy_udf("regex_replace", lambda: _T.StringType())
 def _regex_replace(s, p, r):
     # first-occurrence-only (functions.rs op_regex_replace uses

@@ -376,6 +376,15 @@ def test_json_path_edit(spark):
     assert json.loads(r["validity"]) == {"ts": 123, "is_assert": True}
 
 
+def test_json_merge(spark):
+    # ++ deep-merge semantics (op_concat json arm, functions.rs:1280-1310)
+    r = _eval_batch(spark, {
+        "m": ("json_merge", ['{"a":{"x":1},"b":[1]}', '{"a":{"y":2},"b":[2],"c":3}']),
+    })
+    import json
+    assert json.loads(r["m"]) == {"a": {"x": 1, "y": 2}, "b": [1, 2], "c": 3}
+
+
 def test_aggregations_tail(spark):
     """The rest of the 25-aggregation registry (reference tests/aggrs.rs)."""
     from cozo_spark.functions.aggregates import AGGREGATIONS as A
