@@ -649,6 +649,7 @@ class CozoDb:
                                      for cl in clause_map["?"] for h in cl.head)
                     entry_dep_rules = d & set(scc)
                     if (entry_dep_rules and not (nd & set(scc)) and not entry_aggr
+                            and not any(meet.get(r, False) for r in entry_dep_rules)
                             and not ((d - set(scc)) - set(stores))):
                         early_stop_at = target
 

@@ -91,7 +91,7 @@ def _register_builtins() -> None:
         take = options.get("take")
         if skip:
             work = work.filter(F.col("_pos") > skip)
-        if take:
+        if take is not None:
             work = work.filter(F.col("_pos") <= skip + int(take))
 
         out_spec = options.get("out")

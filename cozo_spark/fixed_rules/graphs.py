@@ -300,6 +300,9 @@ def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) ->
             .join(scc.select(F.col("node").alias("src")), "src", "left_anti")
             .join(scc.select(F.col("node").alias("dst")), "dst", "left_anti")
             .select("src", "dst"))
+    if not parts:  # empty edge relation: no nodes, empty (node, component) out
+        return remaining_n.select(
+            "node", F.col("node").alias("component")).limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

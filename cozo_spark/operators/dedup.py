@@ -92,8 +92,10 @@ def minhash_signatures(
     and an explode+groupBy(64 aggs) formulation shuffles |docs|·|shingles|
     rows. Zero shuffles here; scales linearly with executor count.
 
-    Shingle hash = crc32 (stable across processes, unlike Python's salted
-    ``hash``), folded to [0, 2^31).
+    Shingle hash = low 64 bits of md5 (little-endian bytes 8:16 — exactly
+    DuckDB's ``md5_number_lower``, so the whole pipeline is SQL-checkable),
+    folded to [0, 2^31). Stable across processes, unlike Python's salted
+    ``hash``.
     """
     import numpy as np
     import pandas as pd
@@ -108,7 +110,7 @@ def minhash_signatures(
     # NB: `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't infer — set them as real objects post-hoc
     def _sig(texts):
-        import zlib
+        from hashlib import md5
 
         out = []
         empty = [int(M)] * len(A)
@@ -119,8 +121,10 @@ def minhash_signatures(
             words = t.lower().split()
             hi = max(len(words) - n, 0) + 1
             grams = {" ".join(words[i:i + n]) for i in range(hi)}
-            X = np.fromiter((zlib.crc32(g.encode("utf-8")) & 0x7FFFFFFF for g in grams),
-                            dtype=np.int64, count=len(grams))
+            X = np.fromiter(
+                (int.from_bytes(md5(g.encode("utf-8")).digest()[8:16], "little")
+                 & 0x7FFFFFFF for g in grams),
+                dtype=np.int64, count=len(grams))
             if X.size == 0:
                 out.append(empty)
                 continue
@@ -286,7 +290,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
     n = shingle_n
 
     def _simhash(texts):
-        import zlib
+        from hashlib import md5
 
         bits = np.arange(64, dtype=np.uint64)
         out = []
@@ -297,10 +301,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
             if not grams:
                 out.append(0)
                 continue
-            # stable 64-bit hash: crc32(g) in low word, crc32(g + '#') high
+            # stable 64-bit hash = md5 bytes 8:16 little-endian (DuckDB's
+            # md5_number_lower), so the oracle can reproduce it in SQL
             X = np.fromiter(
-                ((zlib.crc32(g.encode("utf-8"))
-                  | (zlib.crc32((g + "#").encode("utf-8")) << 32)) for g in grams),
+                (int.from_bytes(md5(g.encode("utf-8")).digest()[8:16], "little")
+                 for g in grams),
                 dtype=np.uint64, count=len(grams))
             ones = ((X[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
             maj = (ones * 2 > len(X))
@@ -340,7 +345,7 @@ def simhash_near_pairs(
                 F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

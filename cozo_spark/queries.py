@@ -1067,7 +1067,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter("user_id < 20")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts arrives as timestamp[us] (NTZ) from parquet; NTZ→BIGINT is not a
+    # legal direct cast in Spark 4, so hop through timestamp_ltz
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     flagged = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
@@ -1083,20 +1086,122 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the oracle omission is intentional: the driver records a weaker check)
 # ---------------------------------------------------------------------------
 
-@query("minhash_lsh_pairs")
+def _minhash_oracle() -> str:
+    """Exact SQL replica of the MinHash+LSH pipeline: shingle hash is the low
+    64 bits of md5 (DuckDB md5_number_lower) folded to [0, 2^31); the oracle
+    compares band SLICES directly where Spark buckets on xxhash64(slice) —
+    identical modulo a 2^-64 hash collision. est_jaccard = k/64 is exact in
+    binary, so 6-dp rounding is lossless on both engines."""
+    from cozo_spark.operators.dedup import _MERSENNE, _perm_params
+
+    perms = ", ".join(f"({i}, {a}, {b})"
+                      for i, (a, b) in enumerate(_perm_params(64, 42)))
+    m_list = "[" + ", ".join([str(_MERSENNE)] * 64) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM t
+    ),
+    hu AS (
+      SELECT doc_id,
+             unnest(list_transform(grams,
+               g -> cast(md5_number_lower(g) & 2147483647 AS BIGINT))) AS h
+      FROM sh
+    ),
+    pm AS (SELECT * FROM (VALUES {perms}) AS v(pidx, a, b)),
+    sig0 AS (
+      SELECT doc_id, list(m ORDER BY pidx) AS sig
+      FROM (SELECT hu.doc_id, pm.pidx,
+                   min((pm.a * hu.h + pm.b) % {_MERSENNE}) AS m
+            FROM hu CROSS JOIN pm GROUP BY hu.doc_id, pm.pidx)
+      GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT sh.doc_id,
+             CASE WHEN coalesce(sh.text, '') = '' THEN {m_list}
+                  ELSE s.sig END AS sig
+      FROM sh LEFT JOIN sig0 s ON sh.doc_id = s.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0,
+                 6) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range(0, 16),
+              bi -> a.sig[bi*4+1:bi*4+4] = b.sig[bi*4+1:bi*4+4])) > 0
+      AND len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) / 64.0 >= 0.3
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_oracle())
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with signature-estimated Jaccard
-    (runtime/minhash_lsh.rs contract). Rows-only check: hashing isn't
-    SQL-portable; exactness is covered by ngram_jaccard above."""
+    (runtime/minhash_lsh.rs contract). Fully oracle-checked: the md5-based
+    shingle hash is reproducible in DuckDB (md5_number_lower)."""
     from cozo_spark.operators.dedup import minhash_lsh_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_dedup_pairs(d, threshold=0.3, num_perm=64, shingle_n=3)
 
 
-@query("simhash_pairs")
+def _simhash_oracle() -> str:
+    """SQL replica of 64-bit SimHash + 16-bit block banding. The per-bit
+    majority vote is a 64-way conditional sum; the signed sig is rebuilt from
+    a HUGEINT power table (DuckDB << overflows at bit 63)."""
+    pw = "[" + ", ".join(str(1 << b) for b in range(64)) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 2),
+               i -> array_to_string(toks[i:i+1], ' '))) AS grams
+      FROM t
+    ),
+    hu AS (
+      SELECT doc_id, unnest(list_transform(grams, g -> md5_number_lower(g))) AS h
+      FROM sh
+    ),
+    bitsum AS (
+      SELECT hu.doc_id, bt.b AS bit,
+             sum(CASE WHEN (hu.h >> bt.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS cnt
+      FROM hu CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bt
+      GROUP BY hu.doc_id, bt.b
+    ),
+    usigs AS (
+      SELECT doc_id,
+             cast(sum(CASE WHEN 2 * ones > cnt
+                           THEN ({pw}::HUGEINT[])[bit + 1]
+                           ELSE 0 END) AS UBIGINT) AS us
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(bit_count(xor(a.us, b.us)) AS BIGINT) AS hamming
+    FROM usigs a JOIN usigs b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range(0, 4),
+              i -> ((a.us >> (i * 16)) & 65535) = ((b.us >> (i * 16)) & 65535))) > 0
+      AND bit_count(xor(a.us, b.us)) <= 8
+    """
+
+
+@query("simhash_pairs", oracle=_simhash_oracle())
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-banded near-dup pairs (rows-only)."""
+    """SimHash hamming-banded near-dup pairs, fully oracle-checked (md5-based
+    64-bit token hash reproducible in DuckDB)."""
     from cozo_spark.operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")

@@ -193,7 +193,8 @@ def _make_handler(server: CozoServer):
                 self._json({"ok": False, "message": "no changefeed attached"}, 400)
                 return
             q: queue.Queue = queue.Queue()
-            feed.register_callback(relation, lambda op, rows: q.put((op, rows)))
+            cb = lambda op, rows: q.put((op, rows))  # noqa: E731
+            feed.register_callback(relation, cb)
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -207,5 +208,9 @@ def _make_handler(server: CozoServer):
                     self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
                 return  # client hung up
+            finally:
+                # drop this subscriber so its queue/closure don't leak and
+                # every later mutation stops feeding a dead connection
+                feed.unregister_callback(relation, cb)
 
     return Handler

@@ -148,6 +148,14 @@ def import_relations(db, payload: dict) -> None:
             df = db.spark.createDataFrame([], rel.df.schema)
         key_cols = [c.name for c in rel.keys]
         if key_cols:
+            # the reference's per-row tx.put loop is last-write-wins per key:
+            # dedup the payload by key first, else duplicate/colliding payload
+            # keys would each survive the anti-join and break key uniqueness
+            from pyspark.sql import Window, functions as F
+            df = df.withColumn("__ord", F.monotonically_increasing_id())
+            w = Window.partitionBy(*key_cols).orderBy(F.col("__ord").desc())
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn", "__ord"))
             kept = rel.df.join(df.select(*key_cols), key_cols, "left_anti")
             df = kept.unionByName(df)
         rel.df = _checkpoint(df)

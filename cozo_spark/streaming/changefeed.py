@@ -65,6 +65,19 @@ class ChangeFeed:
         """Reference Db::register_callback (db.rs:789-830): fn(op, rows)."""
         self.callbacks.setdefault(relation, []).append(fn)
 
+    def unregister_callback(self, relation: str, fn: Callable) -> bool:
+        """Reference Db::unregister_callback (db.rs:832-845): drop one
+        registration so dead subscribers don't accumulate for the db's
+        lifetime (long-running SSE server)."""
+        cbs = self.callbacks.get(relation, [])
+        try:
+            cbs.remove(fn)
+        except ValueError:
+            return False
+        if not cbs:
+            self.callbacks.pop(relation, None)
+        return True
+
     # -- consumer side ----------------------------------------------------------
 
     def stream(self, spark: SparkSession, relation: Optional[str] = None) -> DataFrame:

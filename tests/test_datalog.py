@@ -382,3 +382,27 @@ def test_mixed_int_float_const_coerces(spark):
     assert rows(r) == [(1.0,), (1.5,), (2.0,)]
     r2 = d.run_script("?[x, v] <- [[1, [1, 2.5]], [2, [3, 4]]]")
     assert rows(r2) == [(1, [1.0, 2.5]), (2, [3.0, 4.0])]
+
+
+def test_limit_no_early_exit_with_meet_dep(spark):
+    """Regression (ADVICE r1): :limit early-exit is unsound when the entry
+    rule reads a meet-aggregation rule in the SCC — partial min() totals can
+    still improve in later epochs, so probing '?' against them can emit a
+    non-minimal distance. Weighted graph where a 2-hop path (cost 2) beats
+    the 1-hop path (cost 10) found in epoch 1."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create wedge {fr: Int, to: Int => w: Int}")
+    d.run_script("?[fr, to, w] <- [[1, 2, 10], [1, 3, 1], [3, 2, 1]] "
+                 ":put wedge {fr, to => w}")
+    r = d.run_script("""
+    sp[n, min(d)] := *wedge[1, n, w], d = w
+    sp[n, min(d)] := sp[m, d0], *wedge[m, n, w], d = d0 + w
+    ?[n, d] := sp[n, d]
+    :limit 3
+    """)
+    got = sorted(tuple(x) for x in r.rows)
+    assert (2, 10) not in got
+    assert set(got) <= {(2, 2), (3, 1)}
+    assert len(got) == 2

@@ -167,3 +167,18 @@ def test_parquet_backup_restore_roundtrip(spark, tmp_path):
                   dst.run_script("?[k, v] := *bk[k, v]").rows) == [(1, "a"), (2, "b")]
     assert dst.relations["bk"].access_level == "read_only"
     assert dst.relations["bk"].key_names == ["k"]
+
+
+def test_import_dedups_payload_keys(spark):
+    """Regression (ADVICE r1): a payload with duplicate keys must keep the
+    LAST row per key (reference per-row tx.put loop), preserving key
+    uniqueness after import."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create imp {k: Int => v: String}")
+    db.run_script("?[k, v] <- [[1, 'old']] :put imp {k => v}")
+    db.import_relations({"imp": {"headers": ["k", "v"],
+                                 "rows": [[1, "mid"], [2, "b"], [1, "new"]]}})
+    r = db.run_script("?[k, v] := *imp[k, v]")
+    assert sorted(tuple(x) for x in r.rows) == [(1, "new"), (2, "b")]

@@ -218,3 +218,16 @@ def test_clustering_coefficients(spark):
     assert rows[1]["cc"] == 1.0 and rows[1]["n_triangles"] == 1
     assert rows[3]["degree"] == 3 and rows[3]["cc"] == pytest.approx(1 / 3)
     assert rows[4]["n_triangles"] == 0
+
+
+def test_scc_empty_edges(spark):
+    """Regression: empty edge relation must yield an empty (node, component)
+    frame, not IndexError from indexing an empty parts list."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from cozo_spark.fixed_rules.graphs import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType())]))
+    out = strongly_connected_components(e)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0

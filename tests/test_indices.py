@@ -278,3 +278,16 @@ def test_csv_reader_http_url(spark, tmp_path):
         assert sorted(tuple(x) for x in r.rows) == [(1, "x"), (2, "y")]
     finally:
         srv.shutdown()
+
+
+def test_reorder_sort_take_zero(spark):
+    """Regression: an explicit take: 0 returns zero rows (previously `if take:`
+    treated 0 as unset and returned every row)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    r = d.run_script("""
+    vals[] <- [[1, 5], [2, 3]]
+    ?[rank, x] <~ ReorderSort(vals[x, y], out: [x], sort_by: y, take: 0)
+    """)
+    assert r.rows == []

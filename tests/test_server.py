@@ -119,3 +119,36 @@ def test_auth_token_enforced(spark, tmp_path):
         assert ok["rows"] == [[1]]
     finally:
         srv.stop()
+
+
+def test_sse_unregisters_on_disconnect(server):
+    """Regression (ADVICE r1): a disconnected SSE client's callback must be
+    removed from the changefeed bus, not accumulate for the db's lifetime."""
+    import time
+
+    _req(server.port, "/text-query", "POST",
+         {"script": ":create ev2 {k: Int => v: Int}"})
+    feed = server.db.changefeed
+    before = len(feed.callbacks.get("ev2", []))
+
+    def _listen_one():
+        req = urllib.request.Request(f"http://127.0.0.1:{server.port}/changes/ev2")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            r.readline()  # read one event, then close the connection
+
+    t = threading.Thread(target=_listen_one, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    assert len(feed.callbacks.get("ev2", [])) == before + 1
+    _req(server.port, "/text-query", "POST",
+         {"script": "?[k, v] <- [[1, 1]] :put ev2 {k => v}"})
+    t.join(timeout=30)
+    # handler's finally block runs after the write to the closed socket fails
+    # on the NEXT mutation; poke once and poll for the unregister
+    for _ in range(50):
+        _req(server.port, "/text-query", "POST",
+             {"script": "?[k, v] <- [[2, 2]] :put ev2 {k => v}"})
+        if len(feed.callbacks.get("ev2", [])) == before:
+            break
+        time.sleep(0.2)
+    assert len(feed.callbacks.get("ev2", [])) == before
