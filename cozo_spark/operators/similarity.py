@@ -84,7 +84,10 @@ def ivf_build(
     Returns (centroids(cid, cvec), assigned(id, vec, cid)).
     """
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    w = W.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
+    # pseudo-random but PORTABLE pick: md5 of the id+seed decimal string is
+    # identical in any engine (DuckDB md5(...)), unlike xxhash64 — the IVF
+    # result is therefore fully oracle-checkable
+    w = W.orderBy(F.md5((F.col("vec_id") + F.lit(seed)).cast("string")), F.col("vec_id"))
     cents = (
         c.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n_centroids)
         .select((F.col("_rk") - 1).alias("cid"), F.col("v").alias("cvec"))

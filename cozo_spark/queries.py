@@ -1208,16 +1208,49 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d, max_hamming=8, shingle_n=2)
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rk AS (SELECT vec_id, v,
+                  row_number() OVER (ORDER BY md5(cast(vec_id + 42 AS VARCHAR)),
+                                     vec_id) AS rk
+           FROM c),
+    cents AS (SELECT rk - 1 AS cid, v AS cvec FROM rk WHERE rk <= 8),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, ce.cid,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_distance(c.v, ce.cvec), ce.cid) AS rn
+        FROM c CROSS JOIN cents ce) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+    probes AS (
+      SELECT qid, qv, cid FROM (
+        SELECT q.qid, q.qv, ce.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_distance(q.qv, ce.cvec), ce.cid) AS rn
+        FROM q CROSS JOIN cents ce) WHERE rn <= 3),
+    scored AS (
+      SELECT p.qid, a.vec_id,
+             list_cosine_similarity(p.qv, a.v) AS cos_raw
+      FROM probes p JOIN asg a USING (cid) WHERE p.qid <> a.vec_id)
+    SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_raw DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate ANN (build + nprobe search) — the 100 TB scale path;
-    recall vs the exact ann_cosine_topk is the quality metric (rows-only)."""
+    """IVF approximate ANN (build + nprobe search) — the 100 TB scale path.
+    Fully oracle-checked: centroid sampling orders by md5(id+seed) (portable
+    to DuckDB), assignment/probing replicated relationally in SQL."""
     from cozo_spark.operators.similarity import ivf_build, ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     cents, assigned = ivf_build(emb, n_centroids=8)
     queries_df = emb.filter("vec_id < 5")
-    return ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3)
+    out = ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 @query(
@@ -1282,17 +1315,45 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents"))
 
 
-@query("fts_engine_search")
+@query(
+    "fts_engine_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    n AS (SELECT count(*) AS c FROM documents),
+    sc AS (
+      SELECT f.doc_id,
+             f.tf * ln(1 + (SELECT c FROM n)
+                           / (SELECT count(*) FROM tf WHERE term = 'filter'))
+             + j.tf * ln(1 + (SELECT c FROM n)
+                             / (SELECT count(*) FROM tf WHERE term = 'join'))
+               AS s_raw
+      FROM (SELECT doc_id, tf FROM tf WHERE term = 'filter') f
+      JOIN (SELECT doc_id, tf FROM tf WHERE term = 'join') j USING (doc_id)
+    )
+    SELECT doc_id, ROUND(s_raw, 6) AS s
+    FROM sc ORDER BY s_raw DESC, doc_id LIMIT 50
+    """,
+)
 def fts_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FTS through the Datalog engine: ::fts create + ~doc:ft search atom
-    (TF-IDF top-k; rows-only — scoring isn't SQL-portable)."""
+    """FTS through the Datalog engine: ::fts create + ~doc:ft search atom.
+    Fully oracle-checked: TF-IDF (tf · ln(1 + N/df), AND = join + score sum,
+    top-k tie-broken on doc_id) replicated relationally in DuckDB."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
     db.register_dataframe("docs", _t(spark, sf_dir, "documents"), keys=["doc_id"])
     db.run_script("::fts create docs:ft {extractor: 'text'}")
-    return db.run_script_df(
+    out = db.run_script_df(
         "?[doc_id, s] := ~docs:ft{doc_id | query: 'filter AND join', k: 50, bind_score: 's'}")
+    return out.withColumn("s", F.round("s", 6))
 
 
 # ---------------------------------------------------------------------------
