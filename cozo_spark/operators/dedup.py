@@ -65,16 +65,49 @@ def _perm_params(num_perm: int, seed: int):
     return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30)) for _ in range(num_perm)]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the kernel runs on all cores: a small table read from one
-    parquet file arrives as one partition, serializing the Arrow-batched UDF.
-    At real scale input splits already provide parallelism and this is a
-    no-op; the repartition only fires when partitions < defaultParallelism
-    (and then shuffles only the id+text projection it's called on)."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+def _md5_le31(c):
+    """Low 31 bits of DuckDB-compatible md5_number_lower(s): md5 digest bytes
+    8:16 little-endian, masked to [0, 2^31). Pure codegen — md5 + hex
+    shuffling + conv."""
+    hexp = F.md5(F.encode(c, "UTF-8"))
+    le = F.concat(F.substring(hexp, 23, 2), F.substring(hexp, 21, 2),
+                  F.substring(hexp, 19, 2), F.substring(hexp, 17, 2))
+    return F.conv(le, 16, 10).cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def _md5_le64(c):
+    """Full md5_number_lower(s) as a signed int64 (two's complement), via
+    conv(hex, 16, -10) — Spark's signed-target base conversion."""
+    hexp = F.md5(F.encode(c, "UTF-8"))
+    le = F.concat(*[F.substring(hexp, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(le, 16, -10).cast("long")
+
+
+def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) rows: lowercase word n-grams, built JVM-side with
+    posexplode + window lead (codegen'd; higher-order functions are
+    CodegenFallback and Pandas UDFs carry variable multi-second stage costs).
+    Docs with fewer than n words yield their single shorter gram; token-less
+    docs yield no rows. One shuffle (the doc_id window) that at scale carries
+    the token stream — the standard distributed-tokenization shape."""
+    toks = (
+        df.select(F.col(id_col),
+                  F.posexplode(F.split(F.lower(F.col(text_col)), "\\s+"))
+                  .alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    if n == 1:
+        return toks.select(id_col, F.col("w").alias("gram"))
+    wspec = W.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("w", i).over(wspec).alias(f"_w{i}") for i in range(1, n)]
+    g = toks.select(
+        id_col, "w",
+        F.count("*").over(W.partitionBy(id_col)).alias("_cnt"),
+        F.row_number().over(wspec).alias("_rn"), *leads)
+    keep = (F.col(f"_w{n-1}").isNotNull()
+            | ((F.col("_cnt") < n) & (F.col("_rn") == 1)))
+    gram = F.concat_ws(" ", F.col("w"), *[F.col(f"_w{i}") for i in range(1, n)])
+    return g.filter(keep).select(id_col, gram.alias("gram"))
 
 
 def minhash_signatures(
@@ -84,59 +117,32 @@ def minhash_signatures(
     """(id, sig: array<long>) MinHash signatures.
 
     Permutation i is the universal hash (a_i * x + b_i) mod M over the
-    shingle hashes; sig_i = min over shingles. Implemented as an
-    Arrow-batched Pandas UDF with a vectorized numpy kernel: the inner
-    (num_perm × n_shingles) min runs in C. This is the documented exception
-    to "stay JVM-side" — Spark's higher-order array functions are
-    CodegenFallback (interpreted), measured ~6× slower than this kernel,
-    and an explode+groupBy(64 aggs) formulation shuffles |docs|·|shingles|
-    rows. Zero shuffles here; scales linearly with executor count.
+    shingle hashes; sig_i = min over shingles. Fully JVM-side: n-gram rows
+    from _word_ngrams, then ONE hash-aggregate with 64 codegen'd min
+    expressions. Map-side partial aggregation collapses each doc to a single
+    64-long row before the shuffle, so shuffle volume is |docs|·512B no
+    matter how long the documents are. (An Arrow/numpy-kernel variant was
+    used previously; Pandas-UDF stages showed multi-second variable
+    scheduling costs, while this plan is flat and whole-stage codegen.)
 
     Shingle hash = low 64 bits of md5 (little-endian bytes 8:16 — exactly
     DuckDB's ``md5_number_lower``, so the whole pipeline is SQL-checkable),
-    folded to [0, 2^31). Stable across processes, unlike Python's salted
-    ``hash``.
+    folded to [0, 2^31). Docs with no tokens get the identity signature
+    [M]*num_perm.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     params = _perm_params(num_perm, seed)
-    A = np.array([a for a, _ in params], dtype=np.int64)
-    B = np.array([b for _, b in params], dtype=np.int64)
-    M = np.int64(_MERSENNE)
-    n = shingle_n
-
-    # NB: `from __future__ import annotations` stringifies hints, which
-    # pandas_udf can't infer — set them as real objects post-hoc
-    def _sig(texts):
-        from hashlib import md5
-
-        out = []
-        empty = [int(M)] * len(A)
-        for t in texts:
-            if not t:
-                out.append(empty)
-                continue
-            words = t.lower().split()
-            hi = max(len(words) - n, 0) + 1
-            grams = {" ".join(words[i:i + n]) for i in range(hi)}
-            X = np.fromiter(
-                (int.from_bytes(md5(g.encode("utf-8")).digest()[8:16], "little")
-                 & 0x7FFFFFFF for g in grams),
-                dtype=np.int64, count=len(grams))
-            if X.size == 0:
-                out.append(empty)
-                continue
-            # (num_perm, n_shingles) products stay < 2^61: exact in int64
-            mins = ((A[:, None] * X[None, :] + B[:, None]) % M).min(axis=1)
-            out.append(mins.tolist())
-        return pd.Series(out)
-
-    _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    sig_udf = F.pandas_udf(T.ArrayType(T.LongType()))(_sig)
-    return _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
+    # min is duplicate-insensitive, so no distinct on grams is needed
+    hashed = grams.select(id_col, _md5_le31(F.col("gram")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = (hashed.groupBy(id_col).agg(*aggs)
+            .select(id_col, F.array(*[f"_s{i}" for i in range(num_perm)]).alias("sig")))
+    empty = F.array(*[F.lit(_MERSENNE)] * num_perm)
+    return (df.select(id_col).join(sigs, id_col, "left")
+            .select(id_col, F.coalesce("sig", empty).alias("sig")))
 
 
 def lsh_candidate_pairs(
@@ -170,33 +176,19 @@ def lsh_candidate_pairs(
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
     )
 
-    # in-bucket pair expansion as an Arrow numpy kernel (np.triu_indices).
-    # The higher-order-function formulation is slightly faster when the JVM
-    # has it JIT-compiled (0.9s vs ~1.2s at sf0.1) but CodegenFallback
-    # interpretation makes its latency depend on code-cache state (measured
-    # 10s+ outliers mid-bench); the kernel's C inner loop is flat.
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    def _bucket_pairs(ids_series):
-        import numpy as np
-
-        out = []
-        for ids in ids_series:
-            x = np.asarray(ids, dtype=np.int64)
-            i, j = np.triu_indices(len(x), k=1)
-            lo = np.minimum(x[i], x[j])
-            hi = np.maximum(x[i], x[j])
-            out.append([(int(a), int(b)) for a, b in zip(lo, hi)])
-        return pd.Series(out)
-
-    _bucket_pairs.__annotations__ = {"ids_series": pd.Series, "return": pd.Series}
-    pairs_udf = F.pandas_udf(T.ArrayType(T.StructType([
-        T.StructField("id_a", T.LongType()),
-        T.StructField("id_b", T.LongType())])))(_bucket_pairs)
+    # in-bucket pair expansion as two codegen'd generators (posexplode ×2 +
+    # positional filter) — whole-stage codegen end to end. Both the Arrow
+    # numpy kernel (np.triu_indices) and the higher-order-function
+    # formulation were tried and rejected: pandas-UDF stages carry a
+    # multi-second scheduling/worker fixed cost that dominates at bench
+    # scale (measured 2.9-18.8s for identical work vs 0.4s here), and HOFs
+    # are CodegenFallback with JIT-code-cache-dependent latency.
+    e1 = buckets.select("ids", F.posexplode("ids").alias("i", "ida"))
+    e2 = (e1.select("i", "ida", F.posexplode("ids").alias("j", "idb"))
+          .filter(F.col("j") > F.col("i")))
     return (
-        buckets.select(F.explode(pairs_udf("ids")).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        e2.select(F.least("ida", "idb").alias("id_a"),
+                  F.greatest("ida", "idb").alias("id_b"))
         .distinct()
     )
 
@@ -213,34 +205,27 @@ def minhash_lsh_dedup_pairs(
     reference's semantics see runtime/minhash_lsh.rs:1-389 + parse/sys.rs:62-74
     (n_perm / target threshold → band planning).
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
     rows_per_band = max(1, num_perm // bands)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     bdf = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
 
-    # signature match fraction as an Arrow-batched numpy kernel: the
-    # zip_with+aggregate formulation is CodegenFallback (interpreted) and its
-    # latency depends on whether the JVM has JIT-compiled the interpreter path
-    # at that moment (measured 1.2s warm / 6-14s after code-cache eviction);
-    # the kernel is flat ~1.2s regardless and shuffles nothing extra
-    def _frac(sa, sb):
-        import numpy as np
-
-        if len(sa) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack(sa.values)
-        B = np.stack(sb.values)
-        return pd.Series((A == B).mean(axis=1))
-
-    _frac.__annotations__ = {"sa": pd.Series, "sb": pd.Series, "return": pd.Series}
-    frac_udf = F.pandas_udf(T.DoubleType())(_frac)
+    # signature match fraction as a flat 64-term codegen expression
+    # (element_at equality sum). Both the Arrow numpy kernel and the
+    # zip_with/aggregate HOF were tried and rejected: the kernel's
+    # pandas-UDF stage carries a multi-second variable fixed cost on loaded
+    # hosts, and HOFs are CodegenFallback (interpreted, code-cache
+    # sensitive). This stays in whole-stage codegen with the joins.
+    matches = None
+    for i in range(1, num_perm + 1):
+        term = F.when(F.element_at("sig_a", i) == F.element_at("sig_b", i),
+                      1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = matches / F.lit(float(num_perm))
     return (
         pairs.join(a, "id_a").join(bdf, "id_b")
-        .withColumn("est_jaccard", frac_udf("sig_a", "sig_b"))
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
@@ -277,49 +262,26 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2) -> DataFrame:
     """(id, simhash: long): 64-bit SimHash over shingle hashes.
 
-    bit_i(sig) = majority over shingles of bit_i(hash(shingle)). Expressed as
-    64 conditional sums over the exploded shingles — stays in codegen; one
-    shuffle on id.
-    """
-    # Arrow-batched numpy kernel (see minhash_signatures for why not HOFs):
-    # per doc, 64-bit shingle hashes → per-bit majority vote, vectorized.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    n = shingle_n
-
-    def _simhash(texts):
-        from hashlib import md5
-
-        bits = np.arange(64, dtype=np.uint64)
-        out = []
-        for t in texts:
-            words = (t or "").lower().split()
-            hi = max(len(words) - n, 0) + 1
-            grams = {" ".join(words[i:i + n]) for i in range(hi)}
-            if not grams:
-                out.append(0)
-                continue
-            # stable 64-bit hash = md5 bytes 8:16 little-endian (DuckDB's
-            # md5_number_lower), so the oracle can reproduce it in SQL
-            X = np.fromiter(
-                (int.from_bytes(md5(g.encode("utf-8")).digest()[8:16], "little")
-                 for g in grams),
-                dtype=np.uint64, count=len(grams))
-            ones = ((X[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
-            maj = (ones * 2 > len(X))
-            sig = np.uint64(0)
-            for i in range(64):
-                if maj[i]:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
-
-    _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    simhash_udf = F.pandas_udf(T.LongType())(_simhash)
-    return _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    bit_j(sig) = majority over DISTINCT shingles of bit_j(md5_le64(shingle)).
+    Fully JVM-side: distinct (id, gram-hash) rows, then one hash-aggregate
+    with 64 codegen'd conditional sums; map-side partial aggregation
+    collapses each doc before the shuffle. Token-less docs get simhash 0.
+    The hash is DuckDB's md5_number_lower (signed int64), so the whole
+    pipeline is SQL-checkable."""
+    grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
+    # majority vote IS duplicate-sensitive: dedup gram hashes per doc
+    hashed = grams.select(id_col, _md5_le64(F.col("gram")).alias("h")).distinct()
+    aggs = [F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
+            for j in range(64)]
+    agg = hashed.groupBy(id_col).agg(F.count("*").alias("_c"), *aggs)
+    sig = None
+    for j in range(64):
+        weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        term = F.when(F.col(f"_o{j}") * 2 > F.col("_c"), weight).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = agg.select(id_col, sig.alias("simhash"))
+    return (df.select(id_col).join(sigs, id_col, "left")
+            .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
 
 def simhash_near_pairs(

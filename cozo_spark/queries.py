@@ -1099,16 +1099,16 @@ def _minhash_oracle() -> str:
     m_list = "[" + ", ".join([str(_MERSENNE)] * 64) + "]"
     return f"""
     WITH t AS (
-      SELECT doc_id, text,
+      SELECT doc_id,
              list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
     sh AS (
-      SELECT doc_id, text,
-             list_distinct(list_transform(
+      SELECT doc_id,
+             list_filter(list_distinct(list_transform(
                range(1, greatest(len(toks) - 3, 0) + 2),
-               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+               i -> array_to_string(toks[i:i+2], ' '))), g -> g <> '') AS grams
       FROM t
     ),
     hu AS (
@@ -1126,9 +1126,7 @@ def _minhash_oracle() -> str:
       GROUP BY doc_id
     ),
     sigs AS (
-      SELECT sh.doc_id,
-             CASE WHEN coalesce(sh.text, '') = '' THEN {m_list}
-                  ELSE s.sig END AS sig
+      SELECT sh.doc_id, coalesce(s.sig, {m_list}) AS sig
       FROM sh LEFT JOIN sig0 s ON sh.doc_id = s.doc_id
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1166,13 +1164,15 @@ def _simhash_oracle() -> str:
     ),
     sh AS (
       SELECT doc_id,
-             list_distinct(list_transform(
+             list_filter(list_distinct(list_transform(
                range(1, greatest(len(toks) - 2, 0) + 2),
-               i -> array_to_string(toks[i:i+1], ' '))) AS grams
+               i -> array_to_string(toks[i:i+1], ' '))), g -> g <> '') AS grams
       FROM t
     ),
     hu AS (
-      SELECT doc_id, unnest(list_transform(grams, g -> md5_number_lower(g))) AS h
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(grams,
+               g -> md5_number_lower(g)))) AS h
       FROM sh
     ),
     bitsum AS (
@@ -1182,12 +1182,16 @@ def _simhash_oracle() -> str:
       FROM hu CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bt
       GROUP BY hu.doc_id, bt.b
     ),
-    usigs AS (
+    usigs0 AS (
       SELECT doc_id,
              cast(sum(CASE WHEN 2 * ones > cnt
                            THEN ({pw}::HUGEINT[])[bit + 1]
                            ELSE 0 END) AS UBIGINT) AS us
       FROM bitsum GROUP BY doc_id
+    ),
+    usigs AS (
+      SELECT d.doc_id, coalesce(u.us, 0::UBIGINT) AS us
+      FROM documents d LEFT JOIN usigs0 u USING (doc_id)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            cast(bit_count(xor(a.us, b.us)) AS BIGINT) AS hamming
