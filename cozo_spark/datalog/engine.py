@@ -273,7 +273,10 @@ class CozoDb:
         stores = self._evaluate_rules(prog)
         if "?" not in stores:
             raise QueryError("program has no entry rule '?'")
-        out = stores["?"].toDF(*self._entry_headers(prog))
+        headers = self._entry_headers(prog)
+        # `?[] <~ Rule(...)` / `?[] <- ...`: empty head = keep the rule's own
+        # output columns (the reference's "all columns" shorthand)
+        out = stores["?"].toDF(*headers) if headers else stores["?"]
         return self._output_stage(out, prog.opts, prog)
 
     def _entry_headers(self, prog: Program) -> list:
@@ -296,6 +299,21 @@ class CozoDb:
 
     def _evaluate_rules(self, prog: Program) -> dict[str, DataFrame]:
         stores: dict[str, DataFrame] = {}
+
+        # '_' is the non-binding wildcard — it can never NAME an output
+        # column (runtime/tests.rs do_not_unify_underscore: `?[_] := _ = 1`
+        # is an error)
+        for name, rule in prog.rules.items():
+            heads = []
+            if isinstance(rule, list):
+                heads = [h for cl in rule for h in cl.head]
+            elif isinstance(rule, (ConstRule, FixedApply)):
+                heads = list(rule.head or [])
+            for h in heads:
+                hname = h.name if isinstance(h, HeadVar) else getattr(h, "var", None)
+                if hname == "_":
+                    raise QueryError(
+                        f"rule {name!r}: '_' cannot appear in a rule head")
 
         # normalize inline rules to DNF clause lists
         clause_map: dict[str, list[RuleClause]] = {}
@@ -440,6 +458,12 @@ class CozoDb:
             return self.spark.createDataFrame([], schema)
         rows = [tuple(r) for r in data]
         width = len(rows[0])
+        if names is not None and width != len(names):
+            raise QueryError(
+                f"const rule arity mismatch: head has {len(names)} columns, "
+                f"rows have {width}")
+        if any(len(r) != width for r in rows):
+            raise QueryError("const rule rows have inconsistent arity")
         names = names or [f"_{i}" for i in range(width)]
         schema = self._infer_schema(rows, names)
         rows = [self._coerce_row(r, schema) for r in rows]
@@ -484,6 +508,24 @@ class CozoDb:
             fields.append(T.StructField(n, infer([r[i] for r in rows]), True))
         return T.StructType(fields)
 
+    @staticmethod
+    def _norm_rule_bindings(bindings: list, where: str) -> list:
+        """Positional fixed-rule input bindings: '_' becomes a fresh
+        non-binding name per position; a REPEATED named variable is an error
+        (strict_checks_for_fixed_rules_args, runtime/tests.rs:179-208 —
+        PageRank(r[_, _]) is fine, PageRank(r[a, a]) is not)."""
+        out, seen = [], set()
+        for i, b in enumerate(bindings):
+            if b == "_":
+                out.append(f"__wild_{i}")
+                continue
+            if b in seen:
+                raise QueryError(
+                    f"fixed rule input {where}: duplicate binding {b!r}")
+            seen.add(b)
+            out.append(b)
+        return out
+
     def _eval_fixed_rule(self, rule: FixedApply, stores) -> DataFrame:
         fn = get_fixed_rule(rule.rule_name)
         inputs = []
@@ -497,7 +539,7 @@ class CozoDb:
                         raise QueryError(
                             f"fixed rule input {inp.name!r}: {len(inp.bindings)} bindings "
                             f"for arity {len(store.columns)}")
-                    store = store.toDF(*inp.bindings)
+                    store = store.toDF(*self._norm_rule_bindings(inp.bindings, inp.name))
                 inputs.append(store)
             else:
                 base = self._resolve_relation(inp.name)
@@ -514,14 +556,15 @@ class CozoDb:
                         raise QueryError(
                             f"fixed rule input {inp.name!r}: {len(inp.bindings)} bindings "
                             f"for arity {len(cols)}")
-                    taken = set(inp.bindings)
+                    norm = self._norm_rule_bindings(inp.bindings, inp.name)
+                    taken = set(norm)
                     tail = []
-                    for c in cols[len(inp.bindings):]:
+                    for c in cols[len(norm):]:
                         while c in taken:
                             c += "_"
                         taken.add(c)
                         tail.append(c)
-                    base = base.toDF(*(list(inp.bindings) + tail))
+                    base = base.toDF(*(norm + tail))
                 inputs.append(base)
         options = {}
         for k, v in rule.options.items():
@@ -823,13 +866,28 @@ class CozoDb:
         data = self._coerce_to_schema(df.toDF(*cols), rel)
         if op in ("put", "insert", "update"):
             key_names = rel.key_names
-            missing = [k for k in key_names if k not in cols]
+            # declared column defaults fill unbound columns before any arity
+            # check (:create {ts default now() => ...} — runtime/tests.rs
+            # default_columns puts only uid and the default supplies ts)
+            from cozo_spark.datalog.translate import compile_expr
+
+            new = data
+            bound = set(cols)
+            default_cols = rel.keys + (rel.non_keys if op != "update" else [])
+            for c in default_cols:
+                if c.name not in bound and c.default is not None:
+                    dcol = compile_expr(c.default, set())
+                    if c.typing:
+                        dcol = dcol.cast(_col_type(c.typing))
+                    new = new.withColumn(c.name, dcol)
+                    bound.add(c.name)
+            cols = [c for c in new.columns]
+            missing = [k for k in key_names if k not in bound]
             if missing:
                 raise QueryError(f":{op} must bind all key columns, missing {missing}")
-            # fill unbound non-keys with defaults/nulls for put/insert
-            new = data
+            # fill unbound non-keys with nulls for put/insert
             for c in rel.non_keys:
-                if c.name not in cols:
+                if c.name not in bound:
                     new = new.withColumn(c.name, F.lit(None).cast(_col_type(c.typing)))
             new = new.select(*rel.col_names) if op != "update" else new
             if op == "insert":

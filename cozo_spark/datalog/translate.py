@@ -509,6 +509,14 @@ class ClauseTranslator:
                if not isinstance(atom.expr, Const) else F.lit(atom.expr.value))
         if df is None:
             df = self.spark.range(1).select(F.lit(1).alias("__unit__"))
+        if atom.var == "_":
+            # '_' never unifies, even with itself (do_not_unify_underscore,
+            # runtime/tests.rs:210-244): `_ = e` binds nothing; `_ in e`
+            # keeps the row multiplicity of the iteration but binds nothing
+            if atom.multi:
+                tmp = f"__wild_{len(df.columns)}"
+                return df.withColumn(tmp, F.explode(col)).drop(tmp), bound
+            return df, bound
         if atom.multi:
             col = F.explode(col)
         if atom.var in bound:

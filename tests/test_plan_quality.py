@@ -123,3 +123,33 @@ def test_constant_binding_pushed_to_scan(spark):
     joined = ",".join(p["pushed_filters"])
     assert "o_custkey" in joined and ("EqualTo" in joined or "1" in joined), \
         p["pushed_filters"]
+
+
+def test_dedup_pipelines_have_no_python_stages(props):
+    """MinHash/SimHash/LSH run fully JVM-side: any ArrowEvalPython /
+    BatchEvalPython / FlatMapGroupsInPandas node would reintroduce the
+    Python-worker stage cost the kernels were rewritten to avoid (and at
+    scale, Arrow serialization of the token stream)."""
+    for q in ("minhash_lsh_pairs", "simhash_pairs", "dedup_exact",
+              "ngram_jaccard", "doc_fingerprint"):
+        plan = props(q)["plan"]
+        for node in ("ArrowEvalPython", "BatchEvalPython",
+                     "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{q} contains {node}"
+
+
+def test_minhash_aggregate_is_partial(props):
+    """The 64-min signature aggregate must partial-aggregate map-side so the
+    shuffle carries one 512B row per doc, not the token stream."""
+    p = props("minhash_lsh_pairs")
+    assert "partial_min" in p["plan"] or "partial min" in p["plan"].lower(), \
+        p["plan"][:3000]
+
+
+def test_ann_broadcasts_queries(props):
+    """Query side (5 vectors) must broadcast against the corpus scan — as a
+    BroadcastNestedLoopJoin (the scoring cross join) — and never fall back to
+    a shuffled sort-merge join."""
+    p = props("ann_cosine_topk")
+    assert p["n_broadcast_joins"] >= 1 or "BroadcastNestedLoopJoin" in p["plan"]
+    assert p["n_sortmerge_joins"] == 0
