@@ -847,10 +847,10 @@ class CozoDb:
     def _execute_store_op(self, df: DataFrame, opts: OutOpts) -> NamedRows:
         op = opts.store_op
         name = opts.store_target
-        if op in ("create", "replace"):
-            return self._create_relation(df, opts)
         if name.startswith("_"):
             return self._mutate_temp(df, opts)
+        if op in ("create", "replace"):
+            return self._create_relation(df, opts)
         rel = self.relations.get(name)
         if rel is None:
             raise QueryError(f"stored relation {name!r} not found")
@@ -864,6 +864,7 @@ class CozoDb:
             raise QueryError(f"relation {name!r} is {rel.access_level}")
         cols = self._target_columns(rel, opts, df)
         data = self._coerce_to_schema(df.toDF(*cols), rel)
+        returning_rows: list = []
         if op in ("put", "insert", "update"):
             key_names = rel.key_names
             # declared column defaults fill unbound columns before any arity
@@ -890,6 +891,20 @@ class CozoDb:
                 if c.name not in bound:
                     new = new.withColumn(c.name, F.lit(None).cast(_col_type(c.typing)))
             new = new.select(*rel.col_names) if op != "update" else new
+            # :returning needs the OLD rows for colliding keys, captured
+            # before the mutation (transact.rs:43-95: put → inserted/replaced)
+            if opts.returning:
+                old = rel.df.join(new.select(*key_names).distinct(),
+                                  on=key_names, how="left_semi")
+                old_rows = [list(r) for r in old.select(*rel.col_names).collect()]
+                if op == "update":
+                    new_full = [list(r) + [None] * (len(rel.col_names) - len(r))
+                                for r in new.select(*[c for c in rel.col_names
+                                                      if c in new.columns]).collect()]
+                else:
+                    new_full = [list(r) for r in new.collect()]
+                returning_rows = [["inserted"] + r for r in new_full] + \
+                                 [["replaced"] + r for r in old_rows]
             if op == "insert":
                 clash = rel.df.join(new, on=key_names, how="left_semi")
                 if not clash.isEmpty():
@@ -913,9 +928,19 @@ class CozoDb:
             self._after_mutation(rel, "put", new)
         elif op in ("rm", "delete"):
             key_names = rel.key_names
+            rm_keys = data.select(*[c for c in cols if c in key_names]).distinct()
+            if opts.returning:
+                # rm → requested (input rows null-padded to full width) then
+                # deleted (the full old rows actually removed), transact.rs:60
+                width = len(rel.col_names)
+                for r in data.collect():
+                    returning_rows.append(
+                        ["requested"] + list(r) + [None] * (width - len(r)))
+                gone = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
+                for r in gone.select(*rel.col_names).collect():
+                    returning_rows.append(["deleted"] + list(r))
             rel.df = _checkpoint(
-                rel.df.join(data.select(*[c for c in cols if c in key_names]).distinct(),
-                            on=[c for c in cols if c in key_names], how="left_anti"))
+                rel.df.join(rm_keys, on=rm_keys.columns, how="left_anti"))
             self._after_mutation(rel, "rm", data)
         elif op == "ensure":
             present = data.exceptAll(rel.df.select(*cols))
@@ -928,13 +953,27 @@ class CozoDb:
         else:
             raise QueryError(f"unsupported store op :{op}")
         if opts.returning:
-            rows = [["returned"] + list(r) for r in df.collect()]
-            return NamedRows(["_kind"] + df.columns, rows)
+            # header = _kind + the relation's full schema (transact.rs:82-89)
+            return NamedRows(["_kind"] + rel.col_names, returning_rows)
         return NamedRows(["status"], [["OK"]])
 
     def _mutate_temp(self, df: DataFrame, opts: OutOpts) -> NamedRows:
         name = opts.store_target
         op = opts.store_op
+        if op in ("create", "replace"):
+            # `:create _name {cols}` declares a session-scoped temp relation
+            # (imperative.rs temp stores; crashy_imperative's opener block)
+            schema = opts.store_schema
+            cols = ([c.name for c in schema.keys] + [c.name for c in schema.non_keys]
+                    if schema is not None else [])
+            if df.columns == ["__unit__"] or not df.columns:
+                fields = [T.StructField(c, T.StringType(), True) for c in cols]
+                self.temp_relations[name] = self.spark.createDataFrame(
+                    [], T.StructType(fields))
+            else:
+                self.temp_relations[name] = _checkpoint(
+                    df.toDF(*cols) if cols else df)
+            return NamedRows(["status"], [["OK"]])
         cur = self.temp_relations.get(name)
         if op in ("put", "insert"):
             self.temp_relations[name] = _checkpoint(
@@ -998,6 +1037,10 @@ class CozoDb:
         if opts.store_schema is not None:
             cols = [c.name for c in opts.store_schema.keys] + \
                    [c.name for c in opts.store_schema.non_keys]
+            if not cols:
+                # `:put x {}` shorthand (runtime/tests.rs short_hand): the
+                # relation's own column order
+                cols = rel.col_names[: len(df.columns)]
             if len(cols) != len(df.columns):
                 raise QueryError("column spec arity mismatch")
             return cols

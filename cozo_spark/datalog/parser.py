@@ -137,12 +137,38 @@ class Parser:
     def done(self) -> bool:
         return self.i >= len(self.toks)
 
+    def _peek_param_row_names(self) -> Optional[list]:
+        """If the upcoming tokens are `[[ $a, $b, ... ]` — a literal row made
+        ONLY of parameters — return the parameter names (param shorthand)."""
+        if not (self.at("punct", "[") and self.at("punct", "[", 1)):
+            return None
+        j, names = self.i + 2, []
+        while j < len(self.toks):
+            t = self.toks[j]
+            if t.kind != "param":
+                return None
+            names.append(t.text[1:])
+            j += 1
+            t = self.toks[j] if j < len(self.toks) else None
+            if t is None:
+                return None
+            if t.kind == "punct" and t.text == "]":
+                return names or None
+            if not (t.kind == "punct" and t.text == ","):
+                return None
+            j += 1
+        return None
+
     # -- entry points ----------------------------------------------------------
 
     def parse_script(self) -> Any:
         if self.at("punct", "::"):
             return self.parse_sys()
-        if self.at("pct"):
+        if self.at("pct") or self.at("punct", "{"):
+            # leading '%' keyword OR a brace-grouped block sequence — both are
+            # the reference's imperative/grouped script form (`{q1} {q2}` runs
+            # sequentially in one call, tests.rs test_conditions,
+            # crashy_imperative's `{:create _test {a}}` opener)
             from cozo_spark.datalog.imperative import parse_imperative
             return parse_imperative(self)
         return self.parse_query_script()
@@ -171,6 +197,13 @@ class Parser:
                 raise ParseError(f"rule {name} redefined with different kind")
             prog.rules[name].append(RuleClause(head, body))
         elif self.try_eat("punct", "<-"):
+            # param shorthand (runtime/tests.rs param_shorthand): an EMPTY
+            # head over literal rows of bare $params names the columns after
+            # the parameters — `?[] <- [[$x, $y]]` behaves as `?[x, y] <- ...`
+            if not head:
+                pnames = self._peek_param_row_names()
+                if pnames:
+                    head = [HeadVar(p) for p in pnames]
             expr = self.parse_expr()
             prog.rules[name] = ConstRule(head, expr)
         elif self.try_eat("punct", "<~"):
@@ -824,6 +857,12 @@ def _const_call(fn: str, args: list) -> Any:
         "validity": lambda *a: list(a) if len(a) > 1 else [a[0], True],
         "to_int": lambda a: int(a), "to_float": lambda a: float(a),
         "to_string": lambda a: str(a),
+        # vector constructors are constant-foldable (runtime/tests.rs
+        # test_vec_types: `?[v] <- [[vec([1,2,3])]]`)
+        "vec": lambda a, *rest: [float(x) for x in a],
+        "rand_vec": lambda n: [__import__("random").random() * 2 - 1
+                               for _ in range(int(n))],
+        "int_range": lambda *a: list(range(*[int(x) for x in a])),
     }
     if fn in table:
         return table[fn](*args)

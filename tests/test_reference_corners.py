@@ -152,3 +152,86 @@ def test_conditions_named_access(db):
     ?[dist] := r['a', dist], dist > 0.5, dist <= 1.1
     """)
     assert [list(x) for x in r.rows] == [[1.1]]
+
+
+def test_returning_mutations(db):
+    # tests.rs:1219-1271: :returning reports per-row outcomes with the OLD
+    # rows for collisions — put → inserted/replaced, rm → requested/deleted
+    db.run_script(":create reta {x => y}")
+    db.run_script("?[x, y] <- [[1, 2]] :insert reta {x => y}")
+    r = db.run_script("?[x, y] <- [[1, 3], [2, 4]] :returning :put reta {x => y}")
+    assert r.headers == ["_kind", "x", "y"]
+    assert sorted([list(x) for x in r.rows]) == [
+        ["inserted", 1, 3], ["inserted", 2, 4], ["replaced", 1, 2]]
+    r2 = db.run_script("?[x] <- [[1], [4]] :returning :rm reta {x}")
+    assert sorted([list(x) for x in r2.rows], key=str) == [
+        ["deleted", 1, 3], ["requested", 1, None], ["requested", 4, None]]
+    # :returning composes with a default-filled key column
+    db.run_script(
+        ":create rett {id: Uuid default rand_uuid_v4() => label: String, done: Bool}")
+    r3 = db.run_script(
+        "?[label, done] <- [['milk', false]] :put rett {label, done} :returning")
+    assert r3.headers == ["_kind", "id", "label", "done"]
+    assert len(r3.rows[0]) == 4 and r3.rows[0][0] == "inserted"
+
+
+def test_parser_corner_cases(db):
+    # tests.rs:1273-1283: keyword-prefixed rule names must not lex as
+    # keywords (orx / inx / noto), `or` as expression connective
+    assert rows(db.run_script("?[x] := x = 1 or x = 2")) == [(1,), (2,)]
+    assert rows(db.run_script("?[C] := C = 1  orx[C] := C = 1")) == [(1,)]
+    assert rows(db.run_script("?[C] := C = true, C  inx[C] := C = 1")) == [(True,)]
+    assert len(db.run_script("?[k] := k in int_range(300)").rows) == 300
+    assert rows(db.run_script(
+        "ywcc[a] <- [[1]] noto[A] := ywcc[A] ?[A] := noto[A]")) == [(1,)]
+
+
+def test_vec_types(db):
+    # tests.rs:671-699
+    db.run_script(":create vta {k: String => v: <F32; 8>}")
+    db.run_script("?[k, v] <- [['k', [1,2,3,4,5,6,7,8]]] :put vta {k => v}")
+    r = db.run_script("?[k, v] := *vta{k, v}")
+    assert list(r.rows[0][1]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    r2 = db.run_script("?[v] <- [[vec([1,2,3,4,5,6,7,8])]]")
+    assert len(r2.rows[0][0]) == 8
+    r3 = db.run_script("?[v] <- [[rand_vec(5)]]")
+    assert len(r3.rows[0][0]) == 5
+    r4 = db.run_script("""
+    val[v] <- [[vec([1,2,3,4,5,6,7,8])]]
+    ?[x,y,z] := val[v], x=l2_dist(v, v), y=cos_dist(v, v),
+                nv = l2_normalize(v), z=ip_dist(nv, nv)
+    """)
+    x, y, z = r4.rows[0]
+    assert x == 0.0 and abs(y) < 1e-9 and abs(z) < 1e-9
+
+
+def test_put_shorthand_and_param_shorthand(db):
+    # tests.rs short_hand + param_shorthand
+    db.run_script(":create shc {x => y, z}")
+    db.run_script("?[x, y, z] <- [[1, 2, 3]] :put shc {}")
+    assert rows(db.run_script("?[x, y, z] := *shc {x, y, z}")) == [(1, 2, 3)]
+
+    db.run_script("?[] <- [[$x, $y, $z]] :create pxc {}",
+                  params={"x": 1, "y": 2, "z": 3})
+    assert rows(db.run_script("?[x, y, z] := *pxc {x, y, z}")) == [(1, 2, 3)]
+
+
+def test_grouped_blocks_run_sequentially(db):
+    # tests.rs test_conditions opener: `{q1} {q2}` in one call
+    r = db.run_script("{?[code] <- [['a']] :create gblk {code}} {?[c] := *gblk[c]}")
+    assert rows(r) == [("a",)]
+
+
+def test_crashy_imperative_temp_create(db):
+    # tests.rs:1518-1534: :create of a _temp relation inside a block, looped
+    # puts with a count-guarded %return
+    r = db.run_script("""
+    {:create _ctest {a}}
+    %loop
+        %if { len[count(x)] := *_ctest[x]; ?[x] := len[z], x = z >= 10 }
+            %then %return _ctest
+        %end
+        { ?[a] := a = rand_uuid_v1(); :put _ctest {a} }
+    %end
+    """)
+    assert len(r.rows) == 10
