@@ -288,12 +288,13 @@ class CozoDb:
             head = rule[0].head
         else:
             head = rule.head
-        names, used = [], set()
+        names = []
         for h in head:
-            n = h.name if isinstance(h, HeadVar) else h.var
-            while n in used:
-                n += "_"
-            used.add(n)
+            # aggregate heads render as "aggr(var)" (the reference's header
+            # form, which `as`-stores sanitize to aggr_var); duplicates of
+            # PLAIN vars are kept verbatim — a standalone query tolerates
+            # them, and the `as` construct rejects them (imperative.rs:352)
+            n = h.name if isinstance(h, HeadVar) else f"{h.aggr}({h.var})"
             names.append(n)
         return names
 
@@ -1070,14 +1071,40 @@ class CozoDb:
             data = self.spark.createDataFrame([], T.StructType(fields))
         else:
             if len(df.columns) != len(cols):
-                raise QueryError(
-                    f":create {name}: query returns {len(df.columns)} columns, schema has {len(cols)}")
-            data = df.toDF(*cols)
+                # name-based alignment: when the query binds a SUBSET of the
+                # schema by name, missing columns take their declared
+                # defaults (tests.rs as_store_in_imperative_script:
+                # `?[y] ... :create a {x default rand_uuid_v1() => y}`)
+                if (set(df.columns) <= set(cols)
+                        and len(set(df.columns)) == len(df.columns)):
+                    from cozo_spark.datalog.translate import compile_expr
+
+                    data = df
+                    for c in keys + non_keys:
+                        if c.name in df.columns:
+                            continue
+                        if c.default is None:
+                            raise QueryError(
+                                f":create {name}: column {c.name!r} not bound "
+                                "and has no default")
+                        dcol = compile_expr(c.default, set())
+                        if c.typing:
+                            dcol = dcol.cast(_col_type(c.typing))
+                        data = data.withColumn(c.name, dcol)
+                    data = data.select(*cols)
+                else:
+                    raise QueryError(
+                        f":create {name}: query returns {len(df.columns)} columns, schema has {len(cols)}")
+            else:
+                data = df.toDF(*cols)
             for c in keys + non_keys:
                 if c.typing:
                     data = data.withColumn(c.name, F.col(c.name).cast(_col_type(c.typing)))
             data = _checkpoint(data.dropDuplicates([c.name for c in keys]))
         self.relations[name] = StoredRelation(name, keys, non_keys, data)
+        if opts.returning:
+            rows = [["inserted"] + list(r) for r in data.collect()]
+            return NamedRows(["_kind"] + cols, rows)
         return NamedRows(["status"], [["OK"]])
 
     # -- sys ops (runtime/db.rs:1192-1454) --------------------------------------------------

@@ -238,11 +238,30 @@ def _run_block(db, stmts: list):
         if isinstance(s, QueryStmt):
             res = db.run_script(s.src)
             if s.bind_as is not None:
-                df = db.run_script_df(s.src)
-                if isinstance(df, NamedRows):
-                    raise ValueError("cannot bind a mutation result with `as`")
-                from cozo_spark.datalog.fixpoint import _checkpoint
+                # `{...} as _name` stores the RESULT ROWS (including
+                # :returning output) as a temp relation; headers sanitize
+                # '(' → '_', ')' → '' and duplicates are an error
+                # (imperative.rs script_store_as_relation:342-365)
+                from pyspark.sql import types as T
 
+                from cozo_spark.datalog.fixpoint import _checkpoint
+                from cozo_spark.datalog.translate import QueryError
+
+                names, seen = [], set()
+                for h in res.headers:
+                    k = str(h).replace("(", "_").replace(")", "")
+                    if k in seen:
+                        raise QueryError(
+                            f"Duplicate variable name {k}, please use distinct "
+                            "variables in `as` construct.")
+                    seen.add(k)
+                    names.append(k)
+                rows = [tuple(r) for r in res.rows]
+                if rows:
+                    df = db.spark.createDataFrame(rows, schema=names)
+                else:
+                    df = db.spark.createDataFrame([], T.StructType(
+                        [T.StructField(n, T.StringType(), True) for n in names]))
                 db.temp_relations[s.bind_as] = _checkpoint(df)
             last = res
         elif isinstance(s, IfStmt):

@@ -1410,7 +1410,10 @@ def datalog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ?[prio, count(k), max(p)] := *orders{o_orderkey: k, o_orderstatus: 'F',
                                          o_orderpriority: prio, o_totalprice: p}
     """)
-    return df.select(F.col("prio"), F.col("k").alias("n"), F.round("p", 2).alias("top"))
+    # entry headers are the reference's forms: prio, count(k), max(p)
+    c_prio, c_n, c_top = df.columns
+    return df.select(df[c_prio].alias("prio"), df[c_n].alias("n"),
+                     F.round(df[c_top], 2).alias("top"))
 
 
 @query(

@@ -235,3 +235,64 @@ def test_crashy_imperative_temp_create(db):
     %end
     """)
     assert len(r.rows) == 10
+
+
+def test_as_store_in_imperative_script(db):
+    # tests.rs:1285-1341
+    r = db.run_script("""
+    { ?[x, y, z] <- [[1, 2, 3], [4, 5, 6]] } as _store
+    { ?[x, y, z] := *_store{x, y, z} }
+    """)
+    assert rows(r) == [(1, 2, 3), (4, 5, 6)]
+
+    # :returning result is bindable; _kind column filters by outcome
+    r2 = db.run_script("""
+    {
+        ?[y] <- [[1], [2], [3]]
+        :create asret {x default rand_uuid_v1() => y}
+        :returning
+    } as _last
+    {
+        ?[x] := *_last{_kind: 'inserted', x}
+    }
+    """)
+    assert len(r2.rows) == 3
+
+    # duplicate head vars are rejected at the `as` store (imperative.rs:352)
+    from cozo_spark.datalog.translate import QueryError
+    with pytest.raises(QueryError, match="Duplicate variable name"):
+        db.run_script("{ ?[x, x] := x = 1 } as _dup")
+
+    # aggregate headers sanitize sum(y) -> sum_y
+    r3 = db.run_script("""
+    {
+        x[y] <- [[1], [2], [3]]
+        ?[sum(y)] := x[y]
+    } as _agg
+    { ?[sum_y] := *_agg{sum_y} }
+    """)
+    assert len(r3.rows) == 1 and float(r3.rows[0][0]) == 6.0
+
+
+def test_update_semantics(db):
+    # tests.rs update_shall_not_destroy_values / update_shall_work
+    db.run_script("?[x, y] <- [[1, 2]] :create zupd {x => y default 0}")
+    db.run_script("?[x] <- [[1]] :update zupd {x}")
+    assert rows(db.run_script("?[x, y] := *zupd {x, y}")) == [(1, 2)]
+
+    db.run_script("?[x, y, z] <- [[1, 2, 3]] :create zupd2 {x => y, z}")
+    db.run_script("?[x, y] <- [[1, 4]] :update zupd2 {x, y}")
+    assert rows(db.run_script("?[x, y, z] := *zupd2 {x, y, z}")) == [(1, 4, 3)]
+
+
+def test_create_fills_missing_default_columns(db):
+    # name-based :create alignment — query binds a subset of the schema
+    db.run_script("?[y] <- [[7]] :create cdef {x default 42 => y}")
+    assert rows(db.run_script("?[x, y] := *cdef {x, y}")) == [(42, 7)]
+
+
+def test_bad_parse_rejected(db):
+    from cozo_spark.datalog.parser import ParseError
+
+    with pytest.raises(ParseError):
+        db.run_script("?[hero] :=")
