@@ -612,6 +612,20 @@ class CozoDb:
     def _resolve_relation(self, name: str) -> Optional[DataFrame]:
         if name.startswith("_"):
             return self.temp_relations.get(name)
+        if ":" in name:
+            # `*rel:idx{...}`: a regular index is a readable stored relation
+            # whose columns are the index layout (tests.rs:455-516). As a
+            # lazy projection it is always fresh; at scale it would be a
+            # second sorted/bucketed materialization.
+            rel_name, idx_name = name.split(":", 1)
+            rel = self.relations.get(rel_name)
+            if rel is not None:
+                idx = rel.indices.get(idx_name)
+                if idx is not None and idx.kind == "regular" and idx.columns:
+                    if rel.access_level == "hidden":
+                        raise QueryError(f"relation {rel_name!r} is hidden")
+                    return rel.df.select(*idx.columns)
+            return None
         rel = self.relations.get(name)
         if rel is not None and rel.access_level == "hidden":
             # reads require >= ReadOnly (compile.rs:221) — hidden blocks them
@@ -1112,11 +1126,25 @@ class CozoDb:
     def _run_sysop(self, op: dict) -> NamedRows:
         kind = op["sysop"]
         if kind == "relations":
-            rows = [[n, len(r.keys), len(r.non_keys), r.access_level]
-                    for n, r in sorted(self.relations.items())]
+            rows = []
+            for n, r in sorted(self.relations.items()):
+                rows.append([n, len(r.keys), len(r.non_keys), r.access_level])
+                # regular indices are listed as relations (tests.rs:487-490)
+                for iname, idx in sorted(r.indices.items()):
+                    if idx.kind == "regular":
+                        rows.append([f"{n}:{iname}", len(idx.columns), 0, "index"])
             return NamedRows(["name", "n_keys", "n_non_keys", "access_level"], rows)
         if kind == "columns":
-            rel = self.relations.get(op["target"])
+            target = op["target"]
+            if ":" in target:
+                rel_name, idx_name = target.split(":", 1)
+                rel = self.relations.get(rel_name)
+                idx = rel.indices.get(idx_name) if rel is not None else None
+                if idx is None or idx.kind != "regular":
+                    raise QueryError(f"relation {target!r} not found")
+                rows = [[c, True, i, "Any"] for i, c in enumerate(idx.columns)]
+                return NamedRows(["column", "is_key", "index", "type"], rows)
+            rel = self.relations.get(target)
             if rel is None:
                 raise QueryError(f"relation {op['target']!r} not found")
             rows = []
@@ -1165,8 +1193,19 @@ class CozoDb:
                 rel.indices.pop(idx_name, None)
                 return NamedRows(["status"], [["OK"]])
             kind_map = {"index": "regular", "hnsw": "hnsw", "fts": "fts", "lsh": "lsh"}
+            columns = op.get("columns", [])
+            if kind == "index":
+                # regular index: validate columns, store the full covering
+                # layout = given columns + remaining key columns
+                # (runtime/db.rs index create; tests.rs:455-516)
+                bad = [c for c in columns if c not in rel.col_names]
+                if bad:
+                    raise QueryError(
+                        f"::index create {rel_name}:{idx_name}: no column(s) {bad}")
+                columns = list(columns) + [k for k in rel.key_names
+                                           if k not in columns]
             rel.indices[idx_name] = IndexDef(
-                kind_map[kind], options=op.get("fields", {}), columns=op.get("columns", []))
+                kind_map[kind], options=op.get("fields", {}), columns=columns)
             return NamedRows(["status"], [["OK"]])
         if kind == "indices":
             rel = self.relations.get(op["target"])

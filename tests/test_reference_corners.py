@@ -296,3 +296,30 @@ def test_bad_parse_rejected(db):
 
     with pytest.raises(ParseError):
         db.run_script("?[hero] :=")
+
+
+def test_regular_index_readable_as_relation(db):
+    # tests.rs:455-516: ::index create validates columns; the index is a
+    # readable stored relation (given cols + remaining keys), listed by
+    # ::relations with kind 'index' and introspectable via ::columns
+    from cozo_spark.datalog.translate import QueryError
+
+    db.run_script(":create friendsx {fr: Int, to: Int => data: Int}")
+    db.run_script("?[fr, to, data] <- [[1,2,3],[4,5,6]] :put friendsx {fr, to, data}")
+    with pytest.raises(QueryError, match="no column"):
+        db.run_script("::index create friendsx:rev {to, no}")
+    db.run_script("::index create friendsx:rev {to, data}")
+    db.run_script("?[fr, to, data] <- [[1,2,5],[6,5,7]] :put friendsx {fr, to => data}")
+    db.run_script("?[fr, to] <- [[4,5]] :rm friendsx {fr, to}")
+
+    r = db.run_script("?[fr, data] := *friendsx:rev{to: 2, fr, data}")
+    assert [list(x) for x in r.rows] == [[1, 5]]
+    r2 = db.run_script("?[to, data, fr] := *friendsx:rev[to, data, fr]")
+    assert rows(r2) == [(2, 5, 1), (5, 7, 6)]
+
+    rels = {row[0]: tuple(row[1:]) for row in db.run_script("::relations").rows}
+    assert rels["friendsx:rev"] == (3, 0, "index")
+    cols = [row[0] for row in db.run_script("::columns friendsx:rev").rows]
+    assert cols == ["to", "data", "fr"]
+    db.run_script("::index drop friendsx:rev")
+    assert db.run_script("?[x] := x = 1").rows  # engine still healthy
