@@ -675,7 +675,20 @@ class Parser:
                 while not self.at("punct", "}"):
                     nm = self._eat_var()
                     if self.try_eat("punct", ":"):
-                        fields[nm] = const_eval(self.parse_expr())
+                        e = self.parse_expr()
+                        if isinstance(e, Var):
+                            # bare identifiers are names in index options:
+                            # `extractor: v`, `tokenizer: NGram`,
+                            # `fields: vec` (parse/sys.rs index option rules)
+                            fields[nm] = e.name
+                        else:
+                            try:
+                                fields[nm] = const_eval(e)
+                            except ParseError:
+                                # expression option (e.g. lsh
+                                # `extract_filter: is_null(dup_for)`) — pass
+                                # the AST through for the index to compile
+                                fields[nm] = e
                     else:
                         plain.append(nm)
                     if not self.try_eat("punct", ","):

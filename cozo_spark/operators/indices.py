@@ -61,7 +61,15 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
         extractor = idx.options.get("extractor")
         n_perm = int(idx.options.get("n_perm", 64))
         n_gram = int(idx.options.get("n_gram", 3))
-        sigs = minhash_signatures(rel.df, extractor, rel.key_names[0],
+        base = rel.df
+        filt = idx.options.get("extract_filter")
+        if filt is not None:
+            # extract_filter: expression over the relation's columns — rows
+            # failing it are not indexed (parse/sys.rs lsh options)
+            from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+            base = base.filter(compile_expr(filt, set(base.columns), _df_typer(base)))
+        sigs = minhash_signatures(base, extractor, rel.key_names[0],
                                   num_perm=n_perm, shingle_n=n_gram)
         idx.artifact = {"sigs": _checkpoint(sigs), "n_perm": n_perm, "n_gram": n_gram}
     elif idx.kind == "hnsw":

@@ -323,3 +323,42 @@ def test_regular_index_readable_as_relation(db):
     assert cols == ["to", "data", "fr"]
     db.run_script("::index drop friendsx:rev")
     assert db.run_script("?[x] := x = 1").rows  # engine still healthy
+
+
+def test_filtering_constant_bindings(db):
+    # tests.rs:914-947: a constant binding in a named atom plus a
+    # contradictory filter on the same variable yields zero rows
+    r = db.run_script("""
+    {
+        ?[x, y] <- [[1, 2]]
+        :create _frel {x => y}
+        :returning
+    }
+    {
+        ?[x, y] := x = 1, *_frel{x, y: 3}, y = 2
+    }
+    """)
+    assert r.rows == []
+
+
+def test_lsh_index_lifecycle(db):
+    # tests.rs test_lsh_indexing4: rm'd rows disappear from the LSH index
+    # (artifact invalidation on mutation); bare-identifier options parse
+    db.run_script(":create lrel {k: String => v: String}")
+    db.run_script("::lsh create lrel:lsh {extractor: v, tokenizer: NGram, "
+                  "n_gram: 3, target_threshold: 0.5}")
+    db.run_script("?[k, v] <- [['a', 'ewiygfspeoighjsfcfxzdfncalsdf']] :put lrel {k => v}")
+    db.run_script("?[k] <- [['a']] :rm lrel {k}")
+    r = db.run_script("?[k] := ~lrel:lsh{k | query: 'ewiygfspeoighjsfcfxzdfncalsdf', k: 1}")
+    assert r.rows == []
+
+
+def test_lsh_extract_filter(db):
+    # rows failing extract_filter are not indexed (reference lsh option)
+    db.run_script(":create lef {k: String => v: String, dup_for: String?}")
+    db.run_script("::lsh create lef:lsh {extractor: v, extract_filter: is_null(dup_for), "
+                  "n_gram: 1, target_threshold: 0.1}")
+    db.run_script("?[k, v, dup_for] <- [['a', 'common text here', null], "
+                  "['b', 'common text here', 'a']] :put lef {k, v, dup_for}")
+    r = db.run_script("?[k] := ~lef:lsh{k | query: 'common text here', k: 10}")
+    assert [list(x) for x in r.rows] == [["a"]]  # 'b' filtered out of index
