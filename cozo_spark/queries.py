@@ -807,9 +807,11 @@ def datalog_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = CozoDb(spark)
     db.register_dataframe("edge", _edges(spark, sf_dir))
-    return db.run_script_df("""
+    df = db.run_script_df("""
     ?[a, count_unique(c)] := *edge[a, b], *edge[b, c], c != a
-    """).withColumnRenamed("c", "n2")
+    """)
+    # entry header for the aggregate is the reference form count_unique(c)
+    return df.select(df["a"], df[df.columns[1]].alias("n2"))
 
 
 # ---------------------------------------------------------------------------
