@@ -28,9 +28,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cozo_spark.datalog.ast import (
-    Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, NamedRelApply,
-    Negation, OutOpts, Program, RelApply, RuleApply, RuleClause, TableSchema,
-    Unify,
+    Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, ListEx,
+    NamedRelApply, Negation, OutOpts, Program, RelApply, RuleApply,
+    RuleClause, TableSchema, Unify,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -510,6 +510,25 @@ class CozoDb:
         return T.StructType(fields)
 
     @staticmethod
+    def _compile_default_col(c):
+        """Compile a ColDef's default expression to a typed Column. A
+        Validity default written as a 2-list ([floor(now()), true]) builds
+        the (ts, is_assert) struct directly — array() would reject the
+        mixed element types."""
+        from cozo_spark.datalog.translate import compile_expr
+
+        base = (c.typing or "").rstrip("?")
+        if (base == "Validity" and isinstance(c.default, ListEx)
+                and len(c.default.items) == 2):
+            ts = compile_expr(c.default.items[0], set()).cast("long")
+            ia = compile_expr(c.default.items[1], set()).cast("boolean")
+            return F.struct(ts.alias("ts"), ia.alias("is_assert"))
+        dcol = compile_expr(c.default, set())
+        if c.typing:
+            dcol = dcol.cast(_col_type(c.typing))
+        return dcol
+
+    @staticmethod
     def _norm_rule_bindings(bindings: list, where: str) -> list:
         """Positional fixed-rule input bindings: '_' becomes a fresh
         non-binding name per position; a REPEATED named variable is an error
@@ -885,17 +904,12 @@ class CozoDb:
             # declared column defaults fill unbound columns before any arity
             # check (:create {ts default now() => ...} — runtime/tests.rs
             # default_columns puts only uid and the default supplies ts)
-            from cozo_spark.datalog.translate import compile_expr
-
             new = data
             bound = set(cols)
             default_cols = rel.keys + (rel.non_keys if op != "update" else [])
             for c in default_cols:
                 if c.name not in bound and c.default is not None:
-                    dcol = compile_expr(c.default, set())
-                    if c.typing:
-                        dcol = dcol.cast(_col_type(c.typing))
-                    new = new.withColumn(c.name, dcol)
+                    new = new.withColumn(c.name, self._compile_default_col(c))
                     bound.add(c.name)
             cols = [c for c in new.columns]
             missing = [k for k in key_names if k not in bound]
@@ -1053,9 +1067,14 @@ class CozoDb:
             cols = [c.name for c in opts.store_schema.keys] + \
                    [c.name for c in opts.store_schema.non_keys]
             if not cols:
-                # `:put x {}` shorthand (runtime/tests.rs short_hand): the
-                # relation's own column order
-                cols = rel.col_names[: len(df.columns)]
+                # `:put x {}` shorthand (runtime/tests.rs short_hand):
+                # match the entry's headers BY NAME when they all name
+                # relation columns (hnsw_index puts a named subset);
+                # otherwise the relation's own column order
+                if all(c in rel.col_names for c in df.columns):
+                    cols = list(df.columns)
+                else:
+                    cols = rel.col_names[: len(df.columns)]
             if len(cols) != len(df.columns):
                 raise QueryError("column spec arity mismatch")
             return cols
@@ -1091,8 +1110,6 @@ class CozoDb:
                 # `?[y] ... :create a {x default rand_uuid_v1() => y}`)
                 if (set(df.columns) <= set(cols)
                         and len(set(df.columns)) == len(df.columns)):
-                    from cozo_spark.datalog.translate import compile_expr
-
                     data = df
                     for c in keys + non_keys:
                         if c.name in df.columns:
@@ -1101,10 +1118,7 @@ class CozoDb:
                             raise QueryError(
                                 f":create {name}: column {c.name!r} not bound "
                                 "and has no default")
-                        dcol = compile_expr(c.default, set())
-                        if c.typing:
-                            dcol = dcol.cast(_col_type(c.typing))
-                        data = data.withColumn(c.name, dcol)
+                        data = data.withColumn(c.name, self._compile_default_col(c))
                     data = data.select(*cols)
                 else:
                     raise QueryError(

@@ -681,6 +681,10 @@ class Parser:
                             # `extractor: v`, `tokenizer: NGram`,
                             # `fields: vec` (parse/sys.rs index option rules)
                             fields[nm] = e.name
+                        elif (isinstance(e, ListEx)
+                              and all(isinstance(i, Var) for i in e.items)):
+                            # `fields: [a, b]` — a list of column names
+                            fields[nm] = [i.name for i in e.items]
                         else:
                             try:
                                 fields[nm] = const_eval(e)
@@ -876,6 +880,14 @@ def _const_call(fn: str, args: list) -> Any:
         "rand_vec": lambda n: [__import__("random").random() * 2 - 1
                                for _ in range(int(n))],
         "int_range": lambda *a: list(range(*[int(x) for x in a])),
+        "now": lambda: __import__("time").time(),
+        "floor": lambda a: float(math.floor(a)),
+        "ceil": lambda a: float(math.ceil(a)),
+        "round": lambda a: float(round(a)),
+        "rand_float": lambda: __import__("random").random(),
+        "rand_int": lambda a, b: __import__("random").randint(int(a), int(b)),
+        "rand_uuid_v1": lambda: str(__import__("uuid").uuid1()),
+        "rand_uuid_v4": lambda: str(__import__("uuid").uuid4()),
     }
     if fn in table:
         return table[fn](*args)

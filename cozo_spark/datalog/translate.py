@@ -408,6 +408,10 @@ class ClauseTranslator:
             raise QueryError("index search atoms not available in this context")
         opts = {}
         for key, e in atom.opts.items():
+            if key.startswith("bind_") and isinstance(e, Var):
+                # bind_distance: dist etc. name an OUTPUT column after a var
+                opts[key] = e.name
+                continue
             ok, v = try_const(e)
             if ok:
                 opts[key] = v

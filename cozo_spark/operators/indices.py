@@ -118,21 +118,38 @@ def search(db, rel, idx_name: str, opts: dict) -> DataFrame:
                .withColumnRenamed("score", score_name))
         return out
     if idx.kind == "hnsw":
-        vec_col = _hnsw_field(idx)
+        # every indexed FIELD of every row is a point (hnsw.rs: multi-field
+        # indices insert one graph node per field); bind_field/bind_field_idx
+        # report which field matched
+        fields = idx.options.get("fields") or idx.columns
+        if not isinstance(fields, (list, tuple)):
+            fields = [fields]
         qv = opts["query"]
         dist_name = str(opts.get("bind_distance", "distance"))
         distance_kind = str(idx.options.get("distance", "Cos"))
         q = F.array(*[F.lit(float(x)) for x in qv])
-        v = F.col(vec_col).cast("array<double>")
-        if distance_kind.lower().startswith("l2"):
-            d = F.sqrt(F.aggregate(F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
-                                   F.lit(0.0), lambda a, x: a + x))
-        else:
+
+        def _dist(vec_col):
+            v = F.col(vec_col).cast("array<double>")
+            if distance_kind.lower().startswith("l2"):
+                return F.sqrt(F.aggregate(F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+                                          F.lit(0.0), lambda a, x: a + x))
             dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
             nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
             nq = F.sqrt(F.aggregate(F.transform(q, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-            d = 1.0 - dot / (nv * nq)
-        scored = rel.df.withColumn(dist_name, d)
+            return 1.0 - dot / (nv * nq)
+
+        parts = []
+        for fi, vec_col in enumerate(fields):
+            part = (rel.df.withColumn(dist_name, _dist(vec_col))
+                    .withColumn("__fld", F.lit(str(vec_col)))
+                    .withColumn("__fidx", F.lit(fi).cast("long")))
+            if "bind_vector" in opts:
+                part = part.withColumn(str(opts["bind_vector"]), F.col(vec_col))
+            parts.append(part)
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
         if opts.get("filter") is not None:
             # filter expression over the relation's columns, applied before
             # top-k — the reference evaluates it during the graph walk
@@ -143,13 +160,13 @@ def search(db, rel, idx_name: str, opts: dict) -> DataFrame:
             scored = scored.filter(fcol)
         if "radius" in opts:
             scored = scored.filter(F.col(dist_name) <= float(opts["radius"]))
-        if "bind_vector" in opts:
-            scored = scored.withColumn(str(opts["bind_vector"]), F.col(vec_col))
         if "bind_field" in opts:
-            scored = scored.withColumn(str(opts["bind_field"]), F.lit(vec_col))
+            scored = scored.withColumn(str(opts["bind_field"]), F.col("__fld"))
         if "bind_field_idx" in opts:
-            scored = scored.withColumn(str(opts["bind_field_idx"]), F.lit(0).cast("long"))
-        return scored.orderBy(F.col(dist_name).asc(), F.col(key).asc()).limit(k)
+            scored = scored.withColumn(str(opts["bind_field_idx"]), F.col("__fidx"))
+        return (scored.orderBy(F.col(dist_name).asc(), F.col(key).asc(),
+                               F.col("__fidx").asc())
+                .drop("__fld", "__fidx").limit(k))
     if idx.kind == "lsh":
         return _lsh_search(db, rel, idx, str(opts["query"]), k,
                            filter_expr=opts.get("filter"))

@@ -362,3 +362,44 @@ def test_lsh_extract_filter(db):
                   "['b', 'common text here', 'a']] :put lef {k, v, dup_for}")
     r = db.run_script("?[k] := ~lef:lsh{k | query: 'common text here', k: 10}")
     assert [list(x) for x in r.rows] == [["a"]]  # 'b' filtered out of index
+
+
+def test_hnsw_complex_schema_and_multifield_search(db):
+    # tests.rs hnsw_index: complex :create with defaults (Validity, tuple
+    # arrays), multi-field HNSW where EVERY field is a point, var-named
+    # bind_* options, rand_uuid/rand_vec in const rules
+    db.run_script("""
+    :create beliefsx {
+        belief_id: Uuid, character_id: Uuid, belief: String,
+        last_accessed_at: Validity default [floor(now()), true],
+        =>
+        details: String default "", parent_belief_id: Uuid? default null,
+        valence: Float default 0,
+        aspects: [(String, Float, String, String)] default [],
+        belief_embedding: <F32; 16>, details_embedding: <F32; 16>,
+    }
+    """)
+    db.run_script("""
+    ::hnsw create beliefsx:embedding_space {
+        dim: 16, m: 50, dtype: F32,
+        fields: [belief_embedding, details_embedding],
+        distance: Cosine, ef_construction: 20,
+        extend_candidates: false, keep_pruned_connections: false,
+    }
+    """)
+    db.run_script("""
+    ?[belief_id, character_id, belief, belief_embedding, details_embedding] <-
+      [[rand_uuid_v1(), rand_uuid_v1(), "test", rand_vec(16), rand_vec(16)]]
+    :put beliefsx {}
+    """)
+    r = db.run_script("""
+    ?[belief, valence, dist, character_id, vector] := ~beliefsx:embedding_space{ belief, valence, character_id |
+        query: rand_vec(16), k: 100, ef: 20, radius: 2.0,
+        bind_distance: dist, bind_vector: vector }
+    :order -valence
+    :order dist
+    """)
+    # one row with two indexed fields → up to 2 points within radius 2
+    assert 1 <= len(r.rows) <= 2
+    assert r.headers == ["belief", "valence", "dist", "character_id", "vector"]
+    assert all(len(row[4]) == 16 for row in r.rows)
