@@ -867,7 +867,18 @@ class CozoDb:
                 if s.var not in df.columns:
                     raise QueryError(f":order variable {s.var!r} not in output")
                 cols.append(F.col(s.var).desc() if s.descending else F.col(s.var).asc())
-            df = df.orderBy(*cols)
+            # ties resolve in stored-tuple order (the reference's rows arrive
+            # sorted from the BTree and its sort is stable) — append the
+            # remaining output columns ascending so :order (+ :limit) is
+            # deterministic here too
+            sorted_vars = {s.var for s in opts.sorters}
+            ties = [F.col(c).asc() for c in df.columns if c not in sorted_vars]
+            try:
+                df = df.orderBy(*cols, *ties)
+            except Exception:
+                # unorderable column type (map/struct-of-map) in the output:
+                # sort on the explicit keys only
+                df = df.orderBy(*cols)
         if opts.offset:
             df = df.offset(opts.offset)
         if opts.limit is not None:

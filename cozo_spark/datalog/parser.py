@@ -489,6 +489,13 @@ class Parser:
                 else:
                     self.try_eat("punct", "+")
                 var = self._eat_var()
+                if self.at("punct", "("):
+                    # `:order -count(fr)` sorts on the aggregate head column,
+                    # whose rendered name is "count(fr)" (air_routes.rs:1664)
+                    self.eat("punct", "(")
+                    inner = self._eat_var()
+                    self.eat("punct", ")")
+                    var = f"{var}({inner})"
                 opts.sorters.append(SortSpec(var, desc))
                 if not self.try_eat("punct", ","):
                     break

@@ -250,3 +250,132 @@ def test_dfs_bfs_real_graph(adb):
         row = list(r.rows[0])
         assert row[0] == "PEK" and row[1] == "LHR"
         assert row[2][0] == "PEK" and row[2][-1] == "LHR"
+
+
+def test_london_to_us(adb):
+    # air_routes.rs:1299
+    r = rows(adb.run_script("""
+    ?[fr, to] := fr in ['LHR', 'LCY', 'LGW', 'LTN', 'STN'],
+                 *route{fr, to}, *airport{code: to, country: 'US'}
+    """))
+    assert len(r) == 48
+    assert ("LGW", "AUS") in r and ("STN", "SFB") in r and ("LHR", "SLC") in r
+
+
+def test_tx_to_ny(adb):
+    # air_routes.rs:1334
+    r = rows(adb.run_script("""
+    ?[fr, to] := *airport{code: fr, region: 'US-TX'},
+                 *route{fr, to}, *airport{code: to, region: 'US-NY'}
+    """))
+    assert r == [("AUS", "BUF"), ("AUS", "EWR"), ("AUS", "JFK"), ("DAL", "LGA"),
+                 ("DFW", "BUF"), ("DFW", "EWR"), ("DFW", "JFK"), ("DFW", "LGA"),
+                 ("HOU", "EWR"), ("HOU", "JFK"), ("HOU", "LGA"), ("IAH", "EWR"),
+                 ("IAH", "JFK"), ("IAH", "LGA"), ("SAT", "EWR"), ("SAT", "JFK")]
+
+
+def test_denver_to_mexico(adb):
+    # air_routes.rs:1362
+    r = rows(adb.run_script(
+        "?[city] := *route{fr: 'DEN', to}, *airport{code: to, country: 'MX', city}"))
+    assert [x[0] for x in r] == ["Cancun", "Cozumel", "Guadalajara", "Mexico City",
+                                 "Monterrey", "Puerto Vallarta", "San José del Cabo"]
+
+
+def test_three_cities(adb):
+    # air_routes.rs:1389
+    r = rows(adb.run_script("""
+    three[code] := city in ['London', 'Munich', 'Paris'], *airport{code, city}
+    ?[s, d] := three[s], *route{fr: s, to: d}, three[d]
+    """))
+    assert len(r) == 27
+    assert ("CDG", "LHR") in r and ("MUC", "STN") in r and ("ORY", "LCY") in r
+
+
+def test_len_of_names_count(adb):
+    # air_routes.rs:1005 — sum of city-name lengths is a FLOAT (sum semantics)
+    r = adb.run_script("""
+    ?[sum(n)] := *route{fr: 'AUS', to},
+                 *airport{code: to, city},
+                 n = length(city)
+    """)
+    assert float(r.rows[0][0]) == 891.0
+
+
+def test_group_count_by_out(adb):
+    # air_routes.rs:1029 — zero-fallback meet-max + histogram + order/limit
+    r = adb.run_script("""
+    route_count[count(fr), fr] := *route{fr}
+    rc[max(n), a] := route_count[n, a]
+    rc[max(n), a] := *airport{code: a}, n = 0
+    ?[n, count(a)] := rc[n, a]
+    :order n
+    :limit 10
+    """)
+    assert [list(x) for x in r.rows] == [
+        [0, 29], [1, 777], [2, 649], [3, 357], [4, 234],
+        [5, 149], [6, 140], [7, 100], [8, 73], [9, 64]]
+
+
+def test_mean_group_count(adb):
+    # air_routes.rs:1057 — disjunctive clause body inside a meet rule
+    r = adb.run_script("""
+    route_count[count(fr), fr] := *route{fr}
+    rc[max(n), a] := route_count[n, a] or (*airport{code: a}, n = 0)
+    ?[mean(n)] := rc[n, _]
+    """)
+    assert abs(float(r.rows[0][0]) - 14.451198630136986) < 1e-8
+
+
+def test_n_routes_from_london_uk(adb):
+    # air_routes.rs:1082
+    r = rows(adb.run_script(
+        "?[code, count(code)] := *airport{code, city: 'London', region: 'GB-ENG'}, *route{fr: code}"))
+    assert r == [("LCY", 51), ("LGW", 232), ("LHR", 221), ("LTN", 130), ("STN", 211)]
+
+
+def test_airport_most_routes(adb):
+    # air_routes.rs:1664 — :order on an aggregate column
+    r = adb.run_script("""
+    ?[fr, count(fr)] := *route{fr}
+    :order -count(fr)
+    :limit 10
+    """)
+    assert [list(x) for x in r.rows] == [
+        ["FRA", 310], ["IST", 309], ["CDG", 293], ["AMS", 283], ["MUC", 270],
+        ["ORD", 265], ["DFW", 253], ["DXB", 248], ["PEK", 248], ["ATL", 242]]
+
+
+def test_north_of_77(adb):
+    # air_routes.rs:1692
+    r = rows(adb.run_script(
+        "?[city, latitude] := *airport{lat, city}, lat > 77, latitude = round(lat)"))
+    assert r == [("Longyearbyen", 78.0), ("Qaanaaq", 77.0)]
+
+
+def test_greenwich_meridian(adb):
+    # air_routes.rs:1713
+    r = rows(adb.run_script("?[code] := *airport{lon, code}, lon > -0.1, lon < 0.1"))
+    assert [x[0] for x in r] == ["CDT", "LCY", "LDE", "LEH"]
+
+
+def test_box_around_heathrow(adb):
+    # air_routes.rs:1734
+    r = rows(adb.run_script("""
+    h_box[lon, lat] := *airport{code: 'LHR', lon, lat}
+    ?[code] := h_box[lhr_lon, lhr_lat], *airport{code, lon, lat},
+                abs(lhr_lon - lon) < 1, abs(lhr_lat - lat) < 1
+    """))
+    assert [x[0] for x in r] == ["LCY", "LGW", "LHR", "LTN", "SOU", "STN"]
+
+
+def test_skip_limit_counts(adb):
+    # air_routes.rs:1921 — dedup through set semantics; limit/offset counts
+    # (the reference asserts exact rows from its sorted storage; an
+    # unordered :limit here guarantees counts)
+    r = rows(adb.run_script("?[a] := a in [9, 9, 8, 9, 8, 7, 7, 6, 5, 9, 4, 4, 3]"))
+    assert r == [(3,), (4,), (5,), (6,), (7,), (8,), (9,)]
+    assert len(adb.run_script(
+        "?[a] := a in [9, 9, 8, 9, 8, 7, 7, 6, 5, 9, 4, 4, 3] :limit 2").rows) == 2
+    assert len(adb.run_script(
+        "?[a] := a in [9, 9, 8, 9, 8, 7, 7, 6, 5, 9, 4, 4, 3] :limit 100 :offset 1").rows) == 6
