@@ -843,8 +843,30 @@ class CozoDb:
         keys = [f"_c{i}" for i, h in enumerate(head) if isinstance(h, HeadVar)]
         aggs = [(f"_c{i}", AGGREGATIONS[h.aggr])
                 for i, h in enumerate(head) if isinstance(h, HeadAggr)]
-        both = cand if total is None else total.unionByName(cand)
-        agg_exprs = [spec.build(F.col(c)).alias(c) for c, spec in aggs]
+        sticky = any(spec.name == "choice" for _, spec in aggs)
+        if sticky:
+            # MeetAggrChoice (aggr.rs:968-984) only updates from Null: once
+            # a key has a value it NEVER changes. Prefer the total's row via
+            # a priority column — without this, min-as-choice keeps
+            # "improving" and a path-building recursion churns forever.
+            t = (total.withColumn("__prio", F.lit(0))
+                 if total is not None else None)
+            c = cand.withColumn("__prio", F.lit(1))
+            both = c if t is None else t.unionByName(c)
+        else:
+            both = cand if total is None else total.unionByName(cand)
+        dtypes = dict(both.dtypes)
+        agg_exprs = []
+        for c_name, spec in aggs:
+            if spec.name == "choice" and sticky:
+                agg_exprs.append(
+                    F.min_by(F.col(c_name),
+                             F.struct(F.col("__prio"), F.col(c_name))).alias(c_name))
+                continue
+            try:
+                agg_exprs.append(spec.build(F.col(c_name), dtype=dtypes.get(c_name)).alias(c_name))
+            except TypeError:
+                agg_exprs.append(spec.build(F.col(c_name)).alias(c_name))
         merged = both.groupBy(*keys).agg(*agg_exprs) if keys else both.agg(*agg_exprs)
         merged = merged.select(*[f"_c{i}" for i in range(len(head))])
         changed = merged if total is None else merged.exceptAll(total)

@@ -54,6 +54,17 @@ def compile_expr(e, bound: set, typer=None) -> Column:
     if isinstance(e, Param):
         raise QueryError(f"unresolved parameter ${e.name}")
     if isinstance(e, ListEx):
+        # Cozo lists are heterogeneous; Spark arrays are not. When element
+        # types are statically known to DIFFER (beyond numeric widening),
+        # compile to a struct with positional fields _0.._n — the Spark
+        # shape of a Cozo "pair" (e.g. min_cost's [path, cost],
+        # aggr.rs:800-880). first/last/get are field-aware on these.
+        kinds = [_spark_item_type(x, typer) for x in e.items]
+        if (len(e.items) > 1 and all(k is not None for k in kinds)
+                and len({_num_norm(k) for k in kinds}) > 1):
+            return F.struct(*[
+                compile_expr(x, bound, typer).alias(f"_{i}")
+                for i, x in enumerate(e.items)])
         return F.array(*[compile_expr(x, bound, typer) for x in e.items])
     if isinstance(e, ObjectEx):
         kvs = []
@@ -84,10 +95,22 @@ def compile_expr(e, bound: set, typer=None) -> Column:
                 return F.lit(False)
         if e.fn in ("length", "reverse", "first", "last") and len(e.args) == 1:
             t = _static_type(e.args[0], typer)
+            if e.fn in ("first", "last") and t is not None and t.startswith("struct<_0"):
+                n = _struct_field_count(t)
+                field = "_0" if e.fn == "first" else f"_{n - 1}"
+                return compile_expr(e.args[0], bound, typer).getField(field)
             if e.fn == "length" and t is not None and t.startswith("array"):
                 return F.size(compile_expr(e.args[0], bound, typer)).cast("long")
+            if e.fn == "length" and t is not None and t.startswith("struct<_0"):
+                return F.lit(_struct_field_count(t)).cast("long")
             if e.fn == "length" and t is not None:
                 return F.length(compile_expr(e.args[0], bound, typer)).cast("long")
+        if (e.fn in ("get", "maybe_get") and len(e.args) == 2
+                and isinstance(e.args[1], Const)):
+            t = _static_type(e.args[0], typer)
+            if t is not None and t.startswith("struct<_0"):
+                return compile_expr(e.args[0], bound, typer).getField(
+                    f"_{int(e.args[1].value)}")
         if e.fn not in SCALAR_FUNCTIONS:
             raise QueryError(f"unknown function {e.fn!r}")
         return SCALAR_FUNCTIONS[e.fn](*[compile_expr(a, bound, typer) for a in e.args])
@@ -125,6 +148,72 @@ def _static_type(e, typer):
     if isinstance(e, Call) and e.fn in ("list", "sorted", "append", "prepend",
                                         "slice", "chunks", "windows", "split", "chars"):
         return "array"
+    return None
+
+
+_ARITH_FNS = ("add", "sub", "mul", "div", "minus", "mod", "pow", "abs",
+              "floor", "ceil", "round", "signum", "exp", "ln", "sqrt")
+
+
+def _spark_item_type(e, typer) -> Optional[str]:
+    """Best-effort Spark dtype of a list-literal element (None = unknown)."""
+    if isinstance(e, Var) and typer is not None:
+        return typer(e.name)
+    if isinstance(e, Const):
+        v = e.value
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "bigint"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+    if isinstance(e, Call):
+        if e.fn in _ARITH_FNS:
+            return "double"
+        if e.fn in ("first", "last") and len(e.args) == 1:
+            t = _spark_item_type(e.args[0], typer)
+            if t is not None and t.startswith("struct<_0"):
+                n = _struct_field_count(t)
+                idx = 0 if e.fn == "first" else n - 1
+                return _struct_field_type(t, idx)
+    return None
+
+
+def _num_norm(t: str) -> str:
+    """Numeric types widen inside array() — treat them as one class."""
+    return "num" if t in ("bigint", "int", "smallint", "tinyint",
+                          "double", "float") else t
+
+
+def _struct_fields(dtype: str) -> list:
+    """Top-level 'name:type' fields of a struct<...> dtype string."""
+    inner = dtype[len("struct<"):-1]
+    depth, cur, out = 0, "", []
+    for ch in inner:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _struct_field_count(dtype: str) -> int:
+    return len(_struct_fields(dtype))
+
+
+def _struct_field_type(dtype: str, idx: int) -> Optional[str]:
+    fields = _struct_fields(dtype)
+    if 0 <= idx < len(fields) and ":" in fields[idx]:
+        return fields[idx].split(":", 1)[1]
     return None
 
 
@@ -590,7 +679,12 @@ def aggregate_head(raw: DataFrame, head: list) -> DataFrame:
             raise QueryError(f"unknown aggregation {h.aggr!r}")
         spec = AGGREGATIONS[h.aggr]
         extra = [const_eval(e) for e in h.extra]
-        aggs.append(spec.build(F.col(f"__h{i}"), *extra).alias(f"__agg_{i}"))
+        dt = dict(raw.dtypes).get(f"__h{i}")
+        try:
+            agg_col = spec.build(F.col(f"__h{i}"), *extra, dtype=dt)
+        except TypeError:
+            agg_col = spec.build(F.col(f"__h{i}"), *extra)
+        aggs.append(agg_col.alias(f"__agg_{i}"))
     keys = [f"__h{i}" for i, h in enumerate(head) if isinstance(h, HeadVar)]
     out = raw.groupBy(*keys).agg(*aggs) if keys else raw.agg(*aggs)
     # restore head ordering; aggregate output columns keep their var names

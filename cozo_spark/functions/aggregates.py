@@ -45,8 +45,8 @@ _reg("unique", False, lambda v: F.array_sort(F.collect_set(v)))
 _reg("group_count", False, lambda v: _group_count(v))
 _reg("collect", False, lambda v, cap=None: F.collect_list(v) if cap is None else F.slice(F.collect_list(v), 1, cap))
 _reg("choice_rand", False, lambda v: F.any_value(v))
-_reg("latest_by", False, lambda v: _pair_by(v, F.max_by))
-_reg("smallest_by", False, lambda v: _pair_by(v, F.min_by))
+_reg("latest_by", False, lambda v, dtype=None: _pair_by(v, F.max_by, dtype))
+_reg("smallest_by", False, lambda v, dtype=None: _pair_by(v, F.min_by, dtype))
 _reg("bit_xor", False, lambda v: F.bit_xor(v))
 
 # meet family (aggr.rs:68, 113, 575, 647, 799, 882, 941, 985, 1054)
@@ -57,7 +57,7 @@ _reg("or", True, lambda v: F.bool_or(v))
 _reg("union", True, lambda v: F.array_sort(F.array_distinct(F.flatten(F.collect_list(v)))))
 _reg("intersection", True, lambda v: _intersection(v))
 _reg("choice", True, lambda v: F.min(v))
-_reg("min_cost", True, lambda v: _pair_by(v, F.min_by))
+_reg("min_cost", True, lambda v, dtype=None: _min_cost(v, dtype))
 _reg("shortest", True, lambda v: F.min_by(v, F.struct(F.size(v), v)))
 _reg("bit_and", True, lambda v: F.bit_and(v))
 _reg("bit_or", True, lambda v: F.bit_or(v))
@@ -100,6 +100,24 @@ def _product(v: Column) -> Column:
     return F.when(any_zero == 1, F.lit(0.0)).otherwise(sign * F.exp(ln_sum))
 
 
-def _pair_by(v: Column, by_fn) -> Column:
-    # Cozo passes [data, key] pairs (aggr.rs:719-882): aggregate data by key.
-    return by_fn(F.element_at(v, 1), F.element_at(v, 2))
+def _pair_parts(v: Column, dtype):
+    """(data, key) columns of a Cozo [data, key] pair — a homogeneous pair is
+    an array, a mixed-type pair is a struct<_0, _1> (translate.py ListEx)."""
+    if dtype is not None and str(dtype).startswith("struct"):
+        return v.getField("_0"), v.getField("_1")
+    return F.element_at(v, 1), F.element_at(v, 2)
+
+
+def _pair_by(v: Column, by_fn, dtype=None) -> Column:
+    # latest_by/smallest_by return the DATA of the extreme pair
+    # (aggr.rs:719-798: get() -> found)
+    data, key = _pair_parts(v, dtype)
+    return by_fn(data, key)
+
+
+def _min_cost(v: Column, dtype=None) -> Column:
+    # min_cost returns the whole [data, cost] PAIR of the minimum cost
+    # (aggr.rs:800-880: get() -> List[found, cost]) — the pair must survive
+    # so recursive meet epochs can keep improving on the cost
+    _, key = _pair_parts(v, dtype)
+    return F.min_by(v, key)

@@ -379,3 +379,192 @@ def test_skip_limit_counts(adb):
         "?[a] := a in [9, 9, 8, 9, 8, 7, 7, 6, 5, 9, 4, 4, 3] :limit 2").rows) == 2
     assert len(adb.run_script(
         "?[a] := a in [9, 9, 8, 9, 8, 7, 7, 6, 5, 9, 4, 4, 3] :limit 100 :offset 1").rows) == 6
+
+
+def test_long_distance_from_lgw(adb):
+    # air_routes.rs:1420
+    r = rows(adb.run_script("""
+    ?[city, dist] := *route{fr: 'LGW', to, dist},
+                     dist > 4000, *airport{code: to, city}
+    """))
+    assert len(r) == 42
+    assert ("Austin", 4921.0) in r and ("Singapore", 6751.0) in r
+
+
+def test_long_routes_one_dir(adb):
+    # air_routes.rs:1453
+    r = rows(adb.run_script("?[fr, dist, to] := *route{fr, to, dist}, dist > 8000, fr < to"))
+    assert len(r) == 32
+    assert ("EWR", 9523.0, "SIN") in r and ("LHR", 9009.0, "PER") in r
+
+
+def test_longest_routes(adb):
+    # air_routes.rs:1484 — :sort -dist :limit 20
+    r = adb.run_script("""
+    ?[fr, dist, to] := *route{fr, to, dist}, dist > 4000, fr < to
+    :sort -dist
+    :limit 20
+    """)
+    assert [list(x) for x in r.rows][:6] == [
+        ["JFK", 9526.0, "SIN"], ["EWR", 9523.0, "SIN"], ["AKL", 9025.0, "DOH"],
+        ["LHR", 9009.0, "PER"], ["PEK", 8884.0, "PTY"], ["AKL", 8818.0, "DXB"]]
+    assert len(r.rows) == 20
+
+
+def test_total_distance_from_three_cities(adb):
+    # air_routes.rs:1546
+    r = adb.run_script("""
+    three[code] := city in ['London', 'Munich', 'Paris'], *airport{code, city}
+    ?[sum(dist)] := three[a], *route{fr: a, dist}
+    """)
+    assert float(r.rows[0][0]) == 2739039.0
+
+
+def test_total_distance_within_three_cities(adb):
+    # air_routes.rs:1568
+    r = adb.run_script("""
+    three[code] := city in ['London', 'Munich', 'Paris'], *airport{code, city}
+    ?[sum(dist)] := three[a], *route{fr: a, dist, to}, three[to]
+    """)
+    assert float(r.rows[0][0]) == 10282.0
+
+
+def test_specific_distance(adb):
+    # air_routes.rs:1590
+    r = adb.run_script("?[dist] := *route{fr: 'AUS', to: 'MEX', dist}")
+    assert [list(x) for x in r.rows] == [[748.0]]
+
+
+def test_n_routes_between(adb):
+    # air_routes.rs:1611
+    r = adb.run_script("""
+    us_a[a] := *contain['US', a]
+    ?[count(fr)] := *route{fr, to, dist}, dist >= 100, dist <= 200,
+                    us_a[fr], us_a[to]
+    """)
+    assert r.rows[0][0] == 597
+
+
+def test_one_stop_distance(adb):
+    # air_routes.rs:1634 — :order on a computed sum
+    r = adb.run_script("""
+    ?[code, dist] := *route{fr: 'AUS', to: code, dist: dis1},
+                     *route{fr: code, to: 'LHR', dist: dis2},
+                     dist = dis1 + dis2
+    :order dist
+    :limit 10
+    """)
+    assert [list(x) for x in r.rows] == [
+        ["DTW", 4893.0], ["YYZ", 4901.0], ["ORD", 4912.0], ["PIT", 4916.0],
+        ["BNA", 4923.0], ["DFW", 4926.0], ["BOS", 4944.0], ["EWR", 4953.0],
+        ["IAD", 4959.0], ["JFK", 4960.0]]
+
+
+def test_great_circle_distance(adb):
+    # air_routes.rs:1789 — haversine_deg_input
+    r = adb.run_script("""
+    ?[deg_diff] := *airport{code: 'SFO', lat: a_lat, lon: a_lon},
+                   *airport{code: 'NRT', lat: b_lat, lon: b_lon},
+                    deg_diff = round(haversine_deg_input(a_lat, a_lon, b_lat, b_lon))
+    """)
+    assert [list(x) for x in r.rows] == [[1.0]]
+
+
+def test_na_from_india(adb):
+    # air_routes.rs:1247
+    r = rows(adb.run_script("""
+    ?[ind_a, na_a] := *airport{code: ind_a, country: 'IN'},
+                      *route{fr: ind_a, to: na_a},
+                      *airport{code: na_a, country},
+                      country in ['US', 'CA']
+    """))
+    assert r == [("BOM", "EWR"), ("BOM", "JFK"), ("BOM", "YYZ"), ("DEL", "EWR"),
+                 ("DEL", "IAD"), ("DEL", "JFK"), ("DEL", "ORD"), ("DEL", "SFO"),
+                 ("DEL", "YVR"), ("DEL", "YYZ")]
+
+
+def test_dfw_by_region(adb):
+    # air_routes.rs:1758 — collect() of route targets grouped by region
+    r = adb.run_script("""
+    ?[region, collect(to)] := *route{fr: 'DFW', to},
+                              *airport{code: to, country: 'US', region},
+                              region in ['US-CA', 'US-TX', 'US-FL', 'US-CO', 'US-IL']
+    """)
+    got = {row[0]: sorted(row[1]) for row in r.rows}
+    assert got["US-CO"] == ["ASE", "COS", "DEN", "DRO", "EGE", "GJT", "GUC", "HDN", "MTJ"]
+    assert got["US-IL"] == ["BMI", "CMI", "MLI", "ORD", "PIA", "SPI"]
+    assert len(got["US-TX"]) == 23 and len(got["US-CA"]) == 14
+
+
+def test_aus_to_edi_shortest(adb):
+    # air_routes.rs:1812 — shortest() meet aggregation inside recursion
+    r = adb.run_script("""
+    us_uk_airports[code] := *airport{code, country: 'UK'}
+    us_uk_airports[code] := *airport{code, country: 'US'}
+    routes[to, shortest(path)] := *route{fr: 'AUS', to}, us_uk_airports[to],
+                                    path = ['AUS', to]
+    routes[to, shortest(path)] := routes[a, prev], *route{fr: a, to},
+                                    us_uk_airports[to],
+                                    path = append(prev, to)
+    ?[path] := routes['EDI', path]
+    """)
+    assert [list(x) for x in r.rows] == [[["AUS", "BOS", "EDI"]]]
+
+
+def test_furthest_from_lhr(adb):
+    # air_routes.rs:1882 — min_cost() meet over [path, cost] pairs, then
+    # :order -cost :limit 10 (NB min_cost keeps the CHEAPEST pair per key;
+    # the query surfaces the most expensive of those optima)
+    r = adb.run_script("""
+    routes[to, min_cost(cost_pair)] := *route{fr: 'LHR', to, dist},
+                                         path = ['LHR', to],
+                                         cost_pair = [path, dist]
+    routes[to, min_cost(cost_pair)] := routes[a, prev], *route{fr: a, to, dist},
+                                       path = append(first(prev), to),
+                                       cost_pair = [path, last(prev) + dist]
+    ?[cost, path] := routes[dst, cost_pair], cost = last(cost_pair), path = first(cost_pair)
+    :order -cost
+    :limit 10
+    """)
+    got = [list(x) for x in r.rows]
+    assert got[0] == [12922.0, ["LHR", "JNB", "HLE", "ASI", "BZZ"]]
+    assert [g[0] for g in got] == [12922.0, 12093.0, 12015.0, 12009.0, 11910.0,
+                                   11900.0, 11805.0, 11766.0, 11758.0, 11751.0]
+
+
+def test_reachable_from_lhr(adb):
+    # air_routes.rs:1840 — shortest() meet over growing paths, then the 10
+    # LONGEST shortest-paths (tie order = stored-tuple order)
+    r = adb.run_script("""
+    routes[to, shortest(path)] := *route{fr: 'LHR', to},
+                                  path = ['LHR', to]
+    routes[to, shortest(path)] := routes[a, prev], *route{fr: a, to},
+                                  path = append(prev, to)
+    ?[len, path] := routes[_, path], len = length(path)
+    :order -len
+    :limit 10
+    """)
+    got = [list(x) for x in r.rows]
+    assert got[0] == [8, ["LHR", "YYZ", "YTS", "YMO", "YFA", "ZKE", "YAT", "YPO"]]
+    assert [g[0] for g in got] == [8, 7, 7, 7, 7, 7, 7, 7, 7, 7]
+    # among equal-length shortest paths the reference keeps its first-found
+    # tie and we keep the lexicographic minimum — the DESTINATIONS (whose
+    # shortest length is unique) must agree exactly (air_routes.rs:1860-1878)
+    assert sorted(g[1][-1] for g in got) == sorted(
+        ["YPO", "BVI", "XTG", "PTJ", "PTH", "RDV", "SLQ", "WWT", "THU", "YZG"])
+
+
+def test_hard_route_finding(adb):
+    # air_routes.rs:1188 — choice() inside recursion with an excluded node;
+    # the specific path is insertion-order-dependent in the reference, so we
+    # assert validity: reaches YPO from AUS without YYZ
+    r = adb.run_script("""
+    reachable[to, choice(p)] := *route{fr: 'AUS', to}, to != 'YYZ', p = ['AUS', to]
+    reachable[to, choice(p)] := reachable[b, prev], *route{fr: b, to},
+                                to != 'YYZ', p = append(prev, to)
+    ?[p] := reachable['YPO', p]
+    :limit 1
+    """)
+    assert len(r.rows) == 1
+    path = list(r.rows[0][0])
+    assert path[0] == "AUS" and path[-1] == "YPO" and "YYZ" not in path

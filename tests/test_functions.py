@@ -430,7 +430,7 @@ def test_aggregations_tail(spark):
     ).collect()[0]
     assert r2["lb"] == 2.0   # data at max key 12
     assert r2["sb"] == 7.0   # data at min key 9
-    assert r2["mc"] == 7.0
+    assert list(r2["mc"]) == [7.0, 9.0]  # min_cost returns the full [data, cost] pair (aggr.rs:838)
 
 
 def test_aggregations_sketch_extensions(spark):
