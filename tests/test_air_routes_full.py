@@ -568,3 +568,117 @@ def test_hard_route_finding(adb):
     assert len(r.rows) == 1
     path = list(r.rows[0][0])
     assert path[0] == "AUS" and path[-1] == "YPO" and "YYZ" not in path
+
+
+def test_most_out_routes_both_head_orders(adb):
+    # air_routes.rs:475/508 — same aggregation with both head orders
+    expect_top = [["FRA", 310], ["IST", 309], ["CDG", 293], ["AMS", 283], ["MUC", 270]]
+    r1 = adb.run_script("""
+    route_count[fr, count(fr)] := *route{fr}
+    ?[code, n] := route_count[code, n], n > 180
+    :sort -n
+    """)
+    assert len(r1.rows) == 35 and [list(x) for x in r1.rows[:5]] == expect_top
+    r2 = adb.run_script("""
+    route_count[count(fr), fr] := *route{fr}
+    ?[code, n] := route_count[n, code], n > 180
+    :sort -n
+    """)
+    assert [list(x) for x in r2.rows] == [list(x) for x in r1.rows]
+
+
+def test_most_routes_in_and_out(adb):
+    # air_routes.rs:539 — two clauses aggregate in+out degree together
+    r = adb.run_script("""
+    route_count[a, count(a)] := *route{fr: a}
+    route_count[a, count(a)] := *route{to: a}
+    ?[code, n] := route_count[code, n], n > 400
+    :sort -n
+    """)
+    got = [list(x) for x in r.rows]
+    assert got[:4] == [["FRA", 620], ["IST", 618], ["CDG", 587], ["AMS", 568]]
+    assert len(got) == 25 and got[-1] == ["FCO", 402]
+
+
+def test_airport_with_one_route(adb):
+    # air_routes.rs:570
+    r = adb.run_script("""
+    route_count[fr, count(fr)] := *route{fr}
+    ?[count(a)] := route_count[a, n], n == 1
+    """)
+    assert r.rows[0][0] == 777
+
+
+def test_single_runway_with_most_routes(adb):
+    # air_routes.rs:589
+    r = adb.run_script("""
+    single_or_lgw[code] := code = 'LGW'
+    single_or_lgw[code] := *airport{code, runways}, runways == 1
+    out_counts[a, count(a)] := single_or_lgw[a], *route{fr: a}
+    ?[code, city, out_n] := out_counts[code, out_n], *airport{code, city}
+    :order -out_n
+    :limit 10
+    """)
+    assert [list(x) for x in r.rows] == [
+        ["LGW", "London", 232], ["STN", "London", 211], ["CTU", "Chengdu", 139],
+        ["LIS", "Lisbon", 139], ["BHX", "Birmingham", 130], ["LTN", "London", 130],
+        ["SZX", "Shenzhen", 129], ["CKG", "Chongqing", 122],
+        ["STR", "Stuttgart", 121], ["CRL", "Brussels", 117]]
+
+
+def test_airports_by_route_number(adb):
+    # air_routes.rs:783 — collect() at an exact count
+    r = adb.run_script("""
+    route_count[fr, count(fr)] := *route{fr}
+    ?[n, collect(code)] := route_count[code, n], n = 106
+    """)
+    assert [[r.rows[0][0], sorted(r.rows[0][1])]] == [[106, ["TFS", "YVR"]]]
+
+
+def test_out_from_aus(adb):
+    # air_routes.rs:802 — nested aggregations + collect of pairs
+    r = adb.run_script("""
+    out_by_runways[runways, count(code)] := *route{fr: 'AUS', to: code}, *airport{code, runways}
+    two_hops[count(a)] := *route{fr: 'AUS', to: a}, *route{fr: a}
+    ?[max(total), collect(coll)] := two_hops[total], out_by_runways[n, ct], coll = [n, ct]
+    """)
+    total, colls = r.rows[0][0], sorted([list(c) for c in r.rows[0][1]])
+    assert total == 8354
+    assert colls == [[1, 9], [2, 24], [3, 30], [4, 24], [5, 5], [6, 4], [7, 2]]
+
+
+def test_routes_within_england(adb):
+    # air_routes.rs:1123
+    r = rows(adb.run_script("""
+    eng_aps[code] := *airport{code, region: 'GB-ENG'}
+    ?[fr, to] := eng_aps[fr], *route{fr, to}, eng_aps[to]
+    """))
+    assert len(r) == 54
+    assert ("BHX", "NCL") in r and ("SOU", "NCL") in r
+
+
+def test_routes_within_england_no_dup(adb):
+    # air_routes.rs:1157 — sorted() pair dedup through set semantics
+    r = adb.run_script("""
+    eng_aps[code] := *airport{code, region: 'GB-ENG'}
+    ?[pair] := eng_aps[fr], *route{fr, to}, eng_aps[to], pair = sorted([fr, to])
+    """)
+    pairs = sorted(tuple(x[0]) for x in r.rows)
+    assert len(pairs) == 27
+    assert ("BHX", "NCL") in pairs and ("NQY", "SEN") in pairs
+
+
+def test_eu_cities_reachable_from_fll(adb):
+    # air_routes.rs:1247
+    r = rows(adb.run_script(
+        "?[city] := *route{fr: 'FLL', to}, *contain['EU', to], *airport{code: to, city}"))
+    assert [x[0] for x in r] == ["Barcelona", "Copenhagen", "London", "Madrid",
+                                 "Oslo", "Paris", "Stockholm"]
+
+
+def test_clt_to_eu_or_sa(adb):
+    # air_routes.rs:1273
+    r = rows(adb.run_script(
+        "?[to] := *route{fr: 'CLT', to}, c_name in ['EU', 'SA'], *contain[c_name, to]"))
+    assert [x[0] for x in r] == ["BCN", "CDG", "DUB", "FCO", "FRA",
+                                 "GIG", "GRU", "LHR", "MAD", "MUC"]
