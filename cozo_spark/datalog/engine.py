@@ -991,6 +991,12 @@ class CozoDb:
         elif op in ("rm", "delete"):
             key_names = rel.key_names
             rm_keys = data.select(*[c for c in cols if c in key_names]).distinct()
+            if op == "delete":
+                # :delete is strict — every key must exist (tests.rs:1179:
+                # deleting from an empty relation errors); :rm is lenient
+                absent = rm_keys.join(rel.df, on=rm_keys.columns, how="left_anti")
+                if not absent.isEmpty():
+                    raise QueryError(f":delete keys not present in {name!r}")
             if opts.returning:
                 # rm → requested (input rows null-padded to full width) then
                 # deleted (the full old rows actually removed), transact.rs:60

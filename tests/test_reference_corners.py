@@ -403,3 +403,40 @@ def test_hnsw_complex_schema_and_multifield_search(db):
     assert 1 <= len(r.rows) <= 2
     assert r.headers == ["belief", "valence", "dist", "character_id", "vector"]
     assert all(len(row[4]) == 16 for row in r.rows)
+
+
+def test_insert_delete_strictness(db):
+    # tests.rs insertion/deletion: :insert errors on key conflict; :delete
+    # errors on a missing key while :rm is lenient
+    from cozo_spark.datalog.translate import QueryError
+
+    db.run_script(":create sdel {x => y}")
+    db.run_script("?[x, y] <- [[1, 2]] :insert sdel {x => y}")
+    with pytest.raises(QueryError, match="conflict"):
+        db.run_script("?[x, y] <- [[1, 3]] :insert sdel {x => y}")
+    with pytest.raises(QueryError, match="not present"):
+        db.run_script("?[x] <- [[9]] :delete sdel {x}")
+    db.run_script("?[x] <- [[9]] :rm sdel {x}")  # lenient
+    db.run_script("?[x] <- [[1]] :delete sdel {x}")
+    assert db.run_script("?[x, y] := *sdel[x, y]").rows == []
+
+
+def test_ensure_not_with_ignore_error(db):
+    # tests.rs ensure_not — %ignore_error wraps both the create and the probe
+    db.run_script("""
+    %ignore_error { :create id_alloc {id: Int => next_id: Int, last_id: Int}}
+    %ignore_error {
+        ?[id, next_id, last_id] <- [[0, 1, 1000]];
+        :ensure_not id_alloc {id => next_id, last_id}
+    }
+    """)
+
+
+def test_fts_create_drop(db):
+    # tests.rs fts_drop
+    db.run_script(":create entityf {name}")
+    db.run_script("::fts create entityf:fts_index { extractor: name, "
+                  "tokenizer: Simple, filters: [Lowercase] }")
+    db.run_script("::fts drop entityf:fts_index")
+    assert not any(r[0] == "fts_index"
+                   for r in db.run_script("::indices entityf").rows)
