@@ -766,6 +766,70 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_three_hop_filter",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    l1 AS (SELECT DISTINCT e.dst AS n FROM e WHERE e.src = 7),
+    l2 AS (SELECT DISTINCT e.dst AS n FROM l1 JOIN e ON e.src = l1.n),
+    l3 AS (SELECT DISTINCT e.dst AS n FROM l2 JOIN e ON e.src = l2.n)
+    SELECT l3.n AS friend FROM l3
+    JOIN customer c ON c.c_custkey = l3.n
+    WHERE c.c_acctbal >= 0
+    ORDER BY friend
+    """,
+)
+def graph_three_hop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 3-hop expansion with an attribute filter on the final frontier
+    — the Pokec bench expansion_3_filter shape (benches/pokec.rs:404-416),
+    written in CozoScript through the engine with a $id parameter. Each hop
+    is a distinct-projected equi-join; the attribute filter is a broadcast
+    join against the user table at the end."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "friends", _edges(spark, sf_dir).select(F.col("src").alias("fr"),
+                                                F.col("dst").alias("to")))
+    db.register_dataframe("user", _t(spark, sf_dir, "customer")
+                          .select(F.col("c_custkey").alias("uid"),
+                                  F.col("c_acctbal").alias("bal")))
+    return db.run_script_df("""
+    l1[to] := *friends{fr: $id, to}
+    l2[to] := l1[fr], *friends{fr, to}
+    ?[friend] := l2[fr], *friends{fr, to: friend}, *user{uid: friend, bal}, bal >= 0
+    """, params={"id": 7})
+
+
+@query(
+    "graph_pattern_long",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT CAST(COUNT(DISTINCT e3.src) AS BIGINT) AS n_closers
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.dst = e2.dst
+    WHERE e1.src = 7
+    """,
+)
+def graph_pattern_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long pattern match: nodes n with an edge into the 2-hop frontier of a
+    seed — the Pokec bench pattern_long shape (benches/pokec.rs:521-538,
+    made deterministic by counting instead of :limit 1). Exercises a
+    reversed-edge join (*friends.rev there, dst-keyed join here)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "friends", _edges(spark, sf_dir).select(F.col("src").alias("fr"),
+                                                F.col("dst").alias("to")))
+    return db.run_script_df("""
+    ?[count_unique(n)] := *friends{fr: $id, to: n2},
+                          *friends{fr: n2, to: n3},
+                          *friends{fr: n, to: n3}
+    """, params={"id": 7}).toDF("n_closers")
+
+
+@query(
     "graph_cycle3",
     oracle=f"""
     WITH e AS ({_EDGES_SQL})
