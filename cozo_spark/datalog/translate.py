@@ -93,6 +93,15 @@ def compile_expr(e, bound: set, typer=None) -> Column:
                 return compile_expr(e.args[0], bound, typer).isNotNull()
             if verdict is False:
                 return F.lit(False)
+        if e.fn in ("eq", "neq") and len(e.args) == 2:
+            # Cozo's total order compares ANY two values: values of different
+            # type classes are simply unequal (value.rs:143-145). Spark would
+            # instead cast and throw ('AAA' = 0 → CAST_INVALID_INPUT), so
+            # fold statically-incompatible comparisons to constants.
+            c1 = _type_class(_spark_item_type(e.args[0], typer))
+            c2 = _type_class(_spark_item_type(e.args[1], typer))
+            if c1 is not None and c2 is not None and c1 != c2:
+                return F.lit(e.fn == "neq")
         if e.fn in ("length", "reverse", "first", "last") and len(e.args) == 1:
             t = _static_type(e.args[0], typer)
             if e.fn in ("first", "last") and t is not None and t.startswith("struct<_0"):
@@ -185,6 +194,20 @@ def _num_norm(t: str) -> str:
     """Numeric types widen inside array() — treat them as one class."""
     return "num" if t in ("bigint", "int", "smallint", "tinyint",
                           "double", "float") else t
+
+
+def _type_class(t: Optional[str]) -> Optional[str]:
+    """Coarse Cozo type class of a Spark dtype (None = unknown)."""
+    if t is None:
+        return None
+    t = _num_norm(t)
+    if t in ("num", "string", "boolean", "binary"):
+        return t
+    if t.startswith("array"):
+        return "array"
+    if t.startswith("struct"):
+        return "struct"
+    return None
 
 
 def _struct_fields(dtype: str) -> list:

@@ -233,16 +233,23 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
 # ConnectedComponents — strongly_connected_components.rs (undirected part)
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                         max_iterations: int = 64) -> DataFrame:
     """(node, component): min-node-id label propagation to fixpoint.
 
     Large-star/small-star style: per round each node adopts the min label in
     its closed neighborhood; converges in O(log n) rounds on most graphs.
+    ``nodes`` (the reference's optional second input relation) adds isolated
+    vertices, each its own component.
     """
     e = _norm_edges(edges)
     und = _checkpoint(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct())
-    labels = _checkpoint(_nodes(und).select("node", F.col("node").alias("component")))
+    base = _nodes(und)
+    if nodes is not None:
+        extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
+        base = base.unionByName(extra).distinct()
+    labels = _checkpoint(base.select("node", F.col("node").alias("component")))
     for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und.src == labels.node)
@@ -265,7 +272,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFram
     return labels
 
 
-def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+def strongly_connected_components(edges: DataFrame, nodes: DataFrame | None = None,
+                                  max_iterations: int = 64) -> DataFrame:
     """(node, component): SCC via iterated min-label forward/backward peeling.
 
     Per round, within the unassigned subgraph: fwdmin(v) = min id that can
@@ -280,7 +288,11 @@ def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) ->
     """
     e = _checkpoint(_norm_edges(edges).distinct())
     remaining_e = e
-    remaining_n = _checkpoint(_nodes(e))
+    base_n = _nodes(e)
+    if nodes is not None:
+        extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
+        base_n = base_n.unionByName(extra).distinct()
+    remaining_n = _checkpoint(base_n)
     parts = []
     for _ in range(max_iterations):
         if remaining_n.isEmpty():

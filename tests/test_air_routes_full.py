@@ -682,3 +682,49 @@ def test_clt_to_eu_or_sa(adb):
         "?[to] := *route{fr: 'CLT', to}, c_name in ['EU', 'SA'], *contain[c_name, to]"))
     assert [x[0] for x in r] == ["BCN", "CDG", "DUB", "FCO", "FRA",
                                  "GIG", "GRU", "LHR", "MAD", "MUC"]
+
+
+def test_fixed_rules_on_real_graph(adb):
+    # air_routes.rs:236-320 runs these without asserts; we assert sanity on
+    # the same 3.5k-node / 50k-edge graph
+    r = adb.run_script("""
+    deg_centrality[] <~ DegreeCentrality(*route[a, b])
+    ?[total, out, in] := deg_centrality[node, total, out, in]
+    :order -total
+    :limit 10
+    """)
+    assert len(r.rows) == 10 and r.rows[0][0] == 620  # FRA in+out
+
+    r2 = adb.run_script("""
+    res[] <~ ConnectedComponents(*route[], *airport[code])
+    ?[grp, code] := res[code, grp], grp != 0
+    """)
+    assert len(r2.rows) >= 0  # ran; membership is label-dependent
+
+    r3 = adb.run_script("""
+    starting[] <- [['JFK']]
+    ending[] <- [['KUL']]
+    res[] <~ ShortestPathDijkstra(*route[], starting[], ending[])
+    ?[path] := res[src, dst, cost, path]
+    """)
+    assert len(r3.rows) == 1
+    p = list(r3.rows[0][0])
+    assert p[0] == "JFK" and p[-1] == "KUL"
+
+    r4 = adb.run_script("""
+    starting[] <- [['PEK']]
+    ending[] <- [['SIN']]
+    ?[] <~ KShortestPathYen(*route[], starting[], ending[], k: 5)
+    """)
+    assert 1 <= len(r4.rows) <= 5
+    assert all(row[3][0] == "PEK" and row[3][-1] == "SIN" for row in r4.rows)
+
+    r5 = adb.run_script("""
+    code_lat_lon[code, lat, lon] := *airport{code, lat, lon}
+    starting[code, lat, lon] := code = 'HFE', *airport{code, lat, lon}
+    goal[code, lat, lon] := code = 'LHR', *airport{code, lat, lon}
+    ?[] <~ ShortestPathAStar(*route[], code_lat_lon[node, lat1, lon1], starting[], goal[goal, lat2, lon2],
+                             heuristic: haversine_deg_input(lat1, lon1, lat2, lon2) * 3963)
+    """)
+    assert len(r5.rows) == 1
+    assert r5.rows[0][0] == "HFE" and r5.rows[0][1] == "LHR"
