@@ -715,7 +715,11 @@ class CozoDb:
                 and opts.assert_kind is None):
             target = opts.limit + (opts.offset or 0)
             if not self._scc_read_outside(scc, prog, exclude={"?"}):
-                if "?" in scc and not meet.get("?"):
+                if "?" in scc and not any(meet.get(r, False) for r in scc):
+                    # within an SCC every rule (transitively) reads every
+                    # other, so ANY meet rule in it can still improve values
+                    # '?' derived from — same unsoundness as the
+                    # entry-outside-SCC meet-dep case below
                     early_stop_at = target
                 elif "?" in clause_map and "?" not in scc:
                     d, nd = set(), set()

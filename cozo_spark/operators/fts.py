@@ -26,20 +26,109 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# --- tokenizer pipeline (fts/tokenizer/*): simple | raw | ngram; filters:
-# lowercase, alphanumonly, asciifolding, stemmer (stub), stopwords ------------
+# --- tokenizer pipeline (fts/tokenizer/*): Raw | Simple | Whitespace | NGram;
+# filters: Lowercase, AsciiFolding, AlphaNumOnly, Stopwords, RemoveLong (all
+# JVM-side array transforms), Stemmer, SplitCompoundWords (Arrow-batched
+# Python stages) — applied in declared order like the reference's
+# TextAnalyzer chain (fts/mod.rs:128-215) --------------------------------------
+
+_ACCENTS = ("áàâäãåçéèêëíìîïñóòôöõúùûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy")
+
+
+def normalize_filters(spec) -> tuple:
+    """Parsed `filters:` option → ((name, args), ...).
+
+    Accepts plain strings ('Lowercase'), parser bare-identifier lists,
+    or expression ASTs for call-shaped filters — Stemmer('english'),
+    Stopwords('en'), RemoveLong(40), SplitCompoundWords([...])
+    (fts/mod.rs:141-215 option parsing)."""
+    from cozo_spark.datalog.ast import Call, Const, ListEx, Var
+
+    if spec is None:
+        return ()
+    items = (list(spec.items) if isinstance(spec, ListEx)
+             else list(spec) if isinstance(spec, (list, tuple))
+             else [spec])
+    out = []
+    for it in items:
+        if isinstance(it, tuple) and len(it) == 2 and isinstance(it[1], (list, tuple)):
+            out.append((str(it[0]), list(it[1])))
+        elif isinstance(it, Var):
+            out.append((it.name, []))
+        elif isinstance(it, Const):
+            out.append((str(it.value), []))
+        elif isinstance(it, Call):
+            from cozo_spark.datalog.parser import const_eval
+
+            out.append((it.fn, [const_eval(a) for a in it.args]))
+        elif isinstance(it, str):
+            m = re.match(r"(\w+)\(([^)]*)\)$", it)
+            if m:
+                args = [a.strip().strip("'\"") for a in m.group(2).split(",") if a.strip()]
+                out.append((m.group(1), args))
+            else:
+                out.append((it, []))
+        else:
+            raise ValueError(f"bad FTS filter spec {it!r}")
+    return tuple(out)
+
+
+def _py_token_stage(name: str, args: list):
+    """Python token-array function for filters with no JVM expression."""
+    if name == "Stemmer":
+        from cozo_spark.functions.stemmer import get_stemmer
+
+        fn = get_stemmer(args[0] if args else "english")
+        return lambda toks: [fn(t) for t in toks]
+    if name == "SplitCompoundWords":
+        words = frozenset(str(w).lower() for w in (args[0] if args else []))
+        max_len = max((len(w) for w in words), default=0)
+
+        def split_one(tok: str):
+            # emit the decomposition only if the WHOLE token splits into
+            # dictionary words (tantivy SplitCompoundWords contract)
+            n = len(tok)
+            best: dict[int, list] = {0: []}
+            for i in range(n):
+                if i not in best:
+                    continue
+                for j in range(i + 1, min(n, i + max_len) + 1):
+                    if tok[i:j] in words and j not in best:
+                        best[j] = best[i] + [tok[i:j]]
+            return best.get(n) or [tok]
+
+        return lambda toks: [p for t in toks for p in split_one(t)]
+    raise ValueError(f"unknown FTS filter {name!r}")
+
+
+def _pandas_token_stage(fns):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def u(s):
+        def apply(arr):
+            if arr is None:
+                return None
+            toks = list(arr)
+            for fn in fns:
+                toks = fn(toks)
+            return toks
+
+        return s.map(apply)
+
+    return u
 
 
 def tokenize_expr(text_col, tokenizer: str = "Simple", filters: tuple = ("Lowercase",)):
     """Build the token-array Column for a given tokenizer + filter chain."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lowered = "Lowercase" in filters or tokenizer == "Simple"
-    if lowered:
-        c = F.lower(c)
-    if "AsciiFolding" in filters:
-        # strip combining marks after NFD-ish folding: approximate with
-        # translate of the common accented latin range (JVM-side)
-        c = F.translate(c, "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy")
+    filters = normalize_filters(filters)
+    if tokenizer == "Simple" and not any(n in ("Lowercase", "LowerCase")
+                                         for n, _ in filters):
+        # the reference's canonical configs pair Simple with Lowercase; our
+        # Simple has always folded case (index/query consistency)
+        filters = (("Lowercase", []),) + filters
     if tokenizer == "Raw":
         toks = F.array(c)
     elif tokenizer == "Simple":
@@ -59,11 +148,60 @@ def tokenize_expr(text_col, tokenizer: str = "Simple", filters: tuple = ("Lowerc
             toks = F.concat(toks, p)
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    if "AlphaNumOnly" in filters:
-        toks = F.filter(toks, lambda t: t.rlike("^[\\p{L}\\p{N}]+$"))
-    if "Stopwords" in filters or any(str(f).startswith("Stopwords") for f in filters):
-        stop = F.array(*[F.lit(w) for w in _EN_STOP])
-        toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+
+    py_fns: list = []
+
+    def flush_py(t):
+        nonlocal py_fns
+        if py_fns:
+            t = _pandas_token_stage(py_fns)(t)
+            py_fns = []
+        return t
+
+    for name, args in filters:
+        if name in ("Lowercase", "LowerCase"):
+            toks = flush_py(toks)
+            toks = F.transform(toks, F.lower)
+        elif name == "AsciiFolding":
+            toks = flush_py(toks)
+            toks = F.transform(toks, lambda t: F.translate(t, *_ACCENTS))
+        elif name == "AlphaNumOnly":
+            toks = flush_py(toks)
+            toks = F.filter(toks, lambda t: t.rlike("^[\\p{L}\\p{N}]+$"))
+        elif name == "Stopwords":
+            toks = flush_py(toks)
+            stop = F.array(*[F.lit(w) for w in _EN_STOP])
+            toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+        elif name == "RemoveLong":
+            toks = flush_py(toks)
+            limit = int(args[0]) if args else 40
+            # RemoveLongFilter::limit(n) keeps tokens strictly shorter than n
+            toks = F.filter(toks, lambda t: F.length(t) < limit)
+        else:
+            py_fns.append(_py_token_stage(name, args))
+    toks = flush_py(toks)
+    return toks
+
+
+def py_apply_filters(terms: list, filters: tuple) -> list:
+    """Driver-side mirror of the filter chain for QUERY terms — the same
+    normalization must hit both sides or stemmed/stopped indexes miss."""
+    toks = list(terms)
+    for name, args in normalize_filters(filters):
+        if name in ("Lowercase", "LowerCase"):
+            toks = [t.lower() for t in toks]
+        elif name == "AsciiFolding":
+            table = str.maketrans(*_ACCENTS)
+            toks = [t.translate(table) for t in toks]
+        elif name == "AlphaNumOnly":
+            toks = [t for t in toks if re.match(r"^[\w]+$", t, re.UNICODE)]
+        elif name == "Stopwords":
+            toks = [t for t in toks if t not in _EN_STOP]
+        elif name == "RemoveLong":
+            limit = int(args[0]) if args else 40
+            toks = [t for t in toks if len(t) < limit]
+        else:
+            toks = _py_token_stage(name, args)(toks)
     return toks
 
 
@@ -232,6 +370,9 @@ class FtsIndex:
         the filter: option's semantics."""
         self._score_kind = str(score_kind).lower().replace("-", "_")
         ast = parse_fts_query(query)
+        ast = self._filter_terms(ast)
+        if ast is None:
+            raise ValueError("FTS query is empty after token filtering")
         scored = self._eval(ast)
         if candidates is not None:
             scored = scored.join(candidates, "doc_id")
@@ -239,6 +380,44 @@ class FtsIndex:
             scored.orderBy(F.col("score").desc(), F.col("doc_id"))
             .limit(k)
         )
+
+    def _filter_terms(self, node):
+        """Run the index's filter chain over query terms (both sides must
+        normalize identically — the reference tokenizes queries with the
+        index's TextAnalyzer). Prefix terms skip Python rewrites (a stemmed
+        prefix would no longer be a prefix of indexed terms)."""
+        if isinstance(node, FtsPhrase):
+            if node.prefix:
+                skip = ("Stemmer", "SplitCompoundWords")
+                flt = tuple(f for f in normalize_filters(self.filters)
+                            if f[0] not in skip)
+            else:
+                flt = self.filters
+            terms = py_apply_filters(node.terms, flt)
+            if not terms:
+                return None
+            return FtsPhrase(terms, node.prefix, node.boost)
+        if isinstance(node, FtsNear):
+            phrases = [p for p in (self._filter_terms(x) for x in node.phrases)
+                       if p is not None]
+            if not phrases:
+                return None
+            return FtsNear(phrases, node.distance)
+        if isinstance(node, FtsBool):
+            kids = [self._filter_terms(c) for c in node.children]
+            if node.op == "not":
+                if kids[0] is None:
+                    return None
+                if kids[1] is None:  # nothing to exclude
+                    return kids[0]
+                return FtsBool("not", kids)
+            kids = [k for k in kids if k is not None]
+            if not kids:
+                return None
+            if len(kids) == 1:
+                return kids[0]
+            return FtsBool(node.op, kids)
+        return node
 
     def _idf_factor(self, df_count: int) -> float:
         if getattr(self, "_score_kind", "tf_idf") == "tf":

@@ -49,9 +49,11 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
     if idx.kind == "fts":
         from cozo_spark.operators.fts import FtsIndex
 
+        from cozo_spark.operators.fts import normalize_filters
+
         extractor = idx.options.get("extractor")
         tokenizer = str(idx.options.get("tokenizer", "Simple"))
-        filters = tuple(idx.options.get("filters", ("Lowercase",)))
+        filters = normalize_filters(idx.options.get("filters", ("Lowercase",)))
         idx.artifact = FtsIndex.build(rel.df, extractor, rel.key_names[0],
                                       tokenizer, filters)
     elif idx.kind == "lsh":
