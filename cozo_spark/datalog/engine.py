@@ -715,13 +715,11 @@ class CozoDb:
                 and opts.assert_kind is None):
             target = opts.limit + (opts.offset or 0)
             if not self._scc_read_outside(scc, prog, exclude={"?"}):
-                if "?" in scc and not any(meet.get(r, False) for r in scc):
-                    # within an SCC every rule (transitively) reads every
-                    # other, so ANY meet rule in it can still improve values
-                    # '?' derived from — same unsoundness as the
-                    # entry-outside-SCC meet-dep case below
-                    early_stop_at = target
-                elif "?" in clause_map and "?" not in scc:
+                # '?' can never sit inside a recursive SCC: the grammar
+                # (reference cozoscript.pest:72,86) allows prog_entry '?'
+                # only in rule heads, never body atoms, so no rule can read
+                # it and close a cycle through it.
+                if "?" in clause_map and "?" not in scc:
                     d, nd = set(), set()
                     for cl in clause_map["?"]:
                         for atom in cl.body:
@@ -737,14 +735,11 @@ class CozoDb:
         def _entry_rows_reached() -> bool:
             if early_stop_at is None:
                 return False
-            if "?" in scc:
-                probe = totals["?"]
-            else:
-                if any(totals[r] is None for r in entry_dep_rules):
-                    return False
-                probe = self._eval_clauses_once(
-                    "?", clause_map["?"], stores,
-                    overrides={r: totals[r] for r in scc if totals[r] is not None})
+            if any(totals[r] is None for r in entry_dep_rules):
+                return False
+            probe = self._eval_clauses_once(
+                "?", clause_map["?"], stores,
+                overrides={r: totals[r] for r in scc if totals[r] is not None})
             if probe is None:
                 return False
             return probe.limit(early_stop_at).count() >= early_stop_at

@@ -384,25 +384,28 @@ def test_mixed_int_float_const_coerces(spark):
     assert rows(r2) == [(1, [1.0, 2.5]), (2, [3.0, 4.0])]
 
 
-def test_limit_no_early_exit_entry_in_scc_with_meet(spark):
-    """Same unsoundness with '?' INSIDE the SCC: a non-meet entry mutually
-    recursive with a min() rule must not early-exit on :limit — partial
-    meet totals it reads can still improve in later epochs."""
+def test_entry_in_body_is_parse_error(spark):
+    """'?' in a body atom is grammar-illegal CozoScript: the reference
+    grammar (cozoscript.pest:86 rule_apply = underscore_ident ~ ...;
+    prog_entry '?' legal only in rule_head, line 72) rejects it, so our
+    parser must too. This also means '?' can never join a recursive SCC,
+    which is why the engine has no '?-in-SCC' early-exit branch."""
+    import pytest
+
     from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.parser import ParseError
 
     d = CozoDb(spark)
     d.run_script(":create wedge2 {fr: Int, to: Int => w: Int}")
     d.run_script("?[fr, to, w] <- [[1, 2, 10], [1, 3, 1], [3, 2, 1]] "
                  ":put wedge2 {fr, to => w}")
-    r = d.run_script("""
-    sp[n, min(d)] := *wedge2[1, n, w], d = w
-    sp[n, min(d)] := ?[m, d0], *wedge2[m, n, w], d = d0 + w
-    ?[n, d] := sp[n, d]
-    :limit 3
-    """)
-    got = sorted(tuple(x) for x in r.rows)
-    assert (2, 10) not in got
-    assert set(got) <= {(2, 2), (3, 1)}
+    with pytest.raises(ParseError):
+        d.run_script("""
+        sp[n, min(d)] := *wedge2[1, n, w], d = w
+        sp[n, min(d)] := ?[m, d0], *wedge2[m, n, w], d = d0 + w
+        ?[n, d] := sp[n, d]
+        :limit 3
+        """)
 
 
 def test_limit_no_early_exit_with_meet_dep(spark):
