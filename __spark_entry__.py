@@ -28,10 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    highest-signal entries (incl. the CozoScript engine path) come first."""
+    return Q.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names/aliases)."""
-    return dict(Q.ORACLES)
+    return Q.ordered_oracles()

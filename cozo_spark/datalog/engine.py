@@ -133,6 +133,10 @@ class StoredRelation:
     rm_triggers: list = field(default_factory=list)
     replace_triggers: list = field(default_factory=list)
     indices: dict = field(default_factory=dict)
+    # True when the rows are known to be unique on `keys` (engine-maintained
+    # relations: mutations dropDuplicates on keys; register_dataframe with
+    # explicit keys: caller contract). Gates the translator's distinct elision.
+    keys_trusted: bool = True
 
     @property
     def key_names(self) -> list:
@@ -174,13 +178,20 @@ class CozoDb:
 
     def register_dataframe(self, name: str, df: DataFrame, keys: Optional[list] = None) -> None:
         """Expose an existing DataFrame (e.g. a parquet table) as a stored
-        relation; keys default to all columns."""
+        relation; keys default to all columns.
+
+        Passing ``keys`` explicitly asserts the rows are unique on them
+        (a primary key) — the translator then elides set-semantics dedup
+        shuffles for key-preserving queries. Without ``keys`` the frame may
+        contain duplicate rows, so no uniqueness is assumed."""
         from cozo_spark.datalog.ast import ColDef
 
+        trusted = keys is not None
         keys = keys if keys is not None else df.columns
         kdefs = [ColDef(k) for k in keys]
         ndefs = [ColDef(c) for c in df.columns if c not in keys]
-        self.relations[name] = StoredRelation(name, kdefs, ndefs, df)
+        self.relations[name] = StoredRelation(name, kdefs, ndefs, df,
+                                              keys_trusted=trusted)
 
     def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
         res = self.run_script_df(script, params)
@@ -331,6 +342,24 @@ class CozoDb:
         if not prog.opts.disable_magic_rewrite:
             from cozo_spark.datalog.magic import magic_restrict
             magic_restrict(prog, clause_map)
+
+        # key positions of each rule store, for the translator's distinct
+        # elision (key-FD tracking, translate.py): non-agg rule outputs are
+        # deduplicated sets (all positions form a key); aggregated rules are
+        # unique on their group-key (HeadVar) positions; const rules are
+        # distinct-ed at evaluation; fixed-rule outputs make no claim
+        self._rule_unique = {}
+        for name, rule in prog.rules.items():
+            if isinstance(rule, ConstRule):
+                h = rule.head or []
+                self._rule_unique[name] = frozenset(range(len(h))) if h else None
+            elif isinstance(rule, list):
+                head = clause_map[name][0].head if clause_map.get(name) else rule[0].head
+                if any(isinstance(x, HeadAggr) for x in head):
+                    self._rule_unique[name] = frozenset(
+                        i for i, x in enumerate(head) if isinstance(x, HeadVar))
+                else:
+                    self._rule_unique[name] = frozenset(range(len(head)))
 
         # const and fixed rules evaluate eagerly (they depend only on stored
         # relations and other rules' results — fixed rules may reference rule
@@ -620,6 +649,19 @@ class CozoDb:
         rel = self.relations.get(name)
         return rel.key_names if rel else None
 
+    def _resolve_trusted_keys(self, name: str) -> Optional[list]:
+        """PK columns the rows are KNOWN unique on (distinct-elision gate)."""
+        rel = self.relations.get(name)
+        return rel.key_names if rel is not None and rel.keys_trusted else None
+
+    def _resolve_rule_unique(self, name: str):
+        """Key positions of a rule store (None = no uniqueness claim).
+        `__rec_<rule>_<occ>` delta aliases inherit the base rule's claim —
+        deltas and totals of the fixpoint are both deduplicated sets."""
+        if name.startswith("__rec_"):
+            name = name[len("__rec_"):].rsplit("_", 1)[0]
+        return getattr(self, "_rule_unique", {}).get(name)
+
     def _search(self, rel_name: str, idx_name: str, opts: dict):
         from cozo_spark.operators import indices as IX
 
@@ -659,7 +701,9 @@ class CozoDb:
     def _eval_clauses_once(self, name, clauses, stores, overrides=None) -> DataFrame:
         tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
                               key_resolver=self._resolve_keys,
-                              search_resolver=self._search)
+                              search_resolver=self._search,
+                              rule_unique_resolver=self._resolve_rule_unique,
+                              trusted_key_resolver=self._resolve_trusted_keys)
         width = len(clauses[0].head)
         for cl in clauses[1:]:
             if len(cl.head) != width:
@@ -681,7 +725,14 @@ class CozoDb:
             for p in raws[1:]:
                 raw = raw.unionByName(p)
             return self._canon(aggregate_head(raw, clauses[0].head))
-        parts = [self._canon(tr.translate(cl.head, cl.body)) for cl in clauses]
+        parts, part_unique = [], []
+        for cl in clauses:
+            parts.append(self._canon(tr.translate(cl.head, cl.body)))
+            part_unique.append(tr.last_unique)
+        if len(parts) == 1 and part_unique[0]:
+            # provably duplicate-free (key-FD tracking): skip the set-semantics
+            # dedup shuffle entirely
+            return parts[0]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -779,12 +830,16 @@ class CozoDb:
                     continue
                 tr = ClauseTranslator(self.spark, self._make_resolver(stores, overrides),
                                       key_resolver=self._resolve_keys,
-                                      search_resolver=self._search)
-                outs.append(self._canon(tr.translate(cl.head, body)))
+                                      search_resolver=self._search,
+                                      rule_unique_resolver=self._resolve_rule_unique,
+                                      trusted_key_resolver=self._resolve_trusted_keys)
+                outs.append((self._canon(tr.translate(cl.head, body)), tr.last_unique))
             if not outs:
                 return None
-            out = outs[0]
-            for p in outs[1:]:
+            if len(outs) == 1 and outs[0][1]:
+                return outs[0][0]
+            out = outs[0][0]
+            for p, _u in outs[1:]:
                 out = out.unionByName(p)
             return out.distinct()
 

@@ -359,25 +359,60 @@ def _df_typer(df):
     return types.get
 
 
+def _prune_keys(keys: list) -> list:
+    """Minimal candidate-key sets: dedupe, drop supersets, cap the list."""
+    uniq: list = []
+    for k in sorted(set(keys), key=len):
+        if not any(u <= k for u in uniq):
+            uniq.append(k)
+    return uniq[:6]
+
+
 class ClauseTranslator:
     """Translates one flat conjunction into a DataFrame whose columns are the
-    clause's bound variables."""
+    clause's bound variables.
+
+    Key-FD tracking: alongside ``bound`` we maintain ``self._ukeys`` — sets of
+    variables provably forming a unique key of the running frame (seeded from
+    stored relations' declared PKs and derived rules' set semantics, and
+    propagated through equi-joins, filters and scalar unifications). When a
+    key set survives into the head projection, the set-semantics
+    ``distinct()`` is provably a no-op and is elided — at cluster scale this
+    removes a full shuffle from every key-preserving query. The reference
+    needs no such step because its B-tree iterators yield deduplicated tuples
+    by construction (query/ra.rs StoredRA); Catalyst has no PK metadata, so
+    we carry it here."""
 
     def __init__(self, spark, resolver: Resolver, key_resolver=None,
-                 search_resolver=None):
+                 search_resolver=None, rule_unique_resolver=None,
+                 trusted_key_resolver=None):
         self.spark = spark
         self.resolver = resolver
         # key_resolver(name) -> list of PK column names (or None): needed by
         # validity as-of reads, whose dedup window partitions on the key prefix
         self.key_resolver = key_resolver or (lambda name: None)
+        # trusted_key_resolver(name) -> PK columns rows are KNOWN unique on
+        # (may be a narrower contract than key_resolver — e.g. frames
+        # registered without explicit keys make no uniqueness promise)
+        self.trusted_key_resolver = trusted_key_resolver or (lambda name: None)
         # search_resolver(rel, idx, opts) -> DataFrame: executes ~rel:idx
         # search atoms (HNSW/FTS/LSH, engine-provided)
         self.search_resolver = search_resolver
+        # rule_unique_resolver(name) -> frozenset of column POSITIONS forming
+        # a unique key of a rule store (engine-provided), or None
+        self.rule_unique_resolver = rule_unique_resolver or (lambda name: None)
+        # set by _positional_frame/_named_frame/_search_frame for _join
+        self._frame_keys: list = []
+        # True after translate() iff the head projection was provably
+        # duplicate-free and distinct() was skipped
+        self.last_unique: bool = False
 
     def translate(self, head, body: list, raw: bool = False) -> DataFrame:
         atoms = list(body)
         df: Optional[DataFrame] = None
         bound: set = set()
+        self._ukeys: list = []
+        self.last_unique = False
         progress = True
         deferred_negs: list[Negation] = []
         while atoms and progress:
@@ -410,6 +445,7 @@ class ClauseTranslator:
             # Unit seed: a body of only constant conditions (ra.rs InlineFixed Unit)
             df = self.spark.range(1).select(F.lit(1).alias("__unit__"))
             bound = set()
+            self._ukeys = [frozenset()]
         if raw:
             # positional projection of the head's input columns, multiplicity
             # preserved — the caller unions clause streams and aggregates once
@@ -441,6 +477,7 @@ class ClauseTranslator:
                 ok, v = try_const(atom.expr)
                 if ok:
                     seed = self.spark.range(1 if v else 0).select(F.lit(1).alias("__unit__"))
+                    self._ukeys = [frozenset()]
                     return seed, bound
                 raise QueryError("condition before any bindings")
             return df.filter(compile_expr(atom.expr, bound, _df_typer(df))), bound
@@ -481,9 +518,45 @@ class ClauseTranslator:
         out = base
         for f in filters:
             out = out.filter(f)
+        self._frame_keys = self._positional_keys(atom, cols)
         if not sel:
             return out.select(F.lit(1).alias("__exists__")).limit(1)
         return out.select(*sel)
+
+    def _positional_keys(self, atom, cols: list) -> list:
+        """Unique-key var sets of a positional atom's projected frame.
+
+        A key POSITION is covered if its arg is a constant (fixes the value)
+        or a variable (carries it); '_' drops the column and forfeits the
+        claim. Repeated vars only add filters, preserving row uniqueness."""
+        if isinstance(atom, RelApply) and atom.validity is not None:
+            return []  # as-of reads: conservative, no claim
+        if isinstance(atom, RuleApply):
+            key_positions = self.rule_unique_resolver(atom.name)
+        else:
+            keynames = self.trusted_key_resolver(atom.name)
+            if keynames is None or not all(k in cols for k in keynames):
+                return []
+            key_positions = frozenset(cols.index(k) for k in keynames)
+        if key_positions is None:
+            return []
+        keyvars = set()
+        for i, arg in enumerate(atom.args):
+            if i not in key_positions:
+                continue
+            if isinstance(arg, Var):
+                if arg.name == "_":
+                    return []
+                keyvars.add(arg.name)
+            else:
+                ok, _v = try_const(arg)
+                if not ok:
+                    return []
+        # positions beyond the args given: unconstrained key columns exist
+        # only if the atom under-specifies arity — then rows can duplicate
+        if max(key_positions, default=-1) >= len(atom.args):
+            return []
+        return [frozenset(keyvars)]
 
     def _named_frame(self, atom: NamedRelApply) -> DataFrame:
         base = self.resolver(atom.name)
@@ -511,7 +584,33 @@ class ClauseTranslator:
         out = base
         for f in filters:
             out = out.filter(f)
+        self._frame_keys = self._named_keys(atom)
         return out.select(*sel) if sel else out.select(F.lit(1).alias("__exists__")).limit(1)
+
+    def _named_keys(self, atom: NamedRelApply) -> list:
+        """Unique-key var sets of a named atom's projected frame: every PK
+        column must be either const-filtered or bound to a variable."""
+        if atom.validity is not None:
+            return []
+        keynames = self.trusted_key_resolver(atom.name)
+        if keynames is None:
+            return []
+        keyvars = set()
+        for k in keynames:
+            if k not in atom.pairs:
+                return []
+            e = atom.pairs[k]
+            if e is None:
+                keyvars.add(k)
+            elif isinstance(e, Var):
+                if e.name == "_":
+                    return []
+                keyvars.add(e.name)
+            else:
+                ok, _v = try_const(e)
+                if not ok:
+                    return []
+        return [frozenset(keyvars)]
 
     def _search_frame(self, atom: SearchApply) -> DataFrame:
         """`~rel:idx{bindings | opts}` → engine-executed index search joined
@@ -559,6 +658,7 @@ class ClauseTranslator:
         out = base
         for f in filters:
             out = out.filter(f)
+        self._frame_keys = []
         return out.select(*sel) if sel else out
 
     def _as_of(self, base: DataFrame, validity_expr, rel_name: str = "") -> DataFrame:
@@ -605,17 +705,34 @@ class ClauseTranslator:
         )
 
     def _join(self, df, bound, right: DataFrame):
+        rkeys = self._frame_keys
         if "__exists__" in right.columns:
             # atom with only constant args: acts as an existence guard
+            # (≤1-row cross join — df row uniqueness preserved)
             if df is None:
+                self._ukeys = [frozenset()]
                 return right.drop("__exists__").select(F.lit(1).alias("__unit__")), bound
             return df.crossJoin(right.select(F.lit(1).alias("__e")).limit(1)).drop("__e"), bound
         rcols = set(right.columns)
         if df is None or set(df.columns) == {"__unit__"}:
+            self._ukeys = _prune_keys(rkeys)
             return right, bound | rcols
-        shared = sorted(bound & rcols)
+        shared = frozenset(bound & rcols)
+        # key-FD propagation across the equi-join: a side's key survives when
+        # the OTHER side matches at most one row (its key ⊆ join columns);
+        # the union of one key from each side is always a key of the output
+        new_keys: list = []
         if shared:
-            out = df.join(right, on=shared, how="inner")
+            l_lookup = any(k <= shared for k in self._ukeys)
+            r_lookup = any(k <= shared for k in rkeys)
+            if r_lookup:
+                new_keys += self._ukeys
+            if l_lookup:
+                new_keys += rkeys
+        new_keys += [ka | kb for ka in self._ukeys for kb in rkeys]
+        self._ukeys = _prune_keys(new_keys)
+        if shared:
+            out = df.join(right, on=sorted(shared), how="inner")
         else:
             out = df.crossJoin(right)
         return out, bound | rcols
@@ -625,15 +742,19 @@ class ClauseTranslator:
                if not isinstance(atom.expr, Const) else F.lit(atom.expr.value))
         if df is None:
             df = self.spark.range(1).select(F.lit(1).alias("__unit__"))
+            self._ukeys = [frozenset()]
         if atom.var == "_":
             # '_' never unifies, even with itself (do_not_unify_underscore,
             # runtime/tests.rs:210-244): `_ = e` binds nothing; `_ in e`
             # keeps the row multiplicity of the iteration but binds nothing
             if atom.multi:
                 tmp = f"__wild_{len(df.columns)}"
+                self._ukeys = []  # explode duplicates rows
                 return df.withColumn(tmp, F.explode(col)).drop(tmp), bound
             return df, bound
         if atom.multi:
+            # exploded list values may repeat — no uniqueness claim survives
+            self._ukeys = []
             col = F.explode(col)
         if atom.var in bound:
             if atom.multi:
@@ -678,10 +799,18 @@ class ClauseTranslator:
                 if h.name not in bound:
                     raise QueryError(f"head variable {h.name!r} unbound in body")
                 cols.append(F.col(h.name))
+            head_names = {h.name for h in head}
+            if any(k <= head_names for k in self._ukeys):
+                # a tracked unique key survives into the head: the rows are
+                # already a set, distinct() would only add a shuffle
+                self.last_unique = True
+                return df.select(*cols)
             return df.select(*cols).distinct()
         raw = df.select(*[
             F.col(h.name if isinstance(h, HeadVar) else h.var).alias(f"__h{i}")
             for i, h in enumerate(head)])
+        # groupBy output is unique on the group keys by construction
+        self.last_unique = True
         return aggregate_head(raw, head)
 
 
