@@ -190,10 +190,32 @@ def stem_english(word: str) -> str:
 
 
 def get_stemmer(language: str):
-    """Language name -> stem function (stemmer.rs Language enum surface)."""
+    """Language name -> stem function (stemmer.rs Language enum surface).
+
+    11 of the reference's 18 Snowball languages are implemented from the
+    published algorithm definitions (snowball.py); the rest raise with
+    context."""
+    from cozo_spark.functions import snowball as _sb
+
     lang = str(language).strip().lower()
-    if lang in ("english", "en"):
-        return stem_english
+    table = {
+        "english": stem_english, "en": stem_english,
+        "danish": _sb.stem_danish, "da": _sb.stem_danish,
+        "norwegian": _sb.stem_norwegian, "no": _sb.stem_norwegian,
+        "swedish": _sb.stem_swedish, "sv": _sb.stem_swedish,
+        "german": _sb.stem_german, "de": _sb.stem_german,
+        "dutch": _sb.stem_dutch, "nl": _sb.stem_dutch,
+        "french": _sb.stem_french, "fr": _sb.stem_french,
+        "spanish": _sb.stem_spanish, "es": _sb.stem_spanish,
+        "italian": _sb.stem_italian, "it": _sb.stem_italian,
+        "portuguese": _sb.stem_portuguese, "pt": _sb.stem_portuguese,
+        "russian": _sb.stem_russian, "ru": _sb.stem_russian,
+    }
+    if lang in table:
+        return table[lang]
     raise NotImplementedError(
-        f"Stemmer language {language!r} not implemented (English only; the "
-        "reference wraps the full Snowball family via rust_stemmers)")
+        f"Stemmer language {language!r} not implemented (supported: english,"
+        " danish, norwegian, swedish, german, dutch, french, spanish,"
+        " italian, portuguese, russian; the reference additionally wraps"
+        " arabic, finnish, greek, hungarian, romanian, tamil, turkish via"
+        " rust_stemmers)")

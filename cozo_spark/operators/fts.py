@@ -62,9 +62,28 @@ def normalize_filters(spec) -> tuple:
 
             out.append((it.fn, [const_eval(a) for a in it.args]))
         elif isinstance(it, str):
-            m = re.match(r"(\w+)\(([^)]*)\)$", it)
+            m = re.match(r"(\w+)\((.*)\)$", it)
             if m:
-                args = [a.strip().strip("'\"") for a in m.group(2).split(",") if a.strip()]
+                # parse the whole arg list as Python literals so list-valued
+                # filters ("SplitCompoundWords(['of','the'])") arrive intact
+                # instead of being comma-split into fragments
+                import ast as _pyast
+
+                argtext = m.group(2).strip()
+                if argtext:
+                    try:
+                        parsed = _pyast.literal_eval(f"({argtext},)")
+                        args = list(parsed)
+                    except (ValueError, SyntaxError):
+                        if any(ch in argtext for ch in "[]{}()"):
+                            # structured args must be valid literals — never
+                            # comma-split a bracketed list into fragments
+                            raise ValueError(f"bad FTS filter args in {it!r}")
+                        # bare-identifier convenience: Stemmer(german)
+                        args = [a.strip().strip("'\"")
+                                for a in argtext.split(",") if a.strip()]
+                else:
+                    args = []
                 out.append((m.group(1), args))
             else:
                 out.append((it, []))
@@ -194,7 +213,9 @@ def py_apply_filters(terms: list, filters: tuple) -> list:
             table = str.maketrans(*_ACCENTS)
             toks = [t.translate(table) for t in toks]
         elif name == "AlphaNumOnly":
-            toks = [t for t in toks if re.match(r"^[\w]+$", t, re.UNICODE)]
+            # same character class as the JVM side's ^[\p{L}\p{N}]+$ —
+            # [^\W_] is unicode letter/digit WITHOUT underscore
+            toks = [t for t in toks if re.fullmatch(r"[^\W_]+", t, re.UNICODE)]
         elif name == "Stopwords":
             toks = [t for t in toks if t not in _EN_STOP]
         elif name == "RemoveLong":
@@ -348,11 +369,19 @@ class FtsIndex:
     """A built FTS index + the stats needed for scoring."""
 
     def __init__(self, index_df: DataFrame, n_docs: int,
-                 tokenizer: str = "Simple", filters: tuple = ("Lowercase",)):
+                 tokenizer: str = "Simple", filters: tuple = ("Lowercase",),
+                 term_df: DataFrame | None = None):
         self.df = index_df
         self.n_docs = n_docs
         self.tokenizer = tokenizer
         self.filters = filters
+        # (term, doc_freq): document frequency is a static property of the
+        # index — precomputed at build so scoring joins against it instead of
+        # issuing one driver collect() per query term (index rows are unique
+        # on (term, doc_id), so count(*) per term IS the doc frequency)
+        self.term_df = (term_df if term_df is not None
+                        else index_df.groupBy("term")
+                        .agg(F.count("*").alias("doc_freq")))
 
     @classmethod
     def build(cls, df: DataFrame, text_col: str, id_col: str,
@@ -360,7 +389,8 @@ class FtsIndex:
         from cozo_spark.datalog.fixpoint import _checkpoint
 
         idx = _checkpoint(build_fts_index(df, text_col, id_col, tokenizer, filters))
-        return cls(idx, df.count(), tokenizer, filters)
+        term_df = _checkpoint(idx.groupBy("term").agg(F.count("*").alias("doc_freq")))
+        return cls(idx, df.count(), tokenizer, filters, term_df=term_df)
 
     def search(self, query: str, k: int = 10, score_kind: str = "tf_idf",
                candidates: DataFrame | None = None) -> DataFrame:
@@ -372,7 +402,11 @@ class FtsIndex:
         ast = parse_fts_query(query)
         ast = self._filter_terms(ast)
         if ast is None:
-            raise ValueError("FTS query is empty after token filtering")
+            # query vanished after filtering (e.g. all stopwords): the
+            # reference returns an empty result set, not an error
+            # (fts/indexing.rs:257-260)
+            return (self.df.select("doc_id")
+                    .withColumn("score", F.lit(0.0)).limit(0))
         scored = self._eval(ast)
         if candidates is not None:
             scored = scored.join(candidates, "doc_id")
@@ -388,9 +422,14 @@ class FtsIndex:
         prefix would no longer be a prefix of indexed terms)."""
         if isinstance(node, FtsPhrase):
             if node.prefix:
-                skip = ("Stemmer", "SplitCompoundWords")
+                # the reference pushes prefix literals UNTOKENIZED
+                # (fts/ast.rs:21-25): skip every dropping/rewriting filter —
+                # a stemmed prefix is no longer a prefix of indexed terms, and
+                # Stopwords/AlphaNumOnly/RemoveLong would silently drop "a*".
+                # Keep only case/accent normalization.
+                keep = ("Lowercase", "LowerCase", "AsciiFolding")
                 flt = tuple(f for f in normalize_filters(self.filters)
-                            if f[0] not in skip)
+                            if f[0] in keep)
             else:
                 flt = self.filters
             terms = py_apply_filters(node.terms, flt)
@@ -419,10 +458,12 @@ class FtsIndex:
             return FtsBool(node.op, kids)
         return node
 
-    def _idf_factor(self, df_count: int) -> float:
+    def _idf_col(self, dfc) -> F.Column:
+        """idf = ln(1 + N/df) as a Column — no driver round-trips; df is a
+        static index property joined from the precomputed term_df frame."""
         if getattr(self, "_score_kind", "tf_idf") == "tf":
-            return 1.0
-        return float(_idf(self.n_docs, max(df_count, 1)))
+            return F.lit(1.0)
+        return F.log(F.lit(1.0) + F.lit(float(self.n_docs)) / F.greatest(dfc, F.lit(1)))
 
     # posting set for one phrase, scored
     def _phrase_postings(self, p: FtsPhrase) -> DataFrame:
@@ -430,17 +471,23 @@ class FtsIndex:
         if not p.terms:
             raise ValueError("empty phrase")
         if p.prefix and len(p.terms) == 1:
-            posts = idx.filter(F.col("term").startswith(p.terms[0]))
-            df_count = posts.select("doc_id").distinct().count()
-            idf = F.lit(self._idf_factor(df_count))
-            return (posts.groupBy("doc_id")
-                    .agg((F.sum("tf") * idf * p.boost).alias("score")))
+            # prefix df = number of matching docs: computed in-plan as a
+            # 1-row aggregate cross-joined back (broadcast NL, no action)
+            grouped = (idx.filter(F.col("term").startswith(p.terms[0]))
+                       .groupBy("doc_id").agg(F.sum("tf").alias("__tfs")))
+            dfc = grouped.agg(F.count("*").alias("__dfc"))
+            return (grouped.crossJoin(dfc)
+                    .select("doc_id",
+                            (F.col("__tfs") * self._idf_col(F.col("__dfc"))
+                             * p.boost).alias("score")))
         parts = []
         for i, t in enumerate(p.terms):
             parts.append(
                 idx.filter(F.col("term") == t)
+                .join(self.term_df, "term")  # term==t infers into term_df scan
                 .select("doc_id", F.col("tf").alias(f"tf_{i}"),
-                        F.col("positions").alias(f"pos_{i}")))
+                        F.col("positions").alias(f"pos_{i}"),
+                        F.col("doc_freq").alias(f"df_{i}")))
         cur = parts[0]
         for i, nxt in enumerate(parts[1:], start=1):
             cur = cur.join(nxt, "doc_id")
@@ -451,14 +498,9 @@ class FtsIndex:
             cur = cur.filter(adj)
         score = None
         for i, t in enumerate(p.terms):
-            dfc = self._df_count(t)
-            s = F.col(f"tf_{i}") * F.lit(self._idf_factor(dfc))
+            s = F.col(f"tf_{i}") * self._idf_col(F.col(f"df_{i}"))
             score = s if score is None else score + s
         return cur.select("doc_id", (score * p.boost).alias("score"))
-
-    def _df_count(self, term: str) -> int:
-        r = self.df.filter(F.col("term") == term).agg(F.count("*").alias("c")).collect()
-        return max(int(r[0]["c"]), 1)
 
     def _eval(self, node) -> DataFrame:
         if isinstance(node, FtsPhrase):
@@ -501,11 +543,12 @@ class FtsIndex:
 
     def _phrase_postings_with_positions(self, p: FtsPhrase, tag: int) -> DataFrame:
         t = p.terms[0]
-        dfc = self._df_count(t)
         return (
             self.df.filter(F.col("term") == t)
+            .join(self.term_df, "term")
             .select("doc_id",
-                    (F.col("tf") * F.lit(self._idf_factor(dfc)) * p.boost).alias(f"ns_{tag}"),
+                    (F.col("tf") * self._idf_col(F.col("doc_freq"))
+                     * p.boost).alias(f"ns_{tag}"),
                     F.col("positions").alias(f"np_{tag}"))
         )
 

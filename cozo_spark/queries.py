@@ -59,8 +59,10 @@ def query(name: str, oracle: str | None = None):
     """,
 )
 def inline_fixed_const(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Constant relation `<- [[...]]` (reference ra.rs:737-831)."""
-    return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string").orderBy("k")
+    """Constant relation `<- [[...]]` through the CozoScript engine
+    (reference ra.rs:737-831)."""
+    db = _db(spark, sf_dir, ())
+    return db.run_script_df("?[k, v] <- [[1, 'a'], [2, 'b'], [3, 'c']] :sort k")
 
 
 # ---------------------------------------------------------------------------
@@ -82,12 +84,12 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PushedFilters / ReadSchema in .explain) — Catalyst's equivalent of the
     reference's compute_bounds key-range pushdown.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter((F.col("l_quantity") > 30) & (F.col("l_quantity") <= 45)
-                  & (F.col("l_returnflag") == "R"))
-        .select("l_orderkey", "l_partkey", "l_quantity")
-    )
+    db = _db(spark, sf_dir, ("lineitem",))
+    return db.run_script_df("""
+    ?[l_orderkey, l_partkey, l_quantity] :=
+        *lineitem{l_orderkey, l_partkey, l_quantity, l_returnflag: 'R'},
+        l_quantity > 30, l_quantity <= 45
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -108,12 +110,12 @@ def join_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is the small side; broadcast keeps it shuffle-free at any scale
     where the dim fits an executor (~15M rows at sf100 still < 64 MB codegen'd).
     """
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    c = _t(spark, sf_dir, "customer")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
-        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-    )
+    db = _db(spark, sf_dir, ("orders", "customer"))
+    return db.run_script_df("""
+    ?[o_orderkey, o_totalprice, c_name, c_mktsegment] :=
+        *orders{o_orderkey, o_custkey: ck, o_totalprice}, o_totalprice > 400000.0,
+        *customer{c_custkey: ck, c_name, c_mktsegment}
+    """)
 
 
 @query(
@@ -136,18 +138,17 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, orders and customer shuffle on custkey once; everything after is
     map-side.
     """
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
-    )
+    db = _db(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    df = db.run_script_df("""
+    ?[r_name, n_name, count(ok), sum(tp)] :=
+        *orders{o_orderkey: ok, o_custkey: ck, o_totalprice: tp},
+        *customer{c_custkey: ck, c_nationkey: nk},
+        *nation{n_nationkey: nk, n_name, n_regionkey: rk},
+        *region{r_regionkey: rk, r_name}
+    """)
+    c_r, c_n, c_cnt, c_sum = df.columns
+    return df.select(df[c_r], df[c_n], df[c_cnt].alias("n_orders"),
+                     F.round(df[c_sum], 2).alias("total_spend"))
 
 
 # ---------------------------------------------------------------------------
@@ -168,12 +169,11 @@ def neg_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified negation `not *orders{...}` (NegJoin ra.rs:1923-2025).
     Status predicate keeps the check non-vacuous at sf0.01 (every customer
     has orders, ~10% have no 'O'-status order)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-    )
+    db = _db(spark, sf_dir, ("customer", "orders"))
+    return db.run_script_df("""
+    ?[c_custkey, c_name] := *customer{c_custkey, c_name},
+                            not *orders{o_custkey: c_custkey, o_orderstatus: 'O'}
+    """)
 
 
 @query(
@@ -187,9 +187,11 @@ def neg_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (magic-set sideways information passing, magic.rs:55-642)."""
-    s = _t(spark, sf_dir, "supplier")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
-    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+    db = _db(spark, sf_dir, ("supplier", "lineitem"))
+    return db.run_script_df("""
+    ?[s_suppkey, s_name] := *supplier{s_suppkey, s_name},
+                            *lineitem{l_suppkey: s_suppkey, l_quantity: q}, q > 49
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -208,13 +210,14 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def unify_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unification `x = expr` (UnificationRA ra.rs:67-178) → withColumn."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
-    return p.select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("taxed"),
-        (F.col("p_size") % 7).cast("int").alias("size_bucket"),
-        F.upper("p_brand").alias("brand_uc"),
-    )
+    db = _db(spark, sf_dir, ("part",))
+    return db.run_script_df("""
+    ?[p_partkey, taxed, size_bucket, brand_uc] :=
+        *part{p_partkey, p_retailprice, p_size, p_brand}, p_size >= 25,
+        taxed = round(p_retailprice * 1.1, 2),
+        size_bucket = p_size % 7,
+        brand_uc = uppercase(p_brand)
+    """)
 
 
 @query(
@@ -226,11 +229,12 @@ def unify_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def unify_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-unification `x in list` → row explosion (ra.rs:134-161)."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
-    return p.select(
-        "p_partkey",
-        F.explode(F.sequence(F.lit(1).cast("long"), (F.col("p_size") % 4 + 1).cast("long"))).alias("x"),
-    )
+    db = _db(spark, sf_dir, ("part",))
+    df = db.run_script_df("""
+    ?[p_partkey, x] := *part{p_partkey, p_size}, p_partkey <= 100,
+                       x in int_range(1, p_size % 4 + 2)
+    """)
+    return df.withColumn("x", F.col("x").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +251,11 @@ def unify_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-clause rule head = set union w/ dedup (temp_store.rs:62-97)."""
-    c = _t(spark, sf_dir, "customer").filter("c_acctbal > 9000").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").filter("s_acctbal > 9000").select(F.col("s_nationkey").alias("nk"))
-    return c.unionByName(s).distinct()
+    db = _db(spark, sf_dir, ("customer", "supplier"))
+    return db.run_script_df("""
+    ?[nk] := *customer{c_nationkey: nk, c_acctbal: b}, b > 9000.0
+    ?[nk] := *supplier{s_nationkey: nk, s_acctbal: b}, b > 9000.0
+    """)
 
 
 @query(
@@ -261,9 +267,12 @@ def set_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
+    db = _db(spark, sf_dir, ("customer", "supplier"))
+    return db.run_script_df("""
+    c_nk[nk] := *customer{c_nationkey: nk}
+    s_nk[nk] := *supplier{s_nationkey: nk}
+    ?[nk] := c_nk[nk], s_nk[nk]
+    """)
 
 
 @query(
@@ -277,11 +286,12 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acctbal filters keep the difference non-empty at sf0.01 (unfiltered,
     every nation has both customers and suppliers — vacuous)."""
-    c = _t(spark, sf_dir, "customer").filter("c_acctbal > 9000") \
-        .select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").filter("s_acctbal > 9000") \
-        .select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s)
+    db = _db(spark, sf_dir, ("customer", "supplier"))
+    return db.run_script_df("""
+    c_nk[nk] := *customer{c_nationkey: nk, c_acctbal: b}, b > 9000.0
+    s_nk[nk] := *supplier{s_nationkey: nk, s_acctbal: b}, b > 9000.0
+    ?[nk] := c_nk[nk], not s_nk[nk]
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -310,15 +320,24 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial aggregation (map-side combine) happens automatically; the shuffle
     carries only |groups| × partitions rows.
     """
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.count("*").alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.min("l_quantity"), 2).alias("min_qty"),
-        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df("""
+    ?[l_returnflag, l_linestatus, sum(q), sum(rev), mean(p), count(ln),
+      count_unique(ok), min(q), max(q)] :=
+        *lineitem{l_returnflag, l_linestatus, l_quantity: q, l_extendedprice: p,
+                  l_discount: dc, l_orderkey: ok, l_linenumber: ln, l_shipdate: d},
+        d <= '1998-09-02', rev = p * (1 - dc)
+    """)
+    c = df.columns
+    return df.select(
+        df[c[0]], df[c[1]],
+        F.round(df[c[2]], 2).alias("sum_qty"),
+        F.round(df[c[3]], 2).alias("revenue"),
+        F.round(df[c[4]], 4).alias("avg_price"),
+        df[c[5]].alias("n_rows"),
+        df[c[6]].alias("n_orders"),
+        F.round(df[c[7]], 2).alias("min_qty"),
+        F.round(df[c[8]], 2).alias("max_qty"),
     )
 
 
@@ -333,11 +352,12 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """variance / std_dev (aggr.rs:438,469)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
-    )
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df(
+        "?[l_returnflag, variance(q), std_dev(q)] := *lineitem{l_returnflag, l_quantity: q}")
+    c = df.columns
+    return df.select(df[c[0]], F.round(df[c[1]], 4).alias("var_qty"),
+                     F.round(df[c[2]], 4).alias("std_qty"))
 
 
 @query(
@@ -369,15 +389,18 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """and/or (aggr.rs:68,113) and bit_and/bit_or/bit_xor (aggr.rs:985-1123)."""
-    li = _t(spark, sf_dir, "lineitem")
-    k = F.col("l_orderkey") % 256
-    return li.groupBy("l_linestatus").agg(
-        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
-        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
-        F.bit_and(k).alias("band"),
-        F.bit_or(k).alias("bor"),
-        F.bit_xor(k).alias("bxor"),
-    )
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df("""
+    ?[l_linestatus, and(ap), or(ad), bit_and(bk), bit_or(bk), bit_xor(bk)] :=
+        *lineitem{l_linestatus, l_quantity: q, l_discount: dc, l_orderkey: ok},
+        ap = q > 0, ad = dc > 0.09, bk = ok % 256
+    """)
+    c = df.columns
+    return df.select(df[c[0]], df[c[1]].alias("all_pos"),
+                     df[c[2]].alias("any_deep_discount"),
+                     df[c[3]].cast("long").alias("band"),
+                     df[c[4]].cast("long").alias("bor"),
+                     df[c[5]].cast("long").alias("bxor"))
 
 
 @query(
@@ -391,10 +414,13 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """product aggregation (aggr.rs:547) via exp∘sum∘ln — distributable."""
-    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey % 101 = 0")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.exp(F.sum(F.ln(1 + F.col("l_tax")))), 4).alias("tax_product")
-    )
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df("""
+    ?[l_returnflag, product(v)] := *lineitem{l_returnflag, l_tax: t, l_orderkey: ok},
+                                   ok % 101 == 0, v = 1 + t
+    """)
+    c = df.columns
+    return df.select(df[c[0]], F.round(df[c[1]], 4).alias("tax_product"))
 
 
 @query(
@@ -412,13 +438,16 @@ def agg_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordering key (l_orderkey*10 + l_linenumber) is unique ⇒ deterministic.
     """
-    li = _t(spark, sf_dir, "lineitem")
-    ordk = F.col("l_orderkey") * 10 + F.col("l_linenumber")
-    return li.groupBy("l_returnflag").agg(
-        F.min_by("l_partkey", ordk).alias("first_part"),
-        F.max_by("l_partkey", ordk).alias("last_part"),
-        F.max_by("l_suppkey", ordk).alias("last_supp"),
-    )
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df("""
+    ?[l_returnflag, smallest_by(p1), latest_by(p2), latest_by(p3)] :=
+        *lineitem{l_returnflag, l_partkey: pk, l_suppkey: sk,
+                  l_orderkey: ok, l_linenumber: ln},
+        ordk = ok * 10 + ln, p1 = [pk, ordk], p2 = [pk, ordk], p3 = [sk, ordk]
+    """)
+    c = df.columns
+    return df.select(df[c[0]], df[c[1]].alias("first_part"),
+                     df[c[2]].alias("last_part"), df[c[3]].alias("last_supp"))
 
 
 @query(
@@ -432,11 +461,13 @@ def agg_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique / collect (aggr.rs:153,355) → collect_set, rendered sorted."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
-        F.count("*").alias("n"),
-    )
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df(
+        "?[l_returnflag, unique(s), count(s)] := *lineitem{l_returnflag, l_linestatus: s}")
+    c = df.columns
+    return df.select(df[c[0]],
+                     F.array_join(F.array_sort(df[c[1]]), ",").alias("statuses"),
+                     df[c[2]].alias("n"))
 
 
 @query(
@@ -449,10 +480,12 @@ def agg_collect_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group_count (aggr.rs:171) — value-distribution histogram."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
-    )
+    db = _db(spark, sf_dir, ("events",))
+    df = db.run_script_df(
+        "?[event_type, count(e), sum(v)] := *events{event_type, event_id: e, value: v}")
+    c = df.columns
+    return df.select(df[c[0]], df[c[1]].alias("n"),
+                     F.round(df[c[2]], 2).alias("total_value"))
 
 
 # ---------------------------------------------------------------------------
@@ -471,12 +504,12 @@ def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:order + :limit top-k (db.rs:1576-1589). Spark executes as TakeOrdered —
     per-partition heap + driver merge, no full sort, no full shuffle."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .limit(25)
-    )
+    db = _db(spark, sf_dir, ("orders",))
+    return db.run_script_df("""
+    ?[o_orderkey, o_custkey, o_totalprice] := *orders{o_orderkey, o_custkey, o_totalprice}
+    :sort -o_totalprice, o_orderkey
+    :limit 25
+    """)
 
 
 @query(
@@ -488,8 +521,13 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:limit/:offset (db.rs:1529-1644)."""
-    c = _t(spark, sf_dir, "customer")
-    return c.orderBy("c_custkey").select("c_custkey", "c_name").offset(10).limit(20)
+    db = _db(spark, sf_dir, ("customer",))
+    return db.run_script_df("""
+    ?[c_custkey, c_name] := *customer{c_custkey, c_name}
+    :sort c_custkey
+    :offset 10
+    :limit 20
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -1431,12 +1469,23 @@ def fts_engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same operators, exercised via the reference's own query language.
 # ---------------------------------------------------------------------------
 
+# primary keys of the test tables — declaring them lets the translator's
+# key-FD tracking elide set-semantics dedup shuffles (translate.py)
+_PKS = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"], "events": ["event_id"],
+    "documents": ["doc_id"], "embeddings": ["vec_id"],
+}
+
+
 def _db(spark: SparkSession, sf_dir: str, tables: tuple):
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
     for t in tables:
-        db.register_dataframe(t, _t(spark, sf_dir, t))
+        db.register_dataframe(t, _t(spark, sf_dir, t), keys=_PKS.get(t))
     return db
 
 

@@ -291,3 +291,65 @@ def test_reorder_sort_take_zero(spark):
     ?[rank, x] <~ ReorderSort(vals[x, y], out: [x], sort_by: y, take: 0)
     """)
     assert r.rows == []
+
+
+# --- FTS analyzer edge cases (reference fts/ast.rs, fts/indexing.rs) -----------
+
+
+def _stop_idx(spark):
+    from cozo_spark.operators.fts import FtsIndex
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a lazy dog sleeps"),
+         (3, "apples and oranges")],
+        "doc_id int, text string")
+    return FtsIndex.build(docs, "text", "doc_id", "Simple",
+                          ("Lowercase", "Stopwords", "AlphaNumOnly"))
+
+
+def test_fts_all_stopword_query_returns_empty(spark):
+    """A query of only stopwords returns an empty set, not an error
+    (fts/indexing.rs:257-260: empty AST -> Ok(vec![]))."""
+    idx = _stop_idx(spark)
+    assert idx.search("the", k=10).count() == 0
+    assert idx.search("the and a", k=10).count() == 0
+
+
+def test_fts_prefix_skips_dropping_filters(spark):
+    """Prefix literals bypass the analyzer's dropping filters
+    (fts/ast.rs:21-25 pushes is_prefix literals untokenized): 'a*' must
+    prefix-scan, not be swallowed by Stopwords."""
+    idx = _stop_idx(spark)
+    got = {r["doc_id"] for r in idx.search("a*", k=10).collect()}
+    assert got == {3}  # 'apples' ('and'/'a' are stopped out of the index)
+
+
+def test_fts_alphanum_symmetry(spark):
+    """AlphaNumOnly uses the same character class on both sides: an
+    underscore token is dropped from index AND query."""
+    from cozo_spark.operators.fts import py_apply_filters
+
+    assert py_apply_filters(["foo_bar", "baz"], ("AlphaNumOnly",)) == ["baz"]
+
+
+def test_fts_filter_spec_list_args(spark):
+    """String-form filter specs with list args parse as literals
+    (previously \"SplitCompoundWords(['of','the'])\" was comma-split into
+    character fragments)."""
+    from cozo_spark.operators.fts import normalize_filters
+
+    (name, args), = normalize_filters("SplitCompoundWords(['of', 'the'])")
+    assert name == "SplitCompoundWords"
+    assert args == [["of", "the"]]
+
+
+def test_fts_no_driver_actions_per_term(spark):
+    """Scoring joins the precomputed (term, doc_freq) frame instead of
+    collect()-ing a df count per query term: building the scored plan must
+    trigger zero Spark jobs."""
+    idx = _stop_idx(spark)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    _plan = idx.search("quick AND fox", k=5)  # build only, no action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before

@@ -153,3 +153,78 @@ def test_ann_broadcasts_queries(props):
     p = props("ann_cosine_topk")
     assert p["n_broadcast_joins"] >= 1 or "BroadcastNestedLoopJoin" in p["plan"]
     assert p["n_sortmerge_joins"] == 0
+
+
+# --- key-FD distinct elision (translate.py ClauseTranslator) -------------------
+
+
+def _n_aggregates(df):
+    return df._jdf.queryExecution().optimizedPlan().toString().count("Aggregate")
+
+
+def test_fd_elision_keyed_scan(spark):
+    """Head covers the relation's declared PK -> set-semantics distinct is
+    provably a no-op and the plan has no dedup Aggregate/Exchange."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create kv {k: Int => v: Int}")
+    db.run_script("?[k, v] <- [[1, 10], [2, 20], [3, 20]] :put kv {k => v}")
+    out = db.run_script_df("?[k, v] := *kv[k, v], v >= 10")
+    assert _n_aggregates(out) == 0, out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.count() == 3
+
+
+def test_fd_elision_point_join(spark):
+    """Joining a second relation on its FULL key preserves the left key, so
+    the join output needs no dedup either."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create a {k: Int => fk: Int}")
+    db.run_script(":create b {k2: Int => w: Int}")
+    db.run_script("?[k, fk] <- [[1, 7], [2, 7], [3, 8]] :put a {k => fk}")
+    db.run_script("?[k2, w] <- [[7, 70], [8, 80]] :put b {k2 => w}")
+    out = db.run_script_df("?[k, w] := *a{k, fk}, *b{k2: fk, w}")
+    assert _n_aggregates(out) == 0, out._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 70), (2, 70), (3, 80)]
+
+
+def test_fd_no_elision_without_key_in_head(spark):
+    """Head drops the key -> duplicates are semantically possible and the
+    distinct must stay (set semantics preserved)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create kv2 {k: Int => v: Int}")
+    db.run_script("?[k, v] <- [[1, 10], [2, 10], [3, 20]] :put kv2 {k => v}")
+    out = db.run_script_df("?[v] := *kv2[k, v]")
+    assert _n_aggregates(out) >= 1
+    assert sorted(r[0] for r in out.collect()) == [10, 20]
+
+
+def test_fd_no_elision_untrusted_registration(spark):
+    """register_dataframe without explicit keys makes no uniqueness promise:
+    a duplicate-bearing frame still deduplicates (keys_trusted gate)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    dup = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], "k long, v string")
+    db.register_dataframe("dup", dup)
+    out = db.run_script_df("?[k, v] := *dup{k, v}")
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_fd_elision_join_duplicating_side_keeps_distinct(spark):
+    """Semi-join shape: joining lineitem-style child rows duplicates the
+    parent; head over parent cols only -> distinct retained for correctness."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create p {k: Int => nm: String}")
+    db.run_script(":create ch {ck: Int, pk: Int => q: Int}")
+    db.run_script("?[k, nm] <- [[1, 'a'], [2, 'b']] :put p {k => nm}")
+    db.run_script("?[ck, pk, q] <- [[10, 1, 5], [11, 1, 6], [12, 2, 1]] :put ch {ck, pk => q}")
+    out = db.run_script_df("?[k, nm] := *p{k, nm}, *ch{pk: k, q}, q > 2")
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "a")]
+    assert _n_aggregates(out) >= 1  # dedup stays: child join duplicates parent
