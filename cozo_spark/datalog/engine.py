@@ -682,10 +682,17 @@ class CozoDb:
             rel = self.relations.get(rel_name)
             if rel is not None:
                 idx = rel.indices.get(idx_name)
+                if idx is not None and rel.access_level == "hidden":
+                    raise QueryError(f"relation {rel_name!r} is hidden")
                 if idx is not None and idx.kind == "regular" and idx.columns:
-                    if rel.access_level == "hidden":
-                        raise QueryError(f"relation {rel_name!r} is hidden")
                     return rel.df.select(*idx.columns)
+                if idx is not None and idx.kind == "hnsw":
+                    # the proximity graph as a scannable edge relation
+                    # (README v0.6: HNSW layers are regular graphs you can
+                    # run whole-graph algorithms on)
+                    from cozo_spark.operators import indices as IX
+
+                    return IX.hnsw_graph_df(self, rel, idx_name)
             return None
         rel = self.relations.get(name)
         if rel is not None and rel.access_level == "hidden":

@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 # the 64-bit range when operands are < 2^31.
 _MERSENNE = (1 << 61) - 1
 _MAX_BUCKET = 1000  # cap quadratic blowup inside one LSH bucket
+_OBS_COUNTER = [0]  # uniquifies DataFrame.observe names within a session
+
+
+def _integrate(f, a: float, b: float, n: int = 256) -> float:
+    """Composite Simpson's rule (n even panels). The reference integrates to
+    1e-3 absolute tolerance (minhash_lsh.rs _ALLOWED_INTEGRATE_ERR); Simpson
+    at n=256 on these smooth monotone integrands is far inside that."""
+    if b <= a:
+        return 0.0
+    h = (b - a) / n
+    s = f(a) + f(b)
+    for i in range(1, n):
+        s += f(a + i * h) * (4.0 if i % 2 else 2.0)
+    return s * h / 3.0
+
+
+def find_optimal_lsh_params(
+    threshold: float, num_perm: int,
+    false_positive_weight: float = 1.0,
+    false_negative_weight: float = 1.0,
+) -> tuple[int, int]:
+    """(n_bands, n_rows_in_band) minimizing the weighted false-positive +
+    false-negative probability of the banding S-curve, exactly the
+    reference's planner (runtime/minhash_lsh.rs:260-290 find_optimal_params;
+    defaults per parse/sys.rs: threshold 0.9, weights 1.0/1.0):
+
+      P(candidate | s) = 1 - (1 - s^r)^b
+      FP = ∫_0^t P(s) ds,   FN = ∫_t^1 (1 - P(s)) ds
+
+    Note the reference then uses b·r as the effective num_perm (may be less
+    than requested, relation.rs:793-801)."""
+    min_error = float("inf")
+    opt = (1, 1)
+    for b in range(1, num_perm + 1):
+        for r in range(1, num_perm // b + 1):
+            fp = _integrate(lambda s: 1.0 - (1.0 - s ** r) ** b, 0.0, threshold)
+            fn = _integrate(lambda s: (1.0 - s ** r) ** b, threshold, 1.0)
+            error = fp * false_positive_weight + fn * false_negative_weight
+            if error < min_error:
+                min_error = error
+                opt = (b, r)
+    return opt
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -170,11 +212,20 @@ def lsh_candidate_pairs(
     # one shuffle: group ids per bucket, expand pairs in-bucket (quadratic
     # only within a bucket, capped) — avoids the window + self-join (which
     # cost two extra shuffles of the full banded table)
-    buckets = (
+    all_buckets = (
         b.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
     )
+    # no-silent-caps: dropped-bucket stats ride the normal action via
+    # DataFrame.observe (zero extra jobs); read them from the completed
+    # query's observedMetrics / a QueryExecutionListener
+    _OBS_COUNTER[0] += 1
+    all_buckets = all_buckets.observe(
+        f"lsh_bucket_cap_{_OBS_COUNTER[0]}",
+        F.sum((F.size("ids") > _MAX_BUCKET).cast("long")).alias("dropped_buckets"),
+        F.max(F.size("ids")).alias("max_bucket_size"))
+    buckets = all_buckets.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
 
     # in-bucket pair expansion as two codegen'd generators (posexplode ×2 +
     # positional filter) — whole-stage codegen end to end. Both the Arrow
@@ -312,4 +363,50 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """(doc_id, canonical_id): duplicate clusters from near-dup pairs.
+
+    Connected components over the pair graph (min-id label propagation,
+    fixed_rules.graphs.connected_components — the same distributed CC the
+    graph battery uses); canonical = min doc id in the component, the
+    standard keeper-selection rule of a dedup pipeline. At 100 TB the pair
+    graph is tiny relative to the corpus (only near-dups appear), so the CC
+    fixpoint runs on the pruned graph, not the documents."""
+    from cozo_spark.fixed_rules.graphs import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("canonical_id"))
+
+
+def ngram_contamination(
+    corpus: DataFrame, bench: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", shingle_n: int = 3, threshold: float = 0.1,
+) -> DataFrame:
+    """(doc_id, bench_id, overlap_ratio): benchmark decontamination scan.
+
+    For each corpus document, the fraction of its distinct word n-grams that
+    also occur in a benchmark/eval document — the standard train/test
+    contamination check (n-gram overlap). Grams are hashed JVM-side
+    (xxhash64) so the join shuffles 8-byte keys, never text; the bench side
+    is typically small enough to broadcast."""
+    shc = (_shingles(corpus.select(id_col, text_col), text_col, shingle_n)
+           .select(F.col(id_col).alias("doc_id"), F.col("_gram_hash").alias("g"))
+           .distinct())
+    shb = (_shingles(bench.select(id_col, text_col), text_col, shingle_n)
+           .select(F.col(id_col).alias("bench_id"), F.col("_gram_hash").alias("g"))
+           .distinct())
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    hits = (shc.join(shb, "g")
+            .groupBy("doc_id", "bench_id").agg(F.count("*").alias("shared")))
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn("overlap_ratio", F.col("shared") / F.col("sz"))
+        .filter(F.col("overlap_ratio") >= threshold)
+        .select("doc_id", "bench_id", F.round("overlap_ratio", 6).alias("overlap_ratio"))
     )

@@ -154,6 +154,24 @@ def tokenize_expr(text_col, tokenizer: str = "Simple", filters: tuple = ("Lowerc
         toks = F.filter(F.split(c, "[^\\p{L}\\p{N}]+"), lambda t: t != "")
     elif tokenizer == "Whitespace":
         toks = F.filter(F.split(c, "\\s+"), lambda t: t != "")
+    elif tokenizer.startswith("Cangjie"):
+        # CJK tokenizer (fts/cangjie/tokenizer.rs). The reference's DEFAULT
+        # worker is Jieba::empty() — an EMPTY dictionary — whose cut()
+        # segments Han text one character at a time and keeps non-CJK
+        # alphanumeric runs together. That exact semantics compiles to a
+        # JVM regex (no Python, no dictionary):
+        #   - kind 'default'/'all'/'search': per-CJK-char + alnum runs
+        #   - kind 'unicode': every character is a token (tokenizer.rs:33-40)
+        # A dictionary-backed jieba (hmm segmentation) is NOT replicated —
+        # the container has no jieba; hmm flags are accepted and ignored.
+        kind = "default"
+        m = re.match(r"Cangjie\(\s*'?(\w+)'?", tokenizer)
+        if m:
+            kind = m.group(1).lower()
+        if kind == "unicode":
+            toks = F.regexp_extract_all(c, F.lit(r"[\s\S]"), 0)
+        else:
+            toks = F.regexp_extract_all(c, F.lit(_CANGJIE_RE_JVM), 0)
     elif tokenizer.startswith("NGram"):
         m = re.match(r"NGram\((\d+)(?:,\s*(\d+))?", tokenizer)
         lo = int(m.group(1)) if m else 2
@@ -229,6 +247,25 @@ def py_apply_filters(terms: list, filters: tuple) -> list:
 _EN_STOP = ["a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
             "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
             "to", "was", "were", "will", "with"]
+
+# Java regex (JVM side): one CJK char per token, or a run of non-CJK
+# letters/digits ([[..]&&[^..]] is Java char-class intersection)
+_CJK_CLASS = r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}"
+_CANGJIE_RE_JVM = (f"[{_CJK_CLASS}]|[[\\p{{L}}\\p{{N}}]&&[^{_CJK_CLASS}]]+")
+# Python mirror for query-side tokenization (re has no \p{IsHan}; use
+# explicit unicode ranges for the same blocks)
+_CJK_RANGES = ("一-鿿㐀-䶿"   # Han
+               "぀-ゟ゠-ヿ"   # Hiragana, Katakana
+               "가-힯ᄀ-ᇿ")  # Hangul
+_CANGJIE_RE_PY = re.compile(
+    f"[{_CJK_RANGES}]|[^\\W_{_CJK_RANGES}]+", re.UNICODE)
+
+
+def py_cangjie_tokenize(text: str, kind: str = "default") -> list:
+    """Driver-side mirror of the Cangjie tokenizer for query terms."""
+    if kind == "unicode":
+        return list(text)
+    return _CANGJIE_RE_PY.findall(text)
 
 
 def build_fts_index(df: DataFrame, text_col: str, id_col: str,
@@ -421,6 +458,18 @@ class FtsIndex:
         index's TextAnalyzer). Prefix terms skip Python rewrites (a stemmed
         prefix would no longer be a prefix of indexed terms)."""
         if isinstance(node, FtsPhrase):
+            if self.tokenizer.startswith("Cangjie"):
+                # re-tokenize with the index's CJK tokenizer: a query term
+                # like 文档问答 becomes the per-char phrase [文,档,问,答]
+                # (positional adjacency), matching the indexed tokens
+                kind = "default"
+                m = re.match(r"Cangjie\(\s*'?(\w+)'?", self.tokenizer)
+                if m:
+                    kind = m.group(1).lower()
+                node = FtsPhrase(
+                    [t for term in node.terms
+                     for t in py_cangjie_tokenize(term, kind)],
+                    node.prefix, node.boost)
             if node.prefix:
                 # the reference pushes prefix literals UNTOKENIZED
                 # (fts/ast.rs:21-25): skip every dropping/rewriting filter —

@@ -57,12 +57,25 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
         idx.artifact = FtsIndex.build(rel.df, extractor, rel.key_names[0],
                                       tokenizer, filters)
     elif idx.kind == "lsh":
-        from cozo_spark.operators.dedup import minhash_signatures
+        from cozo_spark.operators.dedup import (
+            find_optimal_lsh_params, minhash_signatures)
         from cozo_spark.datalog.fixpoint import _checkpoint
 
         extractor = idx.options.get("extractor")
         n_perm = int(idx.options.get("n_perm", 64))
         n_gram = int(idx.options.get("n_gram", 3))
+        # band planning from the target threshold (parse/sys.rs:240-242
+        # defaults; relation.rs:793-801 then uses b·r as the effective perm
+        # count). Explicit n_bands/n_rows_in_band override the planner.
+        threshold = float(idx.options.get("target_threshold", 0.9))
+        fpw = float(idx.options.get("false_positive_weight", 1.0))
+        fnw = float(idx.options.get("false_negative_weight", 1.0))
+        if "n_bands" in idx.options and "n_rows_in_band" in idx.options:
+            n_bands = int(idx.options["n_bands"])
+            n_rows = int(idx.options["n_rows_in_band"])
+        else:
+            n_bands, n_rows = find_optimal_lsh_params(threshold, n_perm, fpw, fnw)
+        n_perm = n_bands * n_rows
         base = rel.df
         filt = idx.options.get("extract_filter")
         if filt is not None:
@@ -73,7 +86,21 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
             base = base.filter(compile_expr(filt, set(base.columns), _df_typer(base)))
         sigs = minhash_signatures(base, extractor, rel.key_names[0],
                                   num_perm=n_perm, shingle_n=n_gram)
-        idx.artifact = {"sigs": _checkpoint(sigs), "n_perm": n_perm, "n_gram": n_gram}
+        sigs = _checkpoint(sigs)
+        # banded bucket frame: the scale path for probes — a probe joins on
+        # (band_idx, band_hash) and touches only colliding docs, not the
+        # whole signature table
+        key = rel.key_names[0]
+        banded = sigs.select(
+            key,
+            F.posexplode(F.array(*[
+                F.xxhash64(F.slice("sig", i * n_rows + 1, n_rows))
+                for i in range(n_bands)
+            ])).alias("band_idx", "band_hash"))
+        idx.artifact = {"sigs": sigs, "banded": _checkpoint(banded),
+                        "n_perm": n_perm, "n_gram": n_gram,
+                        "n_bands": n_bands, "n_rows": n_rows,
+                        "threshold": threshold}
     elif idx.kind == "hnsw":
         if idx.options.get("ivf"):
             from cozo_spark.operators.similarity import ivf_build
@@ -185,11 +212,24 @@ def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int,
     probe = minhash_signatures(probe_df, "text", "qid", num_perm=n_perm,
                                shingle_n=art["n_gram"])
     key = rel.key_names[0]
+    # banded candidate retrieval (LshSearchRA ra.rs:1068-1124): the probe's
+    # band hashes join the prebuilt bucket frame, so only colliding docs are
+    # scored — at scale this reads |candidates|, not |corpus|
+    n_bands, n_rows = art["n_bands"], art["n_rows"]
+    probe_bands = probe.select(
+        F.posexplode(F.array(*[
+            F.xxhash64(F.slice("sig", i * n_rows + 1, n_rows))
+            for i in range(n_bands)
+        ])).alias("band_idx", "band_hash"))
+    cands = (art["banded"]
+             .join(F.broadcast(probe_bands), ["band_idx", "band_hash"])
+             .select(key).distinct())
     est = F.aggregate(
         F.zip_with("sig", "qsig", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda a, x: a + x) / F.lit(float(n_perm))
     matches = (
-        art["sigs"].crossJoin(F.broadcast(probe.select(F.col("sig").alias("qsig"))))
+        art["sigs"].join(cands, key)
+        .crossJoin(F.broadcast(probe.select(F.col("sig").alias("qsig"))))
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") > 0)
         .select(key, "est_jaccard")
@@ -203,3 +243,65 @@ def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int,
         matches = matches.join(rel.df.filter(fcol).select(key), key)
     matches = matches.orderBy(F.col("est_jaccard").desc(), F.col(key)).limit(k)
     return rel.df.join(matches, key)
+
+
+def hnsw_graph_df(db, rel, idx_name: str) -> DataFrame:
+    """The HNSW index queryable AS A GRAPH (reference README v0.6: "the HNSW
+    index is no more than a hierarchy of proximity graphs ... exposed to the
+    end user to be used as regular graphs in your query").
+
+    Spark-native re-expression: the reference's on-disk index relation holds
+    (layer, fr_key..., to_key..., dist) edge tuples of the navigable
+    small-world graph. We expose the layer-0 proximity graph as a k-NN edge
+    DataFrame with the same column shape — `layer` (always 0 here: the upper
+    HNSW layers exist only to accelerate single-node graph descent, which
+    Spark replaces with scan parallelism), `fr_<key>`, `to_<key>`, `dist`.
+    Each node links to its m_neighbours nearest; with an IVF-built index the
+    candidate pairs are restricted per centroid partition (the scale path —
+    exact all-pairs is quadratic and only used for non-IVF indices).
+    """
+    idx = ensure_artifact(db, rel, idx_name)
+    if idx.kind != "hnsw":
+        raise ValueError(f"{rel.name}:{idx_name} is not an hnsw index")
+    m = int(idx.options.get("m_neighbours", idx.options.get("m", 8)))
+    vec_col = _hnsw_field(idx)
+    key = rel.key_names[0]
+    distance_kind = str(idx.options.get("distance", "Cos")).lower()
+    base = rel.df.select(F.col(key).alias("__fr"), F.col(vec_col).alias("__v"))
+    if isinstance(idx.artifact, dict) and "assigned" in idx.artifact:
+        # IVF: pair only within a centroid's partition
+        asg = idx.artifact["assigned"].select(
+            F.col("vec_id").alias("__fr"), F.col("cid").alias("__cid"))
+        left = base.join(asg, "__fr")
+        right = left.select(F.col("__fr").alias("__to"),
+                            F.col("__v").alias("__w"), "__cid")
+        cand = left.join(right, "__cid").filter(F.col("__fr") != F.col("__to"))
+    else:
+        right = base.select(F.col("__fr").alias("__to"), F.col("__v").alias("__w"))
+        cand = base.crossJoin(right).filter(F.col("__fr") != F.col("__to"))
+    dot = F.aggregate(F.zip_with("__v", "__w", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    if distance_kind.startswith("l2"):
+        dist = F.sqrt(F.aggregate(
+            F.zip_with("__v", "__w", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x))
+    elif distance_kind.startswith("ip"):
+        dist = -dot
+    else:  # cosine distance
+        n1 = F.sqrt(F.aggregate(F.transform("__v", lambda x: x * x),
+                                F.lit(0.0), lambda a, x: a + x))
+        n2 = F.sqrt(F.aggregate(F.transform("__w", lambda x: x * x),
+                                F.lit(0.0), lambda a, x: a + x))
+        dist = F.lit(1.0) - dot / (n1 * n2)
+    from pyspark.sql import Window as W
+
+    scored = cand.select("__fr", "__to", dist.alias("dist"))
+    w = W.partitionBy("__fr").orderBy(F.col("dist").asc(), F.col("__to"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= m)
+        .select(F.lit(0).cast("long").alias("layer"),
+                F.col("__fr").alias(f"fr_{key}"),
+                F.col("__to").alias(f"to_{key}"),
+                F.col("dist"))
+    )

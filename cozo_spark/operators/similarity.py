@@ -194,6 +194,14 @@ def random_hyperplane_lsh_pairs(
         ])).alias("band_idx", "band_val"),
     )
     sized = banded.withColumn("_n", F.count("*").over(W.partitionBy("band_idx", "band_val")))
+    # no-silent-caps: surface dropped-row stats on the normal action
+    from cozo_spark.operators.dedup import _OBS_COUNTER
+
+    _OBS_COUNTER[0] += 1
+    sized = sized.observe(
+        f"rhp_bucket_cap_{_OBS_COUNTER[0]}",
+        F.sum((F.col("_n") > max_bucket).cast("long")).alias("dropped_rows"),
+        F.max("_n").alias("max_bucket_size"))
     banded = sized.filter(F.col("_n") <= max_bucket).drop("_n")
     return (
         banded.alias("a").join(

@@ -1671,7 +1671,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEMOTED: tuple = (
     "graph_two_hop", "graph_cycle3", "graph_three_hop_filter",
     "graph_pattern_long", "text_bpe_tokens", "agg_median",
-    "window_running_sum",
+    "window_running_sum", "graph_triangles", "datalog_two_hop",
 )
 
 
@@ -1688,3 +1688,112 @@ def ordered_queries() -> dict:
 
 def ordered_oracles() -> dict:
     return {n: ORACLES[n] for n in driver_order() if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup clustering + benchmark decontamination (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_NGRAM_PAIRS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 120
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:least(i+2, len(w))], ' '))) AS g
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_NGRAM_PAIRS_SQL},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, m) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+    )
+    SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY n
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact 3-gram Jaccard pairs → distributed connected
+    components (min-id label propagation) → canonical keeper per cluster.
+    The full dedup-pipeline composition, hash-checked against a recursive-CTE
+    oracle."""
+    from cozo_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 120")
+    pairs = ngram_jaccard_pairs(d, threshold=0.02, shingle_n=3)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "decontaminate",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 <> 0
+    ),
+    bench AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+    ),
+    shc AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:least(i+2, len(w))], ' '))) AS g
+      FROM corpus
+    ),
+    shb AS (
+      SELECT DISTINCT doc_id AS bench_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                    i -> array_to_string(w[i:least(i+2, len(w))], ' '))) AS g
+      FROM bench
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS shared
+      FROM shc c JOIN shb b USING (g)
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.bench_id,
+           ROUND(h.shared * 1.0 / s.sz, 6) AS overlap_ratio
+    FROM hits h JOIN sizes s USING (doc_id)
+    WHERE h.shared * 1.0 / s.sz >= 0.02
+    """,
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each corpus doc's distinct
+    word 3-grams that appear in any benchmark doc (docs with id % 7 == 0
+    stand in for the eval set). The standard train/test n-gram contamination
+    scan, shuffling 8-byte gram hashes only."""
+    from cozo_spark.operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    corpus = d.filter("doc_id % 7 != 0")
+    bench = d.filter("doc_id % 7 = 0")
+    return ngram_contamination(corpus, bench, shingle_n=3, threshold=0.02)

@@ -430,3 +430,25 @@ def test_limit_no_early_exit_with_meet_dep(spark):
     assert (2, 10) not in got
     assert set(got) <= {(2, 2), (3, 1)}
     assert len(got) == 2
+
+
+def test_reliable_checkpoint_config(spark, tmp_path):
+    """`spark.cozo.checkpointDir` switches fixpoint checkpoints from
+    localCheckpoint to reliable checkpoint() in the given directory —
+    required for executor-loss-safe recursion on a real cluster."""
+    import os
+
+    from cozo_spark.datalog.fixpoint import _checkpoint
+
+    ck = str(tmp_path / "ck")
+    spark.conf.set("spark.cozo.checkpointDir", ck)
+    try:
+        df = _checkpoint(spark.range(10))
+        assert df.count() == 10
+        assert spark.sparkContext.getCheckpointDir().endswith(ck.lstrip("/")) \
+            or ck in spark.sparkContext.getCheckpointDir()
+        assert any(os.scandir(ck))  # reliable checkpoint files written
+    finally:
+        spark.conf.unset("spark.cozo.checkpointDir")
+    # default path still works
+    assert _checkpoint(spark.range(5)).count() == 5

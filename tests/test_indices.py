@@ -353,3 +353,126 @@ def test_fts_no_driver_actions_per_term(spark):
     _plan = idx.search("quick AND fox", k=5)  # build only, no action
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_cangjie_cjk_tokenizer(spark):
+    """Cangjie CJK tokenizer (fts/cangjie/tokenizer.rs; reference test
+    runtime/tests.rs:1069+ 'tokenizers'): the reference's default worker is
+    Jieba::empty(), whose cut() yields per-Han-char tokens + non-CJK
+    alphanumeric runs — implemented here as a JVM regex."""
+    from cozo_spark.operators.fts import py_cangjie_tokenize
+    from cozo_spark.datalog.engine import CozoDb
+
+    assert py_cangjie_tokenize("这个产品Finchat.io是") == [
+        "这", "个", "产", "品", "Finchat", "io", "是"]
+    assert py_cangjie_tokenize("ab", "unicode") == ["a", "b"]
+
+    d = CozoDb(spark)
+    d.run_script(":create zh {id: Int => t: String}")
+    d.run_script("?[id, t] <- [[1, '这个产品是一个文档问答类网站'], "
+                 "[2, '接入ChatGPT进行对话']] :put zh {id => t}")
+    d.run_script("::fts create zh:ft {extractor: 't', tokenizer: 'Cangjie'}")
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~zh:ft{id | query: '文档', k: 5}").rows] == [1]
+    # multi-char query = per-char phrase with positional adjacency
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~zh:ft{id | query: '问答类', k: 5}").rows] == [1]
+    # ascii runs stay whole and case-fold
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~zh:ft{id | query: 'chatgpt', k: 5}").rows] == [2]
+    # non-matching phrase
+    assert d.run_script("?[id] := ~zh:ft{id | query: '档文', k: 5}").rows == []
+
+
+def test_lsh_band_planning():
+    """find_optimal_lsh_params mirrors the reference planner
+    (runtime/minhash_lsh.rs:260-290): minimize weighted FP+FN of the
+    banding S-curve; b·r <= num_perm; higher thresholds pick longer bands
+    (more rows per band = stricter collisions)."""
+    from cozo_spark.operators.dedup import find_optimal_lsh_params
+
+    for t, n in ((0.9, 200), (0.5, 200), (0.3, 64), (0.7, 128)):
+        b, r = find_optimal_lsh_params(t, n)
+        assert 1 <= b and 1 <= r and b * r <= n
+    _, r_low = find_optimal_lsh_params(0.3, 128)
+    _, r_high = find_optimal_lsh_params(0.9, 128)
+    assert r_high > r_low
+    # penalizing false positives pushes toward stricter (longer) bands
+    _, r_bal = find_optimal_lsh_params(0.7, 128)
+    _, r_fp = find_optimal_lsh_params(0.7, 128, 10.0, 1.0)
+    assert r_fp >= r_bal
+    # regression pins (values from this implementation, shape-checked
+    # against the reference's planner behavior)
+    assert find_optimal_lsh_params(0.9, 200) == (8, 25)
+    assert find_optimal_lsh_params(0.5, 200) == (33, 6)
+
+
+def test_lsh_create_honors_target_threshold(spark):
+    """::lsh create plans (n_bands, n_rows_in_band) from target_threshold
+    and uses b·r as the effective perm count (relation.rs:793-801)."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.operators.indices import ensure_artifact
+    from cozo_spark.operators.dedup import find_optimal_lsh_params
+
+    d = CozoDb(spark)
+    d.run_script(":create docs2 {id: Int => t: String}")
+    d.run_script("?[id, t] <- [[1, 'aaa bbb ccc ddd eee'], [2, 'aaa bbb ccc ddd fff']] "
+                 ":put docs2 {id => t}")
+    d.run_script("::lsh create docs2:l {extractor: 't', n_perm: 64, n_gram: 2, "
+                 "target_threshold: 0.5}")
+    art = ensure_artifact(d, d.relations["docs2"], "l").artifact
+    b, r = find_optimal_lsh_params(0.5, 64)
+    assert (art["n_bands"], art["n_rows"]) == (b, r)
+    assert art["n_perm"] == b * r
+    # search still works through the banded path
+    res = d.run_script("?[id] := ~docs2:l{id | query: 'aaa bbb ccc ddd eee', k: 2}")
+    assert 1 in [row[0] for row in res.rows]
+
+
+def test_lsh_bucket_cap_observed(spark):
+    """no-silent-caps: dropped-bucket stats are emitted as observed metrics
+    on the normal action (zero extra jobs)."""
+    from cozo_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    captured = {}
+
+    class L:
+        def onSuccess(self, funcName, qe, duration):
+            for k, v in qe.observedMetrics().items():
+                captured[k] = v
+        def onFailure(self, funcName, qe, error):
+            pass
+
+    docs = spark.createDataFrame(
+        [(i, f"common shingle text everywhere {i % 2}") for i in range(10)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.1)
+    pairs.count()
+    # metrics ride the plan: assert the observe node exists in the plan
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert "lsh_bucket_cap_" in plan
+
+
+def test_hnsw_index_queryable_as_graph(spark):
+    """README v0.6: the HNSW index's proximity graph is exposed as a regular
+    relation (`*rel:idx{layer, fr_k, to_k, dist}`) so whole-graph algorithms
+    run on it. Here: scan the layer-0 k-NN graph and run CC over it."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create vg {id: Int => v: <F64; 4>}")
+    d.run_script("""
+    ?[id, v] <- [[1, [1.0, 0.0, 0.0, 0.0]], [2, [0.0, 1.0, 0.0, 0.0]],
+                 [3, [0.9, 0.1, 0.0, 0.0]], [4, [0.5, 0.5, 0.0, 0.0]]]
+    :put vg {id => v}
+    """)
+    d.run_script("::hnsw create vg:ann {fields: ['v'], distance: 'Cos', m_neighbours: 2}")
+    r = d.run_script("?[fr, to] := *vg:ann{layer: 0, fr_id: fr, to_id: to}")
+    edges = sorted(tuple(x) for x in r.rows)
+    assert (1, 3) in edges and (3, 1) in edges      # nearest pair linked
+    assert all(len([e for e in edges if e[0] == n]) <= 2 for n in (1, 2, 3, 4))
+    r2 = d.run_script("""
+    edges[fr, to] := *vg:ann{fr_id: fr, to_id: to}
+    ?[node, comp] <~ ConnectedComponents(edges[])
+    """)
+    assert sorted(tuple(x) for x in r2.rows) == [(1, 1), (2, 1), (3, 1), (4, 1)]
