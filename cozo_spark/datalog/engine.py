@@ -1254,6 +1254,12 @@ class CozoDb:
                 rel_name, idx_name = target.split(":", 1)
                 rel = self.relations.get(rel_name)
                 idx = rel.indices.get(idx_name) if rel is not None else None
+                if idx is not None and idx.kind == "hnsw":
+                    # proximity-graph relation layout (see hnsw_graph_df)
+                    key = rel.key_names[0]
+                    cols = ["layer", f"fr_{key}", f"to_{key}", "dist"]
+                    rows = [[c, i < 3, i, "Any"] for i, c in enumerate(cols)]
+                    return NamedRows(["column", "is_key", "index", "type"], rows)
                 if idx is None or idx.kind != "regular":
                     raise QueryError(f"relation {target!r} not found")
                 rows = [[c, True, i, "Any"] for i, c in enumerate(idx.columns)]
