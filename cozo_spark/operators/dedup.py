@@ -86,6 +86,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
+def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition doc-level rows by id when the source has fewer partitions
+    than the cluster's parallelism. A single-row-group parquet file scans as
+    ONE task, so the tokenize/explode stage would run single-threaded; the
+    doc-level shuffle is tiny (raw text rows) and downstream per-doc windows
+    reuse the hash partitioning. At real scale the source already has
+    >= defaultParallelism partitions and this is a no-op (no added shuffle)."""
+    sc = df.sparkSession.sparkContext
+    defp = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n < defp:
+        return df.repartition(defp, id_col)
+    return df
+
+
 def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Explode each doc into its distinct word n-gram shingles, pre-hashed to
     64-bit (xxhash64, JVM-side) so downstream never touches strings."""
@@ -133,9 +151,10 @@ def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     docs yield no rows. One shuffle (the doc_id window) that at scale carries
     the token stream — the standard distributed-tokenization shape."""
     toks = (
-        df.select(F.col(id_col),
-                  F.posexplode(F.split(F.lower(F.col(text_col)), "\\s+"))
-                  .alias("pos", "w"))
+        _spread_small_input(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.lower(F.col(text_col)), "\\s+"))
+                .alias("pos", "w"))
         .filter(F.col("w") != "")
     )
     if n == 1:

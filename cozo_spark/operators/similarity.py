@@ -53,8 +53,12 @@ def cosine_topk(
     on vec_id for determinism. Cast to double before arithmetic so results
     are stable and match a double-precision oracle.
     """
+    from cozo_spark.operators.dedup import _spread_small_input
+
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    c = _spread_small_input(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v")), "vec_id")
     sim = cosine_similarity_col(F.col("qv"), F.col("v"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
