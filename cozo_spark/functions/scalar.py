@@ -501,11 +501,49 @@ def _remove_json_path(js, path):
     return json.dumps(doc, separators=(",", ":"))
 
 
-# minimal traditional→simplified mapping for the most common characters;
-# the reference bundles a full OpenCC-style table (functions.rs:1446-1453) —
-# swap in a complete mapping resource for production Chinese text.
-_T2S = str.maketrans("體國學會語說讀寫聽見長門問間開關東車馬魚鳥龍點發經濟歷當後來對裡愛時實現場報記計讓認識",
-                     "体国学会语说读写听见长门问间开关东车马鱼鸟龙点发经济历当后来对里爱时实现场报记计让认识")
+# traditional→simplified mapping for the ~300 most common differing
+# characters; the reference bundles a full OpenCC-style table
+# (functions.rs:1446-1453) — swap in a complete mapping resource for
+# production Chinese text (rare characters pass through unchanged).
+_T2S_PAIRS = (
+    "體体 國国 學学 會会 語语 說说 讀读 寫写 聽听 見见 長长 門门 問问 "
+    "間间 開开 關关 東东 車车 馬马 魚鱼 鳥鸟 龍龙 點点 發发 經经 濟济 "
+    "歷历 當当 後后 來来 對对 裡里 愛爱 時时 實实 現现 場场 報报 記记 "
+    "計计 讓让 認认 識识 們们 這这 為为 個个 無无 與与 還还 樣样 種种 "
+    "電电 頭头 許许 話话 書书 習习 業业 專专 應应 該该 級级 紅红 綠绿 "
+    "藍蓝 黃黄 風风 雲云 飛飞 機机 漢汉 華华 億亿 萬万 兩两 幾几 誰谁 "
+    "麼么 嗎吗 區区 縣县 鄉乡 鎮镇 號号 線线 網网 絡络 聯联 係系 閉闭 "
+    "陳陈 陽阳 陰阴 頁页 題题 顏颜 顧顾 飯饭 飲饮 館馆 駕驾 騎骑 驗验 "
+    "鴨鸭 雞鸡 麥麦 齊齐 齒齿 龜龟 軍军 輕轻 載载 輪轮 轉转 較较 辦办 "
+    "農农 運运 過过 達达 遠远 連连 週周 進进 遊游 遲迟 選选 邊边 醫医 "
+    "釋释 針针 錢钱 鐵铁 銀银 錄录 鍵键 鏡镜 閱阅 階阶 際际 隨随 險险 "
+    "雜杂 難难 靈灵 靜静 順顺 領领 髮发 鬥斗 貝贝 負负 財财 貨货 質质 "
+    "買买 賣卖 費费 資资 賽赛 贏赢 趕赶 跡迹 軟软 訂订 討讨 訓训 講讲 "
+    "設设 訪访 證证 評评 詞词 試试 詩诗 誠诚 誤误 課课 調调 談谈 請请 "
+    "論论 議议 譯译 護护 變变 覺觉 觀观 規规 視视 親亲 約约 純纯 紙纸 "
+    "紀纪 組组 細细 終终 結结 給给 統统 絕绝 綜综 維维 總总 績绩 繼继 "
+    "續续 絲丝 緊紧 聲声 職职 腦脑 臉脸 膚肤 艦舰 節节 蘭兰 藝艺 藥药 "
+    "蟲虫 衛卫 補补 製制 複复 覽览 訊讯 豐丰 貓猫 賓宾 輛辆 辭辞 舊旧 "
+    "傳传 僅仅 價价 優优 兒儿 黨党 內内 冊册 凍冻 鳳凤 劃划 剛刚 創创 "
+    "動动 務务 勝胜 勞劳 勢势 匯汇 單单 廠厂 廣广 慶庆 庫库 廢废 異异 "
+    "棄弃 張张 彈弹 強强 歸归 徑径 從从 徹彻 憶忆 態态 懷怀 惡恶 悶闷 "
+    "戰战 戲戏 戶户 執执 擴扩 掃扫 擇择 擔担 據据 攜携 敗败 敵敌 數数 "
+    "斷断 晝昼 術术 殺杀 權权 樂乐 標标 樹树 橋桥 檢检 歡欢 歲岁 殘残 "
+    "氣气 滅灭 滿满 濃浓 灣湾 燈灯 營营 爐炉 爭争 爺爷 牆墙 犧牺 狀状 "
+    "獨独 獲获 環环 瑪玛 產产 畢毕 畫画 療疗 監监 盤盘 盧卢 眾众 確确 "
+    "碼码 磚砖 禮礼 禍祸 稅税 積积 穩稳 窮穷 競竞 筆笔 籌筹 類类 縮缩 "
+    "罰罚 羅罗 義义 聖圣 聞闻 肅肃 臨临 興兴 舉举 艱艰 葉叶 蓋盖 蘇苏 "
+    "處处 虧亏 衝冲 誌志 誕诞 諸诸 謝谢 譜谱 豈岂 貢贡 購购 贊赞 趙赵 "
+    "輩辈 迴回 遞递 適适 遷迁 鄰邻 鐘钟 閃闪 隊队 隻只 雖虽 頂顶 項项 "
+    "須须 預预 頗颇 頻频 顯显 驚惊 鮮鲜 鹽盐 麗丽 參参 嚴严 壓压 壞坏 "
+    "夢梦 奮奋 婦妇 孫孙 寶宝 導导 層层 屬属 師师 帶带 幫帮 幹干 廳厅 "
+    "憲宪 擊击 攝摄 極极 構构 槍枪 檔档 灑洒 爛烂 牽牵 獎奖 稱称 簡简 "
+    "糧粮 織织 繪绘 聰聪 膽胆 艙舱 蒼苍 蓮莲 蔣蒋 薦荐 虛虚 裝装 訴诉 "
+    "賬账 踐践 輯辑 轎轿 鄭郑 釀酿 鋼钢 錯错 鍋锅 鎖锁 鏈链 閣阁 霧雾 "
+    "韓韩 響响 頓顿 願愿 飾饰 養养 餘余 駛驶 騙骗 髒脏 鬆松 鳴鸣 鴻鸿 "
+    "鵬鹏 齡龄 壇坛"
+)
+_T2S = {ord(p[0]): p[1] for p in _T2S_PAIRS.split()}
 
 
 @_lazy_udf("t2s", lambda: _T.StringType())
