@@ -207,7 +207,7 @@ def tokenize_expr(text_col, tokenizer: str = "Simple", filters: tuple = ("Lowerc
             toks = F.filter(toks, lambda t: t.rlike("^[\\p{L}\\p{N}]+$"))
         elif name == "Stopwords":
             toks = flush_py(toks)
-            stop = F.array(*[F.lit(w) for w in _EN_STOP])
+            stop = F.array(*[F.lit(w) for w in _resolve_stopwords(args)])
             toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
         elif name == "RemoveLong":
             toks = flush_py(toks)
@@ -235,7 +235,8 @@ def py_apply_filters(terms: list, filters: tuple) -> list:
             # [^\W_] is unicode letter/digit WITHOUT underscore
             toks = [t for t in toks if re.fullmatch(r"[^\W_]+", t, re.UNICODE)]
         elif name == "Stopwords":
-            toks = [t for t in toks if t not in _EN_STOP]
+            stop = set(_resolve_stopwords(args))
+            toks = [t for t in toks if t not in stop]
         elif name == "RemoveLong":
             limit = int(args[0]) if args else 40
             toks = [t for t in toks if len(t) < limit]
@@ -247,6 +248,71 @@ def py_apply_filters(terms: list, filters: tuple) -> list:
 _EN_STOP = ["a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
             "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
             "to", "was", "were", "will", "with"]
+
+# Per-language stopword sets for Stopwords(<lang>) (fts/mod.rs:210-231: the
+# reference resolves a language name via bundled stopwords-iso lists, or
+# accepts an explicit word list). These are compact built-in sets of the
+# highest-frequency function words; pass an explicit list for a fuller set.
+_STOPWORDS = {
+    "en": _EN_STOP,
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+           "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+           "eine", "als", "auch", "es", "an", "werden", "aus", "er", "hat",
+           "dass", "sie", "nach", "wird", "bei", "einer", "um", "am",
+           "sind", "noch", "wie", "einem", "über"],
+    "fr": ["le", "la", "les", "de", "des", "du", "un", "une", "et", "en",
+           "que", "qui", "dans", "pour", "sur", "est", "au", "aux", "avec",
+           "ne", "pas", "se", "par", "plus", "ce", "cette", "il", "elle",
+           "nous", "vous", "ils", "son", "sa", "ses", "mais", "ou", "où"],
+    "es": ["el", "la", "los", "las", "de", "del", "un", "una", "y", "en",
+           "que", "por", "para", "con", "no", "se", "es", "su", "sus", "al",
+           "lo", "como", "más", "pero", "o", "este", "esta", "son", "le"],
+    "it": ["il", "lo", "la", "i", "gli", "le", "di", "del", "della", "un",
+           "una", "e", "in", "che", "per", "con", "non", "si", "è", "al",
+           "da", "dei", "delle", "come", "più", "ma", "o", "sono", "su"],
+    "pt": ["o", "a", "os", "as", "de", "do", "da", "dos", "das", "um",
+           "uma", "e", "em", "que", "por", "para", "com", "não", "se",
+           "ao", "no", "na", "nos", "nas", "como", "mais", "mas", "ou"],
+    "nl": ["de", "het", "een", "van", "en", "in", "op", "dat", "die", "te",
+           "is", "voor", "met", "zijn", "niet", "aan", "er", "om", "ook",
+           "als", "maar", "bij", "of", "uit", "naar", "dan", "worden"],
+    "da": ["og", "i", "det", "at", "en", "den", "til", "er", "som", "på",
+           "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
+           "et", "men", "har", "om", "vi", "min", "havde", "fra"],
+    "no": ["og", "i", "det", "at", "en", "et", "den", "til", "er", "som",
+           "på", "de", "med", "han", "av", "ikke", "der", "så", "var",
+           "men", "har", "om", "vi", "fra", "du", "kan", "skal"],
+    "sv": ["och", "i", "det", "att", "en", "ett", "den", "till", "är",
+           "som", "på", "de", "med", "han", "av", "inte", "der", "så",
+           "var", "men", "har", "om", "vi", "från", "du", "kan", "ska"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "с", "это", "как",
+           "по", "но", "из", "у", "за", "то", "же", "от", "о", "так",
+           "его", "к", "а", "все", "она", "они", "мы", "был", "для"],
+    "zh": ["的", "了", "是", "在", "和", "有", "我", "他", "这", "就",
+           "不", "也", "都", "而", "与", "着", "或", "被", "把", "为"],
+}
+_STOP_ALIASES = {
+    "english": "en", "german": "de", "french": "fr", "spanish": "es",
+    "italian": "it", "portuguese": "pt", "dutch": "nl", "danish": "da",
+    "norwegian": "no", "swedish": "sv", "russian": "ru", "chinese": "zh",
+}
+
+
+def _resolve_stopwords(args: list) -> list:
+    """Stopwords filter arg → word list (language name, code, explicit
+    list, or no arg = English)."""
+    if not args:
+        return _EN_STOP
+    a = args[0]
+    if isinstance(a, (list, tuple)):
+        return [str(w) for w in a]
+    name = str(a).strip().lower()
+    code = _STOP_ALIASES.get(name, name)
+    if code in _STOPWORDS:
+        return _STOPWORDS[code]
+    raise ValueError(
+        f"Stopwords: unsupported language {a!r} (supported: "
+        f"{sorted(_STOP_ALIASES)}; or pass an explicit word list)")
 
 # Java regex (JVM side): one CJK char per token, or a run of non-CJK
 # letters/digits ([[..]&&[^..]] is Java char-class intersection)

@@ -62,8 +62,9 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
         from cozo_spark.datalog.fixpoint import _checkpoint
 
         extractor = idx.options.get("extractor")
-        n_perm = int(idx.options.get("n_perm", 64))
-        n_gram = int(idx.options.get("n_gram", 3))
+        # defaults mirror the reference's ::lsh create (parse/sys.rs:238-242)
+        n_perm = int(idx.options.get("n_perm", 200))
+        n_gram = int(idx.options.get("n_gram", 1))
         # band planning from the target threshold (parse/sys.rs:240-242
         # defaults; relation.rs:793-801 then uses b·r as the effective perm
         # count). Explicit n_bands/n_rows_in_band override the planner.

@@ -114,3 +114,30 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - window, F.lit(0)))
     win_hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")))
     return d.select(F.col(id_col), F.array_min(win_hashes).alias("fingerprint"))
+
+
+def pack_sequences(df: DataFrame, capacity: int = 2048, shards: int = 32,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, chunk_id): assign documents to fixed-capacity
+    training chunks (context-window packing).
+
+    Documents are processed in id order within a shard (id % shards);
+    chunk boundary = whitespace-token running total crossing a capacity
+    multiple (greedy fill, overflow document closes the chunk — the
+    split-at-boundary packing GPT-style pipelines use). A single global
+    greedy pack is inherently sequential; sharding gives a deterministic,
+    embarrassingly-parallel equivalent whose only cost is one window
+    shuffle on the shard key. chunk_id = shard * 2^32 + local chunk, so ids
+    are globally unique and reproducible."""
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != ""))
+    d = df.select(F.col(id_col), toks.alias("n_tokens"),
+                  (F.col(id_col) % shards).alias("__shard"))
+    w = (W.partitionBy("__shard").orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    local_chunk = F.floor((cum - F.col("n_tokens")) / F.lit(capacity))
+    return d.select(
+        id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("__shard") * F.lit(1 << 32) + local_chunk).alias("chunk_id"))

@@ -1797,3 +1797,35 @@ def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter("doc_id % 7 != 0")
     bench = d.filter("doc_id % 7 = 0")
     return ngram_contamination(corpus, bench, shingle_n=3, threshold=0.02)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens,
+             doc_id % 8 AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard * 4294967296 + ((cum - n_tokens) // 512) AS BIGINT)
+             AS chunk_id
+    FROM c
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: greedy fixed-capacity chunk assignment per
+    shard — the training-batch construction step of an LLM data pipeline.
+    One window shuffle on the shard key; fully oracle-checked."""
+    from cozo_spark.operators.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          capacity=512, shards=8)

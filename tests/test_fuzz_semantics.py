@@ -133,3 +133,40 @@ def test_fuzz_list_semantics(spark):
             assert r["sl"] == lst[0:k]         # [start, end)
         else:
             assert r["get"] is None            # maybe_get → NULL out of range
+
+
+def test_fuzz_fd_elision_differential(spark):
+    """Key-FD distinct elision must never change results: for random
+    keyed tables and random conjunctive queries, running with declared PKs
+    (elision may fire) and without (every rule deduped) must agree."""
+    import random
+
+    from cozo_spark.datalog.engine import CozoDb
+
+    rnd = random.Random(77)
+    n_a, n_b = 40, 15
+    a_rows = [(i, rnd.randint(0, n_b - 1), rnd.randint(0, 5)) for i in range(n_a)]
+    b_rows = [(j, rnd.randint(0, 9), chr(97 + j % 5)) for j in range(n_b)]
+    adf = spark.createDataFrame(a_rows, "ak long, fk long, av long")
+    bdf = spark.createDataFrame(b_rows, "bk long, bv long, bs string")
+
+    scripts = [
+        "?[ak, av] := *a{ak, av}, av > 2",
+        "?[ak, fk, av] := *a{ak, fk, av}",
+        "?[av] := *a{ak, av}",                      # key dropped -> dedup
+        "?[ak, bs] := *a{ak, fk}, *b{bk: fk, bs}",  # join on b's full key
+        "?[bk, av] := *b{bk, bv}, *a{fk: bk, av}",  # duplicating join
+        "?[ak, x] := *a{ak, av}, x = av * 2 + 1",
+        "?[ak] := *a{ak, fk}, not *b{bk: fk, bv: 0}",
+        "?[fk, count(ak), sum(av)] := *a{ak, fk, av}",
+        "?[ak, y] := *a{ak, av}, y in [av, av + 1]",
+    ]
+    keyed, unkeyed = CozoDb(spark), CozoDb(spark)
+    keyed.register_dataframe("a", adf, keys=["ak"])
+    keyed.register_dataframe("b", bdf, keys=["bk"])
+    unkeyed.register_dataframe("a", adf)
+    unkeyed.register_dataframe("b", bdf)
+    for script in scripts:
+        r1 = sorted(tuple(x) for x in keyed.run_script(script).rows)
+        r2 = sorted(tuple(x) for x in unkeyed.run_script(script).rows)
+        assert r1 == r2, (script, r1[:5], r2[:5])

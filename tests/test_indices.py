@@ -476,3 +476,24 @@ def test_hnsw_index_queryable_as_graph(spark):
     ?[node, comp] <~ ConnectedComponents(edges[])
     """)
     assert sorted(tuple(x) for x in r2.rows) == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
+def test_stopwords_language_and_list_args(spark):
+    """Stopwords accepts a language name or an explicit word list
+    (fts/mod.rs:210-231); both sides of the analyzer agree."""
+    from cozo_spark.operators.fts import FtsIndex, py_apply_filters
+
+    assert py_apply_filters(["der", "hund", "bellt"],
+                            ("Stopwords(german)",)) == ["hund", "bellt"]
+    assert py_apply_filters(["foo", "bar"],
+                            (("Stopwords", [["foo"]]),)) == ["bar"]
+
+    docs = spark.createDataFrame(
+        [(1, "der hund bellt"), (2, "die katze schläft")],
+        "doc_id int, text string")
+    idx = FtsIndex.build(docs, "text", "doc_id", "Simple",
+                         ("Lowercase", "Stopwords(german)"))
+    terms = {r["term"] for r in idx.df.collect()}
+    assert "der" not in terms and "hund" in terms
+    got = {r["doc_id"] for r in idx.search("hund", k=5).collect()}
+    assert got == {1}
