@@ -111,6 +111,82 @@ def _register_builtins() -> None:
         return work.select(F.col("_rank"), *out_cols)
 
     register_fixed_rule("ReorderSort", reorder_sort)
+    _register_pipeline_rules()
+
+
+def _register_pipeline_rules() -> None:
+    """LLM-data-pipeline operators as CozoScript fixed rules (beyond the
+    reference's registry — its pipeline-adjacent features are indices;
+    here the batch operators are first-class UDTFs too):
+
+        pairs[] <~ MinHashPairs(*docs[], threshold: 0.5)
+        clus[]  <~ DedupClusters(pairs[])
+        cont[]  <~ NgramContamination(*corpus[], *bench[], n: 3)
+        packs[] <~ PackSequences(*docs[], capacity: 2048)
+        q[]     <~ QualityScores(*docs[])
+        langs[] <~ LanguageId(*docs[])
+
+    Doc-shaped inputs take their first two columns as (id, text)."""
+    from pyspark.sql import functions as F
+
+    def _doc_frame(df: DataFrame) -> DataFrame:
+        c = df.columns
+        if len(c) < 2:
+            raise ValueError("expected a (doc_id, text) shaped input relation")
+        return df.select(F.col(c[0]).alias("doc_id"), F.col(c[1]).alias("text"))
+
+    def minhash_pairs(inputs, options=None):
+        from cozo_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+        o = dict(options or {})
+        return minhash_lsh_dedup_pairs(
+            _doc_frame(inputs[0]),
+            threshold=float(o.get("threshold", 0.7)),
+            num_perm=int(o.get("n_perm", 64)),
+            shingle_n=int(o.get("n_gram", 3)))
+
+    def dedup_clusters_rule(inputs, options=None):
+        from cozo_spark.operators.dedup import dedup_clusters
+
+        c = inputs[0].columns
+        pairs = inputs[0].select(F.col(c[0]).alias("id_a"),
+                                 F.col(c[1]).alias("id_b"))
+        return dedup_clusters(pairs)
+
+    def contamination_rule(inputs, options=None):
+        from cozo_spark.operators.dedup import ngram_contamination
+
+        o = dict(options or {})
+        return ngram_contamination(
+            _doc_frame(inputs[0]), _doc_frame(inputs[1]),
+            shingle_n=int(o.get("n", 3)),
+            threshold=float(o.get("threshold", 0.1)))
+
+    def pack_rule(inputs, options=None):
+        from cozo_spark.operators.text import pack_sequences
+
+        o = dict(options or {})
+        return pack_sequences(
+            _doc_frame(inputs[0]),
+            capacity=int(o.get("capacity", 2048)),
+            shards=int(o.get("shards", 32)))
+
+    def quality_rule(inputs, options=None):
+        from cozo_spark.operators.text import quality_scores
+
+        return quality_scores(_doc_frame(inputs[0]))
+
+    def langid_rule(inputs, options=None):
+        from cozo_spark.operators.text import language_id
+
+        return language_id(_doc_frame(inputs[0]))
+
+    register_fixed_rule("MinHashPairs", minhash_pairs)
+    register_fixed_rule("DedupClusters", dedup_clusters_rule)
+    register_fixed_rule("NgramContamination", contamination_rule)
+    register_fixed_rule("PackSequences", pack_rule)
+    register_fixed_rule("QualityScores", quality_rule)
+    register_fixed_rule("LanguageId", langid_rule)
 
 
 _register_builtins()

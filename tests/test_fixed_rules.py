@@ -231,3 +231,47 @@ def test_scc_empty_edges(spark):
     out = strongly_connected_components(e)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_pipeline_fixed_rules_in_cozoscript(spark):
+    """LLM-pipeline operators are callable as CozoScript fixed rules:
+    near-dup pairs -> clusters, packing, quality, language-id — the whole
+    dedup pipeline composes inside one script."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create docs {id: Int => t: String}")
+    d.run_script("""
+    ?[id, t] <- [
+      [1, 'the quick brown fox jumps over the lazy dog'],
+      [2, 'the quick brown fox jumps over the lazy cat'],
+      [3, 'completely different content about spark engines'],
+      [4, 'the quick brown fox jumps over the lazy dog']
+    ] :put docs {id => t}
+    """)
+    r = d.run_script("""
+    pairs[a, b, j] <~ MinHashPairs(*docs[], threshold: 0.5, n_gram: 2)
+    ?[a, b] := pairs[a, b, j]
+    """)
+    pair_set = sorted(tuple(x) for x in r.rows)
+    assert (1, 4) in pair_set  # exact dups always pair
+    r2 = d.run_script("""
+    mh[a, b, j] <~ MinHashPairs(*docs[], threshold: 0.5, n_gram: 2)
+    pairs[a, b] := mh[a, b, j]
+    ?[doc, canon] <~ DedupClusters(pairs[a, b])
+    """)
+    clus = dict(tuple(x) for x in r2.rows)
+    assert clus[4] == 1  # 4 clusters with canonical keeper 1
+    r3 = d.run_script("?[id, n, chunk] <~ PackSequences(*docs[], capacity: 10, shards: 2)")
+    assert len(r3.rows) == 4
+    r4 = d.run_script("""
+    q[doc_id, n_chars, n_words, mwl, ar, pr, sr, uwr, qual] <~ QualityScores(*docs[])
+    ?[doc_id, n_words] := q[doc_id, n_chars, n_words, mwl, ar, pr, sr, uwr, qual]
+    """)
+    assert dict(tuple(x) for x in r4.rows)[1] == 9
+    r5 = d.run_script("""
+    corpus[id, t] := *docs[id, t], id <= 2
+    bench[id, t] := *docs[id, t], id == 4
+    ?[doc, b, ratio] <~ NgramContamination(corpus[], bench[], n: 2, threshold: 0.5)
+    """)
+    assert any(row[0] == 1 and row[1] == 4 for row in r5.rows)  # doc1 == doc4
