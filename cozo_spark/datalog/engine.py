@@ -1115,12 +1115,13 @@ class CozoDb:
         return NamedRows(["status"], [["OK"]])
 
     def _after_mutation(self, rel: StoredRelation, kind: str, rows: DataFrame) -> None:
-        """Post-mutation hooks: invalidate index artifacts (rebuilt lazily on
-        next search) and fire triggers (query/stored.rs:669-773) with `_new`
-        bound to the mutated rows."""
+        """Post-mutation hooks: incrementally patch built index artifacts
+        (delta tokenize/sign, not full rebuild — indices.apply_mutation;
+        unbuilt ones stay lazy) and fire triggers (query/stored.rs:669-773)
+        with `_new` bound to the mutated rows."""
         from cozo_spark.operators import indices as IX
 
-        IX.invalidate(rel)
+        IX.apply_mutation(rel, kind, rows)
         feed = getattr(self, "changefeed", None)
         if feed is not None:
             feed.record(rel.name, kind, rows)

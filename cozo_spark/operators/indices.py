@@ -40,6 +40,94 @@ def invalidate(rel) -> None:
         idx.artifact = None
 
 
+def apply_mutation(rel, kind: str, rows: DataFrame) -> None:
+    """Incrementally maintain built index artifacts after a mutation
+    (reference fts/indexing.rs + minhash_lsh.rs update the stored index
+    relations per-row inside the mutation transaction; here the artifact
+    frames are patched with a delta instead of a full rebuild — at scale
+    the difference is retokenizing the CHANGED rows vs the whole corpus).
+
+    Falls back to lazy full rebuild (artifact = None) when the artifact
+    isn't built yet or the mutated rows lack the columns the index needs
+    (e.g. an :update that doesn't carry the extractor column)."""
+    for idx in rel.indices.values():
+        if idx.artifact is None:
+            continue
+        try:
+            if idx.kind == "fts":
+                idx.artifact = _fts_apply(rel, idx, kind, rows)
+            elif idx.kind == "lsh" and isinstance(idx.artifact, dict):
+                idx.artifact = _lsh_apply(rel, idx, kind, rows)
+            elif idx.kind in ("hnsw",):
+                # IVF centroids go stale on mutation; exact needs no build
+                idx.artifact = None if isinstance(idx.artifact, dict) else idx.artifact
+            # regular indices are lazy views — always fresh
+        except _IncrementalUnsupported:
+            idx.artifact = None
+
+
+class _IncrementalUnsupported(Exception):
+    pass
+
+
+def _fts_apply(rel, idx: IndexDef, kind: str, rows: DataFrame):
+    from cozo_spark.datalog.fixpoint import _checkpoint
+    from cozo_spark.operators.fts import FtsIndex, build_fts_index
+
+    art = idx.artifact
+    key = rel.key_names[0]
+    extractor = idx.options.get("extractor")
+    if key not in rows.columns:
+        raise _IncrementalUnsupported
+    ids = rows.select(F.col(key).alias("doc_id")).distinct()
+    base = art.df.join(ids, "doc_id", "left_anti")
+    if kind == "put":
+        if extractor not in rows.columns:
+            raise _IncrementalUnsupported
+        add = build_fts_index(rows, extractor, key, art.tokenizer, art.filters)
+        base = base.unionByName(add)
+    new_df = _checkpoint(base)
+    term_df = _checkpoint(new_df.groupBy("term").agg(F.count("*").alias("doc_freq")))
+    return FtsIndex(new_df, rel.df.count(), art.tokenizer, art.filters,
+                    term_df=term_df)
+
+
+def _lsh_apply(rel, idx: IndexDef, kind: str, rows: DataFrame):
+    from cozo_spark.datalog.fixpoint import _checkpoint
+    from cozo_spark.operators.dedup import minhash_signatures
+
+    art = idx.artifact
+    key = rel.key_names[0]
+    extractor = idx.options.get("extractor")
+    if key not in rows.columns:
+        raise _IncrementalUnsupported
+    ids = rows.select(key).distinct()
+    sigs = art["sigs"].join(ids, key, "left_anti")
+    if kind == "put":
+        if extractor not in rows.columns:
+            raise _IncrementalUnsupported
+        base = rows
+        filt = idx.options.get("extract_filter")
+        if filt is not None:
+            from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+            if not set(rel.df.columns) <= set(rows.columns):
+                raise _IncrementalUnsupported
+            base = base.filter(compile_expr(filt, set(base.columns), _df_typer(base)))
+        add = minhash_signatures(base, extractor, key,
+                                 num_perm=art["n_perm"], shingle_n=art["n_gram"])
+        sigs = sigs.unionByName(add)
+    sigs = _checkpoint(sigs)
+    n_rows_b, n_bands = art["n_rows"], art["n_bands"]
+    banded = sigs.select(
+        key,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.slice("sig", i * n_rows_b + 1, n_rows_b))
+            for i in range(n_bands)
+        ])).alias("band_idx", "band_hash"))
+    return {**art, "sigs": sigs, "banded": _checkpoint(banded)}
+
+
 def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
     idx = rel.indices.get(idx_name)
     if idx is None:

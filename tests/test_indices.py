@@ -497,3 +497,33 @@ def test_stopwords_language_and_list_args(spark):
     assert "der" not in terms and "hund" in terms
     got = {r["doc_id"] for r in idx.search("hund", k=5).collect()}
     assert got == {1}
+
+
+def test_incremental_index_maintenance(spark):
+    """Built FTS/LSH artifacts are patched with a delta on mutation (only
+    changed rows re-tokenize), not fully rebuilt — and results match the
+    rebuild exactly."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.operators.indices import ensure_artifact
+
+    d = CozoDb(spark)
+    d.run_script(":create incd {id: Int => t: String}")
+    d.run_script("?[id, t] <- [[1, 'alpha beta gamma'], [2, 'delta epsilon zeta']] "
+                 ":put incd {id => t}")
+    d.run_script("::fts create incd:ft {extractor: 't'}")
+    # force build, then mutate: the artifact must be PATCHED (not None)
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~incd:ft{id | query: 'alpha', k: 5}").rows] == [1]
+    d.run_script("?[id, t] <- [[3, 'alpha omega']] :put incd {id => t}")
+    idx = d.relations["incd"].indices["ft"]
+    assert idx.artifact is not None  # incremental, no lazy invalidation
+    assert sorted(r[0] for r in d.run_script(
+        "?[id] := ~incd:ft{id | query: 'alpha', k: 5}").rows) == [1, 3]
+    assert idx.artifact.n_docs == 3  # idf denominator tracks the corpus
+    # update an existing doc: old postings must vanish
+    d.run_script("?[id, t] <- [[1, 'replaced text']] :put incd {id => t}")
+    assert sorted(r[0] for r in d.run_script(
+        "?[id] := ~incd:ft{id | query: 'alpha', k: 5}").rows) == [3]
+    # rm removes postings incrementally
+    d.run_script("?[id] <- [[3]] :rm incd {id}")
+    assert d.run_script("?[id] := ~incd:ft{id | query: 'alpha', k: 5}").rows == []
