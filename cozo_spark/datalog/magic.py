@@ -39,8 +39,9 @@ pushes into the scan of the base clauses.
 from __future__ import annotations
 
 from cozo_spark.datalog.ast import (
-    Call, Cond, Conj, Const, Disj, FixedApply, HeadVar, ListEx, Negation,
-    RuleApply, Var,
+    Call, Cond, Conj, Const, Disj, FixedApply, HeadVar, ListEx, NamedRelApply,
+    Negation, RelApply, RuleApply, RuleClause, Unify, expr_vars,
+    Var,
 )
 
 
@@ -74,16 +75,18 @@ def magic_restrict(prog, clause_map: dict) -> None:
     """Mutate clause_map in place: filter base clauses of qualifying
     recursive rules down to the constants their callers ask for."""
     # every rule application, grouped by target, with the calling rule
-    apps: dict[str, list[tuple[str, RuleApply]]] = {}
+    apps: dict[str, list[tuple[str, RuleApply, RuleClause]]] = {}
     deps: dict[str, set] = {}
     for name, clauses in clause_map.items():
-        refs: list[RuleApply] = []
+        all_refs: list[RuleApply] = []
         for cl in clauses:
+            refs: list[RuleApply] = []
             for atom in cl.body:
                 _walk_rule_refs(atom, refs)
-        deps[name] = {a.name for a in refs}
-        for a in refs:
-            apps.setdefault(a.name, []).append((name, a))
+            all_refs.extend(refs)
+            for a in refs:
+                apps.setdefault(a.name, []).append((name, a, cl))
+        deps[name] = {a.name for a in all_refs}
 
     fixed_inputs = {
         inp.name
@@ -91,11 +94,11 @@ def magic_restrict(prog, clause_map: dict) -> None:
         for inp in rule.inputs if getattr(inp, "kind", None) == "rule"
     }
 
-    for r, clauses in clause_map.items():
-        if not clauses or r in fixed_inputs:
+    for r, clauses in list(clause_map.items()):
+        if not clauses or r in fixed_inputs or r.startswith("__magic_"):
             continue
-        self_apps = [a for caller, a in apps.get(r, []) if caller == r]
-        ext_apps = [a for caller, a in apps.get(r, []) if caller != r]
+        self_apps = [a for caller, a, _cl in apps.get(r, []) if caller == r]
+        ext_apps = [(a, cl) for caller, a, cl in apps.get(r, []) if caller != r]
         if not self_apps or not ext_apps:
             continue  # not recursive, or never consumed
         # SCC must be exactly {r}: no other rule r reaches also reaches back
@@ -127,16 +130,57 @@ def magic_restrict(prog, clause_map: dict) -> None:
                     break
             if not ok:
                 continue
-            # every external caller binds position i to a constant
-            seeds = []
-            for a in ext_apps:
-                if len(a.args) != arity or not isinstance(a.args[i], Const):
+            # every external caller binds position i to a constant OR a
+            # variable provably bound by r-independent atoms of its clause
+            # (the classic magic set with variable seeds — sideways
+            # information passing): seeds = union of the constants and the
+            # r-independent projections
+            seeds: list = []
+            magic_bodies: list = []
+            for a, caller_cl in ext_apps:
+                if len(a.args) != arity:
                     ok = False
                     break
-                seeds.append(a.args[i].value)
-            if not ok or not seeds:
+                arg = a.args[i]
+                if isinstance(arg, Const):
+                    seeds.append(arg.value)
+                elif isinstance(arg, Var) and arg.name != "_":
+                    body = _magic_seed_body(caller_cl, r, deps, arg.name)
+                    if body is None:
+                        ok = False
+                        break
+                    magic_bodies.append((arg.name, body))
+                else:
+                    ok = False
+                    break
+            if not ok or not (seeds or magic_bodies):
                 continue
             uniq = list(dict.fromkeys(seeds))
+            if magic_bodies:
+                # materialize the seed set as a helper rule evaluated before
+                # r (it depends only on r-independent atoms); base clauses of
+                # r semi-join it — the variable-seed analogue of the constant
+                # filter below. Over-approximate seed sets are sound (supersets
+                # only admit extra tuples the callers never observe).
+                mname = f"__magic_{r}_{i}"
+                mclauses = [
+                    RuleClause([HeadVar(v)], list(body))
+                    for v, body in magic_bodies
+                ]
+                for s in uniq:
+                    mv = f"__mv_{i}"
+                    mclauses.append(RuleClause(
+                        [HeadVar(mv)], [Unify(mv, Const(s))]))
+                clause_map[mname] = mclauses
+                prog.rules[mname] = mclauses
+                for cl, hv in zip(clauses, head_vars):
+                    refs = []
+                    for atom in cl.body:
+                        _walk_rule_refs(atom, refs)
+                    if any(a.name == r for a in refs):
+                        continue  # recursive clause: restriction flows through
+                    cl.body.append(RuleApply(mname, (Var(hv),)))
+                continue
             for cl, hv in zip(clauses, head_vars):
                 refs = []
                 for atom in cl.body:
@@ -149,3 +193,63 @@ def magic_restrict(prog, clause_map: dict) -> None:
                     cond = Cond(Call("is_in", (
                         Var(hv), ListEx(tuple(Const(s) for s in uniq)))))
                 cl.body.append(cond)
+
+
+def _atom_outputs(atom) -> set:
+    if isinstance(atom, (RuleApply, RelApply)):
+        return {x.name for x in atom.args if isinstance(x, Var) and x.name != "_"}
+    if isinstance(atom, NamedRelApply):
+        out = set()
+        for col, e in atom.pairs.items():
+            if e is None:
+                out.add(col)
+            elif isinstance(e, Var) and e.name != "_":
+                out.add(e.name)
+        return out
+    if isinstance(atom, Unify):
+        return {atom.var} if atom.var != "_" else set()
+    return set()
+
+
+def _atom_needs(atom) -> set:
+    if isinstance(atom, Unify):
+        return expr_vars(atom.expr)
+    if isinstance(atom, (RuleApply, RelApply, NamedRelApply)):
+        return set()  # positional/named args are vars or consts post-parse
+    return set()
+
+
+def _magic_seed_body(caller_cl: RuleClause, r: str, deps: dict,
+                     var: str) -> list | None:
+    """Build the body of a magic-seed rule: the subset of the caller
+    clause's atoms that (a) do not depend on `r` (directly or through other
+    rules) and (b) form a bindable conjunction that binds `var`. Dropping
+    filters/negations only widens the seed set — sound. Returns None when
+    `var` cannot be bound r-independently."""
+    candidates = []
+    for atom in caller_cl.body:
+        if isinstance(atom, (Cond, Negation, Conj, Disj)):
+            continue  # restrictive-only (or compound) — droppable
+        refs: list = []
+        _walk_rule_refs(atom, refs)
+        if any(a.name == r or _reaches(a.name, r, deps) for a in refs):
+            continue
+        if getattr(atom, "validity", None) is not None:
+            continue  # as-of reads: keep the rewrite conservative
+        candidates.append(atom)
+    # greedy consume loop mirroring the translator's safety ordering
+    retained: list = []
+    bound: set = set()
+    progress = True
+    while progress and candidates:
+        progress = False
+        for idx, atom in enumerate(candidates):
+            if _atom_needs(atom) <= bound:
+                retained.append(atom)
+                bound |= _atom_outputs(atom)
+                candidates.pop(idx)
+                progress = True
+                break
+    if var not in bound:
+        return None
+    return retained

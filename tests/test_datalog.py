@@ -452,3 +452,62 @@ def test_reliable_checkpoint_config(spark, tmp_path):
         spark.conf.unset("spark.cozo.checkpointDir")
     # default path still works
     assert _checkpoint(spark.range(5)).count() == 5
+
+
+def test_magic_rewrite_variable_seeds(spark):
+    """Variable-seed magic sets (sideways information passing): the seed
+    values come from an r-independent relation in the caller's clause —
+    `?[b] := *starts[s], reach[s, b]` explores only the seeds' components,
+    not the unrelated 40-deep chain."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create vedge {fr: Int, to: Int}")
+    comp_a = [[1, 2], [2, 3], [3, 4]]
+    comp_b = [[i, i + 1] for i in range(100, 140)]
+    d.run_script(f"?[fr, to] <- {comp_a + comp_b} :put vedge {{fr, to}}")
+    d.run_script(":create vstarts {s: Int}")
+    d.run_script("?[s] <- [[1]] :put vstarts {s}")
+
+    script = (
+        "reach[a, b] := *vedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *vedge[b, c]\n"
+        "?[b] := *vstarts[s], reach[s, b]")
+    r = d.run_script(script)
+    assert rows(r) == [(2,), (3,), (4,)]
+    assert d._last_fixpoint_epochs <= 5  # comp_b chain not explored
+
+    r2 = d.run_script(script + "\n:disable_magic_rewrite true")
+    assert rows(r2) == [(2,), (3,), (4,)]
+    assert d._last_fixpoint_epochs >= 39  # full closure without the rewrite
+
+    # mixed const + variable callers union their seed sets
+    r3 = d.run_script(
+        "reach[a, b] := *vedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *vedge[b, c]\n"
+        "two[b] := reach[100, b]\n"
+        "?[b] := *vstarts[s], reach[s, b]\n"
+        "?[b] := two[b], b <= 102")
+    assert rows(r3) == [(2,), (3,), (4,), (101,), (102,)]
+
+    # negated variable-seed caller sees the complete seeded subset
+    r4 = d.run_script(
+        "reach[a, b] := *vedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *vedge[b, c]\n"
+        "?[s, x] := *vstarts[s], x in [2, 4, 6], not reach[s, x]")
+    assert rows(r4) == [(1, 6)]
+
+
+def test_magic_rewrite_variable_seed_unbindable_skipped(spark):
+    """When the caller's seed variable is bound only BY the recursive atom
+    itself, no restriction can be derived and the rewrite must not fire."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create uedge {fr: Int, to: Int}")
+    d.run_script("?[fr, to] <- [[1, 2], [2, 3], [7, 8]] :put uedge {fr, to}")
+    r = d.run_script(
+        "reach[a, b] := *uedge[a, b]\n"
+        "reach[a, c] := reach[a, b], *uedge[b, c]\n"
+        "?[a, b] := reach[a, b]")
+    assert rows(r) == [(1, 2), (1, 3), (2, 3), (7, 8)]
