@@ -1829,3 +1829,38 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pack_sequences(_t(spark, sf_dir, "documents"),
                           capacity=512, shards=8)
+
+
+@query(
+    "datalog_magic_var_seed",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    seeds AS (SELECT CAST(n_nationkey AS BIGINT) AS s FROM nation
+              WHERE n_nationkey < 3),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges WHERE src IN (SELECT s FROM seeds)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src, dst FROM reach
+    """,
+)
+def datalog_magic_var_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-seed magic sets: the seeds come from a RELATION in the
+    caller's clause (`?[s, b] := seeds[s], reach[s, b]`) — the rewrite
+    materializes a magic rule the recursion's base clause semi-joins, so
+    the fixpoint explores only the seeded components (magic.py; reference
+    magic.rs:304-642 adornment with bound-variable SIP)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("seednation", _t(spark, sf_dir, "nation"),
+                          keys=["n_nationkey"])
+    out = db.run_script_df("""
+    seeds[s] := *seednation{n_nationkey: k}, k < 3, s = k
+    reach[a, b] := *edge[a, b]
+    reach[a, c] := reach[a, b], *edge[b, c]
+    ?[src, dst] := seeds[src], reach[src, dst]
+    """)
+    return out.withColumn("src", F.col("src").cast("long"))
