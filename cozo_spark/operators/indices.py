@@ -82,9 +82,11 @@ def _fts_apply(rel, idx: IndexDef, kind: str, rows: DataFrame):
     ids = rows.select(F.col(key).alias("doc_id")).distinct()
     base = art.df.join(ids, "doc_id", "left_anti")
     if kind == "put":
-        if extractor not in rows.columns:
-            raise _IncrementalUnsupported
-        add = build_fts_index(rows, extractor, key, art.tokenizer, art.filters)
+        # re-read the affected rows from the POST-mutation relation — the
+        # raw mutation rows may be partial (:update carries only changed
+        # columns; NULL means keep-old after the coalesce merge)
+        fresh = rel.df.join(ids.withColumnRenamed("doc_id", key), key, "left_semi")
+        add = build_fts_index(fresh, extractor, key, art.tokenizer, art.filters)
         base = base.unionByName(add)
     new_df = _checkpoint(base)
     term_df = _checkpoint(new_df.groupBy("term").agg(F.count("*").alias("doc_freq")))
@@ -104,15 +106,12 @@ def _lsh_apply(rel, idx: IndexDef, kind: str, rows: DataFrame):
     ids = rows.select(key).distinct()
     sigs = art["sigs"].join(ids, key, "left_anti")
     if kind == "put":
-        if extractor not in rows.columns:
-            raise _IncrementalUnsupported
-        base = rows
+        # post-mutation truth for the affected keys (see _fts_apply)
+        base = rel.df.join(ids, key, "left_semi")
         filt = idx.options.get("extract_filter")
         if filt is not None:
             from cozo_spark.datalog.translate import _df_typer, compile_expr
 
-            if not set(rel.df.columns) <= set(rows.columns):
-                raise _IncrementalUnsupported
             base = base.filter(compile_expr(filt, set(base.columns), _df_typer(base)))
         add = minhash_signatures(base, extractor, key,
                                  num_perm=art["n_perm"], shingle_n=art["n_gram"])

@@ -527,3 +527,23 @@ def test_incremental_index_maintenance(spark):
     # rm removes postings incrementally
     d.run_script("?[id] <- [[3]] :rm incd {id}")
     assert d.run_script("?[id] := ~incd:ft{id | query: 'alpha', k: 5}").rows == []
+
+
+def test_incremental_index_after_partial_update(spark):
+    """:update with only some columns (NULL = keep-old semantics): the
+    incremental index patch must index the POST-merge values, not the raw
+    mutation rows."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create updd {id: Int => t: String, tag: Int}")
+    d.run_script("?[id, t, tag] <- [[1, 'original words here', 5]] :put updd {id => t, tag}")
+    d.run_script("::fts create updd:ft {extractor: 't'}")
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~updd:ft{id | query: 'original', k: 5}").rows] == [1]
+    # update only the tag; text must stay indexed
+    d.run_script("?[id, tag] <- [[1, 9]] :update updd {id => tag}")
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~updd:ft{id | query: 'original', k: 5}").rows] == [1]
+    # and the tag actually changed
+    assert d.run_script("?[tag] := *updd{id: 1, tag}").rows == [[9]]
