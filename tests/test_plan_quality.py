@@ -228,3 +228,46 @@ def test_fd_elision_join_duplicating_side_keeps_distinct(spark):
     out = db.run_script_df("?[k, nm] := *p{k, nm}, *ch{pk: k, q}, q > 2")
     assert sorted(tuple(r) for r in out.collect()) == [(1, "a")]
     assert _n_aggregates(out) >= 1  # dedup stays: child join duplicates parent
+
+
+# --- bucketing & salting (plans/scale.py) --------------------------------------
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path_factory):
+    """Two tables bucketed+sorted on the join key: the join runs with ZERO
+    shuffle exchanges — the layout decision that makes repeated fact joins
+    cheap at 100 TB."""
+    from cozo_spark.plans.scale import (bucketed, join_is_exchange_free,
+                                        save_bucketed)
+
+    a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+    save_bucketed(a, "bkt_a", ["k"], buckets=8)
+    save_bucketed(b, "bkt_b", ["k"], buckets=8)
+    try:
+        j = bucketed(spark, "bkt_a").join(bucketed(spark, "bkt_b"), "k")
+        assert j.count() == 5000
+        assert join_is_exchange_free(j), \
+            j._jdf.queryExecution().executedPlan().toString()[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salt_join_matches_plain_join(spark):
+    """salt_join = plain join semantics under pathological key skew."""
+    from cozo_spark.plans.scale import salt_join
+
+    import random
+    rnd = random.Random(5)
+    big = spark.createDataFrame(
+        [(0 if rnd.random() < 0.8 else rnd.randint(1, 5), i)
+         for i in range(5000)], "k long, v long")
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(6)],
+                                  "k long, name string")
+    plain = big.join(small, "k")
+    salted = salt_join(big, small, "k", n_salts=8)
+    assert salted.count() == plain.count() == 5000
+    ps = sorted(tuple(r) for r in plain.select("k", "v", "name").collect())
+    ss = sorted(tuple(r) for r in salted.select("k", "v", "name").collect())
+    assert ps == ss
