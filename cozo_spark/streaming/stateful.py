@@ -106,3 +106,38 @@ def stream_sessionize(stream: DataFrame, key_col: str, ts_col: str,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
     )
+
+
+def stream_exact_dedup(stream: DataFrame, text_col: str = "text",
+                       ts_col: str | None = None,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of each
+    content hash across micro-batches.
+
+    With ``ts_col``, uses `withWatermark` + `dropDuplicates` so the
+    seen-hash state is BOUNDED — hashes older than the watermark are
+    evicted (the only sane configuration for an unbounded 100 TB/day
+    stream). Without a timestamp the state grows without bound
+    (dropDuplicates alone); fine for bounded backfills only."""
+    hashed = stream.withColumn("__h", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return (hashed.withWatermark(ts_col, watermark)
+                .dropDuplicates(["__h", ts_col]).drop("__h"))
+    return hashed.dropDuplicates(["__h"]).drop("__h")
+
+
+def stream_quality_filter(stream: DataFrame, text_col: str = "text",
+                          min_words: int = 5,
+                          max_stopword_ratio: float = 0.6) -> DataFrame:
+    """Streaming quality gate: the same codegen column signals the batch
+    quality_scores operator uses, applied per micro-batch (stateless, so
+    it composes with any downstream stateful operator)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    stop = F.array(*[F.lit(w) for w in
+                     ("the", "and", "of", "to", "is", "a", "in")])
+    n_words = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+                  / F.greatest(n_words, F.lit(1)))
+    return stream.filter((n_words >= min_words)
+                         & (stop_ratio <= max_stopword_ratio))

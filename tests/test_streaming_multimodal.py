@@ -171,3 +171,41 @@ def test_stateful_stream_sessionize_timeout(spark, tmp_path):
     db.run_script("?[k] <- [[2]] :rm zv {k}")
     drain()
     assert got.count(("put", 2)) == 1 and ("rm", 1) in got
+
+
+def test_stream_exact_dedup_and_quality_filter(spark, tmp_path):
+    """Streaming dedup (first occurrence wins across micro-batches) and the
+    stateless quality gate compose on a file stream."""
+    import json
+    import os
+    import time
+
+    from cozo_spark.streaming.stateful import (stream_exact_dedup,
+                                               stream_quality_filter)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "id LONG, text STRING"
+    rows1 = [{"id": 1, "text": "the quick brown fox jumps over things"},
+             {"id": 2, "text": "the quick brown fox jumps over things"},
+             {"id": 3, "text": "the the the the the the"},
+             {"id": 4, "text": "short"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = stream_quality_filter(stream_exact_dedup(stream), min_words=3)
+    q = (out.writeStream.format("memory").queryName("dedup_q")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a repeat of doc 1's content plus a fresh doc
+        rows2 = [{"id": 5, "text": "the quick brown fox jumps over things"},
+                 {"id": 6, "text": "completely fresh content appears here now"}]
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        q.processAllAvailable()
+        got = {r["id"] for r in spark.sql("SELECT * FROM dedup_q").collect()}
+    finally:
+        q.stop()
+    # 2 deduped (same content as 1), 3 fails stopword gate, 4 too short,
+    # 5 deduped ACROSS batches, 6 fresh
+    assert got == {1, 6}
