@@ -121,8 +121,11 @@ def stream_exact_dedup(stream: DataFrame, text_col: str = "text",
     (dropDuplicates alone); fine for bounded backfills only."""
     hashed = stream.withColumn("__h", F.md5(F.col(text_col)))
     if ts_col is not None:
+        # dropDuplicatesWithinWatermark dedups on the HASH alone while
+        # evicting seen-hash state older than the watermark (plain
+        # dropDuplicates([hash, ts]) would only drop identical pairs)
         return (hashed.withWatermark(ts_col, watermark)
-                .dropDuplicates(["__h", ts_col]).drop("__h"))
+                .dropDuplicatesWithinWatermark(["__h"]).drop("__h"))
     return hashed.dropDuplicates(["__h"]).drop("__h")
 
 

@@ -209,3 +209,32 @@ def test_stream_exact_dedup_and_quality_filter(spark, tmp_path):
     # 2 deduped (same content as 1), 3 fails stopword gate, 4 too short,
     # 5 deduped ACROSS batches, 6 fresh
     assert got == {1, 6}
+
+
+def test_stream_dedup_with_watermark_bounded_state(spark, tmp_path):
+    """Watermarked variant: dedup key is the content hash ALONE
+    (dropDuplicatesWithinWatermark), so same content at different event
+    times within the watermark still dedups; state stays bounded."""
+    import json
+
+    from cozo_spark.streaming.stateful import stream_exact_dedup
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    rows = [{"id": 1, "text": "same content", "ts": "2024-01-01T10:00:00"},
+            {"id": 2, "text": "same content", "ts": "2024-01-01T10:05:00"},
+            {"id": 3, "text": "other content", "ts": "2024-01-01T10:06:00"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (spark.readStream.schema("id LONG, text STRING, ts STRING")
+              .json(str(src))
+              .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts")))
+    out = stream_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("wm_dedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2")).start())
+    try:
+        q.processAllAvailable()
+        got = {r["id"] for r in spark.sql("SELECT * FROM wm_dedup").collect()}
+    finally:
+        q.stop()
+    assert 3 in got and len(got) == 2  # one of 1/2 kept, 3 kept
