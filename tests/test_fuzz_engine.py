@@ -103,3 +103,36 @@ def test_fuzz_scc_vs_python(spark, seed):
             same = comp[u] == comp[v]
             mutual = u == v or ((u, v) in clo and (v, u) in clo)
             assert same == mutual, (u, v, same, mutual)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzz_variable_seeded_closure(spark, seed):
+    """Seeded reachability through the engine (variable-seed magic rewrite
+    fires) vs brute-force closure on random graphs — and identical with the
+    rewrite disabled."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    edges = _random_graph(seed)
+    closure = _py_closure(edges)
+    rnd = random.Random(seed * 7)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    seeds = sorted(rnd.sample(nodes, min(3, len(nodes))))
+    want = sorted((s, t) for (s, t) in closure if s in seeds)
+
+    d = CozoDb(spark)
+    d.register_dataframe(
+        "fe", spark.createDataFrame(edges, "src long, dst long"),
+        keys=["src", "dst"])
+    d.register_dataframe(
+        "fs", spark.createDataFrame([(s,) for s in seeds], "s long"),
+        keys=["s"])
+    script = """
+    reach[a, b] := *fe[a, b]
+    reach[a, c] := reach[a, b], *fe[b, c]
+    ?[s, t] := *fs[s], reach[s, t]
+    """
+    got = sorted(tuple(r) for r in d.run_script(script).rows)
+    assert got == want
+    got2 = sorted(tuple(r) for r in d.run_script(
+        script + "\n:disable_magic_rewrite true").rows)
+    assert got2 == want
