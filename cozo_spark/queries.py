@@ -716,10 +716,21 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DegreeCentrality fixed rule (algos/degree_centrality.rs:76) — pure
-    DataFrame groupBy, embarrassingly parallel at any scale."""
-    from cozo_spark.fixed_rules.graphs import degree_centrality
-    return degree_centrality(_edges(spark, sf_dir))
+    """DegreeCentrality fixed rule (algos/degree_centrality.rs:76) invoked
+    THROUGH the engine's `<~` UDTF surface — the driver gate exercises the
+    fixed-rule dispatch, input binding, and output projection, not just the
+    underlying groupBy (which is embarrassingly parallel at any scale)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    df = db.run_script_df(
+        "?[node, total_degree, out_degree, in_degree] <~ DegreeCentrality(*edge[])")
+    return df.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("total_degree").cast("long").alias("total_degree"),
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"))
 
 
 @query(
