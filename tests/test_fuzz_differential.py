@@ -68,7 +68,35 @@ def _filters(rnd, table, var_of):
 
 
 def _gen_case(rnd):
-    kind = rnd.choice(["scan", "scan", "join", "agg"])
+    kind = rnd.choice(["scan", "scan", "join", "agg", "neg", "topk"])
+    if kind == "neg":
+        # anti-join: rows of t with no matching t2 row passing a filter
+        t = rnd.choice([x for x in TABLES if TABLES[x]["fk"]])
+        fk_col, t2, k2 = TABLES[t]["fk"]
+        m1, m2 = TABLES[t], TABLES[t2]
+        ncol, lo, hi = m2["nums"][0]
+        v = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        head = [m1["pk"], fk_col]
+        # vars existentially quantified under `not` need an auxiliary rule
+        # (the reference rejects negated conjunctions the same way)
+        cozo = (f"bad[k] := *{t2}{{{k2}: k, {ncol}: nv}}, nv > {v!r}\n"
+                f"?[{', '.join(head)}] := *{t}{{{m1['pk']}, {fk_col}}}, "
+                f"not bad[{fk_col}]")
+        sql = (f"SELECT {m1['pk']}, {fk_col} FROM {t} a WHERE NOT EXISTS ("
+               f"SELECT 1 FROM {t2} b WHERE b.{k2} = a.{fk_col} AND b.{ncol} > {v!r})")
+        return cozo, sql, head
+    if kind == "topk":
+        t = rnd.choice(list(TABLES))
+        meta = TABLES[t]
+        scol = meta["nums"][0][0]
+        k = rnd.randint(3, 12)
+        desc = rnd.random() < 0.5
+        head = [meta["pk"], scol]
+        cozo = (f"?[{', '.join(head)}] := *{t}{{{meta['pk']}, {scol}}} "
+                f":sort {'-' if desc else ''}{scol}, {meta['pk']} :limit {k}")
+        sql = (f"SELECT {meta['pk']}, {scol} FROM {t} "
+               f"ORDER BY {scol} {'DESC' if desc else 'ASC'}, {meta['pk']} LIMIT {k}")
+        return cozo, sql, head
     if kind == "scan":
         t = rnd.choice(list(TABLES))
         meta = TABLES[t]
