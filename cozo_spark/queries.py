@@ -1646,22 +1646,26 @@ def datalog_shortest_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship entry query: multiway join + aggregation + top-k (the shape of
-    the reference's air-routes 'top route-count airports' tests)."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-             F.count("*").alias("n_items"))
-        .orderBy(F.col("revenue").desc(), "n_name")
-        .limit(10)
-    )
+    """Flagship entry query THROUGH the CozoScript engine: multiway join +
+    in-head aggregation + :sort on an aggregate column + :limit (the shape
+    of the reference's air-routes 'top route-count airports' tests). The
+    driver's smoke check therefore exercises parse → translate → Catalyst
+    end to end."""
+    db = _db(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    df = db.run_script_df("""
+    ?[n_name, sum(rev), count(ok)] :=
+        *lineitem{l_orderkey: ok, l_linenumber: ln,
+                  l_extendedprice: p, l_discount: dc},
+        *orders{o_orderkey: ok, o_custkey: ck},
+        *customer{c_custkey: ck, c_nationkey: nk},
+        *nation{n_nationkey: nk, n_name},
+        rev = p * (1 - dc)
+    :sort -sum(rev), n_name
+    :limit 10
+    """)
+    c = df.columns
+    return df.select(df[c[0]], F.round(df[c[1]], 2).alias("revenue"),
+                     df[c[2]].alias("n_items"))
 
 
 # ---------------------------------------------------------------------------
