@@ -68,7 +68,45 @@ def _filters(rnd, table, var_of):
 
 
 def _gen_case(rnd):
-    kind = rnd.choice(["scan", "scan", "join", "agg", "neg", "topk"])
+    kind = rnd.choice(["scan", "scan", "join", "agg", "neg", "topk",
+                       "union", "disj", "unify"])
+    if kind == "union":
+        t = rnd.choice(list(TABLES))
+        meta = TABLES[t]
+        col, lo, hi = meta["nums"][0]
+        v1 = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        v2 = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        head = [meta["pk"], col]
+        binds = ", ".join(sorted({meta["pk"], col}))
+        cozo = (f"?[{', '.join(head)}] := *{t}{{{binds}}}, {col} > {v1!r}\n"
+                f"?[{', '.join(head)}] := *{t}{{{binds}}}, {col} < {v2!r}")
+        sql = (f"SELECT {', '.join(head)} FROM {t} WHERE {col} > {v1!r} "
+               f"UNION SELECT {', '.join(head)} FROM {t} WHERE {col} < {v2!r}")
+        return cozo, sql, head
+    if kind == "disj":
+        t = rnd.choice(list(TABLES))
+        meta = TABLES[t]
+        col, lo, hi = meta["nums"][0]
+        v1 = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        v2 = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        head = [meta["pk"], col]
+        binds = ", ".join(sorted({meta["pk"], col}))
+        cozo = (f"?[{', '.join(head)}] := *{t}{{{binds}}}, "
+                f"({col} > {v1!r} or {col} < {v2!r})")
+        sql = (f"SELECT {', '.join(head)} FROM {t} "
+               f"WHERE {col} > {v1!r} OR {col} < {v2!r}")
+        return cozo, sql, head
+    if kind == "unify":
+        t = rnd.choice(list(TABLES))
+        meta = TABLES[t]
+        col, lo, hi = meta["nums"][0]
+        mult = rnd.randint(2, 9)
+        head = [meta["pk"], "w"]
+        binds = ", ".join(sorted({meta["pk"], col}))
+        cozo = (f"?[{', '.join(head)}] := *{t}{{{binds}}}, "
+                f"w = {col} * {mult} + 1")
+        sql = (f"SELECT {meta['pk']}, {col} * {mult} + 1 AS w FROM {t}")
+        return cozo, sql, head
     if kind == "neg":
         # anti-join: rows of t with no matching t2 row passing a filter
         t = rnd.choice([x for x in TABLES if TABLES[x]["fk"]])
@@ -174,7 +212,7 @@ def test_fuzz_engine_vs_duckdb(spark, seed):
     for t in TABLES:
         db.register_dataframe(t, _t(spark, SF, t), keys=_PKS[t])
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    for case in range(12):
+    for case in range(20):
         cozo, sql, _head = _gen_case(rnd)
         got = _norm([list(r) for r in db.run_script(cozo).rows])
         want = _norm(con.execute(sql).fetchall())
