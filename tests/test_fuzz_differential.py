@@ -165,7 +165,6 @@ def _gen_case(rnd):
         cozo = (f"?[{', '.join(head)}] := *{t}{{{binds1}}}, "
                 f"*{t2}{{{k2}: {fk_col}, {binds2}}}"
                 + (", " + ", ".join(fc1) if fc1 else ""))
-        where = (" AND " + " AND ".join(f"a.{c}" for c in []) if False else "")
         fs = (" WHERE " + " AND ".join(f"a.{x}" for x in fs1)) if fs1 else ""
         sql = (f"SELECT a.{m1['pk']}, a.{fk_col}, b.{m2['nums'][0][0]} "
                f"FROM {t} a JOIN {t2} b ON a.{fk_col} = b.{k2}{fs}")
