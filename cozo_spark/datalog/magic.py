@@ -214,8 +214,7 @@ def _atom_outputs(atom) -> set:
 def _atom_needs(atom) -> set:
     if isinstance(atom, Unify):
         return expr_vars(atom.expr)
-    if isinstance(atom, (RuleApply, RelApply, NamedRelApply)):
-        return set()  # positional/named args are vars or consts post-parse
+    return set()  # positional/named args are vars or consts post-parse
     return set()
 
 
@@ -230,6 +229,8 @@ def _magic_seed_body(caller_cl: RuleClause, r: str, deps: dict,
     for atom in caller_cl.body:
         if isinstance(atom, (Cond, Negation, Conj, Disj)):
             continue  # restrictive-only (or compound) — droppable
+        if not isinstance(atom, (RuleApply, RelApply, NamedRelApply, Unify)):
+            continue  # search atoms etc.: engine-context-bound, droppable
         refs: list = []
         _walk_rule_refs(atom, refs)
         if any(a.name == r or _reaches(a.name, r, deps) for a in refs):
