@@ -125,6 +125,10 @@ def _register_pipeline_rules() -> None:
         packs[] <~ PackSequences(*docs[], capacity: 2048)
         q[]     <~ QualityScores(*docs[])
         langs[] <~ LanguageId(*docs[])
+        red[]   <~ PiiRedact(*docs[])
+        rep[]   <~ RepetitionSignals(*docs[])
+        samp[]  <~ BalancedSample(*docs_with_stratum[], per_stratum: 10)
+        kw[]    <~ KeywordTopK(*docs[], k: 3)
 
     Doc-shaped inputs take their first two columns as (id, text)."""
     from pyspark.sql import functions as F
@@ -181,12 +185,45 @@ def _register_pipeline_rules() -> None:
 
         return language_id(_doc_frame(inputs[0]))
 
+    def pii_rule(inputs, options=None):
+        from cozo_spark.operators.text import pii_redact
+
+        return pii_redact(_doc_frame(inputs[0]))
+
+    def repetition_rule(inputs, options=None):
+        from cozo_spark.operators.text import repetition_signals
+
+        return repetition_signals(_doc_frame(inputs[0]))
+
+    def balanced_sample_rule(inputs, options=None):
+        from cozo_spark.operators.text import balanced_sample
+
+        c = inputs[0].columns
+        if len(c) < 3:
+            raise ValueError(
+                "BalancedSample expects (doc_id, text, stratum) columns")
+        o = dict(options or {})
+        d = inputs[0].select(F.col(c[0]).alias("doc_id"),
+                             F.col(c[1]).alias("text"),
+                             F.col(c[2]).alias("source"))
+        return balanced_sample(d, per_stratum=int(o.get("per_stratum", 10)))
+
+    def keyword_rule(inputs, options=None):
+        from cozo_spark.operators.text import keyword_topk
+
+        o = dict(options or {})
+        return keyword_topk(_doc_frame(inputs[0]), k=int(o.get("k", 3)))
+
     register_fixed_rule("MinHashPairs", minhash_pairs)
     register_fixed_rule("DedupClusters", dedup_clusters_rule)
     register_fixed_rule("NgramContamination", contamination_rule)
     register_fixed_rule("PackSequences", pack_rule)
     register_fixed_rule("QualityScores", quality_rule)
     register_fixed_rule("LanguageId", langid_rule)
+    register_fixed_rule("PiiRedact", pii_rule)
+    register_fixed_rule("RepetitionSignals", repetition_rule)
+    register_fixed_rule("BalancedSample", balanced_sample_rule)
+    register_fixed_rule("KeywordTopK", keyword_rule)
 
 
 _register_builtins()

@@ -8,7 +8,7 @@ built-in pyspark functions (whole-stage codegen) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _TOKEN_RE = "[A-Za-z0-9]+"
@@ -114,6 +114,131 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - window, F.lit(0)))
     win_hashes = F.transform(idx, lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, window), " ")))
     return d.select(F.col(id_col), F.array_min(win_hashes).alias("fingerprint"))
+
+
+# PII patterns (RE2/Java-compatible: no backrefs/lookaround, so the same
+# pattern strings run in Spark's JVM regex AND the DuckDB oracle).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3,4}-\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, clean_text, n_emails, n_phones, n_ips): PII scrubbing pass.
+
+    Emails / E.164-style phone numbers / IPv4 literals are counted then
+    replaced with typed placeholder tags — the standard pre-training
+    redaction step. Pure regexp codegen (counts via regexp_extract_all,
+    rewrite via regexp_replace): zero shuffles, zero Python — the scan
+    streams through at I/O speed regardless of corpus size. Order matters:
+    emails are redacted first so the host part can't be re-matched as a
+    bare IPv4."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), 0))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IPV4, "<IP>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, top_unigram_frac, top_bigram_frac, dup_trigram_frac): the
+    Gopher-style repetition quality filters (fraction of tokens taken by the
+    most common unigram / bigram; fraction of word trigrams that repeat an
+    earlier occurrence).
+
+    Deliberately computed per-row with array higher-order functions instead
+    of explode+groupBy: a document is a few hundred tokens, so the O(n·d)
+    distinct-count is trivial per row, and the whole operator runs WITHOUT A
+    SINGLE SHUFFLE — at 100 TB it's a map-only pass that AQE never has to
+    re-plan. (The explode variant shuffles every token of the corpus on
+    doc_id three times.)"""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
+    d = df.withColumn("_toks", toks)
+
+    def _grams(n: int):
+        idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
+
+    def _top_frac(arr):
+        top = F.array_max(F.transform(
+            F.array_distinct(arr),
+            lambda g: F.size(F.filter(arr, lambda x: x == g))))
+        return F.when(F.size(arr) > 0, top / F.size(arr)).otherwise(F.lit(0.0))
+
+    d = d.withColumn("_bi", _grams(2)).withColumn("_tri", _grams(3))
+    dup_tri = F.when(
+        F.size("_tri") > 0,
+        (F.size("_tri") - F.size(F.array_distinct("_tri"))) / F.size("_tri"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        F.col(id_col),
+        F.round(_top_frac(F.col("_toks")), 6).alias("top_unigram_frac"),
+        F.round(_top_frac(F.col("_bi")), 6).alias("top_bigram_frac"),
+        F.round(dup_tri, 6).alias("dup_trigram_frac"),
+    )
+
+
+def balanced_sample(df: DataFrame, strata_col: str = "source", per_stratum: int = 10,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, stratum): deterministic balanced resampling — keep the
+    ``per_stratum`` smallest-content-hash rows of every stratum (source
+    balancing / class rebalancing before training).
+
+    Hash order (md5 of content, id tie-break) makes the sample reproducible
+    across engines and runs with no RNG state; one shuffle on the stratum
+    key. At scale, heavy strata are exactly the ones AQE's skew-join split
+    handles; for pathological single-stratum skew, pre-aggregate with a
+    per-partition top-k (rows per partition <= per_stratum) before the
+    global window — Catalyst already pushes a partial TakeOrdered here."""
+    w = W.partitionBy(strata_col).orderBy(F.md5(F.col(text_col)), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_stratum)
+        .select(F.col(id_col), F.col(strata_col).alias("stratum"))
+    )
+
+
+def keyword_topk(df: DataFrame, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, term, score, rank): per-document top-k keywords by
+    rarity-weighted term frequency: score = tf * (N / df_term).
+
+    Same ordering family as TF-IDF (monotone in tf, anti-monotone in df) but
+    the linear inverse-frequency keeps the score an IEEE-exact double
+    (+, *, / are correctly rounded; ln is not), so results hash-match any
+    other engine — swap in ``ln(N/df)`` when cross-engine exactness doesn't
+    matter. Two shuffles: term df (map-side combined), then per-doc top-k
+    window on id."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.round(F.col("_tf") * F.lit(float(n_docs)) / F.col("_df"), 6))
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def pack_sequences(df: DataFrame, capacity: int = 2048, shards: int = 32,

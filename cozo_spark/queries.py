@@ -1682,11 +1682,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_triangles; graph_three_hop_filter / graph_pattern_long are Pokec
 # bench shapes covered by join_multiway + graph_two_hop machinery;
 # text_bpe_tokens ~ text_token_stats; agg_median ~ agg_stats family;
-# window_running_sum ~ sessionize + reorder_sort_rank window family.
+# window_running_sum ~ sessionize + reorder_sort_rank window family;
+# embed_cosine_neardup / ngram_jaccard are exact-verify paths subsumed by
+# ann_cosine_topk + dedup_clusters (which runs ngram_jaccard_pairs inside);
+# semi_join's join machinery is covered by join_point_lookup + the magic
+# rows; datalog_magic_var_seed ~ datalog_magic_reach (variable- vs
+# constant-seed rewrite, closure fuzz covers the former).
 DEMOTED: tuple = (
     "graph_two_hop", "graph_cycle3", "graph_three_hop_filter",
     "graph_pattern_long", "text_bpe_tokens", "agg_median",
     "window_running_sum", "graph_triangles", "datalog_two_hop",
+    "embed_cosine_neardup", "ngram_jaccard", "semi_join",
+    "datalog_magic_var_seed",
 )
 
 
@@ -1879,3 +1886,168 @@ def datalog_magic_var_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ?[src, dst] := seeds[src], reach[src, dst]
     """)
     return out.withColumn("src", F.col("src").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: PII redaction, repetition filters, balanced sampling,
+# keyword extraction (all map-only or single-shuffle; all value-hash oracled)
+# ---------------------------------------------------------------------------
+
+_PII_SYNTH_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                  ELSE '' END AS text
+      FROM documents
+"""
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH synth AS ({_PII_SYNTH_SQL})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\+\\d{{1,2}}-\\d{{3}}-\\d{{3,4}}-\\d{{4}}', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')
+             AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\+\\d{{1,2}}-\\d{{3}}-\\d{{3,4}}-\\d{{4}}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT)
+             AS n_ips
+    FROM synth
+    """,
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones/IPv4 → typed tags + counts). The synthetic
+    corpus carries no PII, so the query deterministically plants some
+    (doc_id-derived emails on ids % 3, phones % 4, IPs % 5) and the oracle
+    replants the identical strings — redaction itself is what's checked.
+    Map-only regexp codegen: no shuffle at any scale."""
+    from cozo_spark.operators.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    email = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise("")
+    phone = F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" call +1-555-"),
+                            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                            F.lit("-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+                   ).otherwise("")
+    ip = F.when(F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" from 10."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".0.1"))).otherwise("")
+    synth = d.select("doc_id",
+                     F.concat(F.col("text"), email, phone, ip).alias("text"))
+    return pii_redact(synth)
+
+
+@query(
+    "repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS bi,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS tri
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) > 0 THEN
+             list_max(list_transform(list_distinct(toks),
+               x -> len(list_filter(toks, y -> y = x)))) * 1.0 / len(toks)
+             ELSE 0.0 END, 6) AS top_unigram_frac,
+           ROUND(CASE WHEN len(bi) > 0 THEN
+             list_max(list_transform(list_distinct(bi),
+               x -> len(list_filter(bi, y -> y = x)))) * 1.0 / len(bi)
+             ELSE 0.0 END, 6) AS top_bigram_frac,
+           ROUND(CASE WHEN len(tri) > 0 THEN
+             (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri)
+             ELSE 0.0 END, 6) AS dup_trigram_frac
+    FROM g
+    """,
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-unigram/bigram token share,
+    duplicate-trigram fraction) computed shuffle-free with array HOFs —
+    a map-only corpus pass at any scale."""
+    from cozo_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "balanced_sample",
+    oracle="""
+    SELECT doc_id, source AS stratum
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced resampling: per-source smallest-md5 top-10 —
+    reproducible source rebalancing with one shuffle and no RNG state."""
+    from cozo_spark.operators.text import balanced_sample
+
+    return balanced_sample(_t(spark, sf_dir, "documents"), per_stratum=10)
+
+
+@query(
+    "keyword_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * (SELECT n_docs * 1.0 FROM n) / dfc, 6) AS score
+      FROM tf JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, score, rank FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def keyword_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by rarity-weighted term frequency
+    (tf * N/df — the TF-IDF ordering family with IEEE-exact scores).
+    df table is broadcast; one term-df shuffle + one per-doc window."""
+    from cozo_spark.operators.text import keyword_topk
+
+    return keyword_topk(_t(spark, sf_dir, "documents"), k=3)

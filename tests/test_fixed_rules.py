@@ -275,3 +275,52 @@ def test_pipeline_fixed_rules_in_cozoscript(spark):
     ?[doc, b, ratio] <~ NgramContamination(corpus[], bench[], n: 2, threshold: 0.5)
     """)
     assert any(row[0] == 1 and row[1] == 4 for row in r5.rows)  # doc1 == doc4
+
+
+def test_pipeline_fixed_rules_pii_repetition_sample_keywords(spark):
+    """Round-3 pipeline rules: PiiRedact, RepetitionSignals, BalancedSample,
+    KeywordTopK — callable from CozoScript and composable with filters."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create docs2 {id: Int => t: String, src: String}")
+    d.run_script("""
+    ?[id, t, src] <- [
+      [1, 'mail me at bob@example.com or +1-555-123-4567 thanks', 'a'],
+      [2, 'server at 10.1.2.3 went down down down down down', 'a'],
+      [3, 'clean text with no identifiers at all here', 'b'],
+      [4, 'spam spam spam spam spam spam spam spam', 'b']
+    ] :put docs2 {id => t, src}
+    """)
+    r = d.run_script("""
+    red[id, clean, ne, np, ni] <~ PiiRedact(*docs2[])
+    ?[id, ne, np, ni] := red[id, clean, ne, np, ni]
+    """)
+    by_id = {row[0]: tuple(row[1:]) for row in r.rows}
+    assert by_id[1] == (1, 1, 0)   # one email, one phone
+    assert by_id[2] == (0, 0, 1)   # one IP
+    assert by_id[3] == (0, 0, 0)
+    clean1 = d.run_script("""
+    red[id, clean, ne, np, ni] <~ PiiRedact(*docs2[])
+    ?[clean] := red[1, clean, ne, np, ni]
+    """).rows[0][0]
+    assert "<EMAIL>" in clean1 and "<PHONE>" in clean1
+    assert "bob@example.com" not in clean1
+
+    r2 = d.run_script("""
+    rep[id, u, b, t3] <~ RepetitionSignals(*docs2[])
+    ?[id, u] := rep[id, u, b, t3], u > 0.9
+    """)
+    assert [row[0] for row in r2.rows] == [4]  # all-'spam' doc flagged
+
+    r3 = d.run_script(
+        "?[id, stratum] <~ BalancedSample(*docs2[], per_stratum: 1)")
+    assert len(r3.rows) == 2  # one per stratum
+    assert sorted(row[1] for row in r3.rows) == ["a", "b"]
+
+    r4 = d.run_script("""
+    kw[id, term, score, rank] <~ KeywordTopK(*docs2[], k: 1)
+    ?[id, term] := kw[id, term, score, rank]
+    """)
+    top = dict(tuple(row) for row in r4.rows)
+    assert top[4] == "spam"

@@ -200,6 +200,103 @@ def _norm(rows):
     return sorted(out)
 
 
+def _gen_graph(rnd, n_lo=6, n_hi=12, p=0.3, dag=False, weighted=False):
+    """Random edge list as rows. dag=True restricts to a<b (terminating
+    weighted recursions); weighted adds a small positive cost."""
+    n = rnd.randint(n_lo, n_hi)
+    edges = []
+    for a in range(n):
+        for b in range(n):
+            if a == b or (dag and a >= b):
+                continue
+            if rnd.random() < p:
+                edges.append((a, b, rnd.randint(1, 9)) if weighted else (a, b))
+    if not edges:
+        edges = [(0, 1, 1)] if weighted else [(0, 1)]
+    return n, edges
+
+
+def _gen_recursive_case(rnd):
+    """(cozo script, duckdb sql) pairs over random inline graphs: transitive
+    closure (cyclic), seeded closure (magic-set path), DAG min-distance
+    (meet aggregation in recursion), two-relation union closure."""
+    kind = rnd.choice(["closure", "seeded", "shortest", "union_closure"])
+    if kind == "shortest":
+        n, edges = _gen_graph(rnd, dag=True, weighted=True)
+        vals_c = ", ".join(f"[{a}, {b}, {w}]" for a, b, w in edges)
+        vals_s = ", ".join(f"({a}, {b}, {w})" for a, b, w in edges)
+        cozo = (f"edge[a, b, w] <- [{vals_c}]\n"
+                f"sp[b, min(d)] := edge[0, b, w], d = w\n"
+                f"sp[c, min(d)] := sp[b, d0], edge[b, c, w], d = d0 + w\n"
+                f"?[b, d] := sp[b, d]")
+        sql = (f"WITH RECURSIVE e(a, b, w) AS (VALUES {vals_s}),\n"
+               f"p(b, d) AS (SELECT b, w FROM e WHERE a = 0\n"
+               f"  UNION SELECT e.b, p.d + e.w FROM p JOIN e ON e.a = p.b)\n"
+               f"SELECT b, min(d) AS d FROM p GROUP BY b")
+        return cozo, sql
+    if kind == "seeded":
+        n, edges = _gen_graph(rnd)
+        seed_node = rnd.randrange(n)
+        vals_c = ", ".join(f"[{a}, {b}]" for a, b in edges)
+        vals_s = ", ".join(f"({a}, {b})" for a, b in edges)
+        cozo = (f"edge[a, b] <- [{vals_c}]\n"
+                f"reach[a, b] := edge[a, b]\n"
+                f"reach[a, c] := reach[a, b], edge[b, c]\n"
+                f"?[b] := reach[{seed_node}, b]")
+        sql = (f"WITH RECURSIVE e(a, b) AS (VALUES {vals_s}),\n"
+               f"r(b) AS (SELECT b FROM e WHERE a = {seed_node}\n"
+               f"  UNION SELECT e.b FROM r JOIN e ON e.a = r.b)\n"
+               f"SELECT b FROM r")
+        return cozo, sql
+    if kind == "union_closure":
+        n, e1 = _gen_graph(rnd, p=0.2)
+        _, e2 = _gen_graph(rnd, n_lo=n, n_hi=n, p=0.2)
+        v1c = ", ".join(f"[{a}, {b}]" for a, b in e1)
+        v2c = ", ".join(f"[{a}, {b}]" for a, b in e2)
+        v_s = ", ".join(f"({a}, {b})" for a, b in set(e1) | set(e2))
+        cozo = (f"e1[a, b] <- [{v1c}]\n"
+                f"e2[a, b] <- [{v2c}]\n"
+                f"reach[a, b] := e1[a, b]\n"
+                f"reach[a, b] := e2[a, b]\n"
+                f"reach[a, c] := reach[a, b], e1[b, c]\n"
+                f"reach[a, c] := reach[a, b], e2[b, c]\n"
+                f"?[a, b] := reach[a, b]")
+        sql = (f"WITH RECURSIVE e(a, b) AS (VALUES {v_s}),\n"
+               f"r(a, b) AS (SELECT a, b FROM e\n"
+               f"  UNION SELECT r.a, e.b FROM r JOIN e ON e.a = r.b)\n"
+               f"SELECT a, b FROM r")
+        return cozo, sql
+    n, edges = _gen_graph(rnd)
+    vals_c = ", ".join(f"[{a}, {b}]" for a, b in edges)
+    vals_s = ", ".join(f"({a}, {b})" for a, b in edges)
+    cozo = (f"edge[a, b] <- [{vals_c}]\n"
+            f"reach[a, b] := edge[a, b]\n"
+            f"reach[a, c] := reach[a, b], edge[b, c]\n"
+            f"?[a, b] := reach[a, b]")
+    sql = (f"WITH RECURSIVE e(a, b) AS (VALUES {vals_s}),\n"
+           f"r(a, b) AS (SELECT a, b FROM e\n"
+           f"  UNION SELECT r.a, e.b FROM r JOIN e ON e.a = r.b)\n"
+           f"SELECT a, b FROM r")
+    return cozo, sql
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_fuzz_recursion_vs_duckdb(spark, seed):
+    """Differential fuzz of the semi-naive fixpoint (incl. the magic-set
+    seeded path and meet-min recursion) against DuckDB recursive CTEs on
+    random graphs — the engine paths the scan/join fuzz can't reach."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    rnd = random.Random(seed)
+    db = CozoDb(spark)
+    con = duckdb.connect()
+    for case in range(8):
+        cozo, sql = _gen_recursive_case(rnd)
+        got = _norm([list(r) for r in db.run_script(cozo).rows])
+        want = _norm(con.execute(sql).fetchall())
+        assert got == want, (cozo, sql, got[:5], want[:5], len(got), len(want))
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_fuzz_engine_vs_duckdb(spark, seed):
     from cozo_spark.datalog.engine import CozoDb
