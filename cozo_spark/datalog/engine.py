@@ -851,12 +851,28 @@ class CozoDb:
             return out.distinct()
 
         # epoch 0: base clauses
+        total_rows: dict[str, int] = {}
         for r in sorted(scc):
             base = eval_rule(r, use_delta=False)
             if base is not None:
                 base = _checkpoint(base)
+                total_rows[r] = base.count()
+            else:
+                total_rows[r] = 0
             totals[r] = base
             deltas[r] = base
+        # small-total novelty check: candidates are a set (distinct'd by
+        # eval_rule), so left-anti on all columns (null-safe) == exceptAll —
+        # and unlike exceptAll it takes a broadcast hint. While the running
+        # total is small (row counts tracked driver-side from the per-epoch
+        # delta counts), the anti side broadcasts and novelty costs zero
+        # extra shuffles; past the threshold it degrades to a shuffle anti.
+        from cozo_spark.datalog.fixpoint import _BROADCAST_FRONTIER, _anti_all_cols
+
+        def _novel(cand: DataFrame, total: DataFrame, n_total: int) -> DataFrame:
+            return _anti_all_cols(cand, total,
+                                  broadcast=n_total < _BROADCAST_FRONTIER)
+
         # fixpoint loop
         self._last_fixpoint_epochs = 0
         for _epoch in range(self.MAX_FIXPOINT_EPOCHS):
@@ -870,23 +886,38 @@ class CozoDb:
                     new_deltas[r] = None
                     continue
                 if meet[r]:
-                    merged, changed = self._meet_merge(clause_map[r][0].head, totals[r], cand)
+                    merged, changed = self._meet_merge(
+                        clause_map[r][0].head, totals[r], cand,
+                        n_total=total_rows[r])
                     new_totals[r] = _checkpoint(merged)
                     new_deltas[r] = _checkpoint(changed)
-                    if not changed.isEmpty():
+                    n_changed = new_deltas[r].count()
+                    # upper bound (changed includes improved existing keys):
+                    # safe for the broadcast-threshold decision
+                    total_rows[r] += n_changed
+                    if n_changed > 0:
                         any_delta = True
                 else:
                     if totals[r] is None:
                         fresh = _checkpoint(cand)
                     else:
-                        fresh = _checkpoint(cand.exceptAll(totals[r]).distinct())
-                    if fresh.isEmpty():
+                        fresh = _checkpoint(_novel(cand, totals[r], total_rows[r]))
+                    n_fresh = fresh.count()
+                    if n_fresh == 0:
                         new_deltas[r] = None
                         continue
                     any_delta = True
                     new_deltas[r] = fresh
-                    new_totals[r] = _checkpoint(
-                        totals[r].unionByName(fresh) if totals[r] is not None else fresh)
+                    total_rows[r] += n_fresh
+                    # union of checkpoint leaves — the plan stays shallow
+                    # without re-materializing the whole total every epoch
+                    # (that's O(total·epochs) writes); a periodic checkpoint
+                    # bounds plan width on long recursions
+                    new_total = (totals[r].unionByName(fresh)
+                                 if totals[r] is not None else fresh)
+                    if (_epoch + 1) % 8 == 0:
+                        new_total = _checkpoint(new_total)
+                    new_totals[r] = new_total
             totals.update(new_totals)
             deltas.update(new_deltas)
             if not any_delta:
@@ -897,7 +928,8 @@ class CozoDb:
             stores[r] = totals[r] if totals[r] is not None else self.spark.createDataFrame(
                 [], T.StructType([]))
 
-    def _meet_merge(self, head, total: Optional[DataFrame], cand: DataFrame):
+    def _meet_merge(self, head, total: Optional[DataFrame], cand: DataFrame,
+                    n_total: int = 0):
         """Merge candidate rows into a meet-aggregated total; return
         (merged, changed_rows) — the MeetAggrStore pattern (temp_store.rs:99-215).
         Operates on canonical positional columns (_c0.._cN)."""
@@ -930,7 +962,15 @@ class CozoDb:
                 agg_exprs.append(spec.build(F.col(c_name)).alias(c_name))
         merged = both.groupBy(*keys).agg(*agg_exprs) if keys else both.agg(*agg_exprs)
         merged = merged.select(*[f"_c{i}" for i in range(len(head))])
-        changed = merged if total is None else merged.exceptAll(total)
+        if total is None:
+            return merged, merged
+        # changed = merged rows not present in total: both are sets (one row
+        # per key), so a null-safe left-anti == exceptAll, and the anti side
+        # can broadcast while the total is small (same trick as _eval_recursive)
+        from cozo_spark.datalog.fixpoint import _BROADCAST_FRONTIER, _anti_all_cols
+
+        changed = _anti_all_cols(merged, total,
+                                 broadcast=n_total < _BROADCAST_FRONTIER)
         return merged, changed
 
     # -- output stage (db.rs:1455-1685) ---------------------------------------------------

@@ -31,6 +31,30 @@ from pyspark.sql import functions as F
 _BROADCAST_FRONTIER = 2_000_000
 
 
+def _anti_all_cols(left: DataFrame, right: DataFrame,
+                   broadcast: bool = False) -> DataFrame:
+    """left-anti join on ALL columns with null-safe equality — exceptAll for
+    set-shaped inputs, but hintable: when ``broadcast`` the right side ships
+    as a broadcast table and the novelty check costs no extra shuffle.
+
+    The right side is renamed to reserved column names first: fixpoint plans
+    share attribute ids across epochs (checkpoint leaves keep their original
+    ids, and candidates embed the same base relations), so a same-name join
+    condition can collapse back to a shared id (RemoveRedundantAliases) and
+    break later optimizer rewrites (InferFiltersFromConstraints: "key not
+    found"). Distinct names cannot be collapsed."""
+    cols = list(left.columns)
+    rf = right.select(*[F.col(c).alias(f"__rhs_{i}")
+                        for i, c in enumerate(right.columns)])
+    if broadcast:
+        rf = F.broadcast(rf)
+    cond = None
+    for i, c in enumerate(cols):
+        eq = left[c].eqNullSafe(rf[f"__rhs_{i}"])
+        cond = eq if cond is None else (cond & eq)
+    return left.join(rf, cond, "left_anti")
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
     """Materialize + truncate lineage between fixpoint epochs.
 
@@ -71,16 +95,25 @@ def semi_naive(
     """
     total = _checkpoint(base.distinct())
     delta = total
+    total_rows = delta.count()
+    n = total_rows
     for epoch in range(max_iterations):
-        # one action per epoch: the count both detects fixpoint and sizes the
-        # broadcast decision (delta is checkpointed, so this is near-free)
-        n = delta.count()
         if n == 0:
             break
         frontier = F.broadcast(delta) if n < _BROADCAST_FRONTIER else delta
         candidates = step(frontier).distinct()
-        # candidates is already a set; exceptAll against total keeps it one
-        delta = _checkpoint(candidates.exceptAll(total))
+        # novelty check: candidates is a set after distinct(), so a left-anti
+        # join on all columns (null-safe) equals exceptAll — but unlike
+        # exceptAll it accepts a broadcast hint. While the running total is
+        # small (tracked driver-side for free from the epoch counts), the
+        # anti side broadcasts and the epoch costs ONE shuffle (the distinct)
+        # instead of two; at scale it degrades gracefully to a shuffle anti.
+        delta = _checkpoint(_anti_all_cols(
+            candidates, total, broadcast=total_rows < _BROADCAST_FRONTIER))
+        # one action per epoch: the count both detects fixpoint and sizes the
+        # broadcast decisions (delta is checkpointed, so this is near-free)
+        n = delta.count()
+        total_rows += n
         # total = union of checkpointed deltas: each union child is a
         # checkpoint leaf, so the plan stays shallow — re-materializing the
         # whole total every epoch (O(n·epochs) writes) is not needed; a
