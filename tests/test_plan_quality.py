@@ -271,3 +271,37 @@ def test_salt_join_matches_plain_join(spark):
     ps = sorted(tuple(r) for r in plain.select("k", "v", "name").collect())
     ss = sorted(tuple(r) for r in salted.select("k", "v", "name").collect())
     assert ps == ss
+
+
+def test_fixpoint_novelty_anti_join_broadcasts(spark):
+    """The fixpoint's novelty check (delta = candidates minus total) must be
+    a broadcast LEFT-ANTI while the running total is small — one shuffle per
+    epoch (the candidate distinct), not two. Past _BROADCAST_FRONTIER it
+    degrades to a shuffle anti; either way it must never plan a cartesian."""
+    from cozo_spark.datalog.fixpoint import _anti_all_cols
+    from cozo_spark.plans.inspect import plan_properties
+
+    cand = spark.range(0, 1000).selectExpr("id AS src", "id + 1 AS dst")
+    total = spark.range(0, 500).selectExpr("id AS src", "id + 1 AS dst")
+    p = plan_properties(_anti_all_cols(cand, total, broadcast=True))
+    assert "BroadcastHashJoin" in p["plan"] and "LeftAnti" in p["plan"], \
+        p["plan"][:2000]
+    assert "CartesianProduct" not in p["plan"]
+    assert "BroadcastNestedLoopJoin" not in p["plan"], p["plan"][:2000]
+    # and correctness: equals exceptAll on set inputs
+    got = sorted(tuple(r) for r in _anti_all_cols(cand, total, broadcast=True).collect())
+    want = sorted(tuple(r) for r in cand.exceptAll(total).collect())
+    assert got == want
+
+
+def test_fixpoint_novelty_anti_join_null_safe(spark):
+    """Null tuples dedup correctly through the null-safe anti-join (a plain
+    equality anti would treat NULL != NULL and re-emit the tuple forever —
+    a fixpoint non-termination bug, not just a wrong answer)."""
+    from cozo_spark.datalog.fixpoint import _anti_all_cols
+
+    cand = spark.createDataFrame([(1, None), (2, 5), (None, None)],
+                                 "a int, b int")
+    total = spark.createDataFrame([(1, None), (None, None)], "a int, b int")
+    got = sorted(tuple(r) for r in _anti_all_cols(cand, total, broadcast=True).collect())
+    assert got == [(2, 5)]
