@@ -129,6 +129,130 @@ def stream_exact_dedup(stream: DataFrame, text_col: str = "text",
     return hashed.dropDuplicates(["__h"]).drop("__h")
 
 
+_NEARDUP_OUT = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("band_idx", T.IntegerType()),
+    T.StructField("first_doc_id", T.LongType()),
+])
+_NEARDUP_STATE = T.StructType([T.StructField("first_doc_id", T.LongType())])
+
+
+def _stream_minhash_sig(text_col: str, num_perm: int, shingle_n: int,
+                        seed: int = 42):
+    """Per-row MinHash signature as ONE Arrow-batched pandas-UDF column.
+
+    The batch path (operators/dedup.minhash_signatures) explodes tokens and
+    runs 64 codegen min-aggs — the right plan for a table scan, but window
+    functions and groupBy-reuse don't apply per-row on a stream. A pure
+    column-expression formulation was tried first and rejected: inlining the
+    md5-gram chain into 64 array_min terms and then 16 band slices builds a
+    >10k-node expression tree that Catalyst re-analyzes EVERY micro-batch —
+    minutes of driver time for rows that take microseconds to process. The
+    UDF is a single opaque node (tree stays small), Arrow-batched, and the
+    Python workers are reused across batches.
+
+    The hash is bit-identical to the batch operator (md5 digest bytes 8:12
+    little-endian masked to [0, 2^31) == _md5_le31; same _perm_params), so
+    a doc flagged by the stream is exactly a doc the batch LSH would pair —
+    pinned by test_stream_minhash_sig_matches_batch."""
+    import hashlib
+
+    import numpy as np
+
+    from cozo_spark.operators.dedup import _MERSENNE, _perm_params
+
+    params = np.array(_perm_params(num_perm, seed), dtype=np.int64)
+    av, bv = params[:, 0:1], params[:, 1:2]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:  # identity signature, as the batch operator
+                out.append(np.full(num_perm, _MERSENNE, dtype=np.int64))
+                continue
+            hi = max(len(toks) - (shingle_n - 1), 1)
+            grams = [" ".join(toks[i:i + shingle_n]) for i in range(hi)]
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(g.encode()).digest()[8:12],
+                                "little") & 0x7FFFFFFF for g in grams],
+                dtype=np.int64)
+            out.append(((av * hs[None, :] + bv) % _MERSENNE).min(axis=1))
+        return pd.Series(out)
+
+    return sig_udf(F.col(text_col))
+
+
+def stream_neardup_candidates(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
+    bucket_ttl_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate detection against ALL history: each arriving
+    document is flagged when any of its LSH band buckets is already occupied
+    by an earlier (different) document.
+
+    Emits (doc_id, band_idx, first_doc_id) per colliding band — the
+    streaming twin of the batch MinHash+LSH candidate generator, with the
+    bucket table as engine-managed per-key state instead of a shuffle join:
+    state key = (band_idx, band_hash), value = first doc seen there.
+    Signatures use the same hash family as the batch operator, so a doc
+    flagged here is exactly a doc the batch pipeline would pair.
+
+    State is partitioned across executors by bucket key and checkpointed;
+    with ``bucket_ttl_seconds`` idle buckets are evicted on a processing-time
+    timeout, bounding state for unbounded streams (the analogue of the
+    watermark in stream_exact_dedup — without it, use only for bounded
+    backfills)."""
+    rows_per_band = max(1, num_perm // bands)
+    sig = _stream_minhash_sig(text_col, num_perm, shingle_n)
+    banded = (
+        stream.withColumn("__sig", sig)
+        .select(
+            F.col(id_col).cast("long").alias("__doc_id"),
+            F.posexplode(F.array(*[
+                F.xxhash64(F.slice("__sig", i * rows_per_band + 1,
+                                   rows_per_band))
+                for i in range(bands)
+            ])).alias("__band_idx", "__band_hash"))
+    )
+    ttl_ms = int(bucket_ttl_seconds * 1000) if bucket_ttl_seconds else None
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = state.get[0] if state.exists else None
+        out_docs, out_firsts = [], []
+        for pdf in pdfs:
+            for doc in pdf["__doc_id"]:
+                doc = int(doc)
+                if first is None:
+                    first = doc
+                elif doc != first:
+                    out_docs.append(doc)
+                    out_firsts.append(first)
+        state.update((first,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_docs:
+            yield pd.DataFrame({
+                "doc_id": out_docs,
+                "band_idx": [int(key[0])] * len(out_docs),
+                "first_doc_id": out_firsts,
+            })
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
+    return (
+        banded.groupBy("__band_idx", "__band_hash")
+        .applyInPandasWithState(
+            update, _NEARDUP_OUT, _NEARDUP_STATE,
+            outputMode="append", timeoutConf=timeout)
+    )
+
+
 def stream_quality_filter(stream: DataFrame, text_col: str = "text",
                           min_words: int = 5,
                           max_stopword_ratio: float = 0.6) -> DataFrame:

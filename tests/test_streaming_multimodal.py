@@ -2,8 +2,30 @@
 
 from __future__ import annotations
 
+import time
+
 import pytest
 from pyspark.sql import functions as F
+
+
+def run_until(q, done, max_seconds=120.0, settle_seconds=2.0):
+    """Drive a streaming query until ``done()`` is truthy (plus a settle
+    window for trailing timer sweeps), then stop it.
+
+    A query holding processing-time timers never self-terminates — even
+    under trigger(availableNow): the pending timers keep scheduling batches
+    — so waiting on awaitTermination either hangs or silently burns its full
+    timeout. Polling the test's own observable condition is the only
+    reliable drain."""
+    deadline = time.time() + max_seconds
+    try:
+        while time.time() < deadline and not done():
+            time.sleep(0.3)
+        assert done(), "streaming condition not reached in time"
+        time.sleep(settle_seconds)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
 
 
 def test_changefeed_and_callbacks(spark, tmp_path):
@@ -156,13 +178,18 @@ def test_stateful_stream_sessionize_timeout(spark, tmp_path):
     got = []
 
     def drain():
+        # the 1s session timers keep the availableNow query alive past its
+        # last data batch, so awaitTermination would burn its full timeout —
+        # poll for the expected emission instead (run_until)
+        before = len(got)
+
         def sink(batch_df, _bid):
             got.extend((r["key"], r["n_events"]) for r in batch_df.collect())
         out = stream_sessionize(feed.stream(spark, "zv"), "op", "ts", gap_seconds=1.0)
         q = (out.writeStream.foreachBatch(sink)
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        run_until(q, lambda: len(got) > before, settle_seconds=0.5)
 
     drain()
     assert got == [("put", 2)]  # both events in ONE session, closed by sweep
@@ -238,3 +265,135 @@ def test_stream_dedup_with_watermark_bounded_state(spark, tmp_path):
     finally:
         q.stop()
     assert 3 in got and len(got) == 2  # one of 1/2 kept, 3 kept
+
+
+def test_stream_neardup_candidates_across_batches(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: a doc arriving in a later micro-batch
+    whose band buckets are already occupied gets flagged with the earlier
+    occupant; unrelated content does not collide."""
+    import json
+
+    from cozo_spark.streaming.stateful import stream_neardup_candidates
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    ckpt = str(tmp_path / "nd_ck")
+    got = []
+    # state-store count == shuffle partitions; 4 docs don't need 32 stores
+    # (the partition count is baked into the checkpoint at first start).
+    # No TTL here: a pending processing-time timer keeps an availableNow
+    # query alive until it fires — TTL eviction has its own test below.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def drain():
+        def sink(batch_df, _bid):
+            got.extend((r["doc_id"], r["first_doc_id"])
+                       for r in batch_df.collect())
+        stream = (spark.readStream.schema("doc_id LONG, text STRING")
+                  .json(str(src)))
+        out = stream_neardup_candidates(stream)
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    rows1 = [{"doc_id": 1, "text": base},
+             {"doc_id": 10, "text": "completely different material about "
+                                    "distributed query engines and plans"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    drain()
+    # restart on the same checkpoint: bucket state survives; a near-dup of
+    # doc 1 (one word changed) collides, fresh content does not
+    rows2 = [{"doc_id": 2, "text": base.replace("lazy", "sleepy")},
+             {"doc_id": 20, "text": "unrelated fresh text with nothing "
+                                    "in common with either document"}]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    try:
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    pairs = set(got)
+    assert (2, 1) in pairs          # near-dup flagged against history
+    flagged = {d for d, _ in pairs}
+    assert 20 not in flagged and 10 not in flagged
+
+
+def test_stream_neardup_ttl_evicts_buckets(spark, tmp_path):
+    """With bucket_ttl_seconds, idle band buckets are evicted by the
+    processing-time timer: after the TTL elapses (and a batch runs so the
+    timers fire), a later near-dup no longer collides — bounded state for
+    unbounded streams."""
+    import json
+    import time
+
+    from cozo_spark.streaming.stateful import stream_neardup_candidates
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    got = []
+    rows_seen = [0]
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def sink(batch_df, _bid):
+        rows = batch_df.collect()
+        rows_seen[0] += 1  # count batches, incl. empty timer sweeps
+        got.extend((r["doc_id"], r["first_doc_id"]) for r in rows)
+
+    try:
+        (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+        stream = (spark.readStream.schema("doc_id LONG, text STRING")
+                  .json(str(src)))
+        out = stream_neardup_candidates(stream, bucket_ttl_seconds=1.0)
+        q = (out.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+             .outputMode("append")
+             .trigger(processingTime="500 milliseconds").start())
+
+        def progressed(n):
+            return lambda: (q.lastProgress or {}).get("batchId", -1) >= n
+
+        # batch with doc 1 processed, then > 1s of further batches so the
+        # 1s bucket timers fire and evict doc 1's buckets
+        run_until_batch = progressed(0)
+        deadline = time.time() + 60
+        while time.time() < deadline and not run_until_batch():
+            time.sleep(0.3)
+        time.sleep(3.0)  # timer sweep batches run at the 500ms trigger
+        (src / "b3.json").write_text(json.dumps(
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy")}))
+        last = (q.lastProgress or {}).get("batchId", 0)
+        deadline = time.time() + 60
+        while time.time() < deadline and not progressed(last + 2)():
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # doc 2 arrives after doc 1's buckets were evicted: no collision
+    assert all(d != 2 for d, _ in got), got
+
+
+def test_stream_minhash_sig_matches_batch(spark):
+    """The streaming per-row signature equals the batch operator's signature
+    for the same document — a doc flagged by the stream is exactly a doc the
+    batch LSH pipeline would pair."""
+    from pyspark.sql import functions as F
+
+    from cozo_spark.operators.dedup import minhash_signatures
+    from cozo_spark.streaming.stateful import _stream_minhash_sig
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "some other words to hash for the comparison test")],
+        "doc_id long, text string")
+    batch = {r["doc_id"]: list(r["sig"])
+             for r in minhash_signatures(d).collect()}
+    stream_expr = {r["doc_id"]: list(r["s"])
+                   for r in d.select("doc_id",
+                                     _stream_minhash_sig("text", 64, 3)
+                                     .alias("s")).collect()}
+    assert batch == stream_expr
