@@ -99,11 +99,55 @@ def test_image_features(media):
     assert sum(x * x for x in rows[1]["features"]) == pytest.approx(1.0, abs=1e-5)
 
 
-def test_real_decode_is_gated(media):
+def test_real_decode_is_gated_for_codec_formats(media):
+    """Codec formats (PNG here) still gate on the missing library — the
+    error now surfaces from the executor kernel at action time."""
     from cozo_spark.operators.multimodal import extract_image_features
 
-    with pytest.raises(NotImplementedError):
-        extract_image_features(media, fake=False)
+    with pytest.raises(Exception, match="codec library|NotImplementedError"):
+        extract_image_features(
+            media.filter("media_type = 'image/png'"), fake=False).collect()
+
+
+def test_raw_rgb_real_decode_features_and_resize(spark):
+    """image/x-raw-rgb is the lib-free REAL path: decode, per-channel
+    statistics, and nearest-neighbour resize are exact numpy results, run
+    through the same mapInPandas kernels as any other format."""
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, RAW_RGB_TYPE, decode_raw_rgb, encode_raw_rgb,
+        extract_image_features, resize_images)
+
+    rng = np.random.RandomState(7)
+    img1 = rng.randint(0, 256, (16, 12, 3), dtype=np.uint8)
+    img2 = np.zeros((4, 4, 3), dtype=np.uint8)
+    img2[..., 0] = 255  # pure red
+    rows = [
+        (1, RAW_RGB_TYPE, bytearray(encode_raw_rgb(img1)),
+         {"width": 12, "height": 16, "duration_ms": None, "sample_rate": None}),
+        (2, RAW_RGB_TYPE, bytearray(encode_raw_rgb(img2)),
+         {"width": 4, "height": 4, "duration_ms": None, "sample_rate": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r["features"]
+             for r in extract_image_features(media, fake=False).collect()}
+    # pure red: mean = (1, 0, 0), std = 0, luma = 0.2126, zero gradient
+    f2 = feats[2]
+    assert abs(f2[0] - 1.0) < 1e-6 and abs(f2[1]) < 1e-6 and abs(f2[2]) < 1e-6
+    assert abs(f2[6] - 0.2126) < 1e-4 and abs(f2[7]) < 1e-6
+    # img1: exact channel means
+    expect = img1.astype("float64").mean(axis=(0, 1)) / 255.0
+    assert all(abs(feats[1][i] - expect[i]) < 1e-6 for i in range(3))
+
+    resized = {r["media_id"]: bytes(r["content"])
+               for r in resize_images(media, width=6, height=8).collect()}
+    out1 = decode_raw_rgb(resized[1])
+    assert out1.shape == (8, 6, 3)
+    # nearest-neighbour: pixel (y, x) comes from (y*16//8, x*12//6)
+    assert (out1 == img1[(np.arange(8) * 2)[:, None],
+                         (np.arange(6) * 2)[None, :]]).all()
 
 
 def test_frame_sampling(media):
