@@ -69,7 +69,50 @@ def _filters(rnd, table, var_of):
 
 def _gen_case(rnd):
     kind = rnd.choice(["scan", "scan", "join", "agg", "neg", "topk",
-                       "union", "disj", "unify"])
+                       "union", "disj", "unify", "agg_topk", "offset",
+                       "neg_union"])
+    if kind == "agg_topk":
+        # grouped aggregation + :sort on the AGGREGATE column + :limit —
+        # the output stage over aggregate heads (a past bug area)
+        t = rnd.choice(list(TABLES))
+        meta = TABLES[t]
+        gcol = meta["nums"][-1][0]
+        vcol = meta["nums"][0][0]
+        k = rnd.randint(2, 8)
+        desc = rnd.random() < 0.5
+        cozo = (f"?[{gcol}, sum({vcol})] := *{t}{{{gcol}, {vcol}}} "
+                f":sort {'-' if desc else ''}sum({vcol}), {gcol} :limit {k}")
+        sql = (f"SELECT {gcol}, sum({vcol}) AS s FROM {t} GROUP BY {gcol} "
+               f"ORDER BY s {'DESC' if desc else 'ASC'}, {gcol} LIMIT {k}")
+        return cozo, sql, None
+    if kind == "offset":
+        t = rnd.choice(list(TABLES))
+        meta = TABLES[t]
+        scol = meta["nums"][0][0]
+        k, off = rnd.randint(3, 10), rnd.randint(1, 6)
+        cozo = (f"?[{meta['pk']}, {scol}] := *{t}{{{meta['pk']}, {scol}}} "
+                f":sort {scol}, {meta['pk']} :limit {k} :offset {off}")
+        sql = (f"SELECT {meta['pk']}, {scol} FROM {t} "
+               f"ORDER BY {scol}, {meta['pk']} LIMIT {k} OFFSET {off}")
+        return cozo, sql, None
+    if kind == "neg_union":
+        # negation of a MULTI-CLAUSE rule: not bad[x] where bad has two
+        # bodies (stratified negation over a union store)
+        t = rnd.choice([x for x in TABLES if TABLES[x]["fk"]])
+        fk_col, t2, k2 = TABLES[t]["fk"]
+        m1, m2 = TABLES[t], TABLES[t2]
+        ncol, lo, hi = m2["nums"][0]
+        v1 = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        v2 = rnd.randint(lo, hi) if isinstance(lo, int) else round(rnd.uniform(lo, hi), 2)
+        head = [m1["pk"], fk_col]
+        cozo = (f"bad[k] := *{t2}{{{k2}: k, {ncol}: nv}}, nv > {v1!r}\n"
+                f"bad[k] := *{t2}{{{k2}: k, {ncol}: nv}}, nv < {v2!r}\n"
+                f"?[{', '.join(head)}] := *{t}{{{m1['pk']}, {fk_col}}}, "
+                f"not bad[{fk_col}]")
+        sql = (f"SELECT {m1['pk']}, {fk_col} FROM {t} a WHERE NOT EXISTS ("
+               f"SELECT 1 FROM {t2} b WHERE b.{k2} = a.{fk_col} "
+               f"AND (b.{ncol} > {v1!r} OR b.{ncol} < {v2!r}))")
+        return cozo, sql, head
     if kind == "union":
         t = rnd.choice(list(TABLES))
         meta = TABLES[t]
