@@ -1994,10 +1994,19 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (top-unigram/bigram token share,
     duplicate-trigram fraction) computed shuffle-free with array HOFs —
-    a map-only corpus pass at any scale."""
-    from cozo_spark.operators.text import repetition_signals
+    a map-only corpus pass at any scale. Runs THROUGH the engine's
+    fixed-rule dispatch (`<~ RepetitionSignals`), so the driver row also
+    exercises CozoScript compilation."""
+    from cozo_spark.datalog.engine import CozoDb
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    db = CozoDb(spark)
+    db.register_dataframe("docs", _t(spark, sf_dir, "documents"),
+                          keys=["doc_id"])
+    df = db.run_script_df(
+        "?[doc_id, u, b, t] <~ RepetitionSignals(*docs[])")
+    return df.select(F.col("doc_id"), F.col("u").alias("top_unigram_frac"),
+                     F.col("b").alias("top_bigram_frac"),
+                     F.col("t").alias("dup_trigram_frac"))
 
 
 @query(
@@ -2047,7 +2056,13 @@ def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def keyword_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords by rarity-weighted term frequency
     (tf * N/df — the TF-IDF ordering family with IEEE-exact scores).
-    df table is broadcast; one term-df shuffle + one per-doc window."""
-    from cozo_spark.operators.text import keyword_topk
+    df table is broadcast; one term-df shuffle + one per-doc window.
+    Runs THROUGH the engine's fixed-rule dispatch (`<~ KeywordTopK`)."""
+    from cozo_spark.datalog.engine import CozoDb
 
-    return keyword_topk(_t(spark, sf_dir, "documents"), k=3)
+    db = CozoDb(spark)
+    db.register_dataframe("docs", _t(spark, sf_dir, "documents"),
+                          keys=["doc_id"])
+    df = db.run_script_df(
+        "?[doc_id, term, score, rank] <~ KeywordTopK(*docs[], k: 3)")
+    return df.select("doc_id", "term", "score", "rank")
