@@ -102,6 +102,27 @@ def compile_expr(e, bound: set, typer=None) -> Column:
             c2 = _type_class(_spark_item_type(e.args[1], typer))
             if c1 is not None and c2 is not None and c1 != c2:
                 return F.lit(e.fn == "neq")
+        if e.fn in ("gt", "ge", "lt", "le", "eq", "neq", "add", "sub",
+                    "minus") and len(e.args) == 2:
+            # Reference semantics: timestamps ARE float seconds-since-epoch
+            # (now()/parse_timestamp return Float, functions.rs:2441-2526);
+            # only our parquet reader keeps a TIMESTAMP column type. When a
+            # timestamp meets a number (e.g. `sd > parse_timestamp(d) -
+            # 86400*120`), compare/compute in epoch seconds. String
+            # comparisons (`sd > '1998-11-15'`) stay native — Spark coerces
+            # the literal to a timestamp, which is both faster and prunable.
+            t1 = _spark_item_type(e.args[0], typer)
+            t2 = _spark_item_type(e.args[1], typer)
+            _ts = ("timestamp", "timestamp_ntz")
+            _nm = _INT_T + _FLOAT_T
+            if (t1 in _ts and t2 in _nm) or (t2 in _ts and t1 in _nm):
+                a0 = compile_expr(e.args[0], bound, typer)
+                a1 = compile_expr(e.args[1], bound, typer)
+                if t1 in _ts:
+                    a0 = F.unix_micros(a0.cast("timestamp")) / F.lit(1e6)
+                if t2 in _ts:
+                    a1 = F.unix_micros(a1.cast("timestamp")) / F.lit(1e6)
+                return SCALAR_FUNCTIONS[e.fn](a0, a1)
         if e.fn in ("length", "reverse", "first", "last") and len(e.args) == 1:
             t = _static_type(e.args[0], typer)
             if e.fn in ("first", "last") and t is not None and t.startswith("struct<_0"):

@@ -93,6 +93,37 @@ def test_q3_shipping_priority(db, oracle):
     """, ordered=True)
 
 
+def test_q3_with_timestamp_arithmetic(db, oracle):
+    """Same Q3, but with the classic date arithmetic spelled the way the
+    reference's float-seconds timestamp model allows: parse_timestamp(...)
+    minus seconds, compared against the TIMESTAMP column (the translator
+    coerces the column to epoch seconds)."""
+    _check(db, oracle, """
+    agg[ok, sum(rev), od] :=
+        *customer{c_custkey: ck, c_mktsegment: 'BUILDING'},
+        *orders{o_orderkey: ok, o_custkey: ck, o_orderdate: od},
+        od < '1999-03-15',
+        *lineitem{l_orderkey: ok, l_extendedprice: p, l_discount: dc,
+                  l_shipdate: sd},
+        sd > parse_timestamp('1999-03-15') - 86400 * 120,
+        rev = p * (1 - dc)
+    ?[ok, revenue, od] := agg[ok, s, od], revenue = round(s, 2)
+    :sort -revenue, ok
+    :limit 10
+    """, """
+    SELECT l_orderkey,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15'
+      AND l_shipdate > TIMESTAMP '1999-03-15' - INTERVAL 120 DAY
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """, ordered=True)
+
+
 def test_q5_local_supplier_volume(db, oracle):
     # the classic two-way nationkey equality (customer and supplier in the
     # SAME nation) arises from the shared variable nk
