@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1054,6 +1054,25 @@ class CozoDb:
                 if c.name not in bound:
                     new = new.withColumn(c.name, F.lit(None).cast(_col_type(c.typing)))
             new = new.select(*rel.col_names) if op != "update" else new
+            # within-batch duplicate keys: the reference applies result rows
+            # in sorted-tuple order with per-key overwrite (BTree iteration +
+            # stored.rs put), so the LARGEST tuple per key wins; for :insert
+            # the second row with the same key sees the first and conflicts
+            # (tests.rs test_insertions)
+            dup_val_cols = [c for c in new.columns if c not in key_names]
+            if op in ("put", "update") and dup_val_cols:
+                w = W.partitionBy(*key_names).orderBy(
+                    *[F.col(c).desc() for c in dup_val_cols])
+                new = (new.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") == 1).drop("__rn"))
+            if op == "update":
+                # every key must already exist (stored.rs:590: "key to
+                # update does not exist")
+                absent = (new.select(*key_names).distinct()
+                          .join(rel.df, on=key_names, how="left_anti"))
+                if not absent.isEmpty():
+                    raise QueryError(
+                        f":update key does not exist in {name!r}")
             # :returning needs the OLD rows for colliding keys, captured
             # before the mutation (transact.rs:43-95: put → inserted/replaced)
             if opts.returning:
@@ -1069,8 +1088,10 @@ class CozoDb:
                 returning_rows = [["inserted"] + r for r in new_full] + \
                                  [["replaced"] + r for r in old_rows]
             if op == "insert":
+                in_batch_dup = (new.groupBy(*key_names).count()
+                                .filter(F.col("count") > 1))
                 clash = rel.df.join(new, on=key_names, how="left_semi")
-                if not clash.isEmpty():
+                if not clash.isEmpty() or not in_batch_dup.isEmpty():
                     raise QueryError(f":insert key conflict in {name!r}")
             if op == "update":
                 # keep old values for columns not mentioned
