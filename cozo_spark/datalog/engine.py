@@ -1031,7 +1031,16 @@ class CozoDb:
             # bails — protected/read_only/hidden all block them)
             raise QueryError(f"relation {name!r} is {rel.access_level}")
         cols = self._target_columns(rel, opts, df)
-        data = self._coerce_to_schema(df.toDF(*cols), rel)
+        # A spec like `:put rev {to, fr => data}` maps each spec column to
+        # the entry-head binding of the SAME NAME (reference semantics —
+        # tests.rs test_trigger writes a reversed mirror this way). Only
+        # when the head names don't cover the spec do we fall back to
+        # positional assignment (a lenient extension the battery relies on
+        # for `?[a, b] :put edge {fr, to}`-style puts).
+        if set(cols) <= set(df.columns):
+            data = self._coerce_to_schema(df.select(*cols), rel)
+        else:
+            data = self._coerce_to_schema(df.toDF(*cols), rel)
         returning_rows: list = []
         if op in ("put", "insert", "update"):
             key_names = rel.key_names
@@ -1093,6 +1102,11 @@ class CozoDb:
                 clash = rel.df.join(new, on=key_names, how="left_semi")
                 if not clash.isEmpty() or not in_batch_dup.isEmpty():
                     raise QueryError(f":insert key conflict in {name!r}")
+            # pre-state rows at affected keys: the `_old` trigger relation
+            # (stored.rs:712-717 — replaced full rows). Lazy plan over the
+            # pre-mutation DataFrame; only materialized if a trigger reads it.
+            affected = new.select(*key_names).distinct()
+            old_full = rel.df.join(affected, on=key_names, how="left_semi")
             if op == "update":
                 # keep old values for columns not mentioned
                 upd_cols = [c for c in cols if c not in key_names]
@@ -1106,10 +1120,13 @@ class CozoDb:
                     else:
                         sel.append(F.col(f"o.{c.name}"))
                 rel.df = _checkpoint(merged.select(*sel))
+                # triggers see the POST-state merged full rows as _new
+                fired = rel.df.join(affected, on=key_names, how="left_semi")
             else:
                 keep = rel.df.join(new.select(*key_names).distinct(), on=key_names, how="left_anti")
                 rel.df = _checkpoint(keep.unionByName(new))
-            self._after_mutation(rel, "put", new)
+                fired = new
+            self._after_mutation(rel, "put", fired, old_full)
         elif op in ("rm", "delete"):
             key_names = rel.key_names
             rm_keys = data.select(*[c for c in cols if c in key_names]).distinct()
@@ -1129,9 +1146,12 @@ class CozoDb:
                 gone = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
                 for r in gone.select(*rel.col_names).collect():
                     returning_rows.append(["deleted"] + list(r))
+            # removed full rows for the `_old` trigger relation
+            # (stored.rs:1043-1049; _new for rm carries the requested keys)
+            old_full = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
             rel.df = _checkpoint(
                 rel.df.join(rm_keys, on=rm_keys.columns, how="left_anti"))
-            self._after_mutation(rel, "rm", data)
+            self._after_mutation(rel, "rm", data, old_full)
         elif op == "ensure":
             present = data.exceptAll(rel.df.select(*cols))
             if not present.isEmpty():
@@ -1175,11 +1195,14 @@ class CozoDb:
             raise QueryError(f"unsupported temp op :{op}")
         return NamedRows(["status"], [["OK"]])
 
-    def _after_mutation(self, rel: StoredRelation, kind: str, rows: DataFrame) -> None:
+    def _after_mutation(self, rel: StoredRelation, kind: str, rows: DataFrame,
+                        old_rows: Optional[DataFrame] = None) -> None:
         """Post-mutation hooks: incrementally patch built index artifacts
         (delta tokenize/sign, not full rebuild — indices.apply_mutation;
         unbuilt ones stay lazy) and fire triggers (query/stored.rs:669-773)
-        with `_new` bound to the mutated rows."""
+        with `_new` AND `_old` bound (put: _new = new full rows, _old =
+        replaced full rows, stored.rs:706-717; rm: _new = requested keys,
+        _old = removed full rows, stored.rs:1043-1049)."""
         from cozo_spark.operators import indices as IX
 
         IX.apply_mutation(rel, kind, rows)
@@ -1190,7 +1213,10 @@ class CozoDb:
         if not triggers:
             return
         saved = self.temp_relations.get("_new")
+        saved_old = self.temp_relations.get("_old")
         self.temp_relations["_new"] = rows
+        self.temp_relations["_old"] = (old_rows if old_rows is not None
+                                       else rows.limit(0))
         try:
             for script in triggers:
                 self.run_script(script)
@@ -1199,6 +1225,10 @@ class CozoDb:
                 self.temp_relations.pop("_new", None)
             else:
                 self.temp_relations["_new"] = saved
+            if saved_old is None:
+                self.temp_relations.pop("_old", None)
+            else:
+                self.temp_relations["_old"] = saved_old
 
     def _coerce_to_schema(self, data: DataFrame, rel: StoredRelation) -> DataFrame:
         """Write-time coercion (reference relation.rs:173-457): cast each

@@ -127,6 +127,29 @@ def test_triggers(spark):
     assert shown.rows[0][0] == "put"
 
 
+def test_trigger_reversed_mirror_reference_shape(spark):
+    """The reference's own test_trigger (runtime/tests.rs:348-396): a rm
+    trigger reads _old FULL rows, and the put spec {to, fr => data} maps
+    head bindings BY NAME — the mirror stores reversed keys."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    d = CozoDb(spark)
+    d.run_script(":create friends {fr: Int, to: Int => data: Int}")
+    d.run_script(":create friendsrev {to: Int, fr: Int => data: Int}")
+    d.run_script("""
+    ::set_triggers friends
+    on put { ?[fr, to, data] := _new[fr, to, data] :put friendsrev{ to, fr => data} }
+    on rm { ?[fr, to] := _old[fr, to, data] :rm friendsrev{ to, fr } }
+    """)
+    d.run_script("?[fr, to, data] <- [[1,2,3]] :put friends {fr, to => data}")
+    rev = [list(r) for r in
+           d.run_script("?[to, fr, data] := *friendsrev{to, fr, data}").rows]
+    assert rev == [[2, 1, 3]]
+    d.run_script("?[fr, to] <- [[1,2], [2,3]] :rm friends {fr, to}")
+    assert d.run_script("?[fr, to, data] := *friends{fr, to, data}").rows == []
+    assert d.run_script("?[to, fr, data] := *friendsrev{to, fr, data}").rows == []
+
+
 def test_csv_reader(spark, tmp_path):
     from cozo_spark.datalog.engine import CozoDb
 
