@@ -323,6 +323,66 @@ def _gen_recursive_case(rnd):
     return cozo, sql
 
 
+# (cozo aggregation over value v / key pk, duckdb equivalent, is_float)
+_AGG_POOL = [
+    ("mean({v})", "avg({v})", True),
+    ("variance({v})", "var_samp({v})", True),
+    ("std_dev({v})", "stddev_samp({v})", True),
+    ("count_unique({v})", "CAST(count(DISTINCT {v}) AS BIGINT)", False),
+    ("sum({v})", "sum({v})", True),
+    ("min({v})", "min({v})", False),
+    ("max({v})", "max({v})", False),
+    ("bit_and({pk})", "bit_and({pk})", False),
+    ("bit_or({pk})", "bit_or({pk})", False),
+    ("bit_xor({pk})", "bit_xor({pk})", False),
+]
+
+
+def _close(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is None and b is None
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_fuzz_aggregation_mixes_vs_duckdb(spark, seed):
+    """Random combinations of 3-4 aggregations in one rule head vs DuckDB.
+    Floats compare with relative tolerance: partial (map-side) aggregation
+    legitimately reorders float summation vs DuckDB's single-stream fold."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.queries import _PKS, _t
+
+    rnd = random.Random(seed)
+    db = CozoDb(spark)
+    con = duckdb.connect()
+    for t in TABLES:
+        db.register_dataframe(t, _t(spark, SF, t), keys=_PKS[t])
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for case in range(8):
+        t = rnd.choice([x for x in TABLES if len(TABLES[x]["nums"]) >= 2])
+        meta = TABLES[t]
+        gcol = meta["nums"][-1][0]
+        vcol = meta["nums"][0][0]
+        aggs = rnd.sample(_AGG_POOL, rnd.randint(3, 4))
+        cozo_aggs = [a[0].format(v="v", pk="pk") for a in aggs]
+        sql_aggs = [a[1].format(v=vcol, pk=meta["pk"]) for a in aggs]
+        cozo = (f"?[g, {', '.join(cozo_aggs)}] := "
+                f"*{t}{{{meta['pk']}: pk, {gcol}: g, {vcol}: v}}")
+        sql = (f"SELECT {gcol}, {', '.join(sql_aggs)} FROM {t} "
+               f"GROUP BY {gcol}")
+        got = sorted([list(r) for r in db.run_script(cozo).rows])
+        want = sorted([list(r) for r in con.execute(sql).fetchall()])
+        assert len(got) == len(want), (cozo, len(got), len(want))
+        for gr, wr in zip(got, want):
+            assert len(gr) == len(wr) and all(
+                _close(a, b) for a, b in zip(gr, wr)), (cozo, gr, wr)
+
+
 @pytest.mark.parametrize("seed", [11, 22, 33])
 def test_fuzz_recursion_vs_duckdb(spark, seed):
     """Differential fuzz of the semi-naive fixpoint (incl. the magic-set
