@@ -1208,7 +1208,7 @@ class CozoDb:
         IX.apply_mutation(rel, kind, rows)
         feed = getattr(self, "changefeed", None)
         if feed is not None:
-            feed.record(rel.name, kind, rows)
+            feed.record(rel.name, kind, rows, old_rows)
         triggers = rel.put_triggers if kind == "put" else rel.rm_triggers
         if not triggers:
             return

@@ -47,7 +47,8 @@ class ChangeFeed:
 
     # -- producer side (engine hooks) -----------------------------------------
 
-    def record(self, relation: str, op: str, rows: DataFrame) -> None:
+    def record(self, relation: str, op: str, rows: DataFrame,
+               old_rows: Optional[DataFrame] = None) -> None:
         payload = [r.asDict(recursive=True) for r in rows.collect()]
         now = time.time()
         lines = [json.dumps({"relation": relation, "op": op, "ts": now,
@@ -58,21 +59,46 @@ class ChangeFeed:
             path = os.path.join(self.spool_dir, f"changes-{self._seq:08d}.json")
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
-        for cb in self.callbacks.get(relation, []):
-            cb(op, payload)
+        cbs = self.callbacks.get(relation, [])
+        if not cbs:
+            return
+        # old rows (replaced on put / removed on rm) materialize only when a
+        # three-argument callback wants them — reference callbacks deliver
+        # (op, new_rows, old_rows), runtime/callback.rs:19-57
+        old_payload = None
+        for cb, wants_old in cbs:
+            if wants_old:
+                if old_payload is None:
+                    old_payload = ([r.asDict(recursive=True)
+                                    for r in old_rows.collect()]
+                                   if old_rows is not None else [])
+                cb(op, payload, old_payload)
+            else:
+                cb(op, payload)
 
     def register_callback(self, relation: str, fn: Callable) -> None:
-        """Reference Db::register_callback (db.rs:789-830): fn(op, rows)."""
-        self.callbacks.setdefault(relation, []).append(fn)
+        """Reference Db::register_callback (db.rs:789-830). A two-argument
+        callable gets fn(op, new_rows); a three-argument one gets
+        fn(op, new_rows, old_rows) — old rows are the replaced (put) or
+        removed (rm) full rows, matching CallbackOp delivery."""
+        import inspect
+
+        try:
+            wants_old = len(inspect.signature(fn).parameters) >= 3
+        except (TypeError, ValueError):
+            wants_old = False
+        self.callbacks.setdefault(relation, []).append((fn, wants_old))
 
     def unregister_callback(self, relation: str, fn: Callable) -> bool:
         """Reference Db::unregister_callback (db.rs:832-845): drop one
         registration so dead subscribers don't accumulate for the db's
         lifetime (long-running SSE server)."""
         cbs = self.callbacks.get(relation, [])
-        try:
-            cbs.remove(fn)
-        except ValueError:
+        for entry in cbs:
+            if entry[0] is fn:
+                cbs.remove(entry)
+                break
+        else:
             return False
         if not cbs:
             self.callbacks.pop(relation, None)

@@ -36,15 +36,23 @@ def test_changefeed_and_callbacks(spark, tmp_path):
     feed = attach_changefeed(db, str(tmp_path / "spool"))
     events = []
     feed.register_callback("kv", lambda op, rows: events.append((op, len(rows))))
+    # three-argument callbacks also receive the OLD rows (replaced on put,
+    # removed on rm) — reference runtime/callback.rs delivers (op, new, old)
+    old_events = []
+    feed.register_callback(
+        "kv", lambda op, rows, old: old_events.append((op, len(rows), len(old))))
 
     db.run_script(":create kv {k: Int => v: String}")
     db.run_script("?[k, v] <- [[1, 'a'], [2, 'b']] :put kv {k => v}")
+    db.run_script("?[k, v] <- [[1, 'z']] :put kv {k => v}")  # replaces k=1
     db.run_script("?[k] <- [[1]] :rm kv {k}")
 
-    assert events == [("put", 2), ("rm", 1)]
+    assert events == [("put", 2), ("put", 1), ("rm", 1)]
+    # old rows: first put replaces nothing, second replaces one, rm removes one
+    assert old_events == [("put", 2, 0), ("put", 1, 1), ("rm", 1, 1)]
     log = feed.batch(spark).orderBy("ts")
     ops = [r["op"] for r in log.collect()]
-    assert ops.count("put") == 2 and ops.count("rm") == 1
+    assert ops.count("put") == 3 and ops.count("rm") == 1
 
 
 def test_changefeed_structured_stream(spark, tmp_path):
