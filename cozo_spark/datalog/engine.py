@@ -1214,13 +1214,16 @@ class CozoDb:
             return
         saved = self.temp_relations.get("_new")
         saved_old = self.temp_relations.get("_old")
+        saved_flag = getattr(self, "_in_trigger", False)
         self.temp_relations["_new"] = rows
         self.temp_relations["_old"] = (old_rows if old_rows is not None
                                        else rows.limit(0))
+        self._in_trigger = True  # :replace inside a trigger is rejected
         try:
             for script in triggers:
                 self.run_script(script)
         finally:
+            self._in_trigger = saved_flag
             if saved is None:
                 self.temp_relations.pop("_new", None)
             else:
@@ -1278,6 +1281,21 @@ class CozoDb:
         name = opts.store_target
         if opts.store_op == "create" and name in self.relations:
             raise QueryError(f"relation {name!r} already exists")
+        old = self.relations.get(name) if opts.store_op == "replace" else None
+        if old is not None:
+            # reference :replace guards + hooks (stored.rs:59-123)
+            if getattr(self, "_in_trigger", False):
+                raise QueryError(
+                    f"replace op in trigger is not allowed: {name}")
+            if old.indices:
+                raise QueryError(
+                    f"cannot replace relation {name!r} since it has indices")
+            if old.access_level != "normal":
+                raise QueryError(f"relation {name!r} is {old.access_level}")
+            # replace triggers fire BEFORE the swap (they can read the old
+            # contents); no _new/_old bindings (stored.rs:85-111)
+            for script in old.replace_triggers:
+                self.run_script(script)
         schema: TableSchema = opts.store_schema or TableSchema()
         keys = schema.keys
         non_keys = schema.non_keys
@@ -1321,7 +1339,15 @@ class CozoDb:
                 if c.typing:
                     data = data.withColumn(c.name, F.col(c.name).cast(_col_type(c.typing)))
             data = _checkpoint(data.dropDuplicates([c.name for c in keys]))
-        self.relations[name] = StoredRelation(name, keys, non_keys, data)
+        new_rel = StoredRelation(name, keys, non_keys, data)
+        if old is not None and (old.put_triggers or old.rm_triggers):
+            # put/rm triggers survive a :replace (stored.rs:83,123-126) and
+            # the carried-over put triggers fire for the initial rows
+            new_rel.put_triggers = list(old.put_triggers)
+            new_rel.rm_triggers = list(old.rm_triggers)
+        self.relations[name] = new_rel
+        if old is not None and new_rel.put_triggers and not is_unit_seed:
+            self._after_mutation(new_rel, "put", data, data.limit(0))
         if opts.returning:
             rows = [["inserted"] + list(r) for r in data.collect()]
             return NamedRows(["_kind"] + cols, rows)

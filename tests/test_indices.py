@@ -150,6 +150,55 @@ def test_trigger_reversed_mirror_reference_shape(spark):
     assert d.run_script("?[to, fr, data] := *friendsrev{to, fr, data}").rows == []
 
 
+def test_replace_semantics_with_triggers(spark):
+    """:replace fires the old relation's replace triggers BEFORE the swap,
+    carries put/rm triggers over to the new relation (firing the put
+    triggers for the initial rows), refuses relations with indices, and is
+    rejected inside a trigger (stored.rs:59-126)."""
+    import pytest
+
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    d = CozoDb(spark)
+    d.run_script(":create r1 {k: Int => v: Int}")
+    d.run_script(":create audit_rep {k: Int => v: Int}")
+    d.run_script(":create rep_log {n: Int}")
+    d.run_script("""
+    ::set_triggers r1
+    on put { ?[k, v] := _new[k, v] :put audit_rep {k => v} }
+    on replace { ?[n] := n = 1 :put rep_log {n} }
+    """)
+    d.run_script("?[k, v] <- [[1, 10]] :put r1 {k => v}")
+    # replace: replace-trigger fires, put triggers carry over and fire for
+    # the initial rows
+    d.run_script("?[k, v] <- [[5, 50]] :replace r1 {k: Int => v: Int}")
+    assert d.run_script("?[n] := *rep_log[n]").rows == [[1]]
+    audit = sorted(tuple(r) for r in
+                   d.run_script("?[k, v] := *audit_rep{k, v}").rows)
+    assert audit == [(1, 10), (5, 50)]
+    # carried-over put trigger still fires on later puts
+    d.run_script("?[k, v] <- [[6, 60]] :put r1 {k => v}")
+    assert (6, 60) in {tuple(r) for r in
+                       d.run_script("?[k, v] := *audit_rep{k, v}").rows}
+
+    # a relation with an index refuses :replace
+    d.run_script(":create r2 {k: Int => t: String}")
+    d.run_script("::fts create r2:ft {extractor: 't'}")
+    with pytest.raises(QueryError, match="indices"):
+        d.run_script("?[k, t] <- [[1, 'x']] :replace r2 {k: Int => t: String}")
+
+    # :replace inside a trigger is rejected
+    d.run_script(":create r3 {k: Int}")
+    d.run_script(":create r4 {k: Int}")
+    d.run_script("""
+    ::set_triggers r3
+    on put { ?[k] := _new[k] :replace r4 {k: Int} }
+    """)
+    with pytest.raises(QueryError, match="trigger"):
+        d.run_script("?[k] <- [[1]] :put r3 {k}")
+
+
 def test_csv_reader(spark, tmp_path):
     from cozo_spark.datalog.engine import CozoDb
 
