@@ -218,6 +218,51 @@ def test_q12_priority_counts(db, oracle):
     """)
 
 
+def test_q4_order_priority_exists(db, oracle):
+    """Q4: EXISTS-style semi-join (a lineitem shipped late) + count per
+    priority. In Datalog the EXISTS is an auxiliary projection rule —
+    set semantics make it a semi-join."""
+    _check(db, oracle, """
+    late[ok] := *lineitem{l_orderkey: ok, l_shipdate: sd},
+                *orders{o_orderkey: ok, o_orderdate: od},
+                sd > od
+    ?[pri, count(ok)] :=
+        *orders{o_orderkey: ok, o_orderdate: od, o_orderpriority: pri},
+        od >= '1996-07-01', od < '1996-10-01',
+        late[ok]
+    """, """
+    SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """)
+
+
+def test_q18_large_volume_customers(db, oracle):
+    """Q18: HAVING over an aggregate — in Datalog, a filter atom on the
+    aggregated rule's output (its own stratum)."""
+    _check(db, oracle, """
+    qty[ok, sum(q)] := *lineitem{l_orderkey: ok, l_quantity: q}
+    ?[name, ok, total] :=
+        qty[ok, total], total > 300.0,
+        *orders{o_orderkey: ok, o_custkey: ck},
+        *customer{c_custkey: ck, c_name: name}
+    :sort -total, ok
+    :limit 20
+    """, """
+    SELECT c_name AS name, o_orderkey AS ok, sum(l_quantity) AS total
+    FROM customer JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey
+    HAVING sum(l_quantity) > 300.0
+    ORDER BY total DESC, ok LIMIT 20
+    """, ordered=True)
+
+
 def test_q14_promo_revenue(db, oracle):
     # two aggregates over the same match stream, then scalar arithmetic in
     # a SECOND rule reading the first (the reference's parallel_counts shape)
