@@ -1261,6 +1261,13 @@ class CozoDb:
         if opts.store_schema is not None:
             cols = [c.name for c in opts.store_schema.keys] + \
                    [c.name for c in opts.store_schema.non_keys]
+            unknown = [c for c in cols if c not in rel.col_names]
+            if unknown:
+                # spec columns resolve against the stored metadata; an
+                # unknown name is an error, not a silent NULL write
+                # (runtime/relation.rs:ensure_compatible — "column not found")
+                raise QueryError(
+                    f"column {unknown[0]!r} not found in relation {rel.name!r}")
             if not cols:
                 # `:put x {}` shorthand (runtime/tests.rs short_hand):
                 # match the entry's headers BY NAME when they all name

@@ -311,12 +311,7 @@ def _cond_truthy(db, cond) -> bool:
         df = db.temp_relations.get(cond)
         return df is not None and not df.isEmpty()
     res = db.run_script(cond.src)
-    rows = res.rows
-    if not rows:
-        return False
-    # reference: condition query must return rows; a single false/0/null row
-    # counts as false (imperative.rs:35-64)
-    if len(rows) == 1 and len(rows[0]) == 1:
-        v = rows[0][0]
-        return not (v is None or v is False or v == 0)
-    return True
+    # reference truthiness is purely row-set non-emptiness
+    # (imperative.rs:64: Ok(!res.rows.is_empty())) — a single [false] row
+    # is still truthy; conditions filter in the body to produce emptiness
+    return bool(res.rows)

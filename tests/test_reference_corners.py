@@ -223,8 +223,10 @@ def test_grouped_blocks_run_sequentially(db):
 
 
 def test_crashy_imperative_temp_create(db):
-    # tests.rs:1518-1534: :create of a _temp relation inside a block, looped
-    # puts with a count-guarded %return
+    # tests.rs:1518-1534 verbatim: truthiness is rows-non-empty
+    # (imperative.rs:64), so the `x = z >= 10` condition always yields one
+    # row ([false] included) and %return fires on the first iteration —
+    # the reference test only asserts no crash
     r = db.run_script("""
     {:create _ctest {a}}
     %loop
@@ -232,6 +234,20 @@ def test_crashy_imperative_temp_create(db):
             %then %return _ctest
         %end
         { ?[a] := a = rand_uuid_v1(); :put _ctest {a} }
+    %end
+    """)
+    assert len(r.rows) == 0
+
+
+def test_imperative_count_guarded_loop(db):
+    # the emptiness-based way to guard a loop on a count: filter in the body
+    r = db.run_script("""
+    {:create _ctest2 {a}}
+    %loop
+        %if { len[count(x)] := *_ctest2[x]; ?[z] := len[z], z >= 10 }
+            %then %return _ctest2
+        %end
+        { ?[a] := a = rand_uuid_v1(); :put _ctest2 {a} }
     %end
     """)
     assert len(r.rows) == 10
