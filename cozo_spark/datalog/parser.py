@@ -105,6 +105,11 @@ def tokenize(src: str) -> list[Tok]:
 
 _KEYWORDS_BOOL = {"true": True, "false": False}
 
+# operators that may FOLLOW a parenthesized group only when that group is a
+# sub-expression, not a grouped rule body
+_EXPR_CONT_OPS = {"||", "&&", "==", "!=", "<", "<=", ">", ">=", "+", "-",
+                  "*", "/", "%", "^", "++", "~", "->"}
+
 
 class Parser:
     def __init__(self, src: str, params: Optional[dict] = None):
@@ -319,6 +324,15 @@ class Parser:
                     if not self.try_eat("punct", ","):
                         break
                 self.eat("punct", ")")
+                # `(a && b) || (c && d)` — the parenthesized group parses as
+                # an atom but is actually the left operand of an expression
+                # (the reference's PEG backtracks to the expr alternative
+                # here, cozoscript.pest atom ordering); detect a trailing
+                # operator and reparse the whole thing as one expression
+                nxt = self.peek()
+                if nxt is not None and nxt.kind == "punct" and nxt.text in _EXPR_CONT_OPS:
+                    self.i = save
+                    return Cond(self.parse_expr())
                 if len(atoms) == 1:
                     return atoms[0]
                 return Conj(atoms)

@@ -85,6 +85,12 @@ def compile_expr(e, bound: set, typer=None) -> Column:
                 raise QueryError("JSON path (`->` key) must be a constant")
             return SCALAR_FUNCTIONS["json_get"](
                 compile_expr(e.args[0], bound, typer), e.args[1].value)
+        if e.fn == "format_timestamp" and len(e.args) >= 2:
+            # date_format needs a Python format string, not a Column
+            if not isinstance(e.args[1], Const):
+                raise QueryError("format_timestamp format must be a constant")
+            return SCALAR_FUNCTIONS["format_timestamp"](
+                compile_expr(e.args[0], bound, typer), e.args[1].value)
         if e.fn in _TYPE_PREDICATES and len(e.args) == 1:
             t = _static_type(e.args[0], typer)
             verdict = _TYPE_PREDICATES[e.fn](t) if t is not None else None

@@ -284,8 +284,31 @@ fn("validity")(lambda ts, is_assert=None: F.struct(
 # --- time (functions.rs:2441-2526): now() is float seconds since epoch --------
 
 fn("now")(lambda: F.unix_timestamp(F.current_timestamp()).cast(_D))
+# the reference's format language is chrono strftime (functions.rs:2470);
+# translate the common directives to Spark's Java patterns
+_STRFTIME = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+             "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%z": "XXX", "%%": "%"}
+
+
+def _fmt_to_java(fmt: str) -> str:
+    if "%" not in fmt:
+        return fmt
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.append(_STRFTIME.get(fmt[i:i + 2], fmt[i:i + 2]))
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
 fn("format_timestamp")(lambda ts, fmt=None: F.date_format(
-    F.timestamp_seconds(ts), fmt if fmt is not None else "yyyy-MM-dd'T'HH:mm:ssXXX"))
+    # accept both the reference's float-seconds model (double → timestamp
+    # cast IS epoch seconds in Spark) and native timestamp/ntz columns
+    (ts if isinstance(ts, Column) else F.lit(ts)).cast("timestamp"),
+    _fmt_to_java(fmt) if fmt is not None else "yyyy-MM-dd'T'HH:mm:ssXXX"))
 fn("parse_timestamp")(lambda s: F.unix_timestamp(F.to_timestamp(s)).cast(_D))
 
 # --- uuid / random -------------------------------------------------------------

@@ -56,6 +56,15 @@ def test_disjunction(db):
     assert rows(r) == [(1, 2), (3, 4)]
 
 
+def test_parenthesized_expr_disjunction(db):
+    # `(e1 && e2) || (e3 && e4)` as ONE expression atom — the parenthesized
+    # group is the left operand of ||, not a grouped rule body (the
+    # reference's PEG backtracks to the expr alternative)
+    r = db.run_script(
+        "?[a, b] := *edge[a, b], (a == 1 && b == 2) || (a == 2 && b == 5)")
+    assert rows(r) == [(1, 2), (2, 5)]
+
+
 def test_negated_conjunction_de_morgan(db):
     # ¬(A ∧ B) → ¬A ∨ ¬B (NNF pushdown, reference logical.rs:93-107)
     r = db.run_script("?[a, b] := *edge[a, b], not (a > 1, b < 5)")
