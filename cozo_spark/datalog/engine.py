@@ -195,7 +195,9 @@ class CozoDb:
 
     def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
         res = self.run_script_df(script, params)
-        if isinstance(res, NamedRows):
+        if isinstance(res, (NamedRows, list)):
+            # list = a %return with multiple results (imperative.rs returns
+            # Vec<NamedRows>); each element is already collected
             return res
         rows = [list(r) for r in res.collect()]
         return NamedRows(res.columns, rows)
@@ -1610,9 +1612,20 @@ class MultiTransaction:
         if self.write:
             for n, df in self._base_snapshot.items():
                 cur = self.base.relations.get(n)
-                if cur is not None and cur.df is not df:
+                if cur is None:
+                    raise QueryError(
+                        f"write-write conflict on relation {n!r}: "
+                        "concurrently removed")
+                if cur.df is not df:
                     raise QueryError(
                         f"write-write conflict on relation {n!r}: concurrent mutation")
+            for n in self.base.relations:
+                if n not in self._base_snapshot:
+                    # created in base after this txn began; publishing the
+                    # shadow registry wholesale would silently drop it
+                    raise QueryError(
+                        f"write-write conflict on relation {n!r}: "
+                        "concurrently created")
             self.base.relations = self.shadow.relations
             self.base.temp_relations = self.shadow.temp_relations
         self.done = True

@@ -52,6 +52,37 @@ def test_multi_transaction_conflict(spark):
         tx.commit()
 
 
+def test_multi_transaction_conflict_on_concurrent_create(spark):
+    # a relation created in base mid-txn must not be dropped by the commit's
+    # registry swap — it is a conflict
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    db = CozoDb(spark)
+    db.run_script(":create t4 {k: Int}")
+    tx = db.multi_transaction()
+    tx.run_script("?[k] <- [[1]] :put t4 {k}")
+    db.run_script("?[k] <- [[5]] :create t5 {k}")
+    with pytest.raises(QueryError, match="concurrently created"):
+        tx.commit()
+    # base keeps both relations intact
+    assert db.run_script("?[k] := *t5[k]").rows == [[5]]
+
+
+def test_multi_transaction_conflict_on_concurrent_remove(spark):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    db = CozoDb(spark)
+    db.run_script(":create t6 {k: Int}")
+    db.run_script(":create t7 {k: Int}")
+    tx = db.multi_transaction()
+    tx.run_script("?[k] <- [[1]] :put t6 {k}")
+    db.run_script("::remove t7")
+    with pytest.raises(QueryError, match="concurrently removed"):
+        tx.commit()
+
+
 def test_read_only_rejects_mutations(spark):
     from cozo_spark.datalog.engine import CozoDb
     from cozo_spark.datalog.translate import QueryError

@@ -80,6 +80,49 @@ def _gen_block(rnd, depth, counter_name):
     return script, apply
 
 
+def test_imperative_labeled_break_and_swap(spark):
+    """%mark-labeled loops with a labeled %break escaping the inner loop
+    pair, plus %swap of two temp relations observed by a later block."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    r = db.run_script("""
+    { ?[x] <- [[1]] } as _a
+    { ?[x] <- [[2]] } as _b
+    %swap _a _b
+    { ?[x] := *_a[x] }
+    """)
+    assert r.rows == [[2]]
+
+    db.run_script(":create hits {k: Int => v: Int}")
+    # outer labeled loop; inner loop breaks OUT of the outer via the label
+    # after one body execution — exactly one :put lands
+    db.run_script("""
+    %mark outer %loop
+        %loop
+            { ?[k, v] <- [[1, 10]] :put hits {k => v} }
+            %break outer
+        %end
+        { ?[k, v] <- [[2, 20]] :put hits {k => v} }
+    %end
+    """)
+    got = {r[0]: r[1] for r in db.run_script("?[k, v] := *hits{k, v}").rows}
+    assert got == {1: 10}
+
+
+def test_imperative_return_multiple(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    res = db.run_script("""
+    { ?[x] <- [[1]] } as _r1
+    %return _r1, { ?[y] <- [[7], [8]] }
+    """)
+    assert isinstance(res, list) and len(res) == 2
+    assert res[0].rows == [[1]]
+    assert sorted(res[1].rows) == [[7], [8]]
+
+
 @pytest.mark.parametrize("seed", [21, 212])
 def test_fuzz_imperative_vs_model(spark, seed):
     from cozo_spark.datalog.engine import CozoDb
