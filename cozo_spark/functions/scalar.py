@@ -352,6 +352,9 @@ def _l2_normalize(a: Column) -> Column:
 # --- encoding ------------------------------------------------------------------
 
 fn("encode_base64")(lambda a: F.base64(a))
+# beyond-reference: content digest for dedup pipelines (lowercase hex,
+# byte-identical to DuckDB's md5(text))
+fn("md5")(lambda a: F.md5(a.cast("binary")))
 fn("decode_base64")(lambda a: F.unbase64(a))
 
 # --- UDF-backed long tail (kept out of hot paths) ----------------------------

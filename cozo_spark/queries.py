@@ -369,10 +369,13 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """median (beyond-reference sketch-family extension, exact here) —
-    deterministic in both engines, so fully hash-checkable."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 2).alias("med_price"))
+    deterministic in both engines, so fully hash-checkable; head-callable
+    through the CozoScript compiler."""
+    db = _db(spark, sf_dir, ("lineitem",))
+    df = db.run_script_df(
+        "?[l_returnflag, median(p)] := *lineitem{l_returnflag, l_extendedprice: p}")
+    c = df.columns
+    return df.select(df[c[0]], F.round(df[c[1]], 2).alias("med_price"))
 
 
 @query(
@@ -616,28 +619,45 @@ def validity_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar function inventory sample (functions.rs:382-1894): all JVM-side
-    built-ins, zero Python in the hot path."""
-    p = _t(spark, sf_dir, "part").filter("p_partkey <= 500")
-    return p.select(
-        "p_partkey",
-        F.lower("p_name").alias("name_lc"),
-        F.upper("p_brand").alias("brand_uc"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.substring("p_type", 1, 5).alias("type_pre"),
-        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
-        F.regexp_replace("p_name", " ", "_").alias("name_us"),
-        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
-        F.col("p_name").contains("al").alias("has_al"),
-        F.col("p_type").startswith("STANDARD").alias("is_std"),
-        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("abs_diff"),
-        F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
-        F.ceil(F.col("p_retailprice") / 100).alias("price_bucket_hi"),
-        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
-        F.round(F.ln(F.col("p_retailprice") + 1), 4).alias("price_ln"),
-        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
-        (F.col("p_size") % 10).cast("int").alias("size_mod"),
-        F.signum(F.col("p_retailprice") - 1000.0).cast("double").alias("price_sign"),
+    """Scalar function inventory sample (functions.rs:382-1894), expressed in
+    CozoScript so the 18 expressions compile through the engine's function
+    registry into JVM built-ins — zero Python in the hot path either way.
+    Rounding happens outside so the oracle comparison logic is unchanged."""
+    db = _db(spark, sf_dir, ("part",))
+    df = db.run_script_df("""
+    ?[p_partkey, name_lc, brand_uc, name_len, type_pre, brand_type, name_us,
+      name_trim, has_al, is_std, abs_diff_raw, price_bucket, price_bucket_hi,
+      price_sqrt_raw, price_ln_raw, size_sq_raw, size_mod, price_sign] :=
+        *part{p_partkey, p_name: nm, p_brand: br, p_type: tp, p_size: sz,
+              p_retailprice: rp},
+        p_partkey <= 500,
+        name_lc = lowercase(nm), brand_uc = uppercase(br),
+        name_len = length(nm),
+        type_pre = slice_string(tp, 0, 5),
+        brand_type = br ++ ':' ++ tp,
+        name_us = regex_replace_all(nm, ' ', '_'),
+        name_trim = trim('  ' ++ nm ++ ' '),
+        has_al = str_includes(nm, 'al'),
+        is_std = starts_with(tp, 'STANDARD'),
+        abs_diff_raw = abs(rp - 1000.0),
+        price_bucket = to_int(floor(rp / 100)),
+        price_bucket_hi = to_int(ceil(rp / 100)),
+        price_sqrt_raw = sqrt(rp),
+        price_ln_raw = ln(rp + 1),
+        size_sq_raw = sz ^ 2,
+        size_mod = sz % 10,
+        price_sign = signum(rp - 1000.0)
+    """)
+    return df.select(
+        "p_partkey", "name_lc", "brand_uc", "name_len", "type_pre",
+        "brand_type", "name_us", "name_trim", "has_al", "is_std",
+        F.round("abs_diff_raw", 2).alias("abs_diff"),
+        "price_bucket", "price_bucket_hi",
+        F.round("price_sqrt_raw", 4).alias("price_sqrt"),
+        F.round("price_ln_raw", 4).alias("price_ln"),
+        F.round("size_sq_raw", 1).alias("size_sq"),
+        F.col("size_mod").cast("int").alias("size_mod"),
+        F.col("price_sign").cast("double").alias("price_sign"),
     )
 
 
@@ -650,12 +670,13 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON access `->` / json_to_scalar (functions.rs:76-296)."""
-    ev = _t(spark, sf_dir, "events").filter("event_id < 100")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
-    )
+    """JSON access `->` / json_to_scalar (functions.rs:76-296) through the
+    engine's operator sugar (`props -> 'k'` desugars to json_get)."""
+    db = _db(spark, sf_dir, ("events",))
+    return db.run_script_df("""
+    ?[event_id, k_val] := *events{event_id, props}, event_id < 100,
+                          k_val = to_int(props -> 'k')
+    """)
 
 
 @query(
@@ -670,12 +691,18 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format_timestamp/parse_timestamp family (functions.rs:2441-2526) +
-    tumbling-window-by-day aggregation (streaming §2.8 batch analogue)."""
-    ev = _t(spark, sf_dir, "events").filter("event_type = 'purchase'")
-    return (
-        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
-    )
+    tumbling-window-by-day aggregation (streaming §2.8 batch analogue),
+    compiled from CozoScript — format_timestamp('%Y-%m-%d') on a native
+    timestamp column is the day-bucketing key."""
+    db = _db(spark, sf_dir, ("events",))
+    df = db.run_script_df("""
+    ?[d, count(e), sum(v)] :=
+        *events{event_id: e, event_type: 'purchase', ts, value: v},
+        d = format_timestamp(ts, '%Y-%m-%d')
+    """)
+    c = df.columns
+    return df.select(df[c[0]], df[c[1]].alias("n"),
+                     F.round(df[c[2]], 2).alias("total"))
 
 
 # ---------------------------------------------------------------------------
@@ -802,16 +829,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighbourhood size per start node — the reference's Pokec bench
-    'friends-of-friends expansion' shape (benches/pokec.rs:300-720). One
-    equi-join on the hop key + one groupBy; output bounded by Σ deg²."""
-    e = _edges(spark, sf_dir)
-    e1 = e.select(F.col("src").alias("start"), F.col("dst").alias("mid"))
-    e2 = e.select(F.col("src").alias("mid"), F.col("dst").alias("dst"))
-    return (
-        e1.join(e2, "mid")
-        .filter(F.col("dst") != F.col("start"))
-        .groupBy("start").agg(F.countDistinct("dst").alias("n2"))
-    )
+    'friends-of-friends expansion' shape (benches/pokec.rs:300-720), written
+    in CozoScript: one equi-join on the hop key + count_unique head
+    aggregation; output bounded by Σ deg²."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    df = db.run_script_df(
+        "?[a, count_unique(c)] := *edge[a, b], *edge[b, c], c != a")
+    return df.select(df["a"].alias("start"), df[df.columns[1]].alias("n2"))
 
 
 @query(
@@ -890,17 +917,16 @@ def graph_pattern_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_cycle3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed 3-cycle count — the Pokec bench 'cycle pattern match' shape
-    (benches/pokec.rs:300-720). Canonical rotation (smallest node leads)
-    counts each cycle once; two hash joins on node keys."""
-    e = _edges(spark, sf_dir)
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
-    return (
-        e1.join(e2, "b").join(e3, ["c", "a"])
-        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
-        .agg(F.count("*").alias("n_cycles"))
-    )
+    (benches/pokec.rs:300-720), written in CozoScript. Canonical rotation
+    (smallest node leads) counts each cycle once; the compiled plan is the
+    same two hash joins on node keys."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    df = db.run_script_df(
+        "?[count(a)] := *edge[a, b], *edge[b, c], *edge[c, a], a < b, a < c")
+    return df.toDF("n_cycles")
 
 
 @query(
@@ -941,10 +967,19 @@ def datalog_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content digest. One shuffle on the hash;
-    at 100 TB, hash first so the shuffle moves 32-byte keys, not documents."""
-    from cozo_spark.operators.dedup import exact_dedup_groups
-    return exact_dedup_groups(_t(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+    """Exact dedup: hash-groupBy on content digest, written in CozoScript
+    (md5 is a registered pipeline extension function). One shuffle on the
+    hash; at 100 TB, hash first so the shuffle moves 32-byte keys, not
+    documents."""
+    db = _db(spark, sf_dir, ("documents",))
+    df = db.run_script_df("""
+    ?[content_hash, min(d), count(d2)] :=
+        *documents{doc_id: d, text: t},
+        content_hash = md5(t), d2 = d
+    """)
+    c = df.columns
+    return df.select(df[c[0]], df[c[1]].alias("keeper_id"),
+                     df[c[2]].alias("n_copies"))
 
 
 @query(
@@ -958,10 +993,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting / quality-signal extraction — whole-stage-codegen string
-    ops, no Python."""
-    from cozo_spark.operators.text import token_stats
-    return token_stats(_t(spark, sf_dir, "documents").filter("doc_id < 200"))
+    """Token counting / quality-signal extraction in CozoScript — the
+    regex/length functions compile to the same whole-stage-codegen string
+    ops as operators.text.token_stats, no Python."""
+    db = _db(spark, sf_dir, ("documents",))
+    return db.run_script_df("""
+    ?[doc_id, n_chars_m, n_tokens, n_spaces] :=
+        *documents{doc_id, text: t}, doc_id < 200,
+        n_chars_m = length(t),
+        toks = regex_extract(t, '[A-Za-z0-9]+'),
+        n_tokens = length(toks),
+        n_spaces = length(t) - length(regex_replace_all(t, ' ', ''))
+    """)
 
 
 @query(
@@ -998,14 +1041,17 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FTS tokenizer analogue (fts/tokenizer) → explode + count + top-k."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter("word <> ''")
-        .groupBy("word").agg(F.count("*").alias("freq"))
-        .orderBy(F.col("freq").desc(), "word").limit(20)
-    )
+    """FTS tokenizer analogue (fts/tokenizer) → multi-unification explosion
+    + multiset count + :sort on the aggregate + :limit, all compiled from
+    CozoScript (TakeOrdered plan either way)."""
+    db = _db(spark, sf_dir, ("documents",))
+    df = db.run_script_df("""
+    ?[word, count(w2)] := *documents{text: t}, word in split(t, ' '),
+                          word != '', w2 = word
+    :sort -count(w2), word
+    :limit 20
+    """)
+    return df.select(df["word"], df[df.columns[1]].alias("freq"))
 
 
 @query(
