@@ -812,9 +812,18 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusteringCoefficients triangle counting (algos/triangles.rs:99) via
-    ordered 2-path join — the standard distributed triangle algorithm."""
-    from cozo_spark.fixed_rules.graphs import triangle_count_total
-    return triangle_count_total(_edges(spark, sf_dir))
+    ordered 2-path join — the standard distributed triangle algorithm,
+    written in CozoScript (the derived `und` rule's set semantics IS the
+    undirected canonicalization, and the wedge join is variable sharing)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    df = db.run_script_df("""
+    und[a, b] := *edge[x, y], a = min(x, y), b = max(x, y)
+    ?[count(a)] := und[a, b], und[b, c], a < b, und[a, c]
+    """)
+    return df.toDF("n_triangles")
 
 
 @query(
@@ -1170,13 +1179,21 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal extraction (Gopher/C4-style) — codegen'd column
-    expressions, oracle-checked ratio by ratio."""
-    from cozo_spark.operators.text import quality_scores
+    expressions, oracle-checked ratio by ratio; dispatched THROUGH the
+    engine's `<~ QualityScores` fixed-rule surface."""
+    from cozo_spark.datalog.engine import CozoDb
 
-    d = _t(spark, sf_dir, "documents").filter("doc_id < 150")
-    return quality_scores(d).select(
-        "doc_id", "n_chars", "n_words", "mean_word_len",
-        "alpha_ratio", "stopword_ratio", "uniq_word_ratio")
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "docs", _t(spark, sf_dir, "documents").filter("doc_id < 150"),
+        keys=["doc_id"])
+    df = db.run_script_df(
+        "?[doc_id, nc, nw, mwl, ar, pr, sr, uwr, q] <~ QualityScores(*docs[])")
+    return df.select(
+        F.col("doc_id"), F.col("nc").alias("n_chars"),
+        F.col("nw").alias("n_words"), F.col("mwl").alias("mean_word_len"),
+        F.col("ar").alias("alpha_ratio"), F.col("sr").alias("stopword_ratio"),
+        F.col("uwr").alias("uniq_word_ratio"))
 
 
 @query(
@@ -1474,10 +1491,15 @@ def _lang_markers_sql() -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language-ID heuristic — argmax over per-language
     marker hit counts, ties to the lexicographically last language (struct
-    max on both sides)."""
-    from cozo_spark.operators.text import language_id
+    max on both sides); dispatched THROUGH the engine's `<~ LanguageId`
+    fixed-rule surface."""
+    from cozo_spark.datalog.engine import CozoDb
 
-    return language_id(_t(spark, sf_dir, "documents"))
+    db = CozoDb(spark)
+    db.register_dataframe("docs", _t(spark, sf_dir, "documents"),
+                          keys=["doc_id"])
+    return db.run_script_df(
+        "?[doc_id, lang_pred, lang_score] <~ LanguageId(*docs[])")
 
 
 @query(
@@ -1983,7 +2005,6 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id-derived emails on ids % 3, phones % 4, IPs % 5) and the oracle
     replants the identical strings — redaction itself is what's checked.
     Map-only regexp codegen: no shuffle at any scale."""
-    from cozo_spark.operators.text import pii_redact
 
     d = _t(spark, sf_dir, "documents")
     email = F.when(F.col("doc_id") % 3 == 0,
@@ -2002,7 +2023,12 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(".0.1"))).otherwise("")
     synth = d.select("doc_id",
                      F.concat(F.col("text"), email, phone, ip).alias("text"))
-    return pii_redact(synth)
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("docs", synth, keys=["doc_id"])
+    return db.run_script_df(
+        "?[doc_id, clean_text, n_emails, n_phones, n_ips] <~ PiiRedact(*docs[])")
 
 
 @query(
