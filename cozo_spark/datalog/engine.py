@@ -155,6 +155,13 @@ class NamedRows:
     def as_dict(self) -> dict:
         return {"headers": self.headers, "rows": self.rows, "next": None}
 
+    def into_payload(self, relation: str, op: str) -> tuple:
+        """(script, params) re-applying these rows as a mutation — the
+        reference's NamedRows::into_payload (db.rs:237-242)."""
+        cols = ", ".join(self.headers)
+        query = f"?[{cols}] <- $data :{op} {relation} {{ {cols} }}"
+        return query, {"data": [list(r) for r in self.rows]}
+
 
 class CozoDb:
     """PySpark-native engine with CozoDB's query surface.

@@ -456,3 +456,97 @@ def test_fts_create_drop(db):
     db.run_script("::fts drop entityf:fts_index")
     assert not any(r[0] == "fts_index"
                    for r in db.run_script("::indices entityf").rows)
+
+
+def test_into_payload_roundtrip(db):
+    # tests.rs into_payload: NamedRows → (script, params) re-applying the
+    # rows as a mutation against (possibly renamed) relations
+    db.run_script(":create ipa {x => y}")
+    db.run_script("?[x, y] <- [[1, 2], [3, 4]] :insert ipa {x => y}")
+    res = db.run_script("?[x, y] := *ipa[x, y]")
+    assert len(res.rows) == 2
+
+    script, params = res.into_payload("ipa", "rm")
+    db.run_script(script, params)
+    assert db.run_script("?[x, y] := *ipa[x, y]").rows == []
+
+    db.run_script(":create ipb {m => n}")
+    res.headers = ["m", "n"]
+    script, params = res.into_payload("ipb", "put")
+    db.run_script(script, params)
+    assert len(db.run_script("?[m, n] := *ipb[m, n]").rows) == 2
+
+
+def test_sysop_in_imperatives(db):
+    # tests.rs:1369-1410 verbatim shape: grouped blocks carrying :create
+    # with typed/nullable/default columns, a vec column, then ::hnsw and
+    # ::lsh create with full option sets, then ::relations — one script
+    r = db.run_script("""
+    {
+            :create cm_src {
+                aid: String =>
+                title: String,
+                author: String?,
+                kind: String,
+                url: String,
+                domain: String?,
+                pub_time: Float?,
+                dt: Float default now(),
+                weight: Float default 1,
+            }
+        }
+        {
+            :create cm_txt {
+                tid: String =>
+                aid: String,
+                tag: String,
+                follows_tid: String?,
+                dup_for: String?,
+                text: String,
+                info_amount: Int,
+            }
+        }
+        {
+            :create cm_seg {
+                sid: String =>
+                tid: String,
+                tag: String,
+                part: Int,
+                text: String,
+                vec: <F32; 64>,
+            }
+        }
+        {
+            ::hnsw create cm_seg:vec {
+                dim: 64,
+                m: 50,
+                dtype: F32,
+                fields: vec,
+                distance: Cosine,
+                ef: 100,
+            }
+        }
+        {
+            ::lsh create cm_txt:lsh {
+                extractor: text,
+                extract_filter: is_null(dup_for),
+                tokenizer: NGram,
+                n_perm: 200,
+                target_threshold: 0.5,
+                n_gram: 7,
+            }
+        }
+        {::relations}
+    """)
+    names = {row[0] for row in r.rows}
+    assert {"cm_src", "cm_txt", "cm_seg"} <= names
+
+
+def test_json_object_literals(db):
+    # tests.rs test_json_objects: single-line and multi-line object literals
+    r = db.run_script("?[a] := a = {'a': 1}")
+    assert len(r.rows) == 1
+    r2 = db.run_script("""?[a] := a = {
+            'a': 1
+        }""")
+    assert len(r2.rows) == 1
