@@ -550,3 +550,33 @@ def test_json_object_literals(db):
             'a': 1
         }""")
     assert len(r2.rows) == 1
+
+
+def test_magic_adornment_strange_case(db):
+    # query/magic.rs:643 strange_case — repeated head var y[A, A] plus a
+    # wildcard consumer, with magic rewrite disabled
+    r = db.run_script("""
+    x[A] := A = 1
+    y[A, A] := A = 1
+    y[A, B] := A = 0, B = 1, x[B]
+    ?[C] := y[A, _], y[C, A]
+    :disable_magic_rewrite true
+    """)
+    assert rows(r) == [(0,), (1,)]
+
+
+def test_stratify_dependencies(db):
+    # query/stratify.rs:316 test_dependencies — recursion feeding two layers
+    # of aggregation rules plus a two-clause entry over different strata
+    r = db.run_script("""
+    x[a] <- [[1], [2]]
+    w[a] := a in [2]
+    w[a] := w[b], a = b + 1, a < 10
+    y[count(a)] := x[a]
+    y[count(a)] := w[a]
+    z[count(a)] := y[a]
+    z[count(a)] := y[b], a = b + 1
+    ?[a] := z[a]
+    ?[a] := w[a]
+    """)
+    assert rows(r) == [(i,) for i in range(2, 10)]
