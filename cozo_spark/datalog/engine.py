@@ -266,6 +266,26 @@ class CozoDb:
 
         restore_parquet(self, directory)
 
+    def persist_relation(self, name: str, buckets: int = 64) -> None:
+        """Materialize a stored relation as a bucketed+sorted parquet table
+        on its primary key and serve subsequent scans from it.
+
+        The cluster-scale layout decision the reference gets for free from
+        its B-tree primary keys: every later join/aggregation on the PK runs
+        exchange-free (plans/scale.py, asserted by join_is_exchange_free).
+        Mutations keep working — they rebuild the in-memory DataFrame view;
+        call persist_relation again to re-materialize after bulk loads."""
+        from cozo_spark.plans.scale import bucketed, save_bucketed
+
+        rel = self.relations.get(name)
+        if rel is None:
+            raise QueryError(f"stored relation {name!r} not found")
+        if not rel.key_names:
+            raise QueryError(f"relation {name!r} has no key columns")
+        table = f"cozo_bucketed_{name}"
+        save_bucketed(rel.df, table, rel.key_names, buckets)
+        rel.df = bucketed(self.spark, table)
+
     def multi_transaction(self, write: bool = True) -> "MultiTransaction":
         """Interactive multi-statement transaction (run_multi_transaction,
         db.rs:298-397): queries see staged state; commit swaps atomically."""

@@ -305,3 +305,32 @@ def test_fixpoint_novelty_anti_join_null_safe(spark):
     total = spark.createDataFrame([(1, None), (None, None)], "a int, b int")
     got = sorted(tuple(r) for r in _anti_all_cols(cand, total, broadcast=True).collect())
     assert got == [(2, 5)]
+
+
+def test_persist_relation_makes_pk_joins_exchange_free(spark):
+    """CozoDb.persist_relation: two relations bucketed on their PKs join
+    exchange-free THROUGH the engine, and the relation stays queryable and
+    mutable afterwards."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.plans.scale import join_is_exchange_free
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "pfact", spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS v"),
+        keys=["k"])
+    db.register_dataframe(
+        "pdim", spark.range(0, 20000).selectExpr("id AS k", "id * 3 AS w"),
+        keys=["k"])
+    try:
+        db.persist_relation("pfact", buckets=8)
+        db.persist_relation("pdim", buckets=8)
+        j = db.run_script_df("?[k, v, w] := *pfact[k, v], *pdim[k, w]")
+        assert j.count() == 20000
+        assert join_is_exchange_free(j), \
+            j._jdf.queryExecution().executedPlan().toString()[:2000]
+        # still mutable: a :put rebuilds the in-memory view over the scan
+        db.run_script("?[k, v] <- [[20001, 1]] :put pfact {k => v}")
+        assert db.run_script("?[v] := *pfact[20001, v]").rows == [[1]]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cozo_bucketed_pfact")
+        spark.sql("DROP TABLE IF EXISTS cozo_bucketed_pdim")
