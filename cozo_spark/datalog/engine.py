@@ -137,6 +137,9 @@ class StoredRelation:
     # relations: mutations dropDuplicates on keys; register_dataframe with
     # explicit keys: caller contract). Gates the translator's distinct elision.
     keys_trusted: bool = True
+    # lazy-merge plans stacked on top of the last full materialization;
+    # bounded by CozoDb._COMPACT_EVERY (write path is O(delta), not O(table))
+    pending_merges: int = 0
 
     @property
     def key_names(self) -> list:
@@ -1041,6 +1044,23 @@ class CozoDb:
 
     # -- stored relation mutations (query/stored.rs:44-206) ------------------------------
 
+    # lazy mutation merges tolerated before a full re-materialization; keeps
+    # single-row writes O(delta) while bounding read-plan depth
+    _COMPACT_EVERY = 8
+
+    def _set_merged(self, rel: StoredRelation, df: DataFrame) -> None:
+        """Install a post-mutation state: the merge plan stays LAZY (the
+        delta was already checkpointed, so the write cost is O(delta)); every
+        _COMPACT_EVERY mutations the stacked plan is compacted into one
+        materialization — the log-structured-merge shape of a scale-out
+        store, vs. the previous rewrite-the-table-per-write."""
+        rel.pending_merges += 1
+        if rel.pending_merges >= self._COMPACT_EVERY:
+            rel.df = _checkpoint(df)
+            rel.pending_merges = 0
+        else:
+            rel.df = df
+
     def _execute_store_op(self, df: DataFrame, opts: OutOpts) -> NamedRows:
         op = opts.store_op
         name = opts.store_target
@@ -1103,6 +1123,11 @@ class CozoDb:
                     *[F.col(c).desc() for c in dup_val_cols])
                 new = (new.withColumn("__rn", F.row_number().over(w))
                        .filter(F.col("__rn") == 1).drop("__rn"))
+            # materialize the DELTA once (O(delta), not O(table)): pins
+            # non-deterministic defaults (rand_uuid) to ONE evaluation shared
+            # by the stored rows, triggers and :returning, and lets the merge
+            # below stay a lazy plan over the previous state
+            new = _checkpoint(new)
             if op == "update":
                 # every key must already exist (stored.rs:590: "key to
                 # update does not exist")
@@ -1148,17 +1173,18 @@ class CozoDb:
                         sel.append(F.coalesce(F.col(f"n.{c.name}"), F.col(f"o.{c.name}")).alias(c.name))
                     else:
                         sel.append(F.col(f"o.{c.name}"))
-                rel.df = _checkpoint(merged.select(*sel))
+                self._set_merged(rel, merged.select(*sel))
                 # triggers see the POST-state merged full rows as _new
                 fired = rel.df.join(affected, on=key_names, how="left_semi")
             else:
                 keep = rel.df.join(new.select(*key_names).distinct(), on=key_names, how="left_anti")
-                rel.df = _checkpoint(keep.unionByName(new))
+                self._set_merged(rel, keep.unionByName(new))
                 fired = new
             self._after_mutation(rel, "put", fired, old_full)
         elif op in ("rm", "delete"):
             key_names = rel.key_names
-            rm_keys = data.select(*[c for c in cols if c in key_names]).distinct()
+            rm_keys = _checkpoint(
+                data.select(*[c for c in cols if c in key_names]).distinct())
             if op == "delete":
                 # :delete is strict — every key must exist (tests.rs:1179:
                 # deleting from an empty relation errors); :rm is lenient
@@ -1178,8 +1204,8 @@ class CozoDb:
             # removed full rows for the `_old` trigger relation
             # (stored.rs:1043-1049; _new for rm carries the requested keys)
             old_full = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
-            rel.df = _checkpoint(
-                rel.df.join(rm_keys, on=rm_keys.columns, how="left_anti"))
+            self._set_merged(
+                rel, rel.df.join(rm_keys, on=rm_keys.columns, how="left_anti"))
             self._after_mutation(rel, "rm", data, old_full)
         elif op == "ensure":
             present = data.exceptAll(rel.df.select(*cols))
