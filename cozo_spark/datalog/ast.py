@@ -209,3 +209,62 @@ def expr_vars(e: Expr) -> set:
             out |= expr_vars(k) | expr_vars(v)
         return out
     return set()
+
+
+# --- nondeterminism analysis --------------------------------------------------
+
+# functions whose re-evaluation yields different values; a mutation whose
+# entry involves any of these must be materialized exactly once
+NONDET_FNS = frozenset({
+    "rand_float", "rand_bernoulli", "rand_int", "rand_choose", "rand_vec",
+    "rand_uuid_v1", "rand_uuid_v4", "uuid", "now", "choice_rand",
+})
+
+
+def expr_nondet(e) -> bool:
+    if isinstance(e, Call):
+        return e.fn in NONDET_FNS or any(expr_nondet(a) for a in e.args)
+    if isinstance(e, ListEx):
+        return any(expr_nondet(x) for x in e.items)
+    if isinstance(e, ObjectEx):
+        return any(expr_nondet(k) or expr_nondet(v) for k, v in e.pairs)
+    return False
+
+
+def _atom_nondet(a) -> bool:
+    if isinstance(a, (Unify, Cond)):
+        return expr_nondet(a.expr)
+    if isinstance(a, Negation):
+        return _atom_nondet(a.atom)
+    if isinstance(a, Conj):
+        return any(_atom_nondet(x) for x in a.atoms)
+    if isinstance(a, Disj):
+        return any(_atom_nondet(x) for x in a.branches)
+    if isinstance(a, (RuleApply, RelApply)):
+        return any(expr_nondet(x) for x in a.args
+                   if not isinstance(x, str) and x is not None)
+    if isinstance(a, NamedRelApply):
+        return any(expr_nondet(v) for v in a.pairs.values() if v is not None)
+    if isinstance(a, SearchApply):
+        return any(expr_nondet(v) for v in a.opts.values())
+    return False
+
+
+def program_nondet(prog: "Program") -> bool:
+    """True when re-evaluating the program could yield different rows —
+    rand/now calls anywhere, choice_rand heads, or fixed-rule outputs
+    (conservative: user rules and RandomWalk are opaque)."""
+    for rules in prog.rules.values():
+        if isinstance(rules, ConstRule):
+            if expr_nondet(rules.expr):
+                return True
+        elif isinstance(rules, FixedApply):
+            return True
+        else:
+            for cl in rules:
+                if any(isinstance(h, HeadAggr) and h.aggr == "choice_rand"
+                       for h in cl.head):
+                    return True
+                if any(_atom_nondet(a) for a in cl.body):
+                    return True
+    return False

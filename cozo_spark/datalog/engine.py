@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from cozo_spark.datalog.ast import (
     Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, ListEx,
     NamedRelApply, Negation, OutOpts, Program, RelApply, RuleApply,
-    RuleClause, TableSchema, Unify,
+    RuleClause, TableSchema, Unify, expr_nondet, program_nondet,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -1039,7 +1039,7 @@ class CozoDb:
         if opts.limit is not None:
             df = df.limit(opts.limit)
         if opts.store_op:
-            return self._execute_store_op(df, opts)
+            return self._execute_store_op(df, opts, prog)
         return df
 
     # -- stored relation mutations (query/stored.rs:44-206) ------------------------------
@@ -1061,9 +1061,20 @@ class CozoDb:
         else:
             rel.df = df
 
-    def _execute_store_op(self, df: DataFrame, opts: OutOpts) -> NamedRows:
+    def _execute_store_op(self, df: DataFrame, opts: OutOpts,
+                          prog: Optional[Program] = None) -> NamedRows:
         op = opts.store_op
         name = opts.store_target
+        # a mutation whose rows must be materialized exactly once: either
+        # re-evaluation is not identical (rand/now anywhere in the program)
+        # or :returning collects them separately, or the entry is a derived
+        # query (re-running a join/aggregation per read would be costly).
+        # Plain const-rule writes — the OLTP shape: triggers, imperative
+        # counters, API puts — skip the pin entirely and cost ZERO jobs.
+        entry = (prog.rules.get("?") if prog is not None else None)
+        pin_delta = (opts.returning or prog is None
+                     or not isinstance(entry, ConstRule)
+                     or program_nondet(prog))
         if name.startswith("_"):
             return self._mutate_temp(df, opts)
         if op in ("create", "replace"):
@@ -1126,8 +1137,12 @@ class CozoDb:
             # materialize the DELTA once (O(delta), not O(table)): pins
             # non-deterministic defaults (rand_uuid) to ONE evaluation shared
             # by the stored rows, triggers and :returning, and lets the merge
-            # below stay a lazy plan over the previous state
-            new = _checkpoint(new)
+            # below stay a lazy plan over the previous state; skipped for
+            # plain deterministic const-rule writes (re-evaluation is a
+            # trivial local relation — zero Spark jobs on the write path)
+            if pin_delta or any(c.default is not None and expr_nondet(c.default)
+                                for c in default_cols):
+                new = _checkpoint(new)
             if op == "update":
                 # every key must already exist (stored.rs:590: "key to
                 # update does not exist")
@@ -1183,8 +1198,9 @@ class CozoDb:
             self._after_mutation(rel, "put", fired, old_full)
         elif op in ("rm", "delete"):
             key_names = rel.key_names
-            rm_keys = _checkpoint(
-                data.select(*[c for c in cols if c in key_names]).distinct())
+            rm_keys = data.select(*[c for c in cols if c in key_names]).distinct()
+            if pin_delta:
+                rm_keys = _checkpoint(rm_keys)
             if op == "delete":
                 # :delete is strict — every key must exist (tests.rs:1179:
                 # deleting from an empty relation errors); :rm is lenient
