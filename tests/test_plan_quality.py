@@ -334,3 +334,23 @@ def test_persist_relation_makes_pk_joins_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS cozo_bucketed_pfact")
         spark.sql("DROP TABLE IF EXISTS cozo_bucketed_pdim")
+
+
+def test_const_rule_put_runs_zero_jobs(spark):
+    """The OLTP write shape — a deterministic const-rule :put — must not
+    launch any Spark job: the delta merges lazily and compaction is
+    amortized (log-structured write path)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "wz", spark.range(0, 100000).selectExpr("id AS k", "id AS v"),
+        keys=["k"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    for i in range(3):  # stay under the compaction threshold
+        db.run_script(f"?[k, v] <- [[{900000 + i}, 1]] :put wz {{k => v}}")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, f"{after - before} jobs launched by 3 const puts"
+    # the merged state is correct once read
+    assert db.run_script("?[v] := *wz[900001, v]").rows == [[1]]
