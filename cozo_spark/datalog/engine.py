@@ -1583,6 +1583,13 @@ class CozoDb:
             from cozo_spark.fixed_rules import fixed_rule_names
             return NamedRows(["rule"], [[n] for n in fixed_rule_names()])
         if kind == "compact":
+            # the log-structured write path gives ::compact a real meaning:
+            # flush every relation's pending lazy merges into one
+            # materialization (the reference's storage compaction analogue)
+            for rel in self.relations.values():
+                if rel.pending_merges > 0:
+                    rel.df = _checkpoint(rel.df)
+                    rel.pending_merges = 0
             return NamedRows(["status"], [["OK"]])
         if kind == "explain":
             # per-atom plan table in the reference's shape (db.rs:968-1191:

@@ -213,3 +213,16 @@ def test_import_dedups_payload_keys(spark):
                                  "rows": [[1, "mid"], [2, "b"], [1, "new"]]}})
     r = db.run_script("?[k, v] := *imp[k, v]")
     assert sorted(tuple(x) for x in r.rows) == [(1, "new"), (2, "b")]
+
+
+def test_compact_flushes_pending_merges(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create cf {k: Int => v: Int}")
+    for i in range(3):
+        db.run_script(f"?[k, v] <- [[{i}, {i}]] :put cf {{k => v}}")
+    assert db.relations["cf"].pending_merges == 3
+    db.run_script("::compact")
+    assert db.relations["cf"].pending_merges == 0
+    assert len(db.run_script("?[k, v] := *cf[k, v]").rows) == 3
