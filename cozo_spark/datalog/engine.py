@@ -1238,9 +1238,27 @@ class CozoDb:
             return NamedRows(["_kind"] + rel.col_names, returning_rows)
         return NamedRows(["status"], [["OK"]])
 
-    def _mutate_temp(self, df: DataFrame, opts: OutOpts) -> NamedRows:
+    def _mutate_temp(self, df: DataFrame, opts: OutOpts,
+                     prog: Optional[Program] = None) -> NamedRows:
         name = opts.store_target
         op = opts.store_op
+        # same lazy-write rule as stored relations: deterministic const-rule
+        # writes stack lazily (imperative %loop counters!), everything else
+        # pins; plan depth bounded by the same compaction counter
+        entry = prog.rules.get("?") if prog is not None else None
+        lazy_ok = (prog is not None and isinstance(entry, ConstRule)
+                   and not program_nondet(prog))
+
+        def _settemp(newdf: DataFrame) -> None:
+            if not hasattr(self, "_temp_pending"):
+                self._temp_pending = {}
+            n = self._temp_pending.get(name, 0) + 1
+            if not lazy_ok or n >= self._COMPACT_EVERY:
+                self.temp_relations[name] = _checkpoint(newdf)
+                self._temp_pending[name] = 0
+            else:
+                self.temp_relations[name] = newdf
+                self._temp_pending[name] = n
         if op in ("create", "replace"):
             # `:create _name {cols}` declares a session-scoped temp relation
             # (imperative.rs temp stores; crashy_imperative's opener block)
@@ -1257,11 +1275,11 @@ class CozoDb:
             return NamedRows(["status"], [["OK"]])
         cur = self.temp_relations.get(name)
         if op in ("put", "insert"):
-            self.temp_relations[name] = _checkpoint(
-                df if cur is None else cur.unionByName(df.toDF(*cur.columns)).distinct())
+            _settemp(df if cur is None
+                     else cur.unionByName(df.toDF(*cur.columns)).distinct())
         elif op in ("rm", "delete"):
             if cur is not None:
-                self.temp_relations[name] = _checkpoint(cur.exceptAll(df.toDF(*cur.columns)))
+                _settemp(cur.exceptAll(df.toDF(*cur.columns)))
         else:
             raise QueryError(f"unsupported temp op :{op}")
         return NamedRows(["status"], [["OK"]])
