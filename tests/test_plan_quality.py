@@ -170,6 +170,7 @@ def test_fd_elision_keyed_scan(spark):
     db = CozoDb(spark)
     db.run_script(":create kv {k: Int => v: Int}")
     db.run_script("?[k, v] <- [[1, 10], [2, 20], [3, 20]] :put kv {k => v}")
+    db.run_script("::compact")  # flush the lazy write plan; assert the SCAN
     out = db.run_script_df("?[k, v] := *kv[k, v], v >= 10")
     assert _n_aggregates(out) == 0, out._jdf.queryExecution().optimizedPlan().toString()
     assert out.count() == 3
@@ -185,6 +186,7 @@ def test_fd_elision_point_join(spark):
     db.run_script(":create b {k2: Int => w: Int}")
     db.run_script("?[k, fk] <- [[1, 7], [2, 7], [3, 8]] :put a {k => fk}")
     db.run_script("?[k2, w] <- [[7, 70], [8, 80]] :put b {k2 => w}")
+    db.run_script("::compact")  # flush the lazy write plans; assert the JOIN
     out = db.run_script_df("?[k, w] := *a{k, fk}, *b{k2: fk, w}")
     assert _n_aggregates(out) == 0, out._jdf.queryExecution().optimizedPlan().toString()
     assert sorted(tuple(r) for r in out.collect()) == [(1, 70), (2, 70), (3, 80)]
