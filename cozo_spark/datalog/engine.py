@@ -243,6 +243,12 @@ class CozoDb:
 
         register_fixed_rule(name, fn)
 
+    def unregister_fixed_rule(self, name: str) -> None:
+        """Db::unregister_fixed_rule (db.rs) — drops a user rule."""
+        from cozo_spark.fixed_rules import unregister_fixed_rule
+
+        unregister_fixed_rule(name)
+
     def export_relations(self, names: list) -> dict:
         """::export analogue — JSON-able {rel: {headers, rows}} (db.rs:448-530)."""
         from cozo_spark.sources.readers import export_relations

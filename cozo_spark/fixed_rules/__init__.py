@@ -21,6 +21,10 @@ def register_fixed_rule(name: str, fn: FixedRule) -> None:
     _REGISTRY[name] = fn
 
 
+def unregister_fixed_rule(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
+
 def get_fixed_rule(name: str) -> FixedRule:
     if name not in _REGISTRY:
         raise KeyError(f"fixed rule not found: {name!r} (known: {sorted(_REGISTRY)})")

@@ -15,9 +15,8 @@ runs on executors, the HTTP layer only drives plans and collects results).
 | GET  /changes/{relation}    | server.rs:249 (SSE) | SSE stream fed by the mutation callback bus |
 | POST /transact, /transact/{id} | server.rs:255-256 | interactive MultiTransaction sessions |
 
-The reference's /rules/{name} remote-custom-rule channel (server.rs:250) is
-served in-process instead: CozoDb.register_fixed_rule is the same UDTF
-surface without the long-poll plumbing.
+| GET  /rules/{name}?arity=N  | server.rs:250 (SSE) | remote custom rule: registers the rule; each invocation streams a `request` event (id, inputs, options) to the client |
+| POST /rule-result/{id}      | server.rs:251-254 | client posts the rule's NamedRows result (DELETE = cancel) |
 
 Auth parity: like the reference (which requires an auth token off loopback),
 pass ``auth_token=...`` to require an ``x-cozo-auth`` header on every request.
@@ -42,6 +41,12 @@ class CozoServer:
         self._txn_lock = threading.Lock()
         self._txns: dict[int, object] = {}
         self._txn_seq = 0
+        # remote custom rules (server.rs:250-254): pending invocation slots
+        # keyed by request id, resolved by POST/DELETE /rule-result/{id}
+        self._rule_lock = threading.Lock()
+        self._rule_seq = 0
+        self._pending_rules: dict[int, dict] = {}
+        self.rule_timeout = 60.0
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
@@ -134,6 +139,17 @@ def _make_handler(server: CozoServer):
                     want = body.get("relations") or list(snap)
                     server.db.import_relations({k: v for k, v in snap.items() if k in want})
                     self._json({"ok": True, "relations": want})
+                elif self.path.startswith("/rule-result/"):
+                    rid = int(self.path.rsplit("/", 1)[1])
+                    body = self._body()
+                    with server._rule_lock:
+                        slot = server._pending_rules.pop(rid, None)
+                    if slot is None:
+                        self._json({"ok": False}, 404)
+                    else:
+                        slot["rows"] = body
+                        slot["event"].set()
+                        self._json({"ok": True})
                 elif self.path == "/transact":
                     body = self._body()
                     tid = server.open_txn(write=bool(body.get("write", True)))
@@ -171,6 +187,25 @@ def _make_handler(server: CozoServer):
             except Exception as e:
                 self._err(e)
 
+        def do_DELETE(self):
+            if not self._authed():
+                return
+            try:
+                if self.path.startswith("/rule-result/"):
+                    rid = int(self.path.rsplit("/", 1)[1])
+                    with server._rule_lock:
+                        slot = server._pending_rules.pop(rid, None)
+                    if slot is None:
+                        self._json({"ok": False}, 404)
+                    else:
+                        slot["err"] = "downstream cancelled computation"
+                        slot["event"].set()
+                        self._json({"ok": True})
+                else:
+                    self._json({"ok": False, "message": "not found"}, 404)
+            except Exception as e:
+                self._err(e)
+
         def do_GET(self):
             if not self._authed():
                 return
@@ -180,10 +215,74 @@ def _make_handler(server: CozoServer):
                     self._json({"ok": True, "data": server.db.export_relations(names)})
                 elif self.path.startswith("/changes/"):
                     self._sse_changes(self.path[len("/changes/"):])
+                elif self.path.startswith("/rules/"):
+                    self._sse_rules(self.path[len("/rules/"):].split("?")[0])
                 else:
                     self._json({"ok": False, "message": "not found"}, 404)
             except Exception as e:
                 self._err(e)
+
+        def _sse_rules(self, name: str) -> None:
+            """Remote custom rule channel (server.rs:250 register_rule):
+            registering the SSE stream registers a fixed rule of that name;
+            each engine invocation becomes a `request` event with collected
+            inputs + options, and the rule call BLOCKS until the client
+            POSTs /rule-result/{id} (or DELETEs it / times out) — exactly
+            the reference's SimpleFixedRule::rule_with_channel protocol."""
+            req_q: queue.Queue = queue.Queue()
+
+            def remote_rule(inputs, options=None):
+                with server._rule_lock:
+                    server._rule_seq += 1
+                    rid = server._rule_seq
+                    slot = {"event": threading.Event(), "rows": None, "err": None}
+                    server._pending_rules[rid] = slot
+                req_q.put({
+                    "type": "request", "id": rid,
+                    "inputs": [{"headers": list(df.columns),
+                                "rows": [list(r) for r in df.collect()]}
+                               for df in inputs],
+                    "options": dict(options or {}),
+                })
+                if not slot["event"].wait(timeout=server.rule_timeout):
+                    with server._rule_lock:
+                        server._pending_rules.pop(rid, None)
+                    raise RuntimeError(f"remote rule {name!r} timed out")
+                if slot["err"] is not None:
+                    raise RuntimeError(slot["err"])
+                nr = slot["rows"] or {}
+                rows = [tuple(r) for r in nr.get("rows", [])]
+                headers = list(nr.get("headers") or [])
+                if not headers and rows:
+                    headers = [f"_{i}" for i in range(len(rows[0]))]
+                if not rows:
+                    from pyspark.sql import types as T
+                    return server.db.spark.createDataFrame([], T.StructType(
+                        [T.StructField(h, T.StringType(), True) for h in headers]))
+                return server.db.spark.createDataFrame(rows, schema=headers)
+
+            server.db.register_fixed_rule(name, remote_rule)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                while True:
+                    try:
+                        payload = req_q.get(timeout=10.0)
+                    except queue.Empty:
+                        # keep-alive probe doubles as disconnect detection
+                        self.wfile.write(b": keep-alive\n\n")
+                        self.wfile.flush()
+                        continue
+                    msg = json.dumps(payload, default=str)
+                    self.wfile.write(f"data: {msg}\n\n".encode("utf-8"))
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                return
+            finally:
+                # dropping the stream unregisters the rule (reference Guard)
+                server.db.unregister_fixed_rule(name)
 
         def _sse_changes(self, relation: str) -> None:
             """SSE mutation feed (server.rs:249): one `data:` event per

@@ -152,3 +152,38 @@ def test_sse_unregisters_on_disconnect(server):
             break
         time.sleep(0.2)
     assert len(feed.callbacks.get("ev2", [])) == before
+
+
+def test_remote_custom_rule_roundtrip(server):
+    """/rules/{name} SSE + /rule-result/{id} (server.rs:250-254): an HTTP
+    client SERVES a fixed rule — the engine's invocation streams the inputs
+    out and blocks until the client posts rows back."""
+    import time
+
+    ready = threading.Event()
+
+    def _serve_rule():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/rules/RemoteDouble")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            ready.set()
+            while True:
+                line = r.readline().decode()
+                if not line.startswith("data: "):
+                    continue  # keep-alive / blank
+                evt = json.loads(line[len("data: "):])
+                assert evt["type"] == "request"
+                rows = [[x[0] * 2] for x in evt["inputs"][0]["rows"]]
+                _req(server.port, f"/rule-result/{evt['id']}", "POST",
+                     {"headers": ["x"], "rows": rows})
+                return
+
+    t = threading.Thread(target=_serve_rule, daemon=True)
+    t.start()
+    assert ready.wait(timeout=30)
+    time.sleep(0.3)  # rule registration happens at stream open
+    res = _req(server.port, "/text-query", "POST", {
+        "script": "nums[x] <- [[1], [2], [3]]\n?[x] <~ RemoteDouble(nums[x])"},
+        timeout=60)
+    assert sorted(r[0] for r in res["rows"]) == [2, 4, 6]
+    t.join(timeout=10)
