@@ -99,3 +99,43 @@ def test_fuzz_mutations_vs_model(spark, seed):
         got = {r[0]: (r[1], r[2]) for r in
                db.run_script(f"?[k, a, b] := *{rel}{{k, a, b}}").rows}
         assert got == model, (step, op, rows, got, model)
+
+
+@pytest.mark.parametrize("seed", [7, 77])
+def test_fuzz_lazy_merge_interleavings(spark, seed):
+    """The log-structured write path: random put/rm/update/::compact/read
+    interleavings vs a dict model — reads must see identical state whether
+    they hit a lazy merge chain, a freshly compacted frame, or anything
+    between (put/rm/update cross the compaction boundary mid-sequence)."""
+    import random
+
+    from cozo_spark.datalog.engine import CozoDb
+
+    rnd = random.Random(seed)
+    db = CozoDb(spark)
+    db.run_script(":create lzm {k: Int => a: Int, b: Int}")
+    model: dict = {}
+    for step in range(24):
+        op = rnd.choice(["put", "put", "rm", "update", "compact", "read"])
+        k = rnd.randint(0, 6)
+        if op == "put":
+            a, b = rnd.randint(0, 99), rnd.randint(0, 99)
+            db.run_script(f"?[k, a, b] <- [[{k}, {a}, {b}]] :put lzm {{k => a, b}}")
+            model[k] = (a, b)
+        elif op == "rm":
+            db.run_script(f"?[k] <- [[{k}]] :rm lzm {{k}}")
+            model.pop(k, None)
+        elif op == "update" and k in model:
+            a = rnd.randint(100, 199)
+            db.run_script(f"?[k, a] <- [[{k}, {a}]] :update lzm {{k => a}}")
+            model[k] = (a, model[k][1])
+        elif op == "compact":
+            db.run_script("::compact")
+            assert db.relations["lzm"].pending_merges == 0
+        elif op == "read":
+            got = {r[0]: (r[1], r[2]) for r in
+                   db.run_script("?[k, a, b] := *lzm[k, a, b]").rows}
+            assert got == model, (step, got, model)
+    got = {r[0]: (r[1], r[2]) for r in
+           db.run_script("?[k, a, b] := *lzm[k, a, b]").rows}
+    assert got == model
