@@ -125,10 +125,7 @@ class CozoDb:
         db.register_fixed_rule(name, rule)
 
     def unregister_fixed_rule(self, name: str) -> bool:
-        from cozo_spark.fixed_rules import _REGISTRY
-
-        self._require().unregister_fixed_rule(name)
-        return name not in _REGISTRY
+        return self._require().unregister_fixed_rule(name)
 
     # -- import/export/backup (lib.rs:321-377) --------------------------------
 
@@ -150,8 +147,11 @@ class CozoDb:
 
         staging = _Engine(self._require().spark)
         staging.restore(path)
-        payload = staging.export_relations(
-            [r for r in relations if r in staging.relations])
+        missing = [r for r in relations if r not in staging.relations]
+        if missing:
+            raise KeyError(
+                f"relations not present in backup: {missing}")
+        payload = staging.export_relations(list(relations))
         # target relations must exist with compatible schemas (db.rs imports
         # into existing stored relations); create missing ones from staging
         db = self._require()
@@ -172,7 +172,10 @@ class CozoDbMulTx:
         self._tx = tx
 
     def run_script(self, query: str, params: Optional[dict] = None) -> dict:
-        return self._tx.run_script(query, params or {}).as_dict()
+        res = self._tx.run_script(query, params or {})
+        if isinstance(res, list):  # multi-result %return
+            return [r.as_dict() for r in res]
+        return res.as_dict()
 
     def commit(self) -> None:
         self._tx.commit()

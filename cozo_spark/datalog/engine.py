@@ -213,7 +213,10 @@ class CozoDb:
         return NamedRows(res.columns, rows)
 
     def run_script_read_only(self, script: str, params: Optional[dict] = None) -> NamedRows:
-        """Reject scripts with mutation side effects (db.rs:422-430)."""
+        """Reject scripts with mutation side effects (db.rs:422-430).
+        Static check on the parsed form, plus a dynamic guard for
+        imperative / grouped scripts whose inner blocks re-enter
+        run_script."""
         parsed = parse_script(script, params)
         if isinstance(parsed, Program) and parsed.opts.store_op:
             raise QueryError("script is not read-only")
@@ -221,7 +224,12 @@ class CozoDb:
                 "relations", "columns", "indices", "describe", "explain",
                 "fixed_rules", "show_triggers", "running"):
             raise QueryError("sys op is not read-only")
-        return self.run_script(script, params)
+        saved = getattr(self, "_read_only", False)
+        self._read_only = True
+        try:
+            return self.run_script(script, params)
+        finally:
+            self._read_only = saved
 
     def evaluate_expressions(self, expr_src: str, params: Optional[dict] = None):
         """Expression-only mini-evaluator (db.rs:1878-1927)."""
@@ -243,11 +251,12 @@ class CozoDb:
 
         register_fixed_rule(name, fn)
 
-    def unregister_fixed_rule(self, name: str) -> None:
-        """Db::unregister_fixed_rule (db.rs) — drops a user rule."""
+    def unregister_fixed_rule(self, name: str) -> bool:
+        """Db::unregister_fixed_rule (db.rs:779-784) — drops a user rule;
+        builtins are protected. Returns whether a rule was removed."""
         from cozo_spark.fixed_rules import unregister_fixed_rule
 
-        unregister_fixed_rule(name)
+        return unregister_fixed_rule(name)
 
     def export_relations(self, names: list) -> dict:
         """::export analogue — JSON-able {rel: {headers, rows}} (db.rs:448-530)."""
@@ -1082,7 +1091,13 @@ class CozoDb:
                      or not isinstance(entry, ConstRule)
                      or program_nondet(prog))
         if name.startswith("_"):
-            return self._mutate_temp(df, opts)
+            return self._mutate_temp(df, opts, prog)
+        if getattr(self, "_read_only", False):
+            # dynamic guard: covers imperative / brace-grouped scripts whose
+            # inner blocks re-enter run_script (the static check in
+            # run_script_read_only cannot see them) — reference bails in
+            # execute_imperative when readonly needs write locks (db.rs:440)
+            raise QueryError("script is not read-only")
         if op in ("create", "replace"):
             return self._create_relation(df, opts)
         rel = self.relations.get(name)
@@ -1459,6 +1474,10 @@ class CozoDb:
 
     def _run_sysop(self, op: dict) -> NamedRows:
         kind = op["sysop"]
+        if getattr(self, "_read_only", False) and kind not in (
+                "relations", "columns", "indices", "describe", "explain",
+                "fixed_rules", "show_triggers", "running"):
+            raise QueryError("sys op is not read-only")
         if kind == "relations":
             rows = []
             for n, r in sorted(self.relations.items()):

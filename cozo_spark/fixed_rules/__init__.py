@@ -21,8 +21,13 @@ def register_fixed_rule(name: str, fn: FixedRule) -> None:
     _REGISTRY[name] = fn
 
 
-def unregister_fixed_rule(name: str) -> None:
-    _REGISTRY.pop(name, None)
+def unregister_fixed_rule(name: str) -> bool:
+    """Drop a USER rule; builtins are protected (db.rs:779-784 bails with
+    'Cannot unregister builtin fixed rule'). Returns whether a user rule
+    was actually removed (the reference's Ok(removed.is_some()))."""
+    if name in _BUILTIN_RULES:
+        raise ValueError(f"cannot unregister builtin fixed rule {name!r}")
+    return _REGISTRY.pop(name, None) is not None
 
 
 def get_fixed_rule(name: str) -> FixedRule:
@@ -231,3 +236,6 @@ def _register_pipeline_rules() -> None:
 
 
 _register_builtins()
+
+# names registered at import time are builtins and cannot be unregistered
+_BUILTIN_RULES = frozenset(_REGISTRY)

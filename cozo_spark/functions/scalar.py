@@ -285,19 +285,38 @@ fn("validity")(lambda ts, is_assert=None: F.struct(
 
 fn("now")(lambda: F.unix_timestamp(F.current_timestamp()).cast(_D))
 # the reference's format language is chrono strftime (functions.rs:2470);
-# translate the common directives to Spark's Java patterns
+# translate the common directives to Spark's Java patterns. chrono %z emits
+# +0000 (Java 'xx'), %:z emits +00:00 (Java 'xxx').
 _STRFTIME = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
-             "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%z": "XXX", "%%": "%"}
+             "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%z": "xx", "%%": "%",
+             "%:z": "xxx", "%b": "MMM", "%B": "MMMM", "%a": "EEE",
+             "%A": "EEEE", "%j": "DDD", "%e": "d", "%I": "hh", "%p": "a"}
 
 
 def _fmt_to_java(fmt: str) -> str:
+    """Translate a chrono/strftime format to a Java DateTimeFormatter
+    pattern. Literal LETTERS between directives must be single-quoted
+    ('T' in '%Y-%m-%dT%H:%M:%S' is otherwise an illegal pattern letter);
+    unknown %-directives error rather than silently emitting bad patterns."""
     if "%" not in fmt:
         return fmt
     out, i = [], 0
     while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
-            out.append(_STRFTIME.get(fmt[i:i + 2], fmt[i:i + 2]))
+        if fmt[i] == "%" and fmt[i:i + 3] in _STRFTIME:  # %:z
+            out.append(_STRFTIME[fmt[i:i + 3]])
+            i += 3
+        elif fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i:i + 2]
+            if d not in _STRFTIME:
+                raise ValueError(f"unsupported strftime directive {d!r}")
+            out.append(_STRFTIME[d])
             i += 2
+        elif fmt[i].isalpha():
+            out.append(f"'{fmt[i]}'")
+            i += 1
+        elif fmt[i] == "'":
+            out.append("''")
+            i += 1
         else:
             out.append(fmt[i])
             i += 1

@@ -124,7 +124,11 @@ def _make_handler(server: CozoServer):
                 if self.path == "/text-query":
                     body = self._body()
                     res = server.db.run_script(body["script"], body.get("params") or {})
-                    self._json({"ok": True, **res.as_dict()})
+                    if isinstance(res, list):  # multi-result %return
+                        self._json({"ok": True,
+                                    "results": [r.as_dict() for r in res]})
+                    else:
+                        self._json({"ok": True, **res.as_dict()})
                 elif self.path == "/backup":
                     body = self._body()
                     names = list(server.db.relations)
@@ -159,7 +163,11 @@ def _make_handler(server: CozoServer):
                     body = self._body()
                     res = server.get_txn(tid).run_script(
                         body["script"], body.get("params") or {})
-                    self._json({"ok": True, **res.as_dict()})
+                    if isinstance(res, list):
+                        self._json({"ok": True,
+                                    "results": [r.as_dict() for r in res]})
+                    else:
+                        self._json({"ok": True, **res.as_dict()})
                 else:
                     self._json({"ok": False, "message": "not found"}, 404)
             except Exception as e:  # surface engine errors as 400s
@@ -216,13 +224,19 @@ def _make_handler(server: CozoServer):
                 elif self.path.startswith("/changes/"):
                     self._sse_changes(self.path[len("/changes/"):])
                 elif self.path.startswith("/rules/"):
-                    self._sse_rules(self.path[len("/rules/"):].split("?")[0])
+                    raw = self.path[len("/rules/"):]
+                    name, _, qs = raw.partition("?")
+                    arity = None
+                    for kv in qs.split("&"):
+                        if kv.startswith("arity="):
+                            arity = int(kv[len("arity="):])
+                    self._sse_rules(name, arity)
                 else:
                     self._json({"ok": False, "message": "not found"}, 404)
             except Exception as e:
                 self._err(e)
 
-        def _sse_rules(self, name: str) -> None:
+        def _sse_rules(self, name: str, arity=None) -> None:
             """Remote custom rule channel (server.rs:250 register_rule):
             registering the SSE stream registers a fixed rule of that name;
             each engine invocation becomes a `request` event with collected
@@ -252,9 +266,16 @@ def _make_handler(server: CozoServer):
                     raise RuntimeError(slot["err"])
                 nr = slot["rows"] or {}
                 rows = [tuple(r) for r in nr.get("rows", [])]
+                if arity is not None and rows and len(rows[0]) != arity:
+                    # the reference's SimpleFixedRule validates declared arity
+                    raise RuntimeError(
+                        f"remote rule {name!r} posted arity {len(rows[0])}, "
+                        f"declared {arity}")
                 headers = list(nr.get("headers") or [])
                 if not headers and rows:
                     headers = [f"_{i}" for i in range(len(rows[0]))]
+                if not headers and arity is not None:
+                    headers = [f"_{i}" for i in range(arity)]
                 if not rows:
                     from pyspark.sql import types as T
                     return server.db.spark.createDataFrame([], T.StructType(
@@ -282,7 +303,11 @@ def _make_handler(server: CozoServer):
                 return
             finally:
                 # dropping the stream unregisters the rule (reference Guard)
-                server.db.unregister_fixed_rule(name)
+                # — but only OUR registration: a reconnected client may have
+                # re-registered the name before this stale thread noticed
+                from cozo_spark.fixed_rules import _REGISTRY
+                if _REGISTRY.get(name) is remote_rule:
+                    server.db.unregister_fixed_rule(name)
 
         def _sse_changes(self, relation: str) -> None:
             """SSE mutation feed (server.rs:249): one `data:` event per

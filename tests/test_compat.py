@@ -88,3 +88,30 @@ def test_backup_import_from_backup(db, spark, tmp_path):
 
 def test_close_semantics(db):
     assert db.close() is False or True  # close() in fixture teardown too
+
+
+def test_unregister_builtin_rule_protected(db):
+    with pytest.raises(Exception, match="builtin"):
+        db.unregister_fixed_rule("PageRank")
+    assert db.unregister_fixed_rule("never_registered_rule") is False
+
+
+def test_immutable_blocks_imperative_writes(db):
+    db.run_script(":create imb {k: Int}", {})
+    # brace-grouped / imperative scripts re-enter run_script per block; the
+    # dynamic read-only guard must still block the inner :put
+    with pytest.raises(Exception, match="read-only"):
+        db.run_script("{?[k] <- [[1]] :put imb {k}}", {}, immutable=True)
+    assert db.run_script("?[k] := *imb[k]", {})["rows"] == []
+
+
+def test_import_from_backup_missing_relation_errors(db, spark, tmp_path):
+    db.run_script(":create mb1 {k: Int}", {})
+    db.run_script("?[k] <- [[1]] :put mb1 {k}", {})
+    db.backup(str(tmp_path / "bk2"))
+    from cozo_spark.compat import CozoDb
+
+    other = CozoDb(spark=spark)
+    with pytest.raises(KeyError, match="not present"):
+        other.import_from_backup(str(tmp_path / "bk2"), ["mb1", "nope"])
+    other.close()

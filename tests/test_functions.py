@@ -447,3 +447,16 @@ def test_aggregations_sketch_extensions(spark):
     assert 6 <= acd <= 8          # ~7 distinct keys within rsd
     assert 40.0 <= p50 <= 60.0
     assert med == 49.5
+
+
+def test_strftime_translation_quotes_literals():
+    from cozo_spark.functions.scalar import _fmt_to_java
+
+    assert _fmt_to_java("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert _fmt_to_java("%Y/%m/%d") == "yyyy/MM/dd"
+    assert _fmt_to_java("%b %e, %Y") == "MMM d, yyyy"
+    assert _fmt_to_java("%H:%M %p") == "HH:mm a"
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        _fmt_to_java("%Q")
