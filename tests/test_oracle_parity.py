@@ -90,3 +90,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns
+
+
+def test_engine_path_rows_inside_driver_cap():
+    """Regression guard for the round-2 failure mode: the driver checks only
+    the FIRST 50 queries() entries, and a reordering once pushed every
+    engine-path (CozoScript-compiled) row past the cap. Pin them inside."""
+    import __spark_entry__ as E
+
+    first50 = list(E.queries())[:50]
+    engine_rows = {
+        "datalog_filter_join", "datalog_agg", "datalog_negation",
+        "datalog_recursion", "datalog_magic_reach", "datalog_shortest_min",
+        "fts_engine_search",
+    }
+    missing = engine_rows - set(first50)
+    assert not missing, f"engine-path rows past the driver cap: {missing}"
