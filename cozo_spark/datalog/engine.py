@@ -205,12 +205,17 @@ class CozoDb:
 
     def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
         res = self.run_script_df(script, params)
+        disp = getattr(self, "_entry_display_headers", None)
+        self._entry_display_headers = None
         if isinstance(res, (NamedRows, list)):
             # list = a %return with multiple results (imperative.rs returns
             # Vec<NamedRows>); each element is already collected
             return res
         rows = [list(r) for r in res.collect()]
-        return NamedRows(res.columns, rows)
+        cols = res.columns
+        if disp is not None and len(disp) == len(cols):
+            cols = disp
+        return NamedRows(cols, rows)
 
     def run_script_read_only(self, script: str, params: Optional[dict] = None) -> NamedRows:
         """Reject scripts with mutation side effects (db.rs:422-430).
@@ -332,9 +337,22 @@ class CozoDb:
         if "?" not in stores:
             raise QueryError("program has no entry rule '?'")
         headers = self._entry_headers(prog)
+        # `?[a, a]` is legal in the reference (positional tuples); DataFrame
+        # columns must be unique, so later duplicates get a trailing
+        # underscore — F.col references downstream bind to the first
+        seen: set = set()
+        uniq = []
+        for h in headers:
+            while h in seen:
+                h = h + "_"
+            seen.add(h)
+            uniq.append(h)
+        # NamedRows reports the ORIGINAL (possibly duplicated) names — the
+        # reference's `as`-store duplicate check depends on seeing them
+        self._entry_display_headers = headers if uniq != headers else None
         # `?[] <~ Rule(...)` / `?[] <- ...`: empty head = keep the rule's own
         # output columns (the reference's "all columns" shorthand)
-        out = stores["?"].toDF(*headers) if headers else stores["?"]
+        out = stores["?"].toDF(*uniq) if headers else stores["?"]
         return self._output_stage(out, prog.opts, prog)
 
     def _entry_headers(self, prog: Program) -> list:
@@ -565,6 +583,8 @@ class CozoDb:
 
     @staticmethod
     def _infer_schema(rows, names) -> T.StructType:
+        import datetime as _dt
+
         def infer(vals):
             tps = {type(v) for v in vals if v is not None}
             if tps <= {int}:
@@ -575,6 +595,12 @@ class CozoDb:
                 return T.BooleanType()
             if tps <= {str}:
                 return T.StringType()
+            if tps <= {_dt.datetime}:
+                return T.TimestampType()
+            if tps <= {_dt.date}:
+                return T.DateType()
+            if tps <= {bytes, bytearray}:
+                return T.BinaryType()
             if tps <= {list, tuple}:
                 flat = [x for v in vals if v is not None for x in v]
                 return T.ArrayType(infer(flat) if flat else T.StringType())
@@ -1179,9 +1205,16 @@ class CozoDb:
                                   on=key_names, how="left_semi")
                 old_rows = [list(r) for r in old.select(*rel.col_names).collect()]
                 if op == "update":
-                    new_full = [list(r) + [None] * (len(rel.col_names) - len(r))
-                                for r in new.select(*[c for c in rel.col_names
-                                                      if c in new.columns]).collect()]
+                    # align by NAME against the full relation header — an
+                    # unmentioned column is NULL at ITS position, not padded
+                    # at the end (a spec like {k => b} on {k => a, b} must
+                    # report b under b, with a NULL)
+                    bound_cols = [c for c in rel.col_names if c in new.columns]
+                    new_full = []
+                    for r in new.select(*bound_cols).collect():
+                        vals = dict(zip(bound_cols, r))
+                        new_full.append(
+                            [vals.get(c) for c in rel.col_names])
                 else:
                     new_full = [list(r) for r in new.collect()]
                 returning_rows = [["inserted"] + r for r in new_full] + \
@@ -1229,12 +1262,13 @@ class CozoDb:
                 if not absent.isEmpty():
                     raise QueryError(f":delete keys not present in {name!r}")
             if opts.returning:
-                # rm → requested (input rows null-padded to full width) then
-                # deleted (the full old rows actually removed), transact.rs:60
-                width = len(rel.col_names)
+                # rm → requested (input values placed at their NAMED column
+                # positions, rest NULL) then deleted (the full old rows
+                # actually removed), transact.rs:60
                 for r in data.collect():
+                    vals = dict(zip(cols, r))
                     returning_rows.append(
-                        ["requested"] + list(r) + [None] * (width - len(r)))
+                        ["requested"] + [vals.get(c) for c in rel.col_names])
                 gone = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
                 for r in gone.select(*rel.col_names).collect():
                     returning_rows.append(["deleted"] + list(r))
@@ -1287,17 +1321,32 @@ class CozoDb:
             cols = ([c.name for c in schema.keys] + [c.name for c in schema.non_keys]
                     if schema is not None else [])
             if df.columns == ["__unit__"] or not df.columns:
+                # placeholder: declared columns with UNKNOWN types; the first
+                # :put adopts the incoming frame's real schema (a StringType
+                # stand-in would silently coerce numeric puts to strings)
                 fields = [T.StructField(c, T.StringType(), True) for c in cols]
                 self.temp_relations[name] = self.spark.createDataFrame(
                     [], T.StructType(fields))
+                if not hasattr(self, "_temp_placeholder"):
+                    self._temp_placeholder = set()
+                self._temp_placeholder.add(name)
             else:
                 self.temp_relations[name] = _checkpoint(
                     df.toDF(*cols) if cols else df)
+                if hasattr(self, "_temp_placeholder"):
+                    self._temp_placeholder.discard(name)
             return NamedRows(["status"], [["OK"]])
         cur = self.temp_relations.get(name)
         if op in ("put", "insert"):
-            _settemp(df if cur is None
-                     else cur.unionByName(df.toDF(*cur.columns)).distinct())
+            if (cur is not None and getattr(self, "_temp_placeholder", None)
+                    and name in self._temp_placeholder):
+                # first write into an empty declared temp store: adopt the
+                # incoming schema under the declared column names
+                self._temp_placeholder.discard(name)
+                _settemp(df.toDF(*cur.columns))
+            else:
+                _settemp(df if cur is None
+                         else cur.unionByName(df.toDF(*cur.columns)).distinct())
         elif op in ("rm", "delete"):
             if cur is not None:
                 _settemp(cur.exceptAll(df.toDF(*cur.columns)))
@@ -1398,21 +1447,31 @@ class CozoDb:
         name = opts.store_target
         if opts.store_op == "create" and name in self.relations:
             raise QueryError(f"relation {name!r} already exists")
+        # reference :replace guards (stored.rs:59-67): the in-trigger bail
+        # comes FIRST, before the target is even looked up — a trigger may
+        # not :replace anything, existing or not
+        if opts.store_op == "replace" and getattr(self, "_in_trigger", False):
+            raise QueryError(
+                f"replace op in trigger is not allowed: {name}")
         old = self.relations.get(name) if opts.store_op == "replace" else None
         if old is not None:
-            # reference :replace guards + hooks (stored.rs:59-123)
-            if getattr(self, "_in_trigger", False):
-                raise QueryError(
-                    f"replace op in trigger is not allowed: {name}")
+            # remaining :replace guards + hooks (stored.rs:67-123)
             if old.indices:
                 raise QueryError(
                     f"cannot replace relation {name!r} since it has indices")
             if old.access_level != "normal":
                 raise QueryError(f"relation {name!r} is {old.access_level}")
             # replace triggers fire BEFORE the swap (they can read the old
-            # contents); no _new/_old bindings (stored.rs:85-111)
-            for script in old.replace_triggers:
-                self.run_script(script)
+            # contents); no _new/_old bindings (stored.rs:85-111). They run
+            # with the in-trigger flag set, so a :replace inside one errors
+            # instead of recursing
+            saved_flag = getattr(self, "_in_trigger", False)
+            self._in_trigger = True
+            try:
+                for script in old.replace_triggers:
+                    self.run_script(script)
+            finally:
+                self._in_trigger = saved_flag
         schema: TableSchema = opts.store_schema or TableSchema()
         keys = schema.keys
         non_keys = schema.non_keys

@@ -76,10 +76,18 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     ck_dir = ck_dir or os.environ.get("COZO_SPARK_CHECKPOINT_DIR")
     if ck_dir:
         sc = spark.sparkContext
-        if sc.getCheckpointDir() != ck_dir:
+        # setCheckpointDir creates <dir>/<random-UUID> and getCheckpointDir
+        # returns THAT qualified path, so comparing against the raw config
+        # never matches — track what we applied per context instead (one
+        # mkdirs per session, not one UUID directory per checkpoint)
+        if _CK_APPLIED.get(id(sc)) != ck_dir:
             sc.setCheckpointDir(ck_dir)
+            _CK_APPLIED[id(sc)] = ck_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+_CK_APPLIED: dict = {}
 
 
 def semi_naive(

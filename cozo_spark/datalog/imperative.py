@@ -258,7 +258,12 @@ def _run_block(db, stmts: list):
                     names.append(k)
                 rows = [tuple(r) for r in res.rows]
                 if rows:
-                    df = db.spark.createDataFrame(rows, schema=names)
+                    # infer per-column types from non-null values (all-NULL
+                    # columns default to String) — bare createDataFrame
+                    # raises 'Some of types cannot be determined' on them
+                    schema = db._infer_schema(rows, names)
+                    rows = [db._coerce_row(r, schema) for r in rows]
+                    df = db.spark.createDataFrame(rows, schema=schema)
                 else:
                     df = db.spark.createDataFrame([], T.StructType(
                         [T.StructField(n, T.StringType(), True) for n in names]))

@@ -215,7 +215,6 @@ def _atom_needs(atom) -> set:
     if isinstance(atom, Unify):
         return expr_vars(atom.expr)
     return set()  # positional/named args are vars or consts post-parse
-    return set()
 
 
 def _magic_seed_body(caller_cl: RuleClause, r: str, deps: dict,

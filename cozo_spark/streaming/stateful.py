@@ -21,6 +21,7 @@ the operator code is identical.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -168,7 +169,12 @@ def _stream_minhash_sig(text_col: str, num_perm: int, shingle_n: int,
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = [w for w in (t or "").lower().split() if w]
+            # Java's \s+ (the batch _word_ngrams splitter) is ASCII-only;
+            # Python str.split() breaks on ANY Unicode whitespace, which
+            # would change signatures for e.g. non-breaking spaces — match
+            # the batch tokenization exactly (bit-identical-signature pin)
+            toks = [w for w in
+                    re.split(r"[ \t\n\x0b\f\r]+", (t or "").lower()) if w]
             if not toks:  # identity signature, as the batch operator
                 out.append(np.full(num_perm, _MERSENNE, dtype=np.int64))
                 continue

@@ -580,3 +580,73 @@ def test_stratify_dependencies(db):
     ?[a] := w[a]
     """)
     assert rows(r) == [(i,) for i in range(2, 10)]
+
+
+def test_update_returning_aligns_by_name(db):
+    # :update rel {k => b} on {k => a, b}: the returned row must put b's
+    # value under b and NULL under the unmentioned a — not positional pad
+    db.run_script(":create upret {k: Int => a: Int, b: String}")
+    db.run_script("?[k, a, b] <- [[1, 5, 'old']] :put upret {k => a, b}")
+    r = db.run_script("?[k, b] <- [[1, 'new']] :update upret {k => b} :returning")
+    assert r.headers == ["_kind", "k", "a", "b"]
+    ins = [row for row in r.rows if row[0] == "inserted"]
+    assert ins == [["inserted", 1, None, "new"]]
+    # stored state keeps a=5
+    assert db.run_script("?[a, b] := *upret[1, a, b]").rows == [[5, "new"]]
+
+
+def test_rm_returning_aligns_spec_order(db):
+    # spec lists columns in non-relation order; requested rows must place
+    # values at their NAMED positions
+    db.run_script(":create rmret {k: Int => v: String}")
+    db.run_script("?[k, v] <- [[1, 'x']] :put rmret {k => v}")
+    r = db.run_script("?[v, k] <- [['x', 1]] :rm rmret {v, k} :returning")
+    req = [row for row in r.rows if row[0] == "requested"]
+    assert req == [["requested", 1, "x"]]
+
+
+def test_replace_in_trigger_rejected_even_for_new_relation(db):
+    # stored.rs:59-67: the in-trigger bail precedes the target lookup
+    from cozo_spark.datalog.translate import QueryError
+
+    db.run_script(":create rit {k: Int}")
+    db.run_script("::set_triggers rit on put { ?[k] <- [[1]] :replace rit_new {k} }")
+    with pytest.raises(QueryError, match="replace op in trigger"):
+        db.run_script("?[k] <- [[9]] :put rit {k}")
+    db.run_script("::set_triggers rit")  # clear
+
+
+def test_replace_trigger_cannot_replace(db):
+    # a replace trigger that itself :replaces must error, not recurse
+    from cozo_spark.datalog.translate import QueryError
+
+    db.run_script("?[k] <- [[1]] :create rpt {k}")
+    db.run_script(
+        "::set_triggers rpt on replace { ?[k] <- [[2]] :replace rpt {k} }")
+    with pytest.raises(QueryError, match="replace op in trigger"):
+        db.run_script("?[k] <- [[3]] :replace rpt {k}")
+
+
+def test_temp_create_adopts_first_put_schema(db):
+    # `:create _t {a}` has unknown column types; the first :put must adopt
+    # the incoming numeric type, not coerce through a String placeholder
+    db.run_script("{:create _tnum {a}} {?[a] <- [[1]] :put _tnum {a}}")
+    r = db.run_script("?[y] := *_tnum[x], y = x + 1")
+    assert r.rows == [[2]]  # stays Int; string coercion would give 2.0
+
+
+def test_duplicate_entry_head_vars(db):
+    # `?[a, a]` is legal in the reference (positional tuples); both columns
+    # carry the value and :sort still resolves
+    r = db.run_script("?[a, a] := a in [2, 1] :sort a")
+    assert [list(x) for x in r.rows] == [[1, 1], [2, 2]]
+
+
+def test_as_binding_with_all_null_column(db):
+    # a bound result whose column is entirely NULL must not crash schema
+    # inference in the `as` store
+    r = db.run_script("""
+    { ?[x, y] <- [[1, null], [2, null]] } as _nul
+    { ?[x] := *_nul{x, y}, is_null(y) }
+    """)
+    assert sorted(r.rows) == [[1], [2]]
