@@ -1770,7 +1770,12 @@ class MultiTransaction:
             n: StoredRelation(r.name, list(r.keys), list(r.non_keys), r.df,
                               r.access_level, list(r.put_triggers),
                               list(r.rm_triggers), list(r.replace_triggers),
-                              dict(r.indices))
+                              dict(r.indices),
+                              # preserve key trust — defaulting to True here
+                              # would let the FD distinct-elision fire on an
+                              # untrusted registered frame inside the txn
+                              keys_trusted=r.keys_trusted,
+                              pending_merges=r.pending_merges)
             for n, r in db.relations.items()
         }
         self.shadow.temp_relations = dict(db.temp_relations)
