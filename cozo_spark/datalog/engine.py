@@ -1320,6 +1320,14 @@ class CozoDb:
             schema = opts.store_schema
             cols = ([c.name for c in schema.keys] + [c.name for c in schema.non_keys]
                     if schema is not None else [])
+            # remember the declared key split: temp stores are keyed like
+            # any relation — :put upserts by key, :rm deletes by key
+            if not hasattr(self, "_temp_keys"):
+                self._temp_keys = {}
+            if schema is not None and schema.non_keys:
+                self._temp_keys[name] = [c.name for c in schema.keys]
+            else:
+                self._temp_keys.pop(name, None)
             if df.columns == ["__unit__"] or not df.columns:
                 # placeholder: declared columns with UNKNOWN types; the first
                 # :put adopts the incoming frame's real schema (a StringType
@@ -1337,6 +1345,7 @@ class CozoDb:
                     self._temp_placeholder.discard(name)
             return NamedRows(["status"], [["OK"]])
         cur = self.temp_relations.get(name)
+        tkeys = getattr(self, "_temp_keys", {}).get(name)
         if op in ("put", "insert"):
             if (cur is not None and getattr(self, "_temp_placeholder", None)
                     and name in self._temp_placeholder):
@@ -1344,12 +1353,37 @@ class CozoDb:
                 # incoming schema under the declared column names
                 self._temp_placeholder.discard(name)
                 _settemp(df.toDF(*cur.columns))
+            elif cur is None:
+                _settemp(df)
+            elif tkeys:
+                # keyed temp store: PK upsert, exactly like a stored
+                # relation (the reference's temp relations share the same
+                # RelationHandle machinery) — last write wins per key
+                new = df.toDF(*cur.columns)
+                val_cols = [c for c in cur.columns if c not in tkeys]
+                if val_cols:
+                    w = W.partitionBy(*tkeys).orderBy(
+                        *[F.col(c).desc() for c in val_cols])
+                    new = (new.withColumn("__rn", F.row_number().over(w))
+                           .filter(F.col("__rn") == 1).drop("__rn"))
+                keep = cur.join(new.select(*tkeys).distinct(),
+                                on=tkeys, how="left_anti")
+                _settemp(keep.unionByName(new))
             else:
-                _settemp(df if cur is None
-                         else cur.unionByName(df.toDF(*cur.columns)).distinct())
+                _settemp(cur.unionByName(df.toDF(*cur.columns)).distinct())
         elif op in ("rm", "delete"):
             if cur is not None:
-                _settemp(cur.exceptAll(df.toDF(*cur.columns)))
+                if tkeys and set(df.columns) != set(cur.columns):
+                    # key-only :rm spec removes whole rows by key
+                    rm_keys = df.toDF(*tkeys[: len(df.columns)]).distinct()
+                    _settemp(cur.join(rm_keys, on=rm_keys.columns,
+                                      how="left_anti"))
+                elif tkeys:
+                    rm_keys = (df.toDF(*cur.columns)
+                               .select(*tkeys).distinct())
+                    _settemp(cur.join(rm_keys, on=tkeys, how="left_anti"))
+                else:
+                    _settemp(cur.exceptAll(df.toDF(*cur.columns)))
         else:
             raise QueryError(f"unsupported temp op :{op}")
         return NamedRows(["status"], [["OK"]])

@@ -55,22 +55,29 @@ def _gen_block(rnd, depth, counter_name):
                 hit = not hit
             (then_f if hit else else_f)(m)
         return script, apply
-    # bounded loop: run body n times via a dedicated counter key (1000 - i)
+    # bounded loop: run body n times via a dedicated counter key (1000 - i);
+    # half the loops keep the counter in a TEMP relation (exercises the
+    # placeholder-schema adoption + lazy temp writes inside %loop)
     n = rnd.randint(1, 3)
     ck = counter_name[0]
     counter_name[0] += 1
     key = 1000 + ck
     body_s, body_f = _gen_block(rnd, depth + 1, counter_name)
+    if rnd.random() < 0.5:
+        rel, spec = "loopc", "{k => v}"
+    else:
+        rel, spec = f"_lc{ck}", "{k => v}"
     script = (
-        f"{{ ?[k, v] <- [[{key}, 0]] :put loopc {{k => v}} }}\n"
+        (f"{{ :create {rel} {{k => v}} }}\n" if rel.startswith("_") else "")
+        + f"{{ ?[k, v] <- [[{key}, 0]] :put {rel} {spec} }}\n"
         f"%loop\n"
-        f"  %if {{ ?[v] := *loopc[{key}, v], v >= {n} }}\n"
+        f"  %if {{ ?[v] := *{rel}[{key}, v], v >= {n} }}\n"
         f"  %then {{ %break }}\n"
         f"  %end\n"
         f"  {body_s}\n"
-        f"  {{ cur[ov] := *loopc[{key}, ov]\n"
+        f"  {{ cur[ov] := *{rel}[{key}, ov]\n"
         f"     ?[k, v] := cur[ov], k = {key}, v = ov + 1 "
-        f":put loopc {{k => v}} }}\n"
+        f":put {rel} {spec} }}\n"
         f"%end"
     )
 

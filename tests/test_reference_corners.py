@@ -650,3 +650,19 @@ def test_as_binding_with_all_null_column(db):
     { ?[x] := *_nul{x, y}, is_null(y) }
     """)
     assert sorted(r.rows) == [[1], [2]]
+
+
+def test_temp_relation_keyed_upsert_and_rm(db):
+    # temp stores declared with `=>` are KEYED: :put upserts per key and
+    # :rm removes by key, exactly like stored relations (the reference's
+    # temp relations share the RelationHandle machinery)
+    db.run_script("""
+    {:create _kt {k => v}}
+    {?[k, v] <- [[1, 10], [2, 20]] :put _kt {k => v}}
+    {?[k, v] <- [[1, 11]] :put _kt {k => v}}
+    """)
+    r = db.run_script("?[k, v] := *_kt[k, v]")
+    assert rows(r) == [(1, 11), (2, 20)]
+    db.run_script("{?[k] <- [[2]] :rm _kt {k}}")
+    r2 = db.run_script("?[k, v] := *_kt[k, v]")
+    assert rows(r2) == [(1, 11)]
