@@ -728,3 +728,63 @@ def test_fixed_rules_on_real_graph(adb):
     """)
     assert len(r5.rows) == 1
     assert r5.rows[0][0] == "HFE" and r5.rows[0][1] == "LHR"
+
+
+def test_empty_const_rule_errors(adb):
+    # air_routes.rs:178-186: `?[id, name] <- [[]]` must error (arity 0 rows
+    # against a 2-column head)
+    from cozo_spark.datalog.translate import QueryError
+
+    with pytest.raises(QueryError):
+        adb.run_script("?[id, name] <- [[]]")
+
+
+def test_routes_per_airport(adb):
+    # air_routes.rs:758-780 — note the `++`-built constant in the const rule
+    r = adb.run_script("""
+    given[] <- [['A' ++ 'U' ++ 'S'],['AMS'],['JFK'],['DUB'],['MEX']]
+    ?[code, count(code)] := given[code], *route{fr: code}
+    """)
+    assert rows(r) == [("AMS", 283), ("AUS", 98), ("DUB", 185),
+                       ("JFK", 204), ("MEX", 116)]
+
+
+def test_num_routes_in_us_airports_from_eu(adb):
+    # air_routes.rs:937-965 (spot-check endpoints + total row count)
+    r = adb.run_script("""
+    ?[to, count(to)] := *contain['EU', fr], *route{fr, to},
+                        *airport{code: to, country: 'US'}
+    :order count(to);
+    """)
+    got = [tuple(x) for x in r.rows]
+    assert len(got) == 45
+    assert got[0][1] == 1 and got[-1] == ("EWR", 43)
+    d = dict(got)
+    assert d["JFK"] == 42 and d["MIA"] == 28 and d["ANC"] == 1
+
+
+def test_reachable_from_london_uk_in_two_hops(adb):
+    # air_routes.rs:1103-1120
+    r = adb.run_script("""
+    lon_uk_airports[code] := *airport{code, city: 'London', region: 'GB-ENG'}
+    one_hop[to] := lon_uk_airports[fr], *route{fr, to}, not lon_uk_airports[to];
+    ?[count_unique(a3)] := one_hop[a2], *route{fr: a2, to: a3}, not lon_uk_airports[a3];
+    """)
+    assert r.rows == [[2353]]
+
+
+def test_longest_routes_from_each_airports(adb):
+    # air_routes.rs:1518-1543 — max + choice in one head; the reference's
+    # unordered :limit walks the BTree in fr order, our engine makes the
+    # same window deterministic with an explicit :order fr
+    r = adb.run_script("""
+    ?[fr, max(dist), choice(to)] := *route{fr, dist, to}
+    :order fr
+    :limit 10;
+    """)
+    assert [tuple(x) for x in r.rows] == [
+        ("AAA", 968.0, "FAC"), ("AAE", 1161.0, "ALG"),
+        ("AAL", 1693.0, "AAR"), ("AAN", 1613.0, "CAI"),
+        ("AAQ", 2122.0, "BAX"), ("AAR", 1585.0, "AAL"),
+        ("AAT", 267.0, "URC"), ("AAX", 69.0, "POJ"),
+        ("AAY", 531.0, "SAH"), ("ABA", 2096.0, "DME")]
