@@ -106,3 +106,35 @@ def test_engine_path_rows_inside_driver_cap():
     }
     missing = engine_rows - set(first50)
     assert not missing, f"engine-path rows past the driver cap: {missing}"
+
+
+@pytest.mark.skipif("not __import__('os').environ.get('SPARK_GRAFT_SF01_PARITY')",
+                    reason="10x-scale parity sweep; set SPARK_GRAFT_SF01_PARITY=1")
+def test_sf01_parity_sweep(spark):
+    """Value-parity at sf0.1 (10x the driver gate's sf0.01) for ten
+    representative queries — reproduces the evidence row in BASELINE.md."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    names = ["agg_basic", "join_multiway", "datalog_recursion",
+             "datalog_shortest_min", "minhash_lsh_pairs", "dedup_exact",
+             "sessionize", "graph_shortest_hops", "text_word_topk",
+             "validity_asof"]
+    def n6(v):
+        v = _norm_cell(v)
+        # at 10x data the engines' float SUMS differ in the final ulps
+        # (summation order), and values pre-rounded inside the query can
+        # straddle a rounding boundary — compare at 9 significant digits
+        if isinstance(v, float):
+            return float(f"{v:.9g}")
+        return v
+
+    for name in names:
+        got = sorted(tuple(n6(c) for c in r)
+                     for r in E.queries()[name](spark, sf).collect())
+        want = sorted(tuple(n6(c) for c in r)
+                      for r in con.execute(E.oracle_sql()[name]).fetchall())
+        assert got == want, name
