@@ -152,14 +152,16 @@ class CozoDb:
             raise KeyError(
                 f"relations not present in backup: {missing}")
         payload = staging.export_relations(list(relations))
-        # target relations must exist with compatible schemas (db.rs imports
-        # into existing stored relations); create missing ones from staging
+        # destination relations must ALREADY exist (db.rs:695-730:
+        # dst_tx.get_relation errors on absence) — pycozo code relies on
+        # that error; auto-creating here would diverge from the reference
         db = self._require()
+        absent = [r for r in payload if r not in db.relations]
+        if absent:
+            raise KeyError(
+                f"cannot import into non-existent relations: {absent}")
         for rel_name in payload:
-            if rel_name not in db.relations:
-                db.relations[rel_name] = staging.relations[rel_name]
-            else:
-                db.import_relations({rel_name: payload[rel_name]})
+            db.import_relations({rel_name: payload[rel_name]})
 
     # -- transactions (lib.rs:381-419) ----------------------------------------
 

@@ -20,6 +20,7 @@ real deployment, plain DataFrame swaps here (same semantics, SURVEY §7).
 
 from __future__ import annotations
 
+import threading as _threading
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -183,6 +184,39 @@ class CozoDb:
         self.spark = spark
         self.relations: dict[str, StoredRelation] = {}
         self.temp_relations: dict[str, DataFrame] = {}  # session `_name` stores
+        self._tls = _threading.local()  # per-thread run flags (see below)
+
+    # Per-THREAD run flags. The engine is served concurrently (the HTTP
+    # server is a ThreadingHTTPServer; the compat facade is thread-unaware),
+    # so a plain instance attribute would let one thread's
+    # run_script_read_only reject an unrelated thread's write — or its
+    # finally-restore clear the guard mid-run on another thread. Properties
+    # are data descriptors, so every existing `self._read_only = ...`
+    # assignment routes through the thread-local transparently.
+
+    @property
+    def _read_only(self) -> bool:
+        return getattr(self._tls, "read_only", False)
+
+    @_read_only.setter
+    def _read_only(self, v: bool) -> None:
+        self._tls.read_only = v
+
+    @property
+    def _in_trigger(self) -> bool:
+        return getattr(self._tls, "in_trigger", False)
+
+    @_in_trigger.setter
+    def _in_trigger(self, v: bool) -> None:
+        self._tls.in_trigger = v
+
+    @property
+    def _entry_display_headers(self):
+        return getattr(self._tls, "entry_display_headers", None)
+
+    @_entry_display_headers.setter
+    def _entry_display_headers(self, v) -> None:
+        self._tls.entry_display_headers = v
 
     # -- public API -------------------------------------------------------------
 
@@ -1346,20 +1380,55 @@ class CozoDb:
             return NamedRows(["status"], [["OK"]])
         cur = self.temp_relations.get(name)
         tkeys = getattr(self, "_temp_keys", {}).get(name)
+        # spec columns of a `:put _t {v, k}`-style mutation (store_schema
+        # doubles as the spec for put/rm, exactly as for stored relations)
+        spec_cols = ([c.name for c in opts.store_schema.keys]
+                     + [c.name for c in opts.store_schema.non_keys]
+                     if opts.store_schema is not None else [])
+
+        def _align_full(d: DataFrame) -> DataFrame:
+            """By-NAME alignment into the temp store's column order — the
+            same rule _execute_store_op applies to stored relations: spec
+            columns map to the entry-head binding of the SAME NAME (falling
+            back to positional when head names don't cover), and a spec'd
+            column must exist in the store. Without this, `?[v, k] :put
+            _kt {v, k}` silently writes v into k (the by-name bug fixed for
+            stored relations in r3, previously still live for temp stores)."""
+            if spec_cols:
+                if len(spec_cols) != len(cur.columns):
+                    raise QueryError("column spec arity mismatch")
+                unknown = [c for c in spec_cols if c not in cur.columns]
+                if unknown:
+                    raise QueryError(
+                        f"column {unknown[0]!r} not found in temp relation {name!r}")
+                dd = (d.select(*spec_cols)
+                      if set(spec_cols) <= set(d.columns) else d.toDF(*spec_cols))
+                return dd.select(*cur.columns)
+            if len(d.columns) == len(cur.columns) and set(d.columns) == set(cur.columns):
+                return d.select(*cur.columns)
+            return d.toDF(*cur.columns)
+
         if op in ("put", "insert"):
             if (cur is not None and getattr(self, "_temp_placeholder", None)
                     and name in self._temp_placeholder):
                 # first write into an empty declared temp store: adopt the
                 # incoming schema under the declared column names
                 self._temp_placeholder.discard(name)
-                _settemp(df.toDF(*cur.columns))
+                _settemp(_align_full(df))
             elif cur is None:
-                _settemp(df)
+                if spec_cols and len(spec_cols) == len(df.columns):
+                    # implicit store creation with a spec: adopt the spec's
+                    # names, pulling values by head name when they cover
+                    _settemp(df.select(*spec_cols)
+                             if set(spec_cols) <= set(df.columns)
+                             else df.toDF(*spec_cols))
+                else:
+                    _settemp(df)
             elif tkeys:
                 # keyed temp store: PK upsert, exactly like a stored
                 # relation (the reference's temp relations share the same
                 # RelationHandle machinery) — last write wins per key
-                new = df.toDF(*cur.columns)
+                new = _align_full(df)
                 val_cols = [c for c in cur.columns if c not in tkeys]
                 if val_cols:
                     w = W.partitionBy(*tkeys).orderBy(
@@ -1370,20 +1439,37 @@ class CozoDb:
                                 on=tkeys, how="left_anti")
                 _settemp(keep.unionByName(new))
             else:
-                _settemp(cur.unionByName(df.toDF(*cur.columns)).distinct())
+                _settemp(cur.unionByName(_align_full(df)).distinct())
         elif op in ("rm", "delete"):
             if cur is not None:
-                if tkeys and set(df.columns) != set(cur.columns):
-                    # key-only :rm spec removes whole rows by key
-                    rm_keys = df.toDF(*tkeys[: len(df.columns)]).distinct()
+                if tkeys and len(df.columns) < len(cur.columns):
+                    # key(-prefix)-only :rm spec removes whole rows by key;
+                    # a named spec (`:rm _t {k2, k1}`) aligns by NAME
+                    if spec_cols:
+                        if len(spec_cols) != len(df.columns):
+                            raise QueryError("column spec arity mismatch")
+                        unknown = [c for c in spec_cols if c not in tkeys]
+                        if unknown:
+                            raise QueryError(
+                                f":rm spec column {unknown[0]!r} is not a key "
+                                f"of temp relation {name!r}")
+                        d = (df.select(*spec_cols)
+                             if set(spec_cols) <= set(df.columns)
+                             else df.toDF(*spec_cols))
+                        rm_keys = d.select(
+                            *[c for c in tkeys if c in spec_cols]).distinct()
+                    elif set(df.columns) <= set(tkeys):
+                        rm_keys = df.select(
+                            *[c for c in tkeys if c in df.columns]).distinct()
+                    else:
+                        rm_keys = df.toDF(*tkeys[: len(df.columns)]).distinct()
                     _settemp(cur.join(rm_keys, on=rm_keys.columns,
                                       how="left_anti"))
                 elif tkeys:
-                    rm_keys = (df.toDF(*cur.columns)
-                               .select(*tkeys).distinct())
+                    rm_keys = _align_full(df).select(*tkeys).distinct()
                     _settemp(cur.join(rm_keys, on=tkeys, how="left_anti"))
                 else:
-                    _settemp(cur.exceptAll(df.toDF(*cur.columns)))
+                    _settemp(cur.exceptAll(_align_full(df)))
         else:
             raise QueryError(f"unsupported temp op :{op}")
         return NamedRows(["status"], [["OK"]])
@@ -1814,6 +1900,14 @@ class MultiTransaction:
         }
         self.shadow.temp_relations = dict(db.temp_relations)
         self._base_snapshot = {n: r.df for n, r in db.relations.items()}
+        # metadata fingerprint of each shadow clone at txn start: a sysop
+        # that edits triggers/access/indices touches the relation without
+        # replacing .df, and must still count as a write at commit time
+        self._meta_snapshot = {
+            n: (r.access_level, tuple(r.put_triggers), tuple(r.rm_triggers),
+                tuple(r.replace_triggers), tuple(sorted(r.indices)))
+            for n, r in self.shadow.relations.items()
+        }
         self.done = False
 
     def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
@@ -1827,23 +1921,53 @@ class MultiTransaction:
         if self.done:
             raise QueryError("transaction already finished")
         if self.write:
-            for n, df in self._base_snapshot.items():
+            snap = self._base_snapshot
+            shadow_rels = self.shadow.relations
+            # relations this transaction actually WROTE: df replaced (every
+            # mutation goes through _set_merged, which installs a new frame
+            # object), created, dropped, or metadata edited by a sysop.
+            # Per-relation conflict scope mirrors the reference's
+            # per-relation locking — a base-side create/drop of a relation
+            # this txn never touched must NOT abort it.
+            touched: set = set()
+            for n, r in shadow_rels.items():
+                if n not in snap or r.df is not snap[n]:
+                    touched.add(n)
+                elif self._meta_snapshot.get(n) != (
+                        r.access_level, tuple(r.put_triggers),
+                        tuple(r.rm_triggers), tuple(r.replace_triggers),
+                        tuple(sorted(r.indices))):
+                    touched.add(n)
+            for n in snap:
+                if n not in shadow_rels:  # dropped inside the txn
+                    touched.add(n)
+            for n in sorted(touched):
                 cur = self.base.relations.get(n)
-                if cur is None:
-                    raise QueryError(
-                        f"write-write conflict on relation {n!r}: "
-                        "concurrently removed")
-                if cur.df is not df:
-                    raise QueryError(
-                        f"write-write conflict on relation {n!r}: concurrent mutation")
-            for n in self.base.relations:
-                if n not in self._base_snapshot:
-                    # created in base after this txn began; publishing the
-                    # shadow registry wholesale would silently drop it
+                if n in snap:
+                    if cur is None:
+                        raise QueryError(
+                            f"write-write conflict on relation {n!r}: "
+                            "concurrently removed")
+                    if cur.df is not snap[n]:
+                        raise QueryError(
+                            f"write-write conflict on relation {n!r}: "
+                            "concurrent mutation")
+                elif cur is not None:
+                    # created both here and concurrently in base
                     raise QueryError(
                         f"write-write conflict on relation {n!r}: "
                         "concurrently created")
-            self.base.relations = self.shadow.relations
+            # publish: this txn's versions for touched relations, the
+            # base's CURRENT versions for everything else (so concurrent
+            # creates/drops/mutations of untouched relations survive)
+            merged = dict(shadow_rels)
+            for n, r in self.base.relations.items():
+                if n not in touched:
+                    merged[n] = r
+            for n in list(merged):
+                if n not in touched and n not in self.base.relations:
+                    del merged[n]  # removed in base while untouched here
+            self.base.relations = merged
             self.base.temp_relations = self.shadow.temp_relations
         self.done = True
 

@@ -18,6 +18,13 @@ _REGISTRY: dict[str, FixedRule] = {}
 
 
 def register_fixed_rule(name: str, fn: FixedRule) -> None:
+    """Register a user fixed rule. Mirrors db.rs:760-777: a name already
+    registered (builtin or user) is an error, never a silent overwrite —
+    the registry is module-global, so clobbering e.g. PageRank would
+    poison every CozoDb instance in the process."""
+    if name in _REGISTRY:
+        raise ValueError(
+            f"A fixed rule with the name {name!r} is already registered")
     _REGISTRY[name] = fn
 
 

@@ -1,0 +1,794 @@
+"""Snowball stemmers, batch 2: Finnish, Hungarian, Romanian, Turkish,
+Arabic, Greek, Tamil — the seven languages the reference wraps via
+rust_stemmers (cozo-core/src/fts/tokenizer/stemmer.rs:1-35) that were
+still unimplemented after round 3.
+
+Like cozo_spark/functions/snowball.py these are pure-Python
+implementations written from the published algorithm definitions at
+snowballstem.org — NOT ports of rust_stemmers (a third-party crate, not
+reference code). Finnish, Hungarian, Romanian and Turkish follow the
+published step structure closely; Greek (Ntais/Saroukos), Tamil
+(Damodharan) and Arabic (Chelli) implement the published algorithms'
+normalization + core suffix/prefix removal steps with the long
+exception lists abridged — each docstring states exactly what is
+covered. The properties FTS recall depends on (inflection families
+collapse to one stem, stems never oscillate) are pinned by
+tests/test_snowball.py.
+
+Execution model matches stemmer.py: driver-side for query terms,
+Arrow-batched pandas UDF over token arrays for index builds.
+"""
+
+from __future__ import annotations
+
+from cozo_spark.functions.snowball import _longest_suffix, _r1_r2
+
+
+# --------------------------------------------------------------------------
+# Finnish (snowballstem.org/algorithms/finnish/stemmer.html)
+# --------------------------------------------------------------------------
+
+_FI_VOWELS = "aeiouyäö"
+_FI_LONG_V = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_STEP1 = ("kin", "kaan", "kään", "ko", "kö", "han", "hän", "pa", "pä")
+_FI_STEP3_PLAIN = ("ta", "tä", "ssa", "ssä", "sta", "stä", "lla", "llä",
+                   "lta", "ltä", "lle", "na", "nä", "ksi", "ine")
+_FI_HXN = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "hun": "u", "hyn": "y", "hän": "ä", "hön": "ö"}
+
+
+def stem_finnish(word: str) -> str:
+    word = word.lower()
+    V = _FI_VOWELS
+    p1, p2 = _r1_r2(word, V)
+
+    def in_r1(n: int) -> bool:
+        return len(word) - n >= p1
+
+    def in_r2(n: int) -> bool:
+        return len(word) - n >= p2
+
+    # step 1: particles
+    s = _longest_suffix(word, _FI_STEP1)
+    if s and in_r1(len(s)):
+        prev = word[-len(s) - 1: -len(s)]
+        if prev and (prev in V or prev in "nt"):
+            word = word[: -len(s)]
+    elif word.endswith("sti") and in_r2(3):
+        word = word[:-3]
+
+    # step 2: possessives (in R1)
+    if word.endswith("si") and in_r1(2):
+        if not word.endswith("ksi"):  # not preceded by k
+            word = word[:-2]
+    elif word.endswith("ni") and in_r1(2):
+        word = word[:-2]
+        if word.endswith("kse"):
+            word = word[:-1] + "i"
+    elif in_r1(3) and word[-3:] in ("nsa", "nsä", "mme", "nne"):
+        word = word[:-3]
+    elif word.endswith("an") and in_r1(2) and \
+            word[-5:-2] in ("ssa", "sta", "lla", "lta") or \
+            (word.endswith("an") and in_r1(2) and word[-4:-2] in ("ta", "na")):
+        word = word[:-2]
+    elif word.endswith("än") and in_r1(2) and \
+            (word[-5:-2] in ("ssä", "stä", "llä", "ltä")
+             or word[-4:-2] in ("tä", "nä")):
+        word = word[:-2]
+    elif word.endswith("en") and in_r1(2) and word[-5:-2] in ("lle", "ine"):
+        word = word[:-2]
+
+    # step 3: cases (in R1)
+    ending_removed = False
+    hxn = _longest_suffix(word, tuple(_FI_HXN))
+    if hxn and in_r1(len(hxn)) and word[-4:-3] == _FI_HXN[hxn]:
+        word, ending_removed = word[:-3], True
+    elif (_longest_suffix(word, ("siin", "den", "tten")) and
+          in_r1(len(_longest_suffix(word, ("siin", "den", "tten"))))):
+        s = _longest_suffix(word, ("siin", "den", "tten"))
+        stem = word[: -len(s)]
+        if len(stem) >= 2 and stem[-1] == "i" and stem[-2] in V:
+            word, ending_removed = stem, True
+    elif word.endswith("seen") and in_r1(4) and word[-6:-4] in _FI_LONG_V:
+        word, ending_removed = word[:-4], True
+    elif in_r1(3) and word[-3:] in ("tta", "ttä") and word[-4:-3] == "e":
+        word, ending_removed = word[:-3], True
+    elif (_longest_suffix(word, _FI_STEP3_PLAIN) and
+          in_r1(len(_longest_suffix(word, _FI_STEP3_PLAIN)))):
+        s = _longest_suffix(word, _FI_STEP3_PLAIN)
+        word, ending_removed = word[: -len(s)], True
+    elif word.endswith(("a", "ä")) and in_r1(1) and len(word) >= 3 and \
+            word[-2] in V and word[-3] not in V:
+        word, ending_removed = word[:-1], True
+    elif word.endswith("n") and in_r1(1):
+        word, ending_removed = word[:-1], True
+        if word[-2:] in _FI_LONG_V or word.endswith("ie"):
+            word = word[:-1]
+
+    # step 4: other endings (in R2)
+    s = _longest_suffix(word, ("impi", "impa", "impä", "immi", "imma",
+                               "immä", "eja", "ejä"))
+    if s and in_r2(len(s)):
+        word = word[: -len(s)]
+    else:
+        s = _longest_suffix(word, ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"))
+        if s and in_r2(len(s)) and word[-len(s) - 2: -len(s)] != "po":
+            word = word[: -len(s)]
+
+    # step 5
+    if ending_removed:
+        if word.endswith(("i", "j")) and in_r1(1):
+            word = word[:-1]
+    else:
+        if word.endswith("t") and in_r1(1) and len(word) >= 2 and word[-2] in V:
+            word = word[:-1]
+            if word.endswith("imma") and in_r2(4):
+                word = word[:-4]
+            elif word.endswith("mma") and in_r2(3) and word[-5:-3] != "po":
+                word = word[:-3]
+
+    # step 6: tidy
+    p1, p2 = _r1_r2(word, V)
+    if word[-2:] in _FI_LONG_V and len(word) - 1 >= p1:
+        word = word[:-1]
+    if (len(word) >= 2 and len(word) - 1 >= p1
+            and word[-2] not in V and word[-1] in "aäei"):
+        word = word[:-1]
+    if word.endswith(("oj", "uj")) and len(word) - 1 >= p1:
+        word = word[:-1]
+    if word.endswith("jo") and len(word) - 1 >= p1:
+        word = word[:-1]
+    # undouble a final double consonant followed by zero or more vowels
+    i = len(word) - 1
+    while i >= 0 and word[i] in V:
+        i -= 1
+    if i >= 1 and word[i] not in V and word[i] == word[i - 1]:
+        word = word[:i] + word[i + 1:]
+    return word
+
+
+# --------------------------------------------------------------------------
+# Hungarian (snowballstem.org/algorithms/hungarian/stemmer.html)
+# --------------------------------------------------------------------------
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+               "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt",
+               "tty", "vv", "zz", "zzs")
+_HU_STEP2 = ("ban", "ben", "ba", "be", "ra", "re", "nak", "nek", "val",
+             "vel", "tól", "től", "ról", "ről", "ból", "ből", "hoz", "hez",
+             "höz", "nál", "nél", "ig", "at", "et", "ot", "öt", "ért",
+             "képp", "képpen", "kor", "ul", "ül", "vá", "vé", "onként",
+             "enként", "anként", "ként", "en", "on", "an", "ön", "n", "t")
+
+
+def _hu_r1(word: str) -> int:
+    """R1: after the first consonant-or-digraph if the word begins with a
+    vowel; after the first vowel if it begins with a consonant."""
+    if not word:
+        return 0
+    if word[0] in _HU_VOWELS:
+        for i in range(1, len(word)):
+            if word[i] not in _HU_VOWELS:
+                for d in sorted(_HU_DIGRAPHS, key=len, reverse=True):
+                    if word.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return len(word)
+    for i in range(1, len(word)):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _hu_undouble(word: str) -> str:
+    """Remove one letter of a final double consonant (digraph doubles like
+    'ssz' lose the leading letter: ssz -> sz)."""
+    for d in sorted(_HU_DOUBLES, key=len, reverse=True):
+        if word.endswith(d):
+            half = (len(d) + 1) // 2
+            return word[: -len(d)] + d[-half:] if len(d) % 2 else \
+                word[: -len(d)] + d[len(d) // 2:]
+    return word
+
+
+def stem_hungarian(word: str) -> str:
+    word = word.lower()
+    p1 = _hu_r1(word)
+
+    def in_r1(n: int) -> bool:
+        return len(word) - n >= p1
+
+    # step 1: instrumental case ("-al/-el" after a double consonant)
+    if word.endswith(("al", "el")) and in_r1(2):
+        stem = word[:-2]
+        for d in sorted(_HU_DOUBLES, key=len, reverse=True):
+            if stem.endswith(d):
+                word = _hu_undouble(stem)
+                break
+
+    # step 2: frequent cases
+    s = _longest_suffix(word, _HU_STEP2)
+    if s and in_r1(len(s)):
+        word = word[: -len(s)]
+        if word.endswith("á"):
+            word = word[:-1] + "a"
+        elif word.endswith("é"):
+            word = word[:-1] + "e"
+
+    # step 3: special cases ("-án(ként)" -> a, "-én" -> e)
+    if word.endswith("ánként") and in_r1(6):
+        word = word[:-6] + "a"
+    elif word.endswith("án") and in_r1(2):
+        word = word[:-2] + "a"
+    elif word.endswith("én") and in_r1(2):
+        word = word[:-2] + "e"
+
+    # step 4: other cases
+    s = _longest_suffix(word, ("astul", "estül", "ástul", "éstül", "stul",
+                               "stül"))
+    if s and in_r1(len(s)):
+        if s == "ástul":
+            word = word[:-5] + "a"
+        elif s == "éstül":
+            word = word[:-5] + "e"
+        else:
+            word = word[: -len(s)]
+
+    # step 5: factive case ("-á/-é" after a double consonant)
+    if word.endswith(("á", "é")) and in_r1(1):
+        stem = word[:-1]
+        for d in sorted(_HU_DOUBLES, key=len, reverse=True):
+            if stem.endswith(d):
+                word = _hu_undouble(stem)
+                break
+
+    # step 6: owned
+    s = _longest_suffix(word, ("oké", "öké", "aké", "eké", "áké", "áéi",
+                               "éké", "ééi", "ké", "éi", "é"))
+    if s and in_r1(len(s)):
+        if s in ("áké", "áéi"):
+            word = word[: -len(s)] + "a"
+        elif s in ("éké", "ééi", "éé"):
+            word = word[: -len(s)] + "e"
+        else:
+            word = word[: -len(s)]
+
+    # step 7: singular owner suffixes
+    s = _longest_suffix(word, ("únk", "ünk", "unk", "onk", "enk", "önk",
+                               "nk", "ájuk", "éjük", "juk", "jük", "uk",
+                               "ük", "ém", "ám", "em", "om", "am", "m",
+                               "éd", "ád", "od", "ed", "ad", "öd", "d",
+                               "ja", "je", "á", "é", "a", "e", "o"))
+    if s and in_r1(len(s)):
+        if s in ("ám", "ád", "ájuk", "á"):
+            word = word[: -len(s)] + "a"
+        elif s in ("ém", "éd", "éjük", "é"):
+            word = word[: -len(s)] + "e"
+        else:
+            word = word[: -len(s)]
+
+    # step 8: plural owner suffixes
+    s = _longest_suffix(word, (
+        "áim", "áid", "ái", "áink", "áitok", "áik",
+        "éim", "éid", "éi", "éink", "éitek", "éik",
+        "im", "id", "ink", "itok", "itek", "ik", "i",
+        "aim", "aid", "ai", "aink", "aitok", "aik",
+        "eim", "eid", "ei", "eink", "eitek", "eik",
+        "oim", "oid", "oi", "oink", "oitok", "oik",
+        "öim", "öid", "öi", "öink", "öitök", "öik"))
+    if s and in_r1(len(s)):
+        if s.startswith("á"):
+            word = word[: -len(s)] + "a"
+        elif s.startswith("é"):
+            word = word[: -len(s)] + "e"
+        else:
+            word = word[: -len(s)]
+
+    # step 9: plural
+    if word.endswith("ák") and in_r1(2):
+        word = word[:-2] + "a"
+    elif word.endswith("ék") and in_r1(2):
+        word = word[:-2] + "e"
+    else:
+        s = _longest_suffix(word, ("ök", "ok", "ek", "ak", "k"))
+        if s and in_r1(len(s)):
+            word = word[: -len(s)]
+    return word
+
+
+# --------------------------------------------------------------------------
+# Romanian (snowballstem.org/algorithms/romanian/stemmer.html)
+# --------------------------------------------------------------------------
+
+_RO_VOWELS = "aăâeiîou"
+_RO_STEP1 = {
+    ("abilitate", "abilitati", "abilităi", "abilităţi", "abilitați"): "abil",
+    ("ibilitate",): "ibil",
+    ("ivitate", "ivitati", "ivităi", "ivităţi", "ivități"): "iv",
+    ("icitate", "icitati", "icităi", "icităţi", "icități", "icator",
+     "icatori", "iciv", "iciva", "icive", "icivi", "icivă", "ical",
+     "icala", "icale", "icali", "icală"): "ic",
+    ("ativ", "ativa", "ative", "ativi", "ativă", "aţiune", "ațiune",
+     "atoare", "ator", "atori", "ătoare", "ător", "ători"): "at",
+    ("itiv", "itiva", "itive", "itivi", "itivă", "iţiune", "ițiune",
+     "itoare", "itor", "itori"): "it",
+}
+_RO_STEP2_DELETE = (
+    "at", "ata", "ată", "ati", "ate", "ut", "uta", "ută", "uti", "ute",
+    "it", "ita", "ită", "iti", "ite", "ic", "ica", "ice", "ici", "ică",
+    "abil", "abila", "abile", "abili", "abilă", "ibil", "ibila", "ibile",
+    "ibili", "ibilă", "oasa", "oasă", "oase", "os", "osi", "oşi", "oși",
+    "ant", "anta", "ante", "anti", "antă", "ator", "atori", "itate",
+    "itati", "ităi", "ităţi", "ități", "iv", "iva", "ive", "ivi", "ivă")
+_RO_VERB_CONS = (
+    # delete if preceded (in RV) by a consonant or 'u'
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ească", "ez", "ezi", "ează", "esc", "eşti", "ești", "eşte", "este",
+    "ăsc", "ăşti", "ăști", "ăşte", "ăste", "am", "ai", "au", "eam", "eai",
+    "ea", "eaţi", "eați", "eau", "iam", "iai", "ia", "iaţi", "iați", "iau",
+    "ui", "aşi", "ași", "arăm", "arăţi", "arăți", "ară", "uşi", "uși",
+    "urăm", "urăţi", "urăți", "ură", "işi", "iși", "irăm", "irăţi",
+    "irăți", "iră", "âi", "âşi", "âși", "ârăm", "ârăţi", "ârăți", "âră",
+    "asem", "aseşi", "aseși", "ase", "aserăm", "aserăţi", "aserăți",
+    "aseră", "isem", "iseşi", "iseși", "ise", "iserăm", "iserăţi",
+    "iserăți", "iseră", "âsem", "âseşi", "âseși", "âse", "âserăm",
+    "âserăţi", "âserăți", "âseră", "usem", "useşi", "useși", "use",
+    "userăm", "userăţi", "userăți", "useră")
+_RO_VERB_ANY = (
+    # delete outright
+    "ăm", "aţi", "ați", "em", "eţi", "eți", "im", "iţi", "iți", "âm",
+    "âţi", "âți", "seşi", "seși", "serăm", "serăţi", "serăți", "seră",
+    "sei", "se", "sesem", "seseşi", "seseși", "sese", "seserăm",
+    "seserăţi", "seserăți", "seseră")
+
+
+def _ro_rv(word: str) -> int:
+    """Spanish-style RV (the Romanian definition is the same shape)."""
+    V = _RO_VOWELS
+    if len(word) < 3:
+        return len(word)
+    if word[1] not in V:
+        for i in range(2, len(word)):
+            if word[i] in V:
+                return i + 1
+    elif word[0] in V and word[1] in V:
+        for i in range(2, len(word)):
+            if word[i] not in V:
+                return i + 1
+    else:
+        return 3
+    return len(word)
+
+
+def stem_romanian(word: str) -> str:
+    word = word.lower().replace("ș", "ş").replace("ț", "ţ")
+    # prelude: i/u between vowels act as consonants (marked uppercase)
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+    p1, p2 = _r1_r2(word.lower(), _RO_VOWELS)
+    rv = _ro_rv(word.lower())
+
+    def in_r1(n):
+        return len(word) - n >= p1
+
+    def in_r2(n):
+        return len(word) - n >= p2
+
+    def in_rv(n):
+        return len(word) - n >= rv
+
+    # step 0: plurals / articles (in R1)
+    s = _longest_suffix(word, ("ul", "ului", "aua", "ea", "ele", "elor",
+                               "ii", "iua", "iei", "iile", "iilor", "ilor",
+                               "ile", "atei", "aţie", "aţia"))
+    if s and in_r1(len(s)):
+        if s in ("ul", "ului"):
+            word = word[: -len(s)]
+        elif s == "aua":
+            word = word[:-3] + "a"
+        elif s in ("ea", "ele", "elor"):
+            word = word[: -len(s)] + "e"
+        elif s in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+            word = word[: -len(s)] + "i"
+        elif s == "ile":
+            if not word.endswith("abile"):  # not preceded by "ab"
+                word = word[:-3] + "i"
+        elif s == "atei":
+            word = word[:-4] + "at"
+        else:  # aţie / aţia
+            word = word[: -len(s)] + "aţi"
+
+    # step 1: combining suffixes, repeated (in R1)
+    changed = True
+    while changed:
+        changed = False
+        for sufs, repl in _RO_STEP1.items():
+            s = _longest_suffix(word, sufs)
+            if s and in_r1(len(s)):
+                word = word[: -len(s)] + repl
+                changed = True
+                break
+
+    # step 2: standard suffixes (in R2)
+    standard_removed = False
+    s = _longest_suffix(word, _RO_STEP2_DELETE +
+                        ("iune", "iuni", "ism", "isme", "ist", "ista",
+                         "iste", "isti", "istă", "işti", "iști"))
+    if s and in_r2(len(s)):
+        if s in ("iune", "iuni"):
+            if word[-len(s) - 1: -len(s)] == "ţ":
+                word = word[: -len(s) - 1] + "t"
+                standard_removed = True
+        elif s in ("ism", "isme", "ist", "ista", "iste", "isti", "istă",
+                   "işti", "iști"):
+            word = word[: -len(s)] + "ist"
+            standard_removed = True
+        else:
+            word = word[: -len(s)]
+            standard_removed = True
+
+    # step 3: verb suffixes (in RV), only if step 2 removed nothing
+    if not standard_removed:
+        s = _longest_suffix(word, _RO_VERB_CONS + _RO_VERB_ANY)
+        if s and in_rv(len(s)):
+            if s in _RO_VERB_ANY:
+                word = word[: -len(s)]
+            else:
+                prev = word[-len(s) - 1: -len(s)]
+                if prev and (prev.lower() not in _RO_VOWELS
+                             or prev in "uU"):
+                    word = word[: -len(s)]
+
+    # step 4: final vowel (in RV)
+    s = _longest_suffix(word, ("ie", "a", "e", "i", "ă"))
+    if s and len(word) - len(s) >= _ro_rv(word.lower()):
+        word = word[: -len(s)]
+    return word.lower()
+
+
+# --------------------------------------------------------------------------
+# Turkish (snowballstem.org/algorithms/turkish/stemmer.html)
+# --------------------------------------------------------------------------
+
+_TR_VOWELS = "aeıioöuü"
+_TR_FRONT = "eiöü"
+_TR_BACK = "aıou"
+
+
+def _tr_harmonic(stem_last_vowel: str, suffix_vowel: str) -> bool:
+    """Turkish vowel harmony: a suffix vowel must agree in frontness with
+    the last vowel of the stem (a/ı/o/u after back vowels, e/i/ö/ü after
+    front vowels)."""
+    if not stem_last_vowel:
+        return True
+    if stem_last_vowel in _TR_BACK:
+        return suffix_vowel in _TR_BACK
+    return suffix_vowel in _TR_FRONT
+
+
+def _tr_last_vowel(s: str) -> str:
+    for ch in reversed(s):
+        if ch in _TR_VOWELS:
+            return ch
+    return ""
+
+
+def _tr_expand(template: str) -> list[str]:
+    """Expand a suffix template over the Snowball metaclasses
+    A={a,e}, U={ı,i,u,ü}, D={d,t}, C={c,ç}; (y)/(s)/(n)/(U) in leading
+    parens mean an optional buffer letter."""
+    outs = [""]
+    for ch in template:
+        if ch == "A":
+            outs = [o + v for o in outs for v in "ae"]
+        elif ch == "I":
+            outs = [o + v for o in outs for v in "ıi"]
+        elif ch == "U":
+            outs = [o + v for o in outs for v in "ıiuü"]
+        elif ch == "D":
+            outs = [o + v for o in outs for v in "dt"]
+        elif ch == "C":
+            outs = [o + v for o in outs for v in "cç"]
+        else:
+            outs = [o + ch for o in outs]
+    return outs
+
+
+def _tr_surface(templates: list[str]) -> list[str]:
+    """All surface forms of the given templates (optional buffer letters
+    expanded both ways), longest first."""
+    forms: set[str] = set()
+    for t in templates:
+        if t.startswith("(") and ")" in t:
+            buf, rest = t[1], t[3:]
+            for r in _tr_expand(rest):
+                forms.add(r)
+                for b in _tr_expand(buf):
+                    forms.add(b + r)
+        else:
+            forms.update(_tr_expand(t))
+    return sorted(forms, key=len, reverse=True)
+
+
+# nominal verb suffixes (stemmer.sbl mark_* routines, in removal order);
+# the published algorithm chains person markers onto -DU/-sA/-mUş — we
+# pre-compose the frequent chains since we strip longest-first
+_TR_NOMINAL_VERB = _tr_surface([
+    "(y)Um", "sUn", "(y)Uz", "sUnUz", "lAr", "m", "n", "k", "nUz",
+    "DUr", "cAsInA", "(y)DU", "(y)sA", "(y)mUş", "(y)ken",
+    "(y)DUm", "(y)DUn", "(y)DUk", "(y)DUnUz", "(y)DUlAr",
+    "(y)sAm", "(y)sAn", "(y)sAk", "(y)sAnUz", "(y)sAlAr",
+    "(y)mUşUm", "(y)mUşsUn", "(y)mUşUz", "(y)mUşlAr"])
+# noun suffixes
+_TR_NOUN = _tr_surface([
+    "lArI", "(s)U", "mUz", "nUz", "(U)m", "(U)n", "(y)U", "nU", "(n)Un",
+    "(y)A", "nA", "DA", "nDA", "DAn", "nDAn", "(y)lA", "ki", "(n)cA",
+    "lAr"])
+
+
+def _tr_strip(word: str, forms: list[str]) -> str:
+    """Strip the longest harmonic suffix whose removal leaves a stem with
+    at least one vowel and two characters."""
+    for f in forms:
+        if not word.endswith(f):
+            continue
+        stem = word[: -len(f)]
+        if len(stem) < 2 or not _tr_last_vowel(stem):
+            continue
+        sv = next((c for c in f if c in _TR_VOWELS), "")
+        if sv and not _tr_harmonic(_tr_last_vowel(stem), sv):
+            continue
+        # buffer-letter sanity: a 'y'-initial surface form needs a vowel-
+        # final stem; 'n'/'s' buffers likewise attach to vowel-final stems
+        if f[0] in "ys" and len(f) > 1 and f[1] in _TR_VOWELS \
+                and stem[-1] not in _TR_VOWELS:
+            continue
+        return stem
+    return word
+
+
+_TR_NOMINAL_VERB_MULTI = [f for f in _TR_NOMINAL_VERB if len(f) >= 2]
+_TR_NOUN_MULTI = [f for f in _TR_NOUN if len(f) >= 2]
+
+
+def stem_turkish(word: str) -> str:
+    """Suffix-stripping Turkish stemmer per the published algorithm's
+    structure: one nominal-verb-suffix pass, then noun suffixes chained to
+    a fixpoint, then a single trailing possessive/accusative vowel — each
+    under vowel-harmony and buffer-letter checks — and finally restore a
+    stem-final devoiced stop (b->p, c->ç, d->t, ğ->k): 'kitabı' -> 'kitap'.
+    Bare single-consonant person markers (-k/-m/-n) are not stripped (the
+    published algorithm guards them with morphotactic context we abridge);
+    this trades a little verb-form recall for not mangling nouns like
+    'gözlük'."""
+    word = word.lower().replace("I", "ı").replace("İ", "i")
+    stripped = False
+    new = _tr_strip(word, _TR_NOMINAL_VERB_MULTI)
+    if new != word:
+        word, stripped = new, True
+    prev = None
+    while prev != word:
+        prev = word
+        new = _tr_strip(word, _TR_NOUN_MULTI)
+        if new != word:
+            word, stripped = new, True
+    # trailing bare possessive / accusative vowel (-ı/-i/-u/-ü), once
+    new = _tr_strip(word, ["ı", "i", "u", "ü"])
+    if new != word:
+        word, stripped = new, True
+    if stripped and word and word[-1] in "bcdğ":
+        word = word[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[word[-1]]
+    return word
+
+
+# --------------------------------------------------------------------------
+# Arabic (snowballstem.org/algorithms/arabic/stemmer.html — Assem Chelli's
+# algorithm: normalization + definite-article / pronoun-suffix removal.
+# The published algorithm's verb-form conjugation tables are abridged to
+# the most frequent prefix/suffix sets.)
+# --------------------------------------------------------------------------
+
+_AR_DIACRITICS = "ًٌٍَُِّْـ"
+# multi-letter only: bare ب/ك/ل prepositions over-strip roots (كتاب would
+# lose its first radical); the published algorithm guards them with
+# pattern checks we abridge, so we keep article/compound forms + و
+_AR_PREFIXES = ("وال", "فال", "بال", "كال", "ولل", "فلل", "ال", "لل", "و")
+_AR_SUFFIXES = ("كما", "هما", "تما", "تان", "ان", "ات", "ون", "ين", "يه",
+                "ية", "هم", "هن", "كم", "كن", "نا", "ها", "وا", "تم",
+                "تن", "ة", "ه", "ي", "ك", "ا", "ت", "ن")
+
+
+def stem_arabic(word: str) -> str:
+    # normalization (the published algorithm's Normalize_pre/post):
+    # strip harakat + tatweel, unify hamza carriers, fold أ إ آ -> ا
+    for d in _AR_DIACRITICS:
+        word = word.replace(d, "")
+    word = (word.replace("آ", "ا")   # آ -> ا
+                .replace("أ", "ا")   # أ -> ا
+                .replace("إ", "ا")   # إ -> ا
+                .replace("ؤ", "و")   # ؤ -> و
+                .replace("ئ", "ي"))  # ئ -> ي
+    # prefixes: longest first, keep >= 2 letters of stem; the bare
+    # conjunction و needs >= 3 remaining
+    changed = True
+    while changed:
+        changed = False
+        for p in _AR_PREFIXES:
+            if word.startswith(p):
+                keep = 3 if len(p) == 1 else 2
+                if len(word) - len(p) >= keep:
+                    word = word[len(p):]
+                    changed = True
+                break
+    # suffixes: longest first, one pass each while the stem stays >= 2;
+    # remember whether a VERB-conjugation suffix matched — the published
+    # algorithm only strips imperfect prefixes under that evidence
+    verb_suffix = False
+    for s in _AR_SUFFIXES:
+        keep = 3 if len(s) == 1 else 2  # bare letters often root radicals
+        if word.endswith(s) and len(word) - len(s) >= keep:
+            if s in ("ون", "ين", "ان", "وا", "تما", "تم", "تن", "نا", "ت"):
+                verb_suffix = True
+            word = word[: -len(s)]
+    # imperfect verb prefix (ي/ت/ن/أ), only with conjugation evidence
+    if verb_suffix and len(word) >= 4 and word[0] in "يتنأ":
+        word = word[1:]
+    # ta-marbuta left mid-cluster after suffixing normalizes to ha
+    if word.endswith("ة"):
+        word = word[:-1] + "ه"
+    return word
+
+
+# --------------------------------------------------------------------------
+# Greek (snowballstem.org/algorithms/greek/stemmer.html — the
+# Ntais/Saroukos algorithm. Implements the normalization and the
+# inflectional-ending steps (noun/adjective cases, plural, common verb
+# endings, -μα(τ)- nouns); the algorithm's per-rule protected-word
+# exception lists are abridged.)
+# --------------------------------------------------------------------------
+
+_EL_ACCENT = {"ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ό": "ο", "ύ": "υ",
+              "ώ": "ω", "ΐ": "ι", "ΰ": "υ", "ϊ": "ι", "ϋ": "υ"}
+_EL_VOWELS = "αεηιουω"
+# inflectional endings, grouped by the published algorithm's step order
+_EL_MAT = ("ματος", "ματων", "ματα", "μάτων", "μάτος")
+_EL_VERB = ("ιουνταν", "ιονταν", "ουνταν", "ονταν", "ομασταν", "οσασταν",
+            "ομαστε", "οσαστε", "ιομουν", "ιοσουν", "ιοταν", "ομουνα",
+            "οσουνα", "ονται", "ονταс", "ομουν", "οσουν", "οταν",
+            "ουσαμε", "ουσατε", "ουσαν", "ουσες", "ουσε", "ουσα",
+            "ησαμε", "ησατε", "ησαν", "ησες", "ησε", "ησα", "ηθηκα",
+            "ηθηκες", "ηθηκε", "ηκαμε", "ηκατε", "ηκαν", "ηκες", "ηκε",
+            "ηκα", "ουμε", "ειτε", "ουνε", "ουν", "εις", "ει",
+            "ομαι", "εσαι", "εται", "ειται", "αμε", "ατε", "αν", "ες")
+_EL_NOUN = ("ιων", "ιου", "ια", "ιο", "ιες", "ιας", "ιεσ", "εων", "εως",
+            "ους", "ου", "ος", "οι", "ων", "ας", "ες", "ης", "αι",
+            "α", "ε", "η", "ι", "ο", "υ", "ω")
+
+
+def _el_norm(s: str) -> str:
+    """Strip accents/diaeresis, fold final sigma — applied to both the
+    word AND the suffix tables (which are written with final ς)."""
+    return "".join(_EL_ACCENT.get(c, c) for c in s).replace("ς", "σ")
+
+
+_EL_MAT = tuple(_el_norm(s) for s in _EL_MAT)
+_EL_VERB = tuple(_el_norm(s) for s in _EL_VERB)
+_EL_NOUN = tuple(_el_norm(s) for s in _EL_NOUN)
+
+
+def stem_greek(word: str) -> str:
+    word = _el_norm(word.lower())
+
+    def ok(stem: str) -> bool:
+        # keep stems >= 2 letters containing a vowel (the published
+        # algorithm's per-rule minimum-length guards, uniform here)
+        return len(stem) >= 2 and any(c in _EL_VOWELS for c in stem)
+
+    # -μα(τ)- nouns: σώματος/σώματα -> σωμα
+    s = _longest_suffix(word, _EL_MAT)
+    if s and ok(word[: -len(s)] + "μα"):
+        return word[: -len(s)] + "μα"
+    # verb endings (longest first)
+    s = _longest_suffix(word, _EL_VERB)
+    if s and ok(word[: -len(s)]) and len(s) >= 2:
+        return word[: -len(s)]
+    # -μα neuters keep their α so the bare form agrees with the
+    # -ματος/-ματα branch above (σώμα == σώματος == σώματα -> σωμα)
+    if word.endswith("μα"):
+        return word
+    # noun/adjective case endings
+    s = _longest_suffix(word, _EL_NOUN)
+    if s and ok(word[: -len(s)]):
+        word = word[: -len(s)]
+    return word
+
+
+# --------------------------------------------------------------------------
+# Tamil (snowballstem.org/algorithms/tamil/stemmer.html — Damodharan's
+# algorithm. Implements the question-suffix, plural, case (vetrumai) and
+# common tense-ending removal steps; the algorithm's verb-class
+# sub-tables are abridged to the frequent forms.)
+# --------------------------------------------------------------------------
+
+_TA_QUESTION = ("ா", "ே", "ோ")        # ா ே ோ (aa/ee/oo signs)
+_TA_PLURAL = ("ங்கள்",       # ங்கள்
+              "க்கள்",       # க்கள்
+              "கள்")                   # கள்
+_TA_CASE = ("ிடம்",               # இடம் idam
+            "ுடைய",               # உடைய udaiya
+            "ின்",                     # இன் in
+            "ில்",                     # இல் il
+            "ால்",                     # ஆல் aal
+            "ுடன்",               # உடன் udan
+            "ோடு",                     # ஓடு oodu
+            "ுக்கு",         # உக்கு ukku
+            "க்கு",               # க்கு kku
+            "ை")                                 # ை ai (accusative)
+_TA_TENSE = ("கிறார்கள்",  # -kiRArkaL
+             "கின்றார்",        # -kinRAr
+             "கிறார்",                    # -kiRAr
+             "கிறான்",                    # -kiRAn
+             "கிறாள்",                    # -kiRAL
+             "கிறது",                          # -kiRathu
+             "கின்றது",              # -kinRathu
+             "ந்தான்",                    # -nthAn
+             "ந்தார்",                    # -nthAr
+             "ந்தது",                          # -nthathu
+             "த்தான்",                    # -ththAn (padiththAn)
+             "த்தார்",                    # -ththAr
+             "த்தது",                          # -ththathu
+             "ட்டான்",                    # -ttAn
+             "ட்டார்",                    # -ttAr
+             "ட்டது",                          # -ttathu
+             "வான்",                                # -vAn
+             "வார்",                                # -vAr
+             "வது",                                      # -vathu
+             "த்தல்",                          # -ththal
+             "தல்")                                      # -thal
+_TA_UM = "ும்"                          # உம் um (clitic)
+
+
+def stem_tamil(word: str) -> str:
+    def ok(stem: str) -> bool:
+        return len(stem) >= 2
+
+    # question clitic: final ஆ/ஏ/ஓ vowel sign
+    if len(word) >= 3 and word[-1] in _TA_QUESTION:
+        word = word[:-1]
+    # 'um' clitic
+    if word.endswith(_TA_UM) and ok(word[: -len(_TA_UM)]):
+        word = word[: -len(_TA_UM)]
+    # plural
+    for s in _TA_PLURAL:
+        if word.endswith(s) and ok(word[: -len(s)]):
+            word = word[: -len(s)]
+            break
+    # case markers (vetrumai urupugal)
+    for s in _TA_CASE:
+        if word.endswith(s) and ok(word[: -len(s)]):
+            word = word[: -len(s)]
+            break
+    # tense endings
+    for s in sorted(_TA_TENSE, key=len, reverse=True):
+        if word.endswith(s) and ok(word[: -len(s)]):
+            word = word[: -len(s)]
+            break
+    # final -m (நிலம் -> நில, புத்தகம் -> புத்தக):
+    # the neuter-singular marker, so singulars collapse with their
+    # -kaL plurals
+    if word.endswith("ம்") and ok(word[:-2]):
+        word = word[:-2]
+    # final 'u' vowel sign is dropped (published algorithm's last step)
+    if word.endswith("ு") and ok(word[:-1]):
+        word = word[:-1]
+    # tidy a trailing bare doubling consonant left by tense removal
+    # (படிக் -> படி): க/ச/த/ப + virama after a full letter
+    if len(word) >= 3 and word.endswith("்") and word[-2] in "கசதப":
+        word = word[:-2]
+    return word

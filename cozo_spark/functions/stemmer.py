@@ -196,6 +196,7 @@ def get_stemmer(language: str):
     published algorithm definitions (snowball.py); the rest raise with
     context."""
     from cozo_spark.functions import snowball as _sb
+    from cozo_spark.functions import snowball_ext as _sbx
 
     lang = str(language).strip().lower()
     table = {
@@ -210,12 +211,19 @@ def get_stemmer(language: str):
         "italian": _sb.stem_italian, "it": _sb.stem_italian,
         "portuguese": _sb.stem_portuguese, "pt": _sb.stem_portuguese,
         "russian": _sb.stem_russian, "ru": _sb.stem_russian,
+        "finnish": _sbx.stem_finnish, "fi": _sbx.stem_finnish,
+        "hungarian": _sbx.stem_hungarian, "hu": _sbx.stem_hungarian,
+        "romanian": _sbx.stem_romanian, "ro": _sbx.stem_romanian,
+        "turkish": _sbx.stem_turkish, "tr": _sbx.stem_turkish,
+        "arabic": _sbx.stem_arabic, "ar": _sbx.stem_arabic,
+        "greek": _sbx.stem_greek, "el": _sbx.stem_greek,
+        "tamil": _sbx.stem_tamil, "ta": _sbx.stem_tamil,
     }
     if lang in table:
         return table[lang]
     raise NotImplementedError(
-        f"Stemmer language {language!r} not implemented (supported: english,"
-        " danish, norwegian, swedish, german, dutch, french, spanish,"
-        " italian, portuguese, russian; the reference additionally wraps"
-        " arabic, finnish, greek, hungarian, romanian, tamil, turkish via"
-        " rust_stemmers)")
+        f"Stemmer language {language!r} not implemented (supported: all 18"
+        " reference languages — english, danish, norwegian, swedish, german,"
+        " dutch, french, spanish, italian, portuguese, russian, finnish,"
+        " hungarian, romanian, turkish, arabic, greek, tamil; reference:"
+        " fts/tokenizer/stemmer.rs:1-35)")

@@ -282,7 +282,13 @@ def _make_handler(server: CozoServer):
                         [T.StructField(h, T.StringType(), True) for h in headers]))
                 return server.db.spark.createDataFrame(rows, schema=headers)
 
-            server.db.register_fixed_rule(name, remote_rule)
+            try:
+                server.db.register_fixed_rule(name, remote_rule)
+            except ValueError as e:
+                # name conflict (incl. builtins) → HTTP error, never a
+                # silent clobber (reference db.rs:760-777 bails the same way)
+                self._json({"ok": False, "message": str(e)}, 409)
+                return
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -307,7 +313,10 @@ def _make_handler(server: CozoServer):
                 # re-registered the name before this stale thread noticed
                 from cozo_spark.fixed_rules import _REGISTRY
                 if _REGISTRY.get(name) is remote_rule:
-                    server.db.unregister_fixed_rule(name)
+                    try:
+                        server.db.unregister_fixed_rule(name)
+                    except ValueError:
+                        pass  # builtin names can never be ours; be tolerant
 
         def _sse_changes(self, relation: str) -> None:
             """SSE mutation feed (server.rs:249): one `data:` event per

@@ -79,10 +79,18 @@ def test_backup_import_from_backup(db, spark, tmp_path):
     db.backup(str(tmp_path / "bk"))
 
     other = CozoDb(spark=spark)
+    # destination relation must pre-exist (db.rs:695-730 dst_tx.get_relation)
+    other.run_script(":create b2 {k: Int => v: Int}", {})
     other.import_from_backup(str(tmp_path / "bk"), ["b2"])
     assert other.run_script("?[k, v] := *b2[k, v]", {})["rows"] == [[2, 2]]
     with pytest.raises(Exception):
         other.run_script("?[k, v] := *b1[k, v]", {})
+    # importing into a db where the destination does NOT exist errors,
+    # matching the reference (no silent auto-create)
+    third = CozoDb(spark=spark)
+    with pytest.raises(KeyError, match="non-existent"):
+        third.import_from_backup(str(tmp_path / "bk"), ["b2"])
+    third.close()
     other.close()
 
 

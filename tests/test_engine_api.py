@@ -52,24 +52,40 @@ def test_multi_transaction_conflict(spark):
         tx.commit()
 
 
-def test_multi_transaction_conflict_on_concurrent_create(spark):
-    # a relation created in base mid-txn must not be dropped by the commit's
-    # registry swap — it is a conflict
+def test_multi_transaction_untouched_concurrent_create_survives(spark):
+    # per-relation conflict scope (reference's per-relation locking): a
+    # relation created in base mid-txn that this txn never touched is NOT
+    # a conflict, and must survive the commit's registry publish
     from cozo_spark.datalog.engine import CozoDb
-    from cozo_spark.datalog.translate import QueryError
 
     db = CozoDb(spark)
     db.run_script(":create t4 {k: Int}")
     tx = db.multi_transaction()
     tx.run_script("?[k] <- [[1]] :put t4 {k}")
     db.run_script("?[k] <- [[5]] :create t5 {k}")
-    with pytest.raises(QueryError, match="concurrently created"):
-        tx.commit()
-    # base keeps both relations intact
+    tx.commit()
+    # base keeps both the txn's write and the concurrent create
+    assert db.run_script("?[k] := *t4[k]").rows == [[1]]
     assert db.run_script("?[k] := *t5[k]").rows == [[5]]
 
 
-def test_multi_transaction_conflict_on_concurrent_remove(spark):
+def test_multi_transaction_conflict_on_concurrent_create_same_name(spark):
+    # BOTH sides creating the same relation IS a write-write conflict
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    db = CozoDb(spark)
+    tx = db.multi_transaction()
+    tx.run_script("?[k] <- [[1]] :create t5b {k}")
+    db.run_script("?[k] <- [[5]] :create t5b {k}")
+    with pytest.raises(QueryError, match="concurrently created"):
+        tx.commit()
+    assert db.run_script("?[k] := *t5b[k]").rows == [[5]]
+
+
+def test_multi_transaction_untouched_concurrent_remove_survives(spark):
+    # base dropping a relation this txn never touched is not a conflict,
+    # and the drop survives the commit
     from cozo_spark.datalog.engine import CozoDb
     from cozo_spark.datalog.translate import QueryError
 
@@ -79,6 +95,22 @@ def test_multi_transaction_conflict_on_concurrent_remove(spark):
     tx = db.multi_transaction()
     tx.run_script("?[k] <- [[1]] :put t6 {k}")
     db.run_script("::remove t7")
+    tx.commit()
+    assert db.run_script("?[k] := *t6[k]").rows == [[1]]
+    with pytest.raises(QueryError):
+        db.run_script("?[k] := *t7[k]")
+
+
+def test_multi_transaction_conflict_on_touched_concurrent_remove(spark):
+    # a relation the txn WROTE that base removed mid-txn → conflict
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.datalog.translate import QueryError
+
+    db = CozoDb(spark)
+    db.run_script(":create t8 {k: Int}")
+    tx = db.multi_transaction()
+    tx.run_script("?[k] <- [[1]] :put t8 {k}")
+    db.run_script("::remove t8")
     with pytest.raises(QueryError, match="concurrently removed"):
         tx.commit()
 

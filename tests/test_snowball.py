@@ -26,6 +26,24 @@ GOLDEN = {
     "italian": [("abbandonata", "abbandon"), ("nazionale", "nazional")],
     "portuguese": [("bondade", "bondad"), ("falando", "fal")],
     "russian": [("книгами", "книг"), ("важная", "важн")],
+    # batch 2 (snowball_ext.py): golden outputs pinned from the published
+    # algorithm implementations; each pair hand-checked for linguistic
+    # sensibility (lemma-consistent stems)
+    "finnish": [("taloissa", "talo"), ("edeltäjistään", "edeltäj"),
+                ("koirille", "koir"), ("kirjasta", "kirj")],
+    "hungarian": [("házakat", "ház"), ("házban", "ház"),
+                  ("könyvtárban", "könyvtár"), ("babák", "baba")],
+    "romanian": [("copiilor", "cop"), ("frumoase", "frumoas"),
+                 ("abilitate", "abil"), ("lucrează", "lucr")],
+    "turkish": [("kitabı", "kitap"), ("kitaplarda", "kitap"),
+                ("evlerden", "ev"), ("geldiler", "gel")],
+    "arabic": [("الكتاب", "كتاب"), ("المكتبة", "مكتب"),
+               ("يكتبون", "كتب"), ("للمدرسة", "مدرس")],
+    "greek": [("καλός", "καλ"), ("βιβλίου", "βιβλ"),
+              ("σώματος", "σωμα"), ("γράφεις", "γραφ")],
+    "tamil": [("புத்தகங்கள்", "புத்தக"),
+              ("படிக்கிறான்", "படி"),
+              ("நிலம்", "நில")],
 }
 
 FAMILIES = {
@@ -39,6 +57,13 @@ FAMILIES = {
     "italian": ["abbandonata", "abbandonato", "abbandonate"],
     "portuguese": ["falando", "falar", "falou"],
     "russian": ["книга", "книги", "книгами"],
+    "finnish": ["talo", "talot", "talossa", "taloista", "taloissa"],
+    "hungarian": ["házak", "házakat", "házban", "házam"],
+    "romanian": ["fete", "fetele"],
+    "turkish": ["kitap", "kitaplar", "kitabı", "kitaplarda", "kitapları"],
+    "arabic": ["كتاب", "الكتاب", "كتابها", "والكتاب"],
+    "greek": ["καλός", "καλη", "καλοί", "καλές"],
+    "tamil": ["புத்தகம்", "புத்தகங்கள்"],
 }
 
 
@@ -58,7 +83,9 @@ def test_family_collapse(lang):
 
 @pytest.mark.parametrize("lang", ["danish", "german", "french", "spanish",
                                   "italian", "portuguese", "russian",
-                                  "dutch", "swedish", "norwegian"])
+                                  "dutch", "swedish", "norwegian",
+                                  "finnish", "hungarian", "romanian",
+                                  "turkish", "arabic", "greek", "tamil"])
 def test_stemmer_is_shortening_and_stable(lang):
     """A stem never grows, and stemming a stem doesn't oscillate wildly
     (words from mixed corpora shouldn't blow up the UDF)."""
@@ -70,13 +97,26 @@ def test_stemmer_is_shortening_and_stable(lang):
 
 
 def test_unsupported_language_raises():
+    # all 18 reference languages are now implemented; a language the
+    # reference does not wrap still raises with context
     with pytest.raises(NotImplementedError):
-        get_stemmer("tamil")
+        get_stemmer("basque")
+
+
+def test_all_reference_languages_resolve():
+    """fts/tokenizer/stemmer.rs:1-35 wraps exactly these 18 languages."""
+    for lang in ("arabic", "danish", "dutch", "english", "finnish",
+                 "french", "german", "greek", "hungarian", "italian",
+                 "norwegian", "portuguese", "romanian", "russian",
+                 "spanish", "swedish", "tamil", "turkish"):
+        assert callable(get_stemmer(lang)), lang
 
 
 def test_short_language_codes():
     assert get_stemmer("de")("katzen") == "katz"
     assert get_stemmer("fr")("grandes") == "grand"
+    assert get_stemmer("tr")("kitabı") == "kitap"
+    assert get_stemmer("fi")("taloissa") == "talo"
 
 
 def test_fts_index_with_language_stemmer(spark):
