@@ -549,14 +549,30 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def reorder_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ReorderSort fixed rule (sort_by + take per group) → Window row_number."""
-    c = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return (
-        c.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
-        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
-    )
+    """ReorderSort fixed rule THROUGH THE ENGINE (`<~ ReorderSort(...)`,
+    reorder_sort.rs:1-153): one global rank over (segment, -acctbal,
+    custkey) with break_ties, rebased per segment by subtracting the
+    segment's min rank (an engine head-aggregation + equi-join) — exactly
+    the oracle's per-segment row_number. ReorderSort mirrors the
+    reference's single-node global sort; the partitioned-window scale path
+    is exercised by the window-family queries (sessionize,
+    window_running_sum)."""
+    db = _db(spark, sf_dir, ("customer",))
+    return db.run_script_df("""
+    cust[c_mktsegment, c_custkey, c_acctbal] :=
+        *customer{c_mktsegment, c_custkey, c_acctbal}
+    rk[g, c_mktsegment, c_custkey, c_acctbal] <~ ReorderSort(
+        cust[c_mktsegment, c_custkey, c_acctbal],
+        out: [c_mktsegment, c_custkey, c_acctbal],
+        sort_by: [c_mktsegment, -c_acctbal, c_custkey],
+        break_ties: true)
+    base[c_mktsegment, min(g)] := rk[g, c_mktsegment, c_custkey, c_acctbal]
+    ?[c_mktsegment, c_custkey, c_acctbal, rnk] :=
+        rk[g, c_mktsegment, c_custkey, c_acctbal],
+        base[c_mktsegment, m],
+        rnk = g - m + 1,
+        rnk <= 5
+    """)
 
 
 # ---------------------------------------------------------------------------
@@ -576,18 +592,37 @@ def reorder_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def validity_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`*rel{..} @ ts` as-of semantics (StoredWithValidityRA ra.rs:1125-1243):
-    per key, latest fact at-or-before the read timestamp. SCD-2 read expressed
-    as window-dedup; at scale the partitionBy key shuffle is the only cost and
-    the filter on ts prunes row groups before it."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= "2024-03-01 00:00:00")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("user_id", F.col("event_type").alias("last_type"),
-                F.round("value", 2).alias("last_value"))
-    )
+    """`*rel{.. @ ts}` as-of read THROUGH THE ENGINE
+    (StoredWithValidityRA ra.rs:1125-1243): events become a validity
+    relation keyed (user_id, vld) with vld = {ts µs, is_assert: true} —
+    (user_id, ts) is unique in the testdata, so the oracle's event_id
+    tiebreak is inert — and the engine's @-read returns, per key prefix,
+    the latest assertion at-or-before the timestamp. The translator's
+    as-of window partitions on the key prefix (one key shuffle), with the
+    ts filter applied before it — same plan shape as the raw SCD-2 read."""
+    ev = _t(spark, sf_dir, "events")
+    evv = ev.select(
+        "user_id",
+        # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+        # session read the nanos parquet; cast unifies both (the same
+        # session-tz interpretation the oracle's naive literal gets)
+        F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+                 F.lit(True).alias("is_assert")).alias("vld"),
+        "event_type", "value")
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("ev_hist", evv, keys=["user_id", "vld"])
+    # the same instant the oracle's TIMESTAMP literal denotes, in µs,
+    # resolved by the session so timezone handling matches the raw read
+    at_us = spark.sql(
+        "SELECT unix_micros(timestamp'2024-03-01 00:00:00')").first()[0]
+    return db.run_script_df(f"""
+    ?[user_id, last_type, last_value] :=
+        *ev_hist{{user_id, event_type: et, value: v @ {at_us}}},
+        last_type = et,
+        last_value = round(v, 2)
+    """)
 
 
 # ---------------------------------------------------------------------------
