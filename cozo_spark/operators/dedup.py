@@ -171,9 +171,25 @@ def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     return g.filter(keep).select(id_col, gram.alias("gram"))
 
 
+def _shingle_hash31(c, hash_fn: str):
+    """Shingle → [0, 2^31) hash column, JVM-side either way.
+
+    'md5' (default): DuckDB's md5_number_lower low bits — the gate/oracle
+    path, SQL-reproducible but ~6 codegen string ops per gram.
+    'xxhash64': one native hash call, the production path for corpora that
+    don't need a DuckDB-checkable pipeline (measured ~0.3 s cheaper at
+    sf0.1 on the headline LSH query — see BASELINE.md)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c).bitwiseAND(F.lit(0x7FFFFFFF))
+    if hash_fn == "md5":
+        return _md5_le31(c)
+    raise ValueError(f"unknown shingle hash {hash_fn!r} (md5|xxhash64)")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, shingle_n: int = 3, seed: int = 42,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures.
 
@@ -194,7 +210,7 @@ def minhash_signatures(
     params = _perm_params(num_perm, seed)
     grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
     # min is duplicate-insensitive, so no distinct on grams is needed
-    hashed = grams.select(id_col, _md5_le31(F.col("gram")).alias("h"))
+    hashed = grams.select(id_col, _shingle_hash31(F.col("gram"), hash_fn).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_s{i}")
         for i, (a, b) in enumerate(params)
@@ -266,7 +282,7 @@ def lsh_candidate_pairs(
 def minhash_lsh_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.7, num_perm: int = 64, shingle_n: int = 3,
-    bands: int = 16, seed: int = 42,
+    bands: int = 16, seed: int = 42, hash_fn: str = "md5",
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard): near-duplicate pairs above threshold.
 
@@ -274,9 +290,14 @@ def minhash_lsh_dedup_pairs(
     fraction of matching signature positions (the minhash estimator). For the
     reference's semantics see runtime/minhash_lsh.rs:1-389 + parse/sys.rs:62-74
     (n_perm / target threshold → band planning).
+
+    ``hash_fn`` selects the shingle hash: 'md5' (default, DuckDB-oracle-
+    reproducible) or 'xxhash64' (production; same plan shape, one native
+    hash call instead of the md5+conv chain).
     """
     rows_per_band = max(1, num_perm // bands)
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed).cache()
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed,
+                              hash_fn=hash_fn).cache()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     bdf = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

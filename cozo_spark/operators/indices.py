@@ -172,8 +172,13 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
             from cozo_spark.datalog.translate import _df_typer, compile_expr
 
             base = base.filter(compile_expr(filt, set(base.columns), _df_typer(base)))
+        # hash: 'md5' (oracle-reproducible default) | 'xxhash64'
+        # (production — one native hash per shingle; extension over the
+        # reference's option set)
+        hash_fn = str(idx.options.get("hash", "md5"))
         sigs = minhash_signatures(base, extractor, rel.key_names[0],
-                                  num_perm=n_perm, shingle_n=n_gram)
+                                  num_perm=n_perm, shingle_n=n_gram,
+                                  hash_fn=hash_fn)
         sigs = _checkpoint(sigs)
         # banded bucket frame: the scale path for probes — a probe joins on
         # (band_idx, band_hash) and touches only colliding docs, not the

@@ -138,6 +138,31 @@ def test_dedup_pipelines_have_no_python_stages(props):
             assert node not in plan, f"{q} contains {node}"
 
 
+def test_minhash_xxhash64_variant_plan(spark):
+    """The production shingle hash (hash_fn='xxhash64') keeps the same plan
+    shape — xxhash64 in place of the md5+conv chain, still zero Python
+    stages, still map-side partial aggregation."""
+    from pyspark.sql import functions as F
+
+    from cozo_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from cozo_spark.plans.inspect import plan_properties
+
+    docs = (spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    df = minhash_lsh_dedup_pairs(docs, threshold=0.3, num_perm=16,
+                                 shingle_n=3, bands=4, hash_fn="xxhash64")
+    p = plan_properties(df)
+    assert "xxhash64" in p["plan"].lower(), p["plan"][:2000]
+    assert "md5" not in p["plan"].lower(), "md5 chain should be gone"
+    for node in ("ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in p["plan"]
+    assert "partial_min" in p["plan"] or "partial min" in p["plan"].lower()
+    # and it still finds the planted near-dups (values differ from the md5
+    # path only through hash collisions, not semantics)
+    assert df.count() > 0
+
+
 def test_minhash_aggregate_is_partial(props):
     """The 64-min signature aggregate must partial-aggregate map-side so the
     shuffle carries one 512B row per doc, not the token stream."""
