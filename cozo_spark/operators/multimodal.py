@@ -5,11 +5,16 @@ Decode status by format:
 
 - ``image/x-raw-rgb`` (12-byte header: magic ``RAW1`` + width/height uint32
   LE, then H*W*3 uint8 pixels) — REAL decode/resize/feature kernels in pure
-  numpy (present in this container); this is the lib-free reference format
-  the pipeline tests run end to end.
-- codec formats (PNG/JPEG/WAV/...) — GATED: raise NotImplementedError with
-  a clear message (no image/audio codec libraries in this container); the
-  kernel bodies are the only thing that changes when one is installed.
+  numpy; the lib-free reference format.
+- ``image/png`` — REAL decode/encode, stdlib only (zlib inflate + chunk
+  walk + scanline defilter); bit depth 8, non-interlaced, color types
+  0/2/3/4/6.
+- ``audio/wav`` — REAL decode/encode via the stdlib ``wave`` module
+  (8/16-bit PCM) + signal statistics (rms/peak/zero-crossings).
+- compressed codec formats (JPEG/WebP/MP3/...) — GATED: raise
+  NotImplementedError with a clear message (no codec libraries in this
+  container); the kernel bodies are the only thing that changes when one
+  is installed.
 
 Everything Spark-side is real and load-bearing at 100 TB:
 
@@ -74,17 +79,166 @@ def decode_raw_rgb(content: bytes) -> "np.ndarray":
     return body.reshape(h, w, 3)
 
 
+# --------------------------------------------------------------------------
+# PNG codec — stdlib only (zlib inflate + struct chunk walk + scanline
+# defilter per the PNG spec §6/§9). Supports the overwhelmingly common
+# profile: bit depth 8, interlace none, color types 0/2/3/4/6. 16-bit and
+# Adam7 raise with context (they'd only need more branches, no new libs).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> "np.ndarray":
+    """PNG bytes → (H, W, 3) uint8, pure stdlib (zlib + struct + numpy)."""
+    import zlib
+
+    if content is None or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # skip CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:    # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    px = out.reshape(h, w, ch)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[..., :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    # palette
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[..., 0]]
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (color type 2, filter 0) — stdlib only;
+    used by tests/fixtures and ::export of raw images."""
+    import zlib
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------------------
+# WAV codec — stdlib `wave` module (PCM 8/16-bit).
+# --------------------------------------------------------------------------
+
+def decode_wav(content: bytes) -> tuple["np.ndarray", int]:
+    """WAV bytes → (mono float64 samples in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),
+                                  wf.getframerate(), wf.getnframes())
+        frames = wf.readframes(nframes)
+    if sw == 2:
+        a = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        a = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} (only 1/2 bytes)")
+    if nch > 1:
+        a = a.reshape(-1, nch).mean(axis=1)
+    return a, rate
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] → 16-bit mono PCM WAV bytes — stdlib only."""
+    import io
+    import wave
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+           * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def decode_image(content: bytes, media_type: str = RAW_RGB_TYPE) -> "np.ndarray":
     """Decode an image payload to (H, W, 3) uint8.
 
-    x-raw-rgb decodes for real; codec formats are gated on libraries this
-    container doesn't ship — install one and add a branch here, nothing
-    Spark-side changes."""
+    x-raw-rgb and PNG decode for REAL (stdlib only); other codec formats
+    (JPEG/WebP/...) are gated on libraries this container doesn't ship —
+    install one and add a branch here, nothing Spark-side changes."""
     if media_type == RAW_RGB_TYPE:
         return decode_raw_rgb(content)
+    if media_type == "image/png":
+        return decode_png(content)
     raise NotImplementedError(
         f"decoding {media_type!r} requires an image codec library not "
-        "present in this container; image/x-raw-rgb is the lib-free path")
+        "present in this container; image/x-raw-rgb and image/png are the "
+        "lib-free paths")
 
 
 def _resize_nearest(img: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
@@ -179,6 +333,59 @@ def extract_image_features(df: DataFrame, fake: bool = True, dim: int = 8) -> Da
             })
 
     return df.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zero_cross_rate", T.DoubleType()),
+])
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """audio content → signal statistics via mapInPandas.
+
+    REAL for 'audio/wav' (stdlib `wave` decode): sample rate, duration,
+    RMS level, peak, zero-crossing rate — the cheap quality/dedup signals
+    an audio pipeline filters on before any model. Compressed formats
+    (mp3/ogg/...) raise the gated NotImplementedError. ``fake=True`` emits
+    hash-derived values with the same schema (for plumbing tests)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                c = bytes(r["content"]) if r["content"] is not None else b""
+                if fake:
+                    hsh = hashlib.sha256(c).digest()
+                    rows.append((r["media_id"], len(c), 16000,
+                                 1000, hsh[0] / 255.0, hsh[1] / 255.0,
+                                 hsh[2] / 255.0))
+                    continue
+                mt = r.get("media_type", "audio/wav")
+                if mt not in ("audio/wav", "audio/x-wav"):
+                    raise NotImplementedError(
+                        f"decoding {mt!r} requires an audio codec library "
+                        "not present in this container; audio/wav is the "
+                        "lib-free path")
+                samples, rate = decode_wav(c)
+                n = samples.size
+                dur_ms = int(n * 1000 / rate) if rate else 0
+                rms = float(np.sqrt((samples ** 2).mean())) if n else 0.0
+                peak = float(np.abs(samples).max()) if n else 0.0
+                zcr = (float((np.diff(np.signbit(samples)) != 0).mean())
+                       if n > 1 else 0.0)
+                rows.append((r["media_id"], len(c), rate, dur_ms, rms, peak,
+                             zcr))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "sample_rate", "duration_ms", "rms",
+                "peak", "zero_cross_rate"])
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:

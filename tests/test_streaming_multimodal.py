@@ -107,14 +107,90 @@ def test_image_features(media):
     assert sum(x * x for x in rows[1]["features"]) == pytest.approx(1.0, abs=1e-5)
 
 
-def test_real_decode_is_gated_for_codec_formats(media):
-    """Codec formats (PNG here) still gate on the missing library — the
-    error now surfaces from the executor kernel at action time."""
-    from cozo_spark.operators.multimodal import extract_image_features
+def test_real_decode_is_gated_for_compressed_formats(spark):
+    """PNG/WAV now decode for real (stdlib); COMPRESSED formats (JPEG,
+    MP3) still gate on the missing library — the error surfaces from the
+    executor kernel at action time."""
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_audio_features, extract_image_features)
 
+    rows = [(9, "image/jpeg", b"\xff\xd8\xff-fake",
+             {"width": 8, "height": 8, "duration_ms": None,
+              "sample_rate": None}),
+            (10, "audio/mpeg", b"ID3-fake",
+             {"width": None, "height": None, "duration_ms": 1000,
+              "sample_rate": 44100})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="codec library|NotImplementedError"):
         extract_image_features(
-            media.filter("media_type = 'image/png'"), fake=False).collect()
+            media.filter("media_type = 'image/jpeg'"), fake=False).collect()
+    with pytest.raises(Exception, match="codec library|NotImplementedError"):
+        extract_audio_features(
+            media.filter("media_type = 'audio/mpeg'"), fake=False).collect()
+
+
+def test_png_real_decode_end_to_end(spark):
+    """PNG decodes for REAL through the mapInPandas feature kernel —
+    stdlib zlib/struct only — and the features are exact numpy statistics
+    of the decoded pixels."""
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _raw_features, decode_png, encode_png,
+        extract_image_features)
+
+    rng = np.random.default_rng(11)
+    img1 = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img2 = np.zeros((8, 8, 3), dtype=np.uint8)
+    img2[..., 0] = 255  # pure red
+    rows = [
+        (1, "image/png", encode_png(img1),
+         {"width": 16, "height": 16, "duration_ms": None, "sample_rate": None}),
+        (2, "image/png", encode_png(img2),
+         {"width": 8, "height": 8, "duration_ms": None, "sample_rate": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: list(r["features"])
+           for r in extract_image_features(media, fake=False).collect()}
+    assert got[1] == pytest.approx(_raw_features(img1), abs=1e-6)
+    # red image: channel means (1, 0, 0), zero stds, luma = 0.2126
+    assert got[2][0] == pytest.approx(1.0)
+    assert got[2][1] == pytest.approx(0.0)
+    assert got[2][6] == pytest.approx(0.2126, abs=1e-4)
+    # decode is the exact inverse of encode
+    assert np.array_equal(decode_png(encode_png(img1)), img1)
+
+
+def test_wav_real_audio_features_end_to_end(spark):
+    """WAV decodes for REAL through the mapInPandas audio kernel (stdlib
+    `wave`): sample rate, duration, RMS and zero-crossing rate are exact
+    signal statistics."""
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_wav, extract_audio_features)
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 100 * t)
+    silence = np.zeros(rate // 2)  # 0.5 s
+    rows = [
+        (1, "audio/wav", encode_wav(sine, rate),
+         {"width": None, "height": None, "duration_ms": None, "sample_rate": rate}),
+        (2, "audio/wav", encode_wav(silence, rate),
+         {"width": None, "height": None, "duration_ms": None, "sample_rate": rate}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r
+           for r in extract_audio_features(media, fake=False).collect()}
+    assert got[1]["sample_rate"] == rate
+    assert got[1]["duration_ms"] == 1000
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 100 Hz → ~200 crossings/s
+    assert got[1]["rms"] == pytest.approx(0.5 / 2 ** 0.5, abs=1e-3)
+    assert got[1]["zero_cross_rate"] == pytest.approx(200 / rate, rel=0.05)
+    assert got[2]["duration_ms"] == 500
+    assert got[2]["rms"] == 0.0
+    assert got[2]["peak"] == 0.0
 
 
 def test_raw_rgb_real_decode_features_and_resize(spark):
