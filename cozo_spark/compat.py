@@ -28,10 +28,14 @@ class CozoDb:
     """pycozo-native-compatible facade over the Spark engine."""
 
     def __init__(self, engine: str = "mem", path: str = "",
-                 options: str = "", *, spark=None):
+                 options: str = "", *, spark=None,
+                 row_page_size: Optional[int] = None):
         # engine/path/options are accepted for source compatibility; storage
         # is the Spark relation registry (persist via backup()/restore() or
-        # CozoDb.persist_relation on the underlying engine)
+        # CozoDb.persist_relation on the underlying engine).
+        # row_page_size caps per-page row materialization: results come
+        # back with the reference's `next` continuation chain in the dict
+        # (db.rs:150-194) instead of one unbounded collect.
         from cozo_spark.datalog.engine import CozoDb as _Engine
 
         if spark is None:
@@ -39,6 +43,8 @@ class CozoDb:
 
             spark = get_spark()
         self._db: Optional[_Engine] = _Engine(spark)
+        if row_page_size is not None:
+            self._db.row_page_size = int(row_page_size)
         self._engine_name = engine
         self._path = path
         self._cb_seq = 0

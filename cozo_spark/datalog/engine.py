@@ -153,11 +153,43 @@ class StoredRelation:
 
 @dataclass
 class NamedRows:
+    """Result rows, optionally chained into pages (NamedRows::next,
+    db.rs:150-264). With ``CozoDb.row_page_size`` set, run_script
+    materializes at most one page at a time from a partition-streaming
+    iterator; the ``next`` page pulls lazily on access — bounded driver
+    memory for arbitrarily large results (run_script_df stays the
+    unbounded DataFrame path)."""
+
     headers: list
     rows: list
+    _next_fn: Optional[Any] = None     # lazy next-page puller
+    _next_page: Optional[Any] = None   # materialized next page
+
+    @property
+    def next(self) -> Optional["NamedRows"]:
+        if self._next_page is None and self._next_fn is not None:
+            self._next_page = self._next_fn()
+            self._next_fn = None
+        return self._next_page
+
+    def has_more(self) -> bool:
+        """NamedRows::has_more (db.rs:159-161)."""
+        return self._next_page is not None or self._next_fn is not None
+
+    def flatten(self) -> list:
+        """Chain → list of individual pages (NamedRows::flatten,
+        db.rs:163-177)."""
+        out, cur = [], self
+        while cur is not None:
+            out.append(cur)
+            cur = cur.next
+        return out
 
     def as_dict(self) -> dict:
-        return {"headers": self.headers, "rows": self.rows, "next": None}
+        """JSON form; like the reference's into_json (db.rs:179-194) this
+        serializes the WHOLE chain recursively."""
+        nxt = self.next.as_dict() if self.has_more() else None
+        return {"headers": self.headers, "rows": self.rows, "next": nxt}
 
     def into_payload(self, relation: str, op: str) -> tuple:
         """(script, params) re-applying these rows as a mutation — the
@@ -185,6 +217,10 @@ class CozoDb:
         self.relations: dict[str, StoredRelation] = {}
         self.temp_relations: dict[str, DataFrame] = {}  # session `_name` stores
         self._tls = _threading.local()  # per-thread run flags (see below)
+        # rows-per-page cap for run_script/compat/HTTP results; None =
+        # unbounded single collect (current behavior). When set, results
+        # come back as a lazy NamedRows page chain (db.rs:150-177 `next`).
+        self.row_page_size: Optional[int] = None
 
     # Per-THREAD run flags. The engine is served concurrently (the HTTP
     # server is a ThreadingHTTPServer; the compat facade is thread-unaware),
@@ -245,10 +281,29 @@ class CozoDb:
             # list = a %return with multiple results (imperative.rs returns
             # Vec<NamedRows>); each element is already collected
             return res
-        rows = [list(r) for r in res.collect()]
         cols = res.columns
         if disp is not None and len(disp) == len(cols):
             cols = disp
+        page = self.row_page_size
+        if page:
+            # paged materialization (NamedRows::next, db.rs:150-177):
+            # toLocalIterator streams partitions to the driver, so at most
+            # one page (+ one partition buffer) is resident; each `next`
+            # access pulls the following page lazily
+            import itertools
+
+            it = (list(r) for r in res.toLocalIterator())
+
+            def make_page(carry: list) -> NamedRows:
+                chunk = carry + list(itertools.islice(it, page - len(carry)))
+                look = list(itertools.islice(it, 1))
+                nr = NamedRows(cols, chunk)
+                if look:
+                    nr._next_fn = lambda: make_page(look)
+                return nr
+
+            return make_page([])
+        rows = [list(r) for r in res.collect()]
         return NamedRows(cols, rows)
 
     def run_script_read_only(self, script: str, params: Optional[dict] = None) -> NamedRows:

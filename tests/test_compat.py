@@ -94,6 +94,22 @@ def test_backup_import_from_backup(db, spark, tmp_path):
     other.close()
 
 
+def test_compat_row_page_size(spark):
+    """The facade's opt-in pagination: results carry the reference's
+    `next` continuation chain in the returned dict (db.rs:150-194)."""
+    from cozo_spark.compat import CozoDb
+
+    db = CozoDb(spark=spark, row_page_size=3)
+    try:
+        r = db.run_script("?[x] <- [[1],[2],[3],[4],[5],[6],[7]] :sort x", {})
+        assert [row[0] for row in r["rows"]] == [1, 2, 3]
+        assert [row[0] for row in r["next"]["rows"]] == [4, 5, 6]
+        assert r["next"]["next"]["rows"] == [[7]]
+        assert r["next"]["next"]["next"] is None
+    finally:
+        db.close()
+
+
 def test_close_semantics(db):
     assert db.close() is False or True  # close() in fixture teardown too
 

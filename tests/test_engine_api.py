@@ -115,6 +115,38 @@ def test_multi_transaction_conflict_on_touched_concurrent_remove(spark):
         tx.commit()
 
 
+def test_named_rows_pagination(spark):
+    """row_page_size caps per-page materialization (NamedRows::next,
+    db.rs:150-194): a >N-row result comes back as a lazy page chain —
+    page 1 immediately, later pages pulled on `.next` access."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.row_page_size = 4
+    r = db.run_script("?[x] <- [[1],[2],[3],[4],[5],[6],[7],[8],[9],[10]] "
+                      ":sort x")
+    assert len(r.rows) == 4
+    assert r.headers == ["x"]
+    assert r.has_more()
+    pages = r.flatten()
+    assert [len(p.rows) for p in pages] == [4, 4, 2]
+    assert [v for p in pages for (v,) in p.rows] == list(range(1, 11))
+    assert not pages[-1].has_more()
+    # as_dict serializes the whole chain recursively (into_json contract)
+    d = r.as_dict()
+    assert [row[0] for row in d["rows"]] == [1, 2, 3, 4]
+    assert [row[0] for row in d["next"]["rows"]] == [5, 6, 7, 8]
+    assert d["next"]["next"]["rows"] == [[9], [10]]
+    assert d["next"]["next"]["next"] is None
+    # an exact-multiple result has no dangling empty page
+    r2 = db.run_script("?[x] <- [[1],[2],[3],[4]] :sort x")
+    assert len(r2.rows) == 4 and not r2.has_more()
+    # unbounded default unchanged
+    db.row_page_size = None
+    r3 = db.run_script("?[x] <- [[1],[2],[3],[4],[5],[6]]")
+    assert len(r3.rows) == 6 and not r3.has_more()
+
+
 def test_read_only_rejects_mutations(spark):
     from cozo_spark.datalog.engine import CozoDb
     from cozo_spark.datalog.translate import QueryError

@@ -43,6 +43,23 @@ def test_text_query_roundtrip(server):
     assert res["rows"] == [[2, "b"]]
 
 
+def test_text_query_pagination(server):
+    """With row_page_size set on the served db, /text-query returns the
+    reference's `next` continuation chain (db.rs:150-194) instead of one
+    unbounded rows array."""
+    server.db.row_page_size = 2
+    try:
+        res = _req(server.port, "/text-query", "POST",
+                   {"script": "?[x] <- [[1],[2],[3],[4],[5]] :sort x"})
+        assert res["ok"]
+        assert [r[0] for r in res["rows"]] == [1, 2]
+        assert [r[0] for r in res["next"]["rows"]] == [3, 4]
+        assert res["next"]["next"]["rows"] == [[5]]
+        assert res["next"]["next"]["next"] is None
+    finally:
+        server.db.row_page_size = None
+
+
 def test_export_import_and_backup(server, tmp_path):
     _req(server.port, "/text-query", "POST",
          {"script": ":create t {k: Int => v: Int}"})
