@@ -613,10 +613,14 @@ def validity_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = CozoDb(spark)
     db.register_dataframe("ev_hist", evv, keys=["user_id", "vld"])
-    # the same instant the oracle's TIMESTAMP literal denotes, in µs,
-    # resolved by the session so timezone handling matches the raw read
-    at_us = spark.sql(
-        "SELECT unix_micros(timestamp'2024-03-01 00:00:00')").first()[0]
+    # the same instant the oracle's naive TIMESTAMP literal denotes, in µs,
+    # interpreted in the session timezone (zero Spark jobs — resolving it
+    # through spark.sql would cost an extra action per call)
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    at_us = int(dt.datetime(2024, 3, 1, tzinfo=tz).timestamp() * 1e6)
     return db.run_script_df(f"""
     ?[user_id, last_type, last_value] :=
         *ev_hist{{user_id, event_type: et, value: v @ {at_us}}},
