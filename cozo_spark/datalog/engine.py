@@ -187,9 +187,13 @@ class NamedRows:
 
     def as_dict(self) -> dict:
         """JSON form; like the reference's into_json (db.rs:179-194) this
-        serializes the WHOLE chain recursively."""
-        nxt = self.next.as_dict() if self.has_more() else None
-        return {"headers": self.headers, "rows": self.rows, "next": nxt}
+        serializes the WHOLE chain (iteratively — a many-thousand-page
+        result must not hit the Python recursion limit)."""
+        pages = self.flatten()
+        out = None
+        for p in reversed(pages):
+            out = {"headers": p.headers, "rows": p.rows, "next": out}
+        return out
 
     def into_payload(self, relation: str, op: str) -> tuple:
         """(script, params) re-applying these rows as a mutation — the
@@ -1924,6 +1928,24 @@ class CozoDb:
         return rows
 
 
+def _rel_meta_fingerprint(r: StoredRelation) -> tuple:
+    """Metadata identity of a relation for txn conflict scoping: triggers,
+    access level, and the FULL index definitions (kind + options + built
+    state class) — name-only comparison would miss a same-name index
+    redefinition inside a transaction."""
+    return (
+        r.access_level, tuple(r.put_triggers), tuple(r.rm_triggers),
+        tuple(r.replace_triggers),
+        tuple(sorted(
+            # id() catches same-name redefinition (a new IndexDef object)
+            # even when kind/options repr identically; artifact state is
+            # deliberately EXCLUDED — lazy builds are caches, not writes
+            (n, d.kind, repr(sorted(d.options.items(), key=lambda kv: str(kv[0]))),
+             tuple(d.columns), id(d))
+            for n, d in r.indices.items())),
+    )
+
+
 class MultiTransaction:
     """Interactive transaction session (reference db.rs:298-397, HTTP
     /transact): statements run against a private copy-on-write view of the
@@ -1958,11 +1980,8 @@ class MultiTransaction:
         # metadata fingerprint of each shadow clone at txn start: a sysop
         # that edits triggers/access/indices touches the relation without
         # replacing .df, and must still count as a write at commit time
-        self._meta_snapshot = {
-            n: (r.access_level, tuple(r.put_triggers), tuple(r.rm_triggers),
-                tuple(r.replace_triggers), tuple(sorted(r.indices)))
-            for n, r in self.shadow.relations.items()
-        }
+        self._meta_snapshot = {n: _rel_meta_fingerprint(r)
+                               for n, r in self.shadow.relations.items()}
         self.done = False
 
     def run_script(self, script: str, params: Optional[dict] = None) -> NamedRows:
@@ -1988,10 +2007,7 @@ class MultiTransaction:
             for n, r in shadow_rels.items():
                 if n not in snap or r.df is not snap[n]:
                     touched.add(n)
-                elif self._meta_snapshot.get(n) != (
-                        r.access_level, tuple(r.put_triggers),
-                        tuple(r.rm_triggers), tuple(r.replace_triggers),
-                        tuple(sorted(r.indices))):
+                elif self._meta_snapshot.get(n) != _rel_meta_fingerprint(r):
                     touched.add(n)
             for n in snap:
                 if n not in shadow_rels:  # dropped inside the txn

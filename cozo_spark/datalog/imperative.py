@@ -256,7 +256,10 @@ def _run_block(db, stmts: list):
                             "variables in `as` construct.")
                     seen.add(k)
                     names.append(k)
-                rows = [tuple(r) for r in res.rows]
+                # consume the WHOLE page chain — with row_page_size set,
+                # res.rows is only page 1 (NamedRows::next pagination)
+                rows = [tuple(r) for page in res.flatten() for r in page.rows] \
+                    if hasattr(res, "flatten") else [tuple(r) for r in res.rows]
                 if rows:
                     # infer per-column types from non-null values (all-NULL
                     # columns default to String) — bare createDataFrame

@@ -660,7 +660,7 @@ _EL_VOWELS = "αεηιουω"
 _EL_MAT = ("ματος", "ματων", "ματα", "μάτων", "μάτος")
 _EL_VERB = ("ιουνταν", "ιονταν", "ουνταν", "ονταν", "ομασταν", "οσασταν",
             "ομαστε", "οσαστε", "ιομουν", "ιοσουν", "ιοταν", "ομουνα",
-            "οσουνα", "ονται", "ονταс", "ομουν", "οσουν", "οταν",
+            "οσουνα", "ονται", "οντας", "ομουν", "οσουν", "οταν",
             "ουσαμε", "ουσατε", "ουσαν", "ουσες", "ουσε", "ουσα",
             "ησαμε", "ησατε", "ησαν", "ησες", "ησε", "ησα", "ηθηκα",
             "ηθηκες", "ηθηκε", "ηκαμε", "ηκατε", "ηκαν", "ηκες", "ηκε",

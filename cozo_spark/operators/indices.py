@@ -114,7 +114,8 @@ def _lsh_apply(rel, idx: IndexDef, kind: str, rows: DataFrame):
 
             base = base.filter(compile_expr(filt, set(base.columns), _df_typer(base)))
         add = minhash_signatures(base, extractor, key,
-                                 num_perm=art["n_perm"], shingle_n=art["n_gram"])
+                                 num_perm=art["n_perm"], shingle_n=art["n_gram"],
+                                 hash_fn=art.get("hash_fn", "md5"))
         sigs = sigs.unionByName(add)
     sigs = _checkpoint(sigs)
     n_rows_b, n_bands = art["n_rows"], art["n_bands"]
@@ -193,7 +194,7 @@ def ensure_artifact(db, rel, idx_name: str) -> IndexDef:
         idx.artifact = {"sigs": sigs, "banded": _checkpoint(banded),
                         "n_perm": n_perm, "n_gram": n_gram,
                         "n_bands": n_bands, "n_rows": n_rows,
-                        "threshold": threshold}
+                        "threshold": threshold, "hash_fn": hash_fn}
     elif idx.kind == "hnsw":
         if idx.options.get("ivf"):
             from cozo_spark.operators.similarity import ivf_build
@@ -302,8 +303,11 @@ def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int,
     art = idx.artifact
     n_perm = art["n_perm"]
     probe_df = db.spark.createDataFrame([(0, query_text)], "qid long, text string")
+    # probe MUST hash shingles the same way the index was built
+    # (an md5 probe against an xxhash64 index would never collide)
     probe = minhash_signatures(probe_df, "text", "qid", num_perm=n_perm,
-                               shingle_n=art["n_gram"])
+                               shingle_n=art["n_gram"],
+                               hash_fn=art.get("hash_fn", "md5"))
     key = rel.key_names[0]
     # banded candidate retrieval (LshSearchRA ra.rs:1068-1124): the probe's
     # band hashes join the prebuilt bucket frame, so only colliding docs are

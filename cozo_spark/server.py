@@ -282,13 +282,24 @@ def _make_handler(server: CozoServer):
                         [T.StructField(h, T.StringType(), True) for h in headers]))
                 return server.db.spark.createDataFrame(rows, schema=headers)
 
+            remote_rule._cozo_remote_rule = True
             try:
                 server.db.register_fixed_rule(name, remote_rule)
             except ValueError as e:
-                # name conflict (incl. builtins) → HTTP error, never a
-                # silent clobber (reference db.rs:760-777 bails the same way)
-                self._json({"ok": False, "message": str(e)}, 409)
-                return
+                # name conflict. A conflicting REMOTE rule is a stale
+                # registration from a dropped stream (the old handler only
+                # notices the broken pipe at its next 10s keep-alive) — a
+                # reconnecting client must be able to displace it
+                # immediately. Builtins and user rules stay protected
+                # (reference db.rs:760-777 bails the same way).
+                from cozo_spark.fixed_rules import _REGISTRY
+                prev = _REGISTRY.get(name)
+                if prev is not None and getattr(prev, "_cozo_remote_rule", False):
+                    server.db.unregister_fixed_rule(name)
+                    server.db.register_fixed_rule(name, remote_rule)
+                else:
+                    self._json({"ok": False, "message": str(e)}, 409)
+                    return
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
