@@ -230,6 +230,24 @@ def _register_pipeline_rules() -> None:
         o = dict(options or {})
         return keyword_topk(_doc_frame(inputs[0]), k=int(o.get("k", 3)))
 
+    def html_strip_rule(inputs, options=None):
+        from cozo_spark.operators.text import html_strip
+
+        c = inputs[0].columns
+        d = inputs[0].select(F.col(c[0]).alias("doc_id"),
+                             F.col(c[1]).alias("html"))
+        return html_strip(d)
+
+    def url_dedup_rule(inputs, options=None):
+        from cozo_spark.operators.text import url_dedup_groups
+
+        c = inputs[0].columns
+        d = inputs[0].select(F.col(c[0]).alias("doc_id"),
+                             F.col(c[1]).alias("url"))
+        return url_dedup_groups(d)
+
+    register_fixed_rule("HtmlStrip", html_strip_rule)
+    register_fixed_rule("UrlDedup", url_dedup_rule)
     register_fixed_rule("MinHashPairs", minhash_pairs)
     register_fixed_rule("DedupClusters", dedup_clusters_rule)
     register_fixed_rule("NgramContamination", contamination_rule)

@@ -266,3 +266,58 @@ def pack_sequences(df: DataFrame, capacity: int = 2048, shards: int = 32,
     return d.select(
         id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("__shard") * F.lit(1 << 32) + local_chunk).alias("chunk_id"))
+
+
+def html_strip(df: DataFrame, html_col: str = "html", id_col: str = "doc_id",
+               out_col: str = "text") -> DataFrame:
+    """(id, text): visible text extracted from HTML — boilerplate removal,
+    the first step of a web-corpus pipeline (script/style/comment blocks
+    dropped, tags stripped, core entities decoded, whitespace collapsed).
+
+    Pure regexp_replace chain: map-only, whole-stage codegen, and every
+    pattern is RE2-compatible so the DuckDB oracle replicates it exactly
+    (no lookaround, inline (?is) flags only)."""
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(F.col(id_col), c.alias(out_col))
+
+
+def url_normalize(df: DataFrame, url_col: str = "url",
+                  out_col: str = "norm_url") -> DataFrame:
+    """Canonical URL form for dedup: lowercase scheme+authority, fragment
+    dropped, utm_*/fbclid/gclid tracking params removed, default :80/:443
+    ports stripped, trailing slash trimmed. All regexp_replace steps are
+    capture-group-free in the REPLACEMENT (Spark uses $1, DuckDB uses \\1 —
+    avoiding groups keeps one pattern set valid on both engines)."""
+    c = F.col(url_col)
+    # lowercase the scheme://authority prefix, keep the rest as-is
+    prefix = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    c = F.concat(prefix, rest)
+    c = F.regexp_replace(c, r"#.*$", "")                       # fragment
+    c = F.regexp_replace(c, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "")
+    c = F.regexp_replace(c, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
+    c = F.regexp_replace(c, r":443/", "/")                     # default ports
+    c = F.regexp_replace(c, r":80/", "/")
+    c = F.regexp_replace(c, r":443$", "")
+    c = F.regexp_replace(c, r":80$", "")
+    c = F.regexp_replace(c, r"/\?", "?")                       # '/?q' -> '?q'
+    c = F.regexp_replace(c, r"/$", "")                         # trailing slash
+    return df.withColumn(out_col, c)
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(norm_url, keeper_id, n_copies): URL-level dedup after
+    normalization — keeper = min id. One shuffle on the normalized key."""
+    n = url_normalize(df.select(id_col, url_col), url_col)
+    return (n.groupBy("norm_url")
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count("*").alias("n_copies")))

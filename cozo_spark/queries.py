@@ -2205,3 +2205,132 @@ def keyword_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = db.run_script_df(
         "?[doc_id, term, score, rank] <~ KeywordTopK(*docs[], k: 3)")
     return df.select("doc_id", "term", "score", "rank")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: HTML boilerplate removal + URL-level dedup (round 4)
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = ('<html><head><title>T', '</title><script type="text/javascript">'
+             'var x = 1 < 2 && true;</script><style>p { color: red; }</style>'
+             '</head><body><!-- nav menu --><p>')
+_HTML_POST = ('</p><div id="f">Footer &amp; &lt;links&gt;&nbsp;',
+              '&#39;here&#39;</div></body></html>')
+
+
+@query(
+    "html_boilerplate_strip",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             '{_HTML_PRE[0]}' || CAST(doc_id % 3 AS VARCHAR) || '{_HTML_PRE[1]}'
+             || text || '{_HTML_POST[0]}{_HTML_POST[1]}' AS html
+      FROM documents WHERE doc_id < 150
+    ), stripped AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(html,
+                    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+              '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+           '&#39;', '''', 'g'),
+          '&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS text
+      FROM built)
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS text_len
+    FROM stripped
+    """,
+)
+def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal over synthesized HTML wrappers: script/style/
+    comment blocks dropped, tags stripped, core entities decoded,
+    whitespace collapsed — map-only regexp codegen (operators/text.py
+    html_strip; every pattern RE2-compatible so DuckDB replicates it).
+    Runs THROUGH the engine's fixed-rule dispatch (`<~ HtmlStrip`)."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.operators.text import html_strip  # noqa: F401 (cited)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    built = docs.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE[0]), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(_HTML_PRE[1]), F.col("text"),
+                 F.lit(_HTML_POST[0] + _HTML_POST[1])).alias("html"))
+    db = CozoDb(spark)
+    db.register_dataframe("pages", built, keys=["doc_id"])
+    out = db.run_script_df("?[doc_id, text] <~ HtmlStrip(*pages[])")
+    return out.select("doc_id", "text",
+                      F.length("text").cast("long").alias("text_len"))
+
+
+_URL_EXPR_SQL = ("'HTTPS://Example' || CAST(doc_id % 3 AS VARCHAR) || "
+                 "'.COM:443/path' || CAST(doc_id % 4 AS VARCHAR) || "
+                 "'/?utm_source=news&utm_campaign=x&id=' || "
+                 "CAST(doc_id % 5 AS VARCHAR) || '#sec' || "
+                 "CAST(doc_id % 2 AS VARCHAR)")
+
+
+@query(
+    "url_normalize_dedup",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_EXPR_SQL} AS url
+      FROM documents WHERE doc_id < 400
+    ), norm AS (
+      SELECT doc_id,
+        regexp_replace(
+         regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+                 || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                 '#.*$', '', 'g'),
+                '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+               '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+              ':443/', '/', 'g'),
+             ':80/', '/', 'g'),
+            ':443$', '', 'g'),
+           ':80$', '', 'g'),
+          '/\\?', '?', 'g'),
+         '/$', '', 'g') AS norm_url
+      FROM urls)
+    SELECT norm_url, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM norm GROUP BY norm_url
+    """,
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup over synthesized URLs (case/default
+    port/fragment/tracking-param noise collapses 400 urls into 60 groups):
+    one shuffle on the normalized key. Runs THROUGH the engine's
+    fixed-rule dispatch (`<~ UrlDedup`; operators/text.py url_normalize)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://Example"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".COM:443/path"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit("/?utm_source=news&utm_campaign=x&id="),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit("#sec"), (F.col("doc_id") % 2).cast("string")).alias("url"))
+    db = CozoDb(spark)
+    db.register_dataframe("pages", urls, keys=["doc_id"])
+    out = db.run_script_df("?[norm_url, keeper_id, n_copies] <~ UrlDedup(*pages[])")
+    return out.select("norm_url", "keeper_id", "n_copies")
