@@ -31,7 +31,8 @@ from pyspark.sql import types as T
 from cozo_spark.datalog.ast import (
     Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, ListEx,
     NamedRelApply, Negation, OutOpts, Program, RelApply, RuleApply,
-    RuleClause, TableSchema, Unify, expr_nondet, program_nondet,
+    RuleClause, TableSchema, Unify, _atom_nondet, expr_nondet,
+    program_nondet,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -40,6 +41,11 @@ from cozo_spark.datalog.translate import (
 from cozo_spark.datalog.fixpoint import _checkpoint
 from cozo_spark.fixed_rules import get_fixed_rule
 from cozo_spark.functions.aggregates import AGGREGATIONS
+
+import itertools as _itertools
+
+_STORED_REL_SEQ = _itertools.count()
+
 
 def _condensation(nodes: set, deps: dict) -> list[set]:
     """SCC condensation in dependency-first topological order (the reference
@@ -141,6 +147,17 @@ class StoredRelation:
     # lazy-merge plans stacked on top of the last full materialization;
     # bounded by CozoDb._COMPACT_EVERY (write path is O(delta), not O(table))
     pending_merges: int = 0
+    # LOGICAL write counter: bumped by mutations (:put/:rm/.../:replace,
+    # ::import), NOT by physical re-materializations (::compact,
+    # persist_relation) which swap .df without changing contents.
+    # MultiTransaction conflict detection compares (created_seq, version),
+    # so a compaction on either side never fabricates a write-write
+    # conflict, and a concurrent drop+recreate (version resets) can never
+    # alias an old snapshot (created_seq is globally unique per creation;
+    # txn shadow clones copy it).
+    version: int = 0
+    created_seq: int = field(
+        default_factory=lambda: next(_STORED_REL_SEQ))
 
     @property
     def key_names(self) -> list:
@@ -177,19 +194,28 @@ class NamedRows:
         return self._next_page is not None or self._next_fn is not None
 
     def flatten(self) -> list:
-        """Chain → list of individual pages (NamedRows::flatten,
-        db.rs:163-177)."""
+        """Chain → list of DETACHED individual pages (NamedRows::flatten,
+        db.rs:163-177 takes/severs `next` on each page). Detaching means
+        as_dict()/has_more() on one flattened element covers that page
+        alone — not an O(n²) re-serialization of the remaining chain."""
         out, cur = [], self
         while cur is not None:
+            nxt = cur.next  # materializes a lazy page before severing
+            cur._next_page = None
+            cur._next_fn = None
             out.append(cur)
-            cur = cur.next
+            cur = nxt
         return out
 
     def as_dict(self) -> dict:
         """JSON form; like the reference's into_json (db.rs:179-194) this
         serializes the WHOLE chain (iteratively — a many-thousand-page
-        result must not hit the Python recursion limit)."""
-        pages = self.flatten()
+        result must not hit the Python recursion limit). Non-destructive:
+        the chain stays linked (use flatten() to sever)."""
+        pages, cur = [], self
+        while cur is not None:
+            pages.append(cur)
+            cur = cur.next
         out = None
         for p in reversed(pages):
             out = {"headers": p.headers, "rows": p.rows, "next": out}
@@ -257,6 +283,14 @@ class CozoDb:
     @_entry_display_headers.setter
     def _entry_display_headers(self, v) -> None:
         self._tls.entry_display_headers = v
+
+    @property
+    def _had_eager_eval(self) -> bool:
+        return getattr(self._tls, "had_eager_eval", True)
+
+    @_had_eager_eval.setter
+    def _had_eager_eval(self, v: bool) -> None:
+        self._tls.had_eager_eval = v
 
     # -- public API -------------------------------------------------------------
 
@@ -409,15 +443,126 @@ class CozoDb:
 
     def run_script_df(self, script: str, params: Optional[dict] = None):
         """Like run_script but returns the result DataFrame when the script is
-        a pure query (lets callers keep the plan lazy)."""
+        a pure query (lets callers keep the plan lazy).
+
+        Pure deterministic queries go through a compiled-plan cache
+        (prepared-statement reuse): translating CozoScript to a DataFrame
+        plan costs ~1000 py4j round-trips, and re-running the same script
+        against the same registered frames rebuilds an identical lazy plan.
+        The cache returns the previously built (still lazy, still
+        re-executed on every action) DataFrame. Entries are invalidated by
+        relation identity (any mutation swaps rel.df), fixed-rule registry
+        changes, and params. Programs whose EVALUATION already ran Spark
+        jobs (recursive fixpoints, eager fixed rules) are never cached, so
+        a cache hit never skips real work — only plan construction."""
         parsed = parse_script(script, params)
         if isinstance(parsed, dict) and "sysop" in parsed:
             return self._run_sysop(parsed)
         if isinstance(parsed, Program):
-            return self._run_program(parsed)
+            key = self._plan_cache_key(script, params, parsed)
+            if key is not None:
+                hit = self._plan_cache_get(key)
+                if hit is not None:
+                    self._entry_display_headers = hit[1]
+                    return hit[0]
+            self._had_eager_eval = False
+            res = self._run_program(parsed)
+            if (key is not None and not self._had_eager_eval
+                    and isinstance(res, DataFrame)):
+                self._plan_cache_put(key, res)
+            return res
         # imperative program
         from cozo_spark.datalog.imperative import run_imperative
         return run_imperative(self, parsed)
+
+    # Fixed rules whose plan construction is lazy AND whose output is a
+    # deterministic function of their inputs/options — safe to serve from
+    # the compiled-plan cache. Eager rules (graph algorithms that count
+    # edges to pick a strategy, DedupClusters' iterative propagation,
+    # KeywordTopK's corpus count) and anything user-registered stay
+    # uncached so a "hit" never hides executed work.
+    _CACHEABLE_FIXED_RULES = frozenset({
+        "ReorderSort", "Constant", "CsvReader", "JsonReader",
+        "HtmlStrip", "UrlDedup", "MinHashPairs", "NgramContamination",
+        "PackSequences", "QualityScores", "LanguageId", "PiiRedact",
+        "RepetitionSignals", "BalancedSample",
+    })
+    _PLAN_CACHE_MAX = 64
+    _plan_cache: dict = {}  # key -> (df, headers, spark, rel_snapshot)
+    _plan_cache_lock = _threading.Lock()
+
+    def _plan_cache_key(self, script: str, params: Optional[dict],
+                        prog: Program):
+        """None = not cacheable. The key carries the script text, params,
+        and fixed-rule registry version; relation/session identity is
+        checked against the stored snapshot at hit time (strong refs in
+        the snapshot keep ids from being recycled)."""
+        import cozo_spark.fixed_rules as _fr
+
+        o = prog.opts
+        if (o.store_op or o.assert_kind or o.returning
+                or o.timeout is not None):
+            return None
+        if self.temp_relations:
+            return None
+        for rule in prog.rules.values():
+            if isinstance(rule, ConstRule):
+                if expr_nondet(rule.expr):
+                    return None
+            elif isinstance(rule, FixedApply):
+                if rule.rule_name not in self._CACHEABLE_FIXED_RULES:
+                    return None
+                if any(expr_nondet(v) for v in rule.options.values()):
+                    return None
+            else:
+                for cl in rule:
+                    if any(isinstance(h, HeadAggr) and h.aggr == "choice_rand"
+                           for h in cl.head):
+                        return None
+                    if any(_atom_nondet(a) for a in cl.body):
+                        return None
+        try:
+            params_key = repr(sorted((params or {}).items()))
+        except Exception:
+            return None
+        return (script, params_key, _fr.REGISTRY_VERSION)
+
+    def _rel_snapshot(self):
+        # access_level and the index set change read semantics WITHOUT
+        # swapping rel.df — they must invalidate cached plans too
+        return tuple(sorted(
+            (name, id(rel.df), tuple(c.name for c in rel.keys),
+             rel.keys_trusted, rel.access_level,
+             tuple(sorted(rel.indices)))
+            for name, rel in self.relations.items()))
+
+    def _plan_cache_get(self, key):
+        with CozoDb._plan_cache_lock:
+            ent = CozoDb._plan_cache.get(key)
+            if ent is None:
+                return None
+            df, headers, spark, snapshot, rel_refs = ent
+            if spark is not self.spark or self.temp_relations:
+                return None
+            # identity check: every relation the db holds now must be the
+            # exact frame the plan was compiled against
+            if snapshot != self._rel_snapshot():
+                return None
+            if any(self.relations[name].df is not ref
+                   for name, ref in rel_refs):
+                return None
+            return df, headers
+
+    def _plan_cache_put(self, key, df: DataFrame) -> None:
+        rel_refs = tuple((name, rel.df)
+                         for name, rel in sorted(self.relations.items()))
+        ent = (df, self._entry_display_headers, self.spark,
+               self._rel_snapshot(), rel_refs)
+        with CozoDb._plan_cache_lock:
+            cache = CozoDb._plan_cache
+            cache[key] = ent
+            while len(cache) > self._PLAN_CACHE_MAX:
+                cache.pop(next(iter(cache)))
 
     # -- program evaluation --------------------------------------------------------
 
@@ -918,6 +1063,9 @@ class CozoDb:
         running total); clauses referencing no recursive rule seed epoch 0.
         Meet-aggregation rules merge per epoch and emit changed rows as delta.
         """
+        # fixpoints run jobs NOW (checkpoint + count per epoch) — the
+        # compiled-plan cache must not serve results that embed this work
+        self._had_eager_eval = True
         totals: dict[str, Optional[DataFrame]] = {r: None for r in scc}
         deltas: dict[str, Optional[DataFrame]] = {r: None for r in scc}
         meet = {r: any(isinstance(h, HeadAggr) for cl in clause_map[r] for h in cl.head)
@@ -1189,6 +1337,7 @@ class CozoDb:
         materialization — the log-structured-merge shape of a scale-out
         store, vs. the previous rewrite-the-table-per-write."""
         rel.pending_merges += 1
+        rel.version += 1
         if rel.pending_merges >= self._COMPACT_EVERY:
             rel.df = _checkpoint(df)
             rel.pending_merges = 0
@@ -1695,6 +1844,9 @@ class CozoDb:
                     data = data.withColumn(c.name, F.col(c.name).cast(_col_type(c.typing)))
             data = _checkpoint(data.dropDuplicates([c.name for c in keys]))
         new_rel = StoredRelation(name, keys, non_keys, data)
+        if old is not None:
+            # :replace of an existing relation is a logical write
+            new_rel.version = old.version + 1
         if old is not None and (old.put_triggers or old.rm_triggers):
             # put/rm triggers survive a :replace (stored.rs:83,123-126) and
             # the carried-over put triggers fire for the initial rows
@@ -1972,11 +2124,18 @@ class MultiTransaction:
                               # would let the FD distinct-elision fire on an
                               # untrusted registered frame inside the txn
                               keys_trusted=r.keys_trusted,
-                              pending_merges=r.pending_merges)
+                              pending_merges=r.pending_merges,
+                              version=r.version,
+                              created_seq=r.created_seq)
             for n, r in db.relations.items()
         }
         self.shadow.temp_relations = dict(db.temp_relations)
-        self._base_snapshot = {n: r.df for n, r in db.relations.items()}
+        # logical (created_seq, version) at txn start: compaction
+        # (::compact / _COMPACT_EVERY) swaps .df without bumping version,
+        # so neither a shadow-side nor a base-side compaction reads as a
+        # write; created_seq disambiguates a concurrent drop+recreate
+        self._base_snapshot = {n: (r.created_seq, r.version)
+                               for n, r in db.relations.items()}
         # metadata fingerprint of each shadow clone at txn start: a sysop
         # that edits triggers/access/indices touches the relation without
         # replacing .df, and must still count as a write at commit time
@@ -1997,15 +2156,18 @@ class MultiTransaction:
         if self.write:
             snap = self._base_snapshot
             shadow_rels = self.shadow.relations
-            # relations this transaction actually WROTE: df replaced (every
-            # mutation goes through _set_merged, which installs a new frame
-            # object), created, dropped, or metadata edited by a sysop.
+            # relations this transaction actually WROTE: logical version
+            # bumped (every mutation routes through _set_merged / :replace /
+            # ::import, which increment it), created, dropped, or metadata
+            # edited by a sysop. Physical re-materializations (::compact,
+            # lazy-compaction threshold crossings) do NOT bump the version,
+            # so they never classify as writes on either side.
             # Per-relation conflict scope mirrors the reference's
             # per-relation locking — a base-side create/drop of a relation
             # this txn never touched must NOT abort it.
             touched: set = set()
             for n, r in shadow_rels.items():
-                if n not in snap or r.df is not snap[n]:
+                if n not in snap or (r.created_seq, r.version) != snap[n]:
                     touched.add(n)
                 elif self._meta_snapshot.get(n) != _rel_meta_fingerprint(r):
                     touched.add(n)
@@ -2019,7 +2181,7 @@ class MultiTransaction:
                         raise QueryError(
                             f"write-write conflict on relation {n!r}: "
                             "concurrently removed")
-                    if cur.df is not snap[n]:
+                    if (cur.created_seq, cur.version) != snap[n]:
                         raise QueryError(
                             f"write-write conflict on relation {n!r}: "
                             "concurrent mutation")

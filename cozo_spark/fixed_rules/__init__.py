@@ -14,7 +14,17 @@ from pyspark.sql import DataFrame
 
 FixedRule = Callable[..., DataFrame]
 
+# ReorderSort: inputs whose Catalyst size estimate is below this take the
+# reference's single-node sort shape; at/above it, the two-pass
+# range-partitioned global position (module-level so tests can force the
+# distributed branch on small data)
+REORDER_SORT_SMALL_BYTES = 64 << 20
+
 _REGISTRY: dict[str, FixedRule] = {}
+
+# bumped on every register/unregister so compiled-plan caches keyed on the
+# rule surface invalidate when the registry changes
+REGISTRY_VERSION = 0
 
 
 def register_fixed_rule(name: str, fn: FixedRule) -> None:
@@ -22,19 +32,25 @@ def register_fixed_rule(name: str, fn: FixedRule) -> None:
     registered (builtin or user) is an error, never a silent overwrite —
     the registry is module-global, so clobbering e.g. PageRank would
     poison every CozoDb instance in the process."""
+    global REGISTRY_VERSION
     if name in _REGISTRY:
         raise ValueError(
             f"A fixed rule with the name {name!r} is already registered")
     _REGISTRY[name] = fn
+    REGISTRY_VERSION += 1
 
 
 def unregister_fixed_rule(name: str) -> bool:
     """Drop a USER rule; builtins are protected (db.rs:779-784 bails with
     'Cannot unregister builtin fixed rule'). Returns whether a user rule
     was actually removed (the reference's Ok(removed.is_some()))."""
+    global REGISTRY_VERSION
     if name in _BUILTIN_RULES:
         raise ValueError(f"cannot unregister builtin fixed rule {name!r}")
-    return _REGISTRY.pop(name, None) is not None
+    removed = _REGISTRY.pop(name, None) is not None
+    if removed:
+        REGISTRY_VERSION += 1
+    return removed
 
 
 def get_fixed_rule(name: str) -> FixedRule:
@@ -98,11 +114,60 @@ def _register_builtins() -> None:
         # value-deterministic position among ties (the reference keeps input
         # order; DataFrames have none, so full-tuple order stands in)
         order += [F.col(c).asc() for c in df.columns]
-        w = W.orderBy(*order)
-        pos = F.row_number().over(w).cast("long")
-        rank = pos if options.get("break_ties", False) else \
-            F.rank().over(W.orderBy(F.col("_sorter").desc() if desc else F.col("_sorter").asc())).cast("long")
-        work = work.withColumn("_pos", pos).withColumn("_rank", rank)
+        # Two-pass global position: a bare Window.orderBy would move every
+        # row to ONE partition (the reference's sort is single-node anyway,
+        # reorder_sort.rs:30-125, but a global rank doesn't require that).
+        # Range-partition on the sort order; within each sorted partition
+        # monotonically_increasing_id's low 33 bits are the consecutive
+        # 0-based record number (documented layout: partition id in the
+        # high bits), so the local position costs NO window and NO second
+        # full-data exchange. Global position = local + prefix-sum of
+        # earlier partitions' row counts (a tiny per-partition counts
+        # relation, self-joined for the prefix sum, broadcast back).
+        # The range-shuffle exchange is shared by the counts branch and
+        # the output branch (ReuseExchange), so _pid agrees.
+        spark = df.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        # Catalyst's size estimate is free (no job); small inputs take the
+        # reference's own single-node sort shape (one exchange, no
+        # sampling pass, no counts branch) — AQE-style adaptivity.
+        try:
+            est = int(work._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            est = 1 << 62
+        if est < REORDER_SORT_SMALL_BYTES:
+            work = (work.repartition(1).sortWithinPartitions(*order)
+                    .withColumn(
+                        "_pos",
+                        (F.monotonically_increasing_id() + 1).cast("long")))
+        else:
+            ranged = (work.repartitionByRange(n_part, *order)
+                      .sortWithinPartitions(*order)
+                      .withColumn("_mid", F.monotonically_increasing_id())
+                      .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+                      .withColumn("_local",
+                                  F.col("_mid").bitwiseAND((1 << 33) - 1)))
+            counts = ranged.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("_cnt"))
+            offs = (counts.alias("a")
+                    .join(counts.alias("b"),
+                          F.col("b._pid") < F.col("a._pid"), "left")
+                    .groupBy(F.col("a._pid").alias("_pid"))
+                    .agg(F.coalesce(F.sum("b._cnt"), F.lit(0))
+                         .cast("long").alias("_off")))
+            work = (ranged.join(F.broadcast(offs), "_pid")
+                    .withColumn("_pos",
+                                (F.col("_local") + F.col("_off") + 1)
+                                .cast("long")))
+        if options.get("break_ties", False):
+            work = work.withColumn("_rank", F.col("_pos"))
+        else:
+            # competition rank = min global position among equal sorter
+            # values; tie-groups bound the window partitions
+            work = work.withColumn(
+                "_rank",
+                F.min("_pos").over(W.partitionBy("_sorter")).cast("long"))
         skip = int(options.get("skip", 0) or 0)
         take = options.get("take")
         if skip:

@@ -567,7 +567,9 @@ def stem_turkish(word: str) -> str:
     published algorithm guards them with morphotactic context we abridge);
     this trades a little verb-form recall for not mangling nouns like
     'gözlük'."""
-    word = word.lower().replace("I", "ı").replace("İ", "i")
+    # Turkish dotted/dotless-I folding MUST precede .lower(): Python lowers
+    # I→i (wrong for Turkish) and İ (U+0130)→'i'+U+0307 (combining dot)
+    word = word.replace("I", "ı").replace("İ", "i").lower()
     stripped = False
     new = _tr_strip(word, _TR_NOMINAL_VERB_MULTI)
     if new != word:

@@ -292,22 +292,31 @@ def html_strip(df: DataFrame, html_col: str = "html", id_col: str = "doc_id",
 def url_normalize(df: DataFrame, url_col: str = "url",
                   out_col: str = "norm_url") -> DataFrame:
     """Canonical URL form for dedup: lowercase scheme+authority, fragment
-    dropped, utm_*/fbclid/gclid tracking params removed, default :80/:443
-    ports stripped, trailing slash trimmed. All regexp_replace steps are
-    capture-group-free in the REPLACEMENT (Spark uses $1, DuckDB uses \\1 —
-    avoiding groups keeps one pattern set valid on both engines)."""
+    dropped, [?&]-anchored utm_*/fbclid/gclid tracking params removed,
+    scheme-matched default :80/:443 ports stripped from the authority only,
+    trailing slash trimmed. Patterns are RE2-compatible (no lookaround);
+    the two port steps use capture groups, whose replacement syntax differs
+    per engine (Spark $1, DuckDB \\1) — the oracle SQL mirrors that."""
     c = F.col(url_col)
     # lowercase the scheme://authority prefix, keep the rest as-is
     prefix = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0))
     rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     c = F.concat(prefix, rest)
     c = F.regexp_replace(c, r"#.*$", "")                       # fragment
-    c = F.regexp_replace(c, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "")
-    c = F.regexp_replace(c, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
-    c = F.regexp_replace(c, r":443/", "/")                     # default ports
-    c = F.regexp_replace(c, r":80/", "/")
-    c = F.regexp_replace(c, r":443$", "")
-    c = F.regexp_replace(c, r":80$", "")
+    # tracking params, anchored on their [?&] delimiter so longer param
+    # names ('myutm_source', 'oldfbclid') never match: &-prefixed ones drop
+    # with their '&'; a ?-prefixed one keeps the '?' when more params
+    # follow, or drops entirely at end-of-string
+    c = F.regexp_replace(c, r"&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
+    # default ports, restricted to the authority component and matched to
+    # the scheme (http://h:443/ keeps its NON-default port). No lookahead
+    # (RE2): the delimiter is captured and restored.
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443([/?#])", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443$", r"$1")
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80([/?#])", r"$1$2")
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80$", r"$1")
     c = F.regexp_replace(c, r"/\?", "?")                       # '/?q' -> '?q'
     c = F.regexp_replace(c, r"/$", "")                         # trailing slash
     return df.withColumn(out_col, c)

@@ -25,7 +25,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized per (session, dir, table): a DataFrame is an immutable lazy
+    plan, and returning the SAME object lets the engine's compiled-plan
+    cache key on frame identity across calls (footer re-reads also skipped)."""
+    ck = (spark, sf_dir, name)
+    hit = _T_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    df = _t_read(spark, sf_dir, name)
+    _T_CACHE[ck] = df
+    return df
+
+
+def _t_read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
@@ -625,15 +641,19 @@ def validity_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the latest assertion at-or-before the timestamp. The translator's
     as-of window partitions on the key prefix (one key shuffle), with the
     ts filter applied before it — same plan shape as the raw SCD-2 read."""
-    ev = _t(spark, sf_dir, "events")
-    evv = ev.select(
-        "user_id",
-        # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on how the
-        # session read the nanos parquet; cast unifies both (the same
-        # session-tz interpretation the oracle's naive literal gets)
-        F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
-                 F.lit(True).alias("is_assert")).alias("vld"),
-        "event_type", "value")
+    ck = (spark, sf_dir, "__validity_hist")
+    evv = _T_CACHE.get(ck)
+    if evv is None:
+        ev = _t(spark, sf_dir, "events")
+        evv = ev.select(
+            "user_id",
+            # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on how
+            # the session read the nanos parquet; cast unifies both (the same
+            # session-tz interpretation the oracle's naive literal gets)
+            F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+                     F.lit(True).alias("is_assert")).alias("vld"),
+            "event_type", "value")
+        _T_CACHE[ck] = evv
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
@@ -2237,16 +2257,17 @@ _HTML_POST = ('</p><div id="f">Footer &amp; &lt;links&gt;&nbsp;',
                regexp_replace(
                 regexp_replace(
                  regexp_replace(
-                  regexp_replace(html,
-                    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                  '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-                '<[^>]+>', ' ', 'g'),
-               '&nbsp;', ' ', 'g'),
-              '&lt;', '<', 'g'),
-             '&gt;', '>', 'g'),
-            '&quot;', '"', 'g'),
-           '&#39;', '''', 'g'),
+                  regexp_replace(
+                   regexp_replace(html,
+                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+                '&nbsp;', ' ', 'g'),
+               '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'),
+            '&#39;', '''', 'g'),
           '&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS text
       FROM built)
     SELECT doc_id, text, CAST(length(text) AS BIGINT) AS text_len
@@ -2299,15 +2320,17 @@ _URL_EXPR_SQL = ("'HTTPS://Example' || CAST(doc_id % 3 AS VARCHAR) || "
               regexp_replace(
                regexp_replace(
                 regexp_replace(
-                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
-                 || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-                 '#.*$', '', 'g'),
-                '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
-               '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
-              ':443/', '/', 'g'),
-             ':80/', '/', 'g'),
-            ':443$', '', 'g'),
-           ':80$', '', 'g'),
+                 regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+                  || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                  '#.*$', '', 'g'),
+                 '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+               '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+              '^(https://[^/:?#]*):443([/?#])', '\\1\\2', 'g'),
+             '^(https://[^/:?#]*):443$', '\\1', 'g'),
+            '^(http://[^/:?#]*):80([/?#])', '\\1\\2', 'g'),
+           '^(http://[^/:?#]*):80$', '\\1', 'g'),
           '/\\?', '?', 'g'),
          '/$', '', 'g') AS norm_url
       FROM urls)

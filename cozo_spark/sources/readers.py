@@ -159,6 +159,7 @@ def import_relations(db, payload: dict) -> None:
             kept = rel.df.join(df.select(*key_cols), key_cols, "left_anti")
             df = kept.unionByName(df)
         rel.df = _checkpoint(df)
+        rel.version += 1  # ::import is a logical write
 
 
 def backup_parquet(db, directory: str) -> None:

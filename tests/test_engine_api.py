@@ -128,16 +128,19 @@ def test_named_rows_pagination(spark):
     assert len(r.rows) == 4
     assert r.headers == ["x"]
     assert r.has_more()
-    pages = r.flatten()
-    assert [len(p.rows) for p in pages] == [4, 4, 2]
-    assert [v for p in pages for (v,) in p.rows] == list(range(1, 11))
-    assert not pages[-1].has_more()
-    # as_dict serializes the whole chain recursively (into_json contract)
+    # as_dict serializes the whole chain recursively (into_json contract);
+    # it is non-destructive, so it must come before the severing flatten()
     d = r.as_dict()
     assert [row[0] for row in d["rows"]] == [1, 2, 3, 4]
     assert [row[0] for row in d["next"]["rows"]] == [5, 6, 7, 8]
     assert d["next"]["next"]["rows"] == [[9], [10]]
     assert d["next"]["next"]["next"] is None
+    pages = r.flatten()
+    assert [len(p.rows) for p in pages] == [4, 4, 2]
+    assert [v for p in pages for (v,) in p.rows] == list(range(1, 11))
+    # flatten severs the chain (db.rs:163-177): each page stands alone
+    assert all(not p.has_more() for p in pages)
+    assert pages[0].as_dict()["next"] is None
     # an exact-multiple result has no dangling empty page
     r2 = db.run_script("?[x] <- [[1],[2],[3],[4]] :sort x")
     assert len(r2.rows) == 4 and not r2.has_more()
