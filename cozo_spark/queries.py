@@ -1825,30 +1825,35 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local parity suite, tests/test_oracle_parity.py).
 # ---------------------------------------------------------------------------
 
-# ROTATION (round 4): the demoted set swaps each round so every query
+# ROTATION (round 5): the demoted set swaps each round so every query
 # eventually gets a hard driver hash-check. Rules: (a) the 7 engine-path
 # rows are pinned inside the cap (test_oracle_parity.py guard); (b) only
 # shapes the driver has hash-verified in TWO consecutive rounds
-# (CORRECTNESS_r02 ∩ r03) are eligible for demotion; (c) everything
+# (CORRECTNESS_r03 ∩ r04) are eligible for demotion; (c) everything
 # promoted this round has NEVER had a driver row. Demoted shapes remain
 # covered by the local parity suite (tests/test_oracle_parity.py runs all
 # declared queries, not just the first 50).
 #
-# Demoted r4 (all r2+r3-verified near-duplicates of still-checked shapes):
-# set_intersect/set_except (set_union_dedup stays), agg_bool_bit/
-# agg_product/agg_collect_unique/agg_group_count (agg_basic/agg_stats/
-# agg_min_cost stay), unify_explode (unify_expr stays), limit_offset
-# (sort_topk stays), scalar_json/scalar_datetime (scalar_string_math
-# stays), simhash_pairs (minhash_lsh_pairs stays), doc_fingerprint
-# (text_token_stats/text_word_topk/text_quality/lang_id stay).
-# Still-tail (never checked, next rotation's candidates):
+# Promoted r5 (never driver-checked before — the round-4 red oracle proved
+# this blind spot is where bugs hide): html_boilerplate_strip,
+# url_normalize_dedup (registered last, were at positions 51-52),
 # graph_three_hop_filter, graph_pattern_long, datalog_two_hop.
+# Demoted r5 (r3+r4-verified near-duplicates of still-checked shapes):
+# inline_fixed_const (const rules also exercised by every datalog_* row),
+# join_point_lookup (join_multiway + scan_filter_project stay),
+# text_token_stats (text_bpe_tokens stays), text_quality and pii_redact
+# (repetition_signals + lang_id keep the `<~`-dispatch map-only family).
+# Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
+# set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
+# agg_group_count, unify_explode, limit_offset, scalar_json/
+# scalar_datetime, simhash_pairs, doc_fingerprint.
 DEMOTED: tuple = (
     "set_intersect", "set_except", "agg_bool_bit", "agg_product",
     "agg_collect_unique", "agg_group_count", "unify_explode",
     "limit_offset", "scalar_json", "scalar_datetime", "simhash_pairs",
     "doc_fingerprint",
-    "graph_three_hop_filter", "graph_pattern_long", "datalog_two_hop",
+    "inline_fixed_const", "join_point_lookup", "text_token_stats",
+    "text_quality", "pii_redact",
 )
 
 
