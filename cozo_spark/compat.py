@@ -148,7 +148,10 @@ class CozoDb:
         self._require().restore(path)
 
     def import_from_backup(self, path: str, relations: list) -> None:
-        """Restore only the named relations from a backup directory."""
+        """Restore only the named relations from a backup — either a
+        parquet snapshot directory or an ACTUAL CozoDB sqlite backup file
+        (the engine's restore() sniffs the format, so a pycozo user can
+        point this at the .db file the reference's backup() produced)."""
         from cozo_spark.datalog.engine import CozoDb as _Engine
 
         staging = _Engine(self._require().spark)

@@ -402,19 +402,38 @@ class CozoDb:
 
         import_relations(self, payload)
 
-    def backup(self, directory: str) -> None:
-        """Parquet snapshot backup (the reference's backup surface,
-        db.rs:621-758, re-expressed as executor-side parquet writes)."""
+    def backup(self, path: str) -> None:
+        """Backup the database. A ``.db``/``.sqlite``/``.sqlite3`` path
+        writes the REFERENCE'S sqlite backup format (backup_db,
+        db.rs:642-660; one `cozo(k,v)` table of memcomparable keys +
+        msgpack values) — an actual CozoDB can restore_backup() the file.
+        Any other path is the scale-out parquet snapshot (executor-side
+        writes, one dataset per relation)."""
+        if path.endswith((".db", ".sqlite", ".sqlite3")):
+            from cozo_spark.sources.cozo_backup import write_cozo_backup
+
+            write_cozo_backup(self, path)
+            return
         from cozo_spark.sources.readers import backup_parquet
 
-        backup_parquet(self, directory)
+        backup_parquet(self, path)
 
-    def restore(self, directory: str) -> None:
+    def restore(self, path: str) -> None:
         """Restore relations (schema, data, triggers, access levels) from a
-        ``backup`` directory."""
+        backup. Detects the format by content: a sqlite file with the
+        reference's `cozo` table restores via the real-Cozo decoder
+        (restore_backup, db.rs:661-686 — empty target only); otherwise the
+        parquet snapshot directory layout."""
+        from cozo_spark.sources.cozo_backup import (
+            is_cozo_sqlite_backup, restore_cozo_backup,
+        )
+
+        if is_cozo_sqlite_backup(path):
+            restore_cozo_backup(self, path)
+            return
         from cozo_spark.sources.readers import restore_parquet
 
-        restore_parquet(self, directory)
+        restore_parquet(self, path)
 
     def persist_relation(self, name: str, buckets: int = 64) -> None:
         """Materialize a stored relation as a bucketed+sorted parquet table
