@@ -6,9 +6,9 @@ rust_stemmers Snowball family (18 languages). We implement the published
 algorithms directly — NOT a port of rust_stemmers — for the languages a
 multilingual corpus most commonly needs: Danish, Norwegian, Swedish,
 German, Dutch, French, Spanish, Italian, Portuguese, Russian (English's
-Porter2 lives in stemmer.py). The remaining reference languages (Arabic,
-Finnish, Greek, Hungarian, Romanian, Tamil, Turkish) raise
-NotImplementedError with that context.
+Porter2 lives in stemmer.py). The remaining seven reference languages
+(Arabic, Finnish, Greek, Hungarian, Romanian, Tamil, Turkish) live in
+snowball_ext.py; all 18 dispatch through stemmer.py.
 
 Execution model matches stemmer.py: driver-side for query terms,
 Arrow-batched pandas UDF over token arrays for index builds.

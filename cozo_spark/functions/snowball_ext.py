@@ -649,10 +649,11 @@ def stem_arabic(word: str) -> str:
 
 # --------------------------------------------------------------------------
 # Greek (snowballstem.org/algorithms/greek/stemmer.html тАФ the
-# Ntais/Saroukos algorithm. Implements the normalization and the
-# inflectional-ending steps (noun/adjective cases, plural, common verb
-# endings, -╬╝╬▒(╧Д)- nouns); the algorithm's per-rule protected-word
-# exception lists are abridged.)
+# Ntais/Saroukos algorithm. Implements the normalization, the STEP-1
+# irregular-noun table (╧Ж╧Й╧В/╬║╧Б╬н╬▒╧В/╬│╬╡╬│╬┐╬╜╧М╧В families), the -╧Д╬╡╧Б-/-╧Д╬▒╧Д-
+# comparative step, and the inflectional-ending steps (noun/adjective
+# cases, plural, common verb endings, -╬╝╬▒(╧Д)- nouns); the remaining
+# per-rule protected-word lists (steps S1-S7) are abridged.)
 # --------------------------------------------------------------------------
 
 _EL_ACCENT = {"╬м": "╬▒", "╬н": "╬╡", "╬о": "╬╖", "╬п": "╬╣", "╧М": "╬┐", "╧Н": "╧Е",
@@ -671,6 +672,33 @@ _EL_VERB = ("╬╣╬┐╧Е╬╜╧Д╬▒╬╜", "╬╣╬┐╬╜╧Д╬▒╬╜", "╬┐╧Е╬╜╧Д╬▒╬╜", "╬┐╬╜╧Д╬▒╬╜", "╬┐╬
 _EL_NOUN = ("╬╣╧Й╬╜", "╬╣╬┐╧Е", "╬╣╬▒", "╬╣╬┐", "╬╣╬╡╧В", "╬╣╬▒╧В", "╬╣╬╡╧Г", "╬╡╧Й╬╜", "╬╡╧Й╧В",
             "╬┐╧Е╧В", "╬┐╧Е", "╬┐╧В", "╬┐╬╣", "╧Й╬╜", "╬▒╧В", "╬╡╧В", "╬╖╧В", "╬▒╬╣",
             "╬▒", "╬╡", "╬╖", "╬╣", "╬┐", "╧Е", "╧Й")
+# the published algorithm's STEP-1 irregular-noun table (Ntais table 1,
+# also snowball greek.sbl step1 exceptions): these stems are returned
+# verbatim, before any suffix rule can misfire on them
+_EL_STEP1 = {}
+for _forms, _stem in (
+    (("╧Ж╬▒╬│╬╣╬▒", "╧Ж╬▒╬│╬╣╬┐╧Е", "╧Ж╬▒╬│╬╣╧Й╬╜"), "╧Ж╬▒"),
+    (("╧Г╬║╬▒╬│╬╣╬▒", "╧Г╬║╬▒╬│╬╣╬┐╧Е", "╧Г╬║╬▒╬│╬╣╧Й╬╜"), "╧Г╬║╬▒"),
+    (("╬┐╬╗╬┐╬│╬╣╬┐╧Е", "╬┐╬╗╬┐╬│╬╣╬▒", "╬┐╬╗╬┐╬│╬╣╧Й╬╜"), "╬┐╬╗╬┐"),
+    (("╧Г╬┐╬│╬╣╬┐╧Е", "╧Г╬┐╬│╬╣╬▒", "╧Г╬┐╬│╬╣╧Й╬╜"), "╧Г╬┐"),
+    (("╧Д╬▒╧Д╬┐╬│╬╣╬▒", "╧Д╬▒╧Д╬┐╬│╬╣╬┐╧Е", "╧Д╬▒╧Д╬┐╬│╬╣╧Й╬╜"), "╧Д╬▒╧Д╬┐"),
+    (("╬║╧Б╬╡╬▒╧В", "╬║╧Б╬╡╬▒╧Д╬┐╧В", "╬║╧Б╬╡╬▒╧Д╬▒", "╬║╧Б╬╡╬▒╧Д╧Й╬╜"), "╬║╧Б╬╡"),
+    (("╧А╬╡╧Б╬▒╧В", "╧А╬╡╧Б╬▒╧Д╬┐╧В", "╧А╬╡╧Б╬▒╧Д╬▒", "╧А╬╡╧Б╬▒╧Д╧Й╬╜"), "╧А╬╡╧Б"),
+    (("╧Д╬╡╧Б╬▒╧В", "╧Д╬╡╧Б╬▒╧Д╬┐╧В", "╧Д╬╡╧Б╬▒╧Д╬▒", "╧Д╬╡╧Б╬▒╧Д╧Й╬╜"), "╧Д╬╡╧Б"),
+    (("╧Ж╧Й╧В", "╧Ж╧Й╧Д╬┐╧В", "╧Ж╧Й╧Д╬▒", "╧Ж╧Й╧Д╧Й╬╜"), "╧Ж╧Й"),
+    (("╬║╬▒╬╕╬╡╧Г╧Д╧Й╧В", "╬║╬▒╬╕╬╡╧Г╧Д╧Й╧Д╬┐╧В", "╬║╬▒╬╕╬╡╧Г╧Д╧Й╧Д╬▒", "╬║╬▒╬╕╬╡╧Г╧Д╧Й╧Д╧Й╬╜"), "╬║╬▒╬╕╬╡╧Г╧Д"),
+    (("╬│╬╡╬│╬┐╬╜╬┐╧В", "╬│╬╡╬│╬┐╬╜╬┐╧Д╬┐╧В", "╬│╬╡╬│╬┐╬╜╬┐╧Д╬▒", "╬│╬╡╬│╬┐╬╜╬┐╧Д╧Й╬╜"), "╬│╬╡╬│╬┐╬╜"),
+):
+    for _f in _forms:
+        _EL_STEP1[_f.replace("╧В", "╧Г")] = _stem
+# comparative/superlative endings (the algorithm's -╬д╬Х╬б/-╬д╬С╬д step):
+# ╬╝╬╡╬│╬▒╬╗╧Е╧Д╬╡╧Б╬┐╧В/╬╝╬╡╬│╬▒╬╗╧Е╧Д╬▒╧Д╬┐╧В collapse with ╬╝╬╡╬│╬▒╬╗╬┐╧В' stem family
+_EL_COMP = ("╧Е╧Д╬╡╧Б╬┐╧В", "╧Е╧Д╬╡╧Б╬╖", "╧Е╧Д╬╡╧Б╬┐", "╧Е╧Д╬╡╧Б╬┐╬╣", "╧Е╧Д╬╡╧Б╬╡╧В", "╧Е╧Д╬╡╧Б╬▒",
+            "╧Е╧Д╬╡╧Б╧Й╬╜", "╧Е╧Д╬╡╧Б╬┐╧Е╧В", "╧Е╧Д╬▒╧Д╬┐╧В", "╧Е╧Д╬▒╧Д╬╖", "╧Е╧Д╬▒╧Д╬┐", "╧Е╧Д╬▒╧Д╬┐╬╣",
+            "╧Е╧Д╬▒╧Д╬╡╧В", "╧Е╧Д╬▒╧Д╬▒", "╧Е╧Д╬▒╧Д╧Й╬╜", "╧Е╧Д╬▒╧Д╬┐╧Е╧В",
+            "╬┐╧Д╬╡╧Б╬┐╧В", "╬┐╧Д╬╡╧Б╬╖", "╬┐╧Д╬╡╧Б╬┐", "╬┐╧Д╬╡╧Б╬┐╬╣", "╬┐╧Д╬╡╧Б╬╡╧В", "╬┐╧Д╬╡╧Б╬▒",
+            "╬┐╧Д╬╡╧Б╧Й╬╜", "╬┐╧Д╬╡╧Б╬┐╧Е╧В", "╬┐╧Д╬▒╧Д╬┐╧В", "╬┐╧Д╬▒╧Д╬╖", "╬┐╧Д╬▒╧Д╬┐", "╬┐╧Д╬▒╧Д╬┐╬╣",
+            "╬┐╧Д╬▒╧Д╬╡╧В", "╬┐╧Д╬▒╧Д╬▒", "╬┐╧Д╬▒╧Д╧Й╬╜", "╬┐╧Д╬▒╧Д╬┐╧Е╧В")
 
 
 def _el_norm(s: str) -> str:
@@ -682,6 +710,7 @@ def _el_norm(s: str) -> str:
 _EL_MAT = tuple(_el_norm(s) for s in _EL_MAT)
 _EL_VERB = tuple(_el_norm(s) for s in _EL_VERB)
 _EL_NOUN = tuple(_el_norm(s) for s in _EL_NOUN)
+_EL_COMP = tuple(_el_norm(s) for s in _EL_COMP)
 
 
 def stem_greek(word: str) -> str:
@@ -692,6 +721,15 @@ def stem_greek(word: str) -> str:
         # algorithm's per-rule minimum-length guards, uniform here)
         return len(stem) >= 2 and any(c in _EL_VOWELS for c in stem)
 
+    # step 1: the irregular-noun table fires first and returns verbatim
+    hit = _EL_STEP1.get(word)
+    if hit is not None:
+        return hit
+    # comparatives/superlatives (-╧Д╬╡╧Б-/-╧Д╬▒╧Д- step): strip the whole
+    # graded ending so all degrees share the positive's stem
+    s = _longest_suffix(word, _EL_COMP)
+    if s and ok(word[: -len(s)]):
+        return word[: -len(s)]
     # -╬╝╬▒(╧Д)- nouns: ╧Г╧О╬╝╬▒╧Д╬┐╧В/╧Г╧О╬╝╬▒╧Д╬▒ -> ╧Г╧Й╬╝╬▒
     s = _longest_suffix(word, _EL_MAT)
     if s and ok(word[: -len(s)] + "╬╝╬▒"):
@@ -714,8 +752,9 @@ def stem_greek(word: str) -> str:
 # --------------------------------------------------------------------------
 # Tamil (snowballstem.org/algorithms/tamil/stemmer.html тАФ Damodharan's
 # algorithm. Implements the question-suffix, plural, case (vetrumai) and
-# common tense-ending removal steps; the algorithm's verb-class
-# sub-tables are abridged to the frequent forms.)
+# tense-ending removal steps across all persons/genders/numbers of the
+# -роХро┐ро▒рпН/-роХро┐ройрпНро▒рпН present, -роирпНродрпН/-родрпНродрпН/-роЯрпНроЯрпН past and -ро╡рпН
+# future families; rarer verb-class sub-tables remain abridged.)
 # --------------------------------------------------------------------------
 
 _TA_QUESTION = ("ро╛", "рпЗ", "рпЛ")        # ро╛ рпЗ рпЛ (aa/ee/oo signs)
@@ -733,24 +772,54 @@ _TA_CASE = ("ро┐роЯроорпН",               # роЗроЯроорпН idam
             "роХрпНроХрпБ",               # роХрпНроХрпБ kku
             "рпИ")                                 # рпИ ai (accusative)
 _TA_TENSE = ("роХро┐ро▒ро╛ро░рпНроХро│рпН",  # -kiRArkaL
+             "роХро┐ройрпНро▒ро╛ро░рпНроХро│рпН",  # -kinRArkaL
+             "роХро┐ройрпНро▒ройро░рпН",        # -kinRanar
              "роХро┐ройрпНро▒ро╛ро░рпН",        # -kinRAr
+             "роХро┐ройрпНро▒ро╛ройрпН",        # -kinRAn
+             "роХро┐ройрпНро▒ро╛ро│рпН",        # -kinRAL
              "роХро┐ро▒ро╛ро░рпН",                    # -kiRAr
              "роХро┐ро▒ро╛ройрпН",                    # -kiRAn
              "роХро┐ро▒ро╛ро│рпН",                    # -kiRAL
+             "роХро┐ро▒рпЗройрпН",                    # -kiREn (1sg)
+             "роХро┐ро▒рпЛроорпН",                    # -kiROm (1pl)
+             "роХро┐ро▒рпАро░рпНроХро│рпН",  # -kiRIrkaL (2pl)
              "роХро┐ро▒родрпБ",                          # -kiRathu
              "роХро┐ройрпНро▒родрпБ",              # -kinRathu
+             "роирпНродро╛ро░рпНроХро│рпН",        # -nthArkaL
              "роирпНродро╛ройрпН",                    # -nthAn
+             "роирпНродро╛ро│рпН",                    # -nthAL
              "роирпНродро╛ро░рпН",                    # -nthAr
+             "роирпНродрпЗройрпН",                    # -nthEn
+             "роирпНродрпЛроорпН",                    # -nthOm
              "роирпНродродрпБ",                          # -nthathu
+             "родрпНродро╛ро░рпНроХро│рпН",        # -ththArkaL
              "родрпНродро╛ройрпН",                    # -ththAn (padiththAn)
+             "родрпНродро╛ро│рпН",                    # -ththAL
              "родрпНродро╛ро░рпН",                    # -ththAr
+             "родрпНродрпЗройрпН",                    # -ththEn
+             "родрпНродрпЛроорпН",                    # -ththOm
              "родрпНродродрпБ",                          # -ththathu
+             "роЯрпНроЯро╛ро░рпНроХро│рпН",        # -ttArkaL
              "роЯрпНроЯро╛ройрпН",                    # -ttAn
+             "роЯрпНроЯро╛ро│рпН",                    # -ttAL
              "роЯрпНроЯро╛ро░рпН",                    # -ttAr
+             "роЯрпНроЯрпЗройрпН",                    # -ttEn
+             "роЯрпНроЯрпЛроорпН",                    # -ttOm
              "роЯрпНроЯродрпБ",                          # -ttathu
+             "ро╡ро╛ро░рпНроХро│рпН",              # -vArkaL (weak-verb future)
              "ро╡ро╛ройрпН",                                # -vAn
+             "ро╡ро╛ро│рпН",                                # -vAL
              "ро╡ро╛ро░рпН",                                # -vAr
+             "ро╡рпЗройрпН",                                # -vEn
+             "ро╡рпЛроорпН",                                # -vOm
              "ро╡родрпБ",                                      # -vathu
+             "рокрпНрокро╛ро░рпНроХро│рпН",        # -ppArkaL (strong-verb future)
+             "рокрпНрокро╛ройрпН",                    # -ppAn
+             "рокрпНрокро╛ро│рпН",                    # -ppAL
+             "рокрпНрокро╛ро░рпН",                    # -ppAr
+             "рокрпНрокрпЗройрпН",                    # -ppEn
+             "рокрпНрокрпЛроорпН",                    # -ppOm
+             "рокрпНрокродрпБ",                          # -ppathu
              "родрпНродро▓рпН",                          # -ththal
              "родро▓рпН")                                      # -thal
 _TA_UM = "рпБроорпН"                          # роЙроорпН um (clitic)

@@ -3,9 +3,10 @@
 Reference parity: cozo-core/src/fts/tokenizer/stemmer.rs wraps the
 rust_stemmers Snowball family; the test suite exercises
 ``Stemmer('english')`` (runtime/tests.rs:824). We implement the English
-algorithm fully (the published Porter2 definition); other Snowball
-languages raise NotImplementedError — the Spark-side plumbing (filter
-chain, UDF batching, query-term stemming) is identical for all languages.
+algorithm fully here (the published Porter2 definition); the other 17
+reference languages are implemented in snowball.py / snowball_ext.py and
+dispatched from this module — the Spark-side plumbing (filter chain, UDF
+batching, query-term stemming) is identical for all languages.
 
 The stemmer runs either driver-side (query terms) or inside an
 Arrow-batched pandas UDF over token arrays (index build) — never

@@ -130,3 +130,47 @@ def test_fts_index_with_language_stemmer(spark):
                          ("Lowercase", "Stemmer(german)"))
     got = {r["doc_id"] for r in idx.search("katze", k=5).collect()}
     assert got == {1}
+
+
+# -- round-5 expansions: Greek step-1 table, comparatives; Tamil tense
+# families; Turkish case folding (see also test_advice_r5.py) ------------
+
+
+def test_greek_step1_irregulars():
+    from cozo_spark.functions.snowball_ext import stem_greek
+
+    # the published algorithm's irregular-noun table: every form of an
+    # entry collapses to the listed stem (Ntais table 1)
+    assert stem_greek("φως") == stem_greek("φωτός") == \
+        stem_greek("φώτα") == stem_greek("φώτων") == "φω"
+    assert stem_greek("κρέας") == stem_greek("κρέατος") == \
+        stem_greek("κρέατα") == "κρε"
+    assert stem_greek("γεγονός") == stem_greek("γεγονότα") == "γεγον"
+    assert stem_greek("καθεστώς") == stem_greek("καθεστώτος") == "καθεστ"
+
+
+def test_greek_comparatives_collapse():
+    from cozo_spark.functions.snowball_ext import stem_greek
+
+    # -τερ-/-τατ- graded forms share one stem across degrees
+    assert stem_greek("μεγαλύτερος") == stem_greek("μεγαλύτερη") == \
+        stem_greek("μεγαλύτατος") == "μεγαλ"
+    assert stem_greek("ψηλότερος") == stem_greek("ψηλότατος")
+
+
+def test_tamil_tense_person_gender_families():
+    from cozo_spark.functions.snowball_ext import stem_tamil
+
+    # past: he/she/they/I/we read -> same stem
+    forms = ["படித்தான்", "படித்தாள்", "படித்தார்",
+             "படித்தார்கள்", "படித்தேன்", "படித்தோம்"]
+    stems = {stem_tamil(w) for w in forms}
+    assert len(stems) == 1, stems
+    # present family including 1st/2nd person
+    forms = ["படிக்கிறான்", "படிக்கிறாள்",
+             "படிக்கிறேன்", "படிக்கிறோம்"]
+    assert len({stem_tamil(w) for w in forms}) == 1
+    # future family
+    forms = ["படிப்பான்", "படிப்பாள்", "படிப்பார்",
+             "படிப்பேன்", "படிப்போம்"]
+    assert len({stem_tamil(w) for w in forms}) == 1
