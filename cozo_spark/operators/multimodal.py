@@ -11,7 +11,13 @@ Decode status by format:
   0/2/3/4/6.
 - ``audio/wav`` — REAL decode/encode via the stdlib ``wave`` module
   (8/16-bit PCM) + signal statistics (rms/peak/zero-crossings).
-- compressed codec formats (JPEG/WebP/MP3/...) — GATED: raise
+- ``image/jpeg`` — REAL baseline decode (+ fixture encoder), stdlib+numpy
+  (operators/jpeg.py: marker/DQT/DHT/SOF0/SOS parse, Huffman entropy
+  decode with restart intervals, vectorized IDCT, 4:2:0/4:2:2/4:4:4
+  chroma upsample, JFIF color convert); progressive (SOF2) raises with
+  context. Pure-Python entropy decode is the documented throughput
+  fallback — swap in a codec lib for production corpora.
+- remaining compressed formats (WebP/MP3/video/...) — GATED: raise
   NotImplementedError with a clear message (no codec libraries in this
   container); the kernel bodies are the only thing that changes when one
   is installed.
@@ -240,17 +246,23 @@ def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
 def decode_image(content: bytes, media_type: str = RAW_RGB_TYPE) -> "np.ndarray":
     """Decode an image payload to (H, W, 3) uint8.
 
-    x-raw-rgb and PNG decode for REAL (stdlib only); other codec formats
-    (JPEG/WebP/...) are gated on libraries this container doesn't ship —
-    install one and add a branch here, nothing Spark-side changes."""
+    x-raw-rgb, PNG and BASELINE JPEG decode for REAL (stdlib+numpy only;
+    see operators/jpeg.py — progressive JPEG raises with context); other
+    codec formats (WebP/AVIF/...) are gated on libraries this container
+    doesn't ship — install one and add a branch here, nothing Spark-side
+    changes."""
     if media_type == RAW_RGB_TYPE:
         return decode_raw_rgb(content)
     if media_type == "image/png":
         return decode_png(content)
+    if media_type in ("image/jpeg", "image/jpg"):
+        from cozo_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
         f"decoding {media_type!r} requires an image codec library not "
-        "present in this container; image/x-raw-rgb and image/png are the "
-        "lib-free paths")
+        "present in this container; image/x-raw-rgb, image/png and "
+        "baseline image/jpeg are the lib-free paths")
 
 
 def _resize_nearest(img: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":

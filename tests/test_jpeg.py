@@ -1,0 +1,105 @@
+"""Baseline JPEG codec (operators/jpeg.py).
+
+The decoder is validated three ways: (1) bit-exact agreement with the
+spec-math reconstruction (quantize->dequantize->IDCT computed without the
+entropy layer) — any Huffman/bitstream slip corrupts whole blocks, so
+max|diff|<=1 pins that layer; (2) lossy-round-trip quality bounds vs the
+original; (3) interop smoke over JPEGs produced by EXTERNAL encoders
+(test images shipped with the Python installation), including a 4:2:0
+photo."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cozo_spark.operators.jpeg import (
+    _T, decode_jpeg, encode_jpeg, expected_reconstruction,
+)
+
+
+def _test_image(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        (128 + 80 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0)),
+        (100 + 60 * np.cos((xx + yy) / 11.0)),
+        (xx * 255 / w),
+    ], axis=-1).clip(0, 255).astype(np.uint8)
+
+
+def test_dct_matrix_orthonormal():
+    assert np.allclose(_T @ _T.T, np.eye(8), atol=1e-12)
+
+
+def test_decode_matches_spec_math_exactly():
+    img = _test_image()
+    dec = decode_jpeg(encode_jpeg(img, quality_div=1))
+    exp = expected_reconstruction(img, quality_div=1)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - exp.astype(int)).max() <= 1
+
+
+def test_lossy_roundtrip_quality():
+    img = _test_image()
+    dec = decode_jpeg(encode_jpeg(img, quality_div=1))
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.mean() < 4.0 and err.max() < 40
+
+
+def test_420_subsampled_roundtrip():
+    img = _test_image()
+    dec = decode_jpeg(encode_jpeg(img, quality_div=2, subsample=True))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 10.0
+
+
+def test_odd_dimensions_padding():
+    img = _test_image(h=37, w=53)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (37, 53, 3)
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 5.0
+
+
+def test_progressive_rejected_with_context():
+    img = _test_image(h=8, w=8)
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="BASELINE"):
+        decode_jpeg(bytes(data))
+
+
+def test_not_a_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n")
+
+
+_EXTERNAL = [p for p in (
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "site-packages/IPython/core/tests/2x2.jpg",
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/imghdrdata/python.jpg",
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/verify.jpeg",
+) if os.path.exists(p)]
+
+
+@pytest.mark.skipif(not _EXTERNAL, reason="no external JPEGs on this host")
+def test_decodes_externally_encoded_jpegs():
+    for p in _EXTERNAL:
+        img = decode_jpeg(open(p, "rb").read())
+        assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0
+        assert img.dtype == np.uint8
+
+
+def test_multimodal_decode_image_dispatch():
+    from cozo_spark.operators.multimodal import decode_image
+
+    img = _test_image(h=16, w=16)
+    data = encode_jpeg(img)
+    out = decode_image(data, "image/jpeg")
+    assert out.shape == (16, 16, 3)
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"RIFF....WEBP", "image/webp")

@@ -108,13 +108,14 @@ def test_image_features(media):
 
 
 def test_real_decode_is_gated_for_compressed_formats(spark):
-    """PNG/WAV now decode for real (stdlib); COMPRESSED formats (JPEG,
-    MP3) still gate on the missing library — the error surfaces from the
-    executor kernel at action time."""
+    """PNG/WAV/baseline-JPEG now decode for real (stdlib+numpy);
+    remaining compressed formats (WebP, MP3) still gate on the missing
+    library — the error surfaces from the executor kernel at action
+    time."""
     from cozo_spark.operators.multimodal import (
         MEDIA_SCHEMA, extract_audio_features, extract_image_features)
 
-    rows = [(9, "image/jpeg", b"\xff\xd8\xff-fake",
+    rows = [(9, "image/webp", b"RIFF....WEBP-fake",
              {"width": 8, "height": 8, "duration_ms": None,
               "sample_rate": None}),
             (10, "audio/mpeg", b"ID3-fake",
@@ -123,10 +124,36 @@ def test_real_decode_is_gated_for_compressed_formats(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     with pytest.raises(Exception, match="codec library|NotImplementedError"):
         extract_image_features(
-            media.filter("media_type = 'image/jpeg'"), fake=False).collect()
+            media.filter("media_type = 'image/webp'"), fake=False).collect()
     with pytest.raises(Exception, match="codec library|NotImplementedError"):
         extract_audio_features(
             media.filter("media_type = 'audio/mpeg'"), fake=False).collect()
+
+
+def test_jpeg_real_decode_end_to_end(spark):
+    """Baseline JPEG decodes for REAL through the mapInPandas feature
+    kernel (operators/jpeg.py), same shape as the PNG path."""
+    import numpy as np
+
+    from cozo_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _raw_features, extract_image_features)
+
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 255, size=(16, 24, 3)).astype(np.uint8)
+           // 4 * 4)
+    data = encode_jpeg(img)
+    rows = [(1, "image/jpeg", data,
+             {"width": 24, "height": 16, "duration_ms": None,
+              "sample_rate": None})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_image_features(media, fake=False).collect()
+    assert len(out) == 1
+    exp = _raw_features(decode_jpeg(data))
+    got = list(out[0]["features"])
+    assert len(got) == len(exp)
+    # features ride an array<float> column — compare at f32 precision
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, exp))
 
 
 def test_png_real_decode_end_to_end(spark):
