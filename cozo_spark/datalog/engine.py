@@ -1183,13 +1183,14 @@ class CozoDb:
                 out = out.unionByName(p)
             return out.distinct()
 
-        # epoch 0: base clauses
+        # epoch 0: base clauses (checkpoint + count fused into one action)
+        from cozo_spark.datalog.fixpoint import _checkpoint_count
+
         total_rows: dict[str, int] = {}
         for r in sorted(scc):
             base = eval_rule(r, use_delta=False)
             if base is not None:
-                base = _checkpoint(base)
-                total_rows[r] = base.count()
+                base, total_rows[r] = _checkpoint_count(base)
             else:
                 total_rows[r] = 0
             totals[r] = base
@@ -1223,8 +1224,7 @@ class CozoDb:
                         clause_map[r][0].head, totals[r], cand,
                         n_total=total_rows[r])
                     new_totals[r] = _checkpoint(merged)
-                    new_deltas[r] = _checkpoint(changed)
-                    n_changed = new_deltas[r].count()
+                    new_deltas[r], n_changed = _checkpoint_count(changed)
                     # upper bound (changed includes improved existing keys):
                     # safe for the broadcast-threshold decision
                     total_rows[r] += n_changed
@@ -1232,10 +1232,10 @@ class CozoDb:
                         any_delta = True
                 else:
                     if totals[r] is None:
-                        fresh = _checkpoint(cand)
+                        fresh, n_fresh = _checkpoint_count(cand)
                     else:
-                        fresh = _checkpoint(_novel(cand, totals[r], total_rows[r]))
-                    n_fresh = fresh.count()
+                        fresh, n_fresh = _checkpoint_count(
+                            _novel(cand, totals[r], total_rows[r]))
                     if n_fresh == 0:
                         new_deltas[r] = None
                         continue

@@ -21,6 +21,7 @@ groupBy(keys).agg(meet) then keep only improved rows as the delta.
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Callable
 
@@ -29,6 +30,8 @@ from pyspark.sql import functions as F
 
 # Frontier row-count below which we hint broadcast for the delta join.
 _BROADCAST_FRONTIER = 2_000_000
+
+_OBS_SEQ = itertools.count()
 
 
 def _anti_all_cols(left: DataFrame, right: DataFrame,
@@ -90,6 +93,34 @@ def _checkpoint(df: DataFrame) -> DataFrame:
 _CK_APPLIED: dict = {}
 
 
+def _resolve_ck_dir(spark) -> "str | None":
+    try:
+        ck_dir = spark.conf.get("spark.cozo.checkpointDir", None)
+    except Exception:
+        ck_dir = None
+    return ck_dir or os.environ.get("COZO_SPARK_CHECKPOINT_DIR")
+
+
+def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Checkpoint + row count in ONE action: an Observation attached
+    before the eager localCheckpoint collects count(*) during the same
+    materialization job, halving the fixpoint's per-epoch action count
+    (the separate .count() job it replaces was cheap but not free —
+    scheduler latency per job dominates small epochs). The reliable
+    checkpoint() mode keeps the two-action path (observation delivery is
+    only verified for localCheckpoint)."""
+    spark = df.sparkSession
+    if _resolve_ck_dir(spark):
+        out = _checkpoint(df)
+        return out, out.count()
+    from pyspark.sql import Observation
+
+    obs = Observation(f"__cozo_ck_{next(_OBS_SEQ)}")
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .localCheckpoint(eager=True)
+    return out, int(obs.get["n"])
+
+
 def semi_naive(
     base: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -101,9 +132,8 @@ def semi_naive(
     candidate new tuples with the same schema. Dedup against the running
     total implements Datalog set semantics (RegularTempStore, temp_store.rs:34-66).
     """
-    total = _checkpoint(base.distinct())
+    total, total_rows = _checkpoint_count(base.distinct())
     delta = total
-    total_rows = delta.count()
     n = total_rows
     for epoch in range(max_iterations):
         if n == 0:
@@ -116,11 +146,10 @@ def semi_naive(
         # small (tracked driver-side for free from the epoch counts), the
         # anti side broadcasts and the epoch costs ONE shuffle (the distinct)
         # instead of two; at scale it degrades gracefully to a shuffle anti.
-        delta = _checkpoint(_anti_all_cols(
+        # ONE action per epoch: the checkpoint materialization carries the
+        # fixpoint-detection count as an observed metric.
+        delta, n = _checkpoint_count(_anti_all_cols(
             candidates, total, broadcast=total_rows < _BROADCAST_FRONTIER))
-        # one action per epoch: the count both detects fixpoint and sizes the
-        # broadcast decisions (delta is checkpointed, so this is near-free)
-        n = delta.count()
         total_rows += n
         # total = union of checkpointed deltas: each union child is a
         # checkpoint leaf, so the plan stays shallow — re-materializing the
