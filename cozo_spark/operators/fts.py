@@ -167,17 +167,31 @@ def tokenize_expr(text_col, tokenizer: str = "Simple", filters: tuple = ("Lowerc
         # matching: Cangjie('default', ['文档', '问答']) — dict words
         # (longest first) beat the per-char fallback at each position,
         # which is exactly what a longest-first regex alternation does,
-        # still one JVM regexp_extract_all, zero Python. HMM segmentation
-        # flags are accepted and ignored (no jieba in this container).
-        kind, words = _parse_cangjie(tokenizer)
-        base = r"[\s\S]" if kind == "unicode" else _CANGJIE_RE_JVM
-        if words:
-            alts = "|".join(
-                "\\Q" + w + "\\E"
-                for w in sorted(words, key=len, reverse=True))
-            toks = F.regexp_extract_all(c, F.lit(f"(?:{alts})|{base}"), 0)
+        # still one JVM regexp_extract_all, zero Python. The `hmm` flag
+        # (options.rs) switches unknown-CJK-run handling from per-char to
+        # BMES-Viterbi grouping (functions/cjk_hmm.py — jieba's finalseg
+        # structure, pluggable emissions); that path is an Arrow-batched
+        # pandas UDF, the same execution model as the stemmer filters.
+        kind, words, hmm = _parse_cangjie(tokenizer)
+        if hmm and kind != "unicode":
+            from cozo_spark.functions.cjk_hmm import cut_text
+
+            wtuple = tuple(words)
+
+            @F.pandas_udf("array<string>")
+            def _hmm_cut(s):  # type: ignore[misc]
+                return s.map(lambda t: cut_text(t or "", wtuple))
+
+            toks = _hmm_cut(c)
         else:
-            toks = F.regexp_extract_all(c, F.lit(base), 0)
+            base = r"[\s\S]" if kind == "unicode" else _CANGJIE_RE_JVM
+            if words:
+                alts = "|".join(
+                    "\\Q" + w + "\\E"
+                    for w in sorted(words, key=len, reverse=True))
+                toks = F.regexp_extract_all(c, F.lit(f"(?:{alts})|{base}"), 0)
+            else:
+                toks = F.regexp_extract_all(c, F.lit(base), 0)
     elif tokenizer.startswith("NGram"):
         m = re.match(r"NGram\((\d+)(?:,\s*(\d+))?", tokenizer)
         lo = int(m.group(1)) if m else 2
@@ -334,9 +348,11 @@ _CANGJIE_RE_PY = re.compile(
 
 
 def _parse_cangjie(spec: str) -> tuple:
-    """Cangjie spec string → (kind, dict_words). Accepts `Cangjie`,
+    """Cangjie spec string → (kind, dict_words, hmm). Accepts `Cangjie`,
     `Cangjie('unicode')`, `Cangjie('default', ['词一', '词二'])` (the
-    word list enables forward-max-match dict segmentation)."""
+    word list enables forward-max-match dict segmentation) and an `hmm`
+    flag (`Cangjie('default', hmm: true)` / `..., ['词'], hmm)`) enabling
+    BMES unknown-word grouping (options.rs `hmm`)."""
     kind = "default"
     m = re.match(r"Cangjie\(\s*'?(\w+)'?", spec)
     if m:
@@ -345,13 +361,21 @@ def _parse_cangjie(spec: str) -> tuple:
     lm = re.search(r"\[(.*?)\]", spec, re.DOTALL)
     if lm:
         words = re.findall(r"'([^']+)'", lm.group(1))
-    return kind, words
+    hmm = bool(re.search(r"\bhmm\b\s*(?:[:=]\s*(?:true|True))?\s*[,)]?",
+                         spec)) and not re.search(
+        r"\bhmm\b\s*[:=]\s*(?:false|False)", spec)
+    return kind, words, hmm
 
 
 def py_cangjie_tokenize(text: str, kind: str = "default",
-                        words: tuple = ()) -> list:
+                        words: tuple = (), hmm: bool = False) -> list:
     """Driver-side mirror of the Cangjie tokenizer for query terms
-    (same greedy longest-first dict alternation as the JVM regex)."""
+    (same greedy longest-first dict alternation as the JVM regex; with
+    `hmm`, the same BMES unknown-run grouping as the index kernel)."""
+    if hmm and kind != "unicode":
+        from cozo_spark.functions.cjk_hmm import cut_text
+
+        return cut_text(text, tuple(words))
     if words:
         alts = "|".join(re.escape(w)
                         for w in sorted(words, key=len, reverse=True))
@@ -556,10 +580,11 @@ class FtsIndex:
                 # re-tokenize with the index's CJK tokenizer: a query term
                 # like 文档问答 becomes the per-char phrase [文,档,问,答]
                 # (positional adjacency), matching the indexed tokens
-                kind, words = _parse_cangjie(self.tokenizer)
+                kind, words, hmm = _parse_cangjie(self.tokenizer)
                 node = FtsPhrase(
                     [t for term in node.terms
-                     for t in py_cangjie_tokenize(term, kind, tuple(words))],
+                     for t in py_cangjie_tokenize(term, kind, tuple(words),
+                                                  hmm)],
                     node.prefix, node.boost)
             if node.prefix:
                 # the reference pushes prefix literals UNTOKENIZED

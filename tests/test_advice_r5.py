@@ -221,3 +221,41 @@ def test_plan_cache_skips_recursion_and_nondet(spark):
     u = db.run_script_df(nd)
     v = db.run_script_df(nd)
     assert v is not u
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_plan_cache_vs_mutations(spark, seed):
+    """Random interleavings of (cached) reads and mutations: a plan-cache
+    hit must never serve stale data — every read reflects exactly the
+    model state, across two scripts and ::compact/access-level churn."""
+    import random
+
+    rng = random.Random(seed)
+    db = CozoDb(spark)
+    db.run_script(":create fz {k: Int => v: Int}")
+    model: dict[int, int] = {}
+    q_all = "?[k, v] := *fz[k, v]"
+    q_big = "?[k, v] := *fz[k, v], v >= 50"
+
+    for step in range(30):
+        op = rng.choice(["put", "rm", "read", "read_big", "compact"])
+        if op == "put":
+            rows = [[rng.randrange(10), rng.randrange(100)]
+                    for _ in range(rng.randrange(1, 4))]
+            for k, v in sorted(rows):
+                model[k] = v
+            db.run_script(
+                f"?[k, v] <- {rows} :put fz {{k => v}}")
+        elif op == "rm":
+            ks = [[rng.randrange(10)] for _ in range(2)]
+            for (k,) in ks:
+                model.pop(k, None)
+            db.run_script(f"?[k] <- {ks} :rm fz {{k}}")
+        elif op == "compact":
+            db.run_script("::compact")
+        else:
+            q = q_all if op == "read" else q_big
+            got = sorted(tuple(r) for r in db.run_script(q).rows)
+            want = sorted((k, v) for k, v in model.items()
+                          if op == "read" or v >= 50)
+            assert got == want, f"step {step} ({op}): {got} != {want}"
