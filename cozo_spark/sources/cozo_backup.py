@@ -570,7 +570,11 @@ def write_cozo_backup(db, path: str) -> None:
                 key_names = [c.name for c in rel.keys]
                 n_keys = len(key_names)
                 prefix = rid.to_bytes(8, "big")
-                for row in rel.df.collect():
+                # stream partitions to the driver: the sqlite target is
+                # inherently single-file/driver-side (same as the
+                # reference's backup_db), but memory stays bounded at one
+                # partition; the parquet backup remains the scale path
+                for row in rel.df.toLocalIterator():
                     vals = _pyvals(row, key_names,
                                    [c.name for c in rel.non_keys])
                     k = prefix + memcmp_encode(vals[:n_keys])

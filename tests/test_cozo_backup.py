@@ -211,3 +211,49 @@ def test_simulated_reference_backup_file(spark, tmp_path):
     assert sorted(tuple(r) for r in
                   db.run_script("?[a, b, c] := *people[a, b, c]").rows) \
         == [(10, "ada", 99.5), (11, "bob", None)]
+
+
+# -- property fuzz over the codecs ------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    # spans the exact-int bound 2^53 (memcmp.rs EXACT_INT_BOUND) and the
+    # i64 range ends
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.integers(min_value=2**53 - 2, max_value=2**53 + 2),
+    st.floats(allow_nan=False, width=64),
+    st.text(max_size=40),  # any unicode incl. astral
+    # byte lengths straddling the 8-byte group boundary, any content
+    st.binary(max_size=20),
+    st.builds(lambda ts, a: {"ts": ts, "is_assert": a},
+              st.integers(min_value=-(2**62), max_value=2**62),
+              st.booleans()),
+)
+_values = st.recursive(_scalars, lambda c: st.lists(c, max_size=4),
+                       max_leaves=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_values, max_size=5))
+def test_fuzz_memcmp_roundtrip(vals):
+    assert memcmp_decode(memcmp_encode(vals)) == vals
+
+
+@settings(max_examples=300, deadline=None)
+@given(_values)
+def test_fuzz_dv_msgpack_roundtrip(v):
+    assert dv_decode(mp_decode(mp_encode(dv_encode(v)))) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=25), min_size=1, max_size=4))
+def test_fuzz_memcmp_bytes_order_preserved(bss):
+    """The point of the memcomparable encoding: byte-wise key order equals
+    value order (within one type). Check for Bytes, the trickiest case
+    (group padding + markers)."""
+    encs = [(memcmp_encode([b]), b) for b in bss]
+    assert sorted(e for e, _ in encs) == \
+        [e for e, _ in sorted(encs, key=lambda p: p[1])]
