@@ -216,3 +216,92 @@ def random_hyperplane_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def pq_build(
+    corpus: DataFrame, m: int = 4, k_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization build: (codebook(s, cid, cvec), codes(vec_id,
+    codes array<int> of length m)).
+
+    The compressed-vector scale path HNSW cannot give a cluster: each
+    vector collapses to m small codes (m*log2(k) bits vs 4*dim bytes), and
+    query scoring becomes table lookups — the asymmetric-distance
+    computation (ADC) of the PQ literature. Codebook = per-subspace slices
+    of a deterministic md5-ordered sample (portable to any engine, same
+    trick as ivf_build; k-means would refine centroids but breaks
+    cross-engine reproducibility). Encoding is argmin L2 per subspace,
+    fully JVM-side: k_codes distance expressions per subspace against
+    literal centroid arrays, ties to the lowest cid.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
+    # then a k_codes-row merge, NO single-partition window even at 100 TB.
+    # Rank assignment happens driver-side on the k_codes collected rows.
+    rows = (c.select(F.md5((F.col("vec_id") + F.lit(seed)).cast("string"))
+                     .alias("_h"), "vec_id", "v")
+            .orderBy("_h", "vec_id").limit(k_codes).collect())
+    rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cb = {(s, i): list(r["v"][s * sub:(s + 1) * sub])
+          for i, r in enumerate(rows) for s in range(m)}
+    codebook = c.sparkSession.createDataFrame(
+        [(s, cid, vec) for (s, cid), vec in sorted(cb.items())],
+        "s int, cid int, cvec array<double>")
+
+    enc_cols = []
+    for s in range(m):
+        sl = F.slice("v", s * sub + 1, sub)
+        dists = [l2_dist_col(sl, F.array(*[F.lit(float(x))
+                                           for x in cb[(s, cid)]]))
+                 for cid in range(k_codes)]
+        least = F.least(*dists) if k_codes > 1 else dists[0]
+        code = None
+        for cid in range(k_codes - 1, -1, -1):
+            hit = F.lit(cid)
+            code = hit if code is None else \
+                F.when(dists[cid] <= least, hit).otherwise(code)
+        enc_cols.append(code.alias(f"_c{s}"))
+    codes = (c.select("vec_id", *enc_cols)
+             .select("vec_id",
+                     F.array(*[f"_c{s}" for s in range(m)]).alias("codes")))
+    return codebook, codes
+
+
+def pq_ip_topk(
+    queries: DataFrame, codebook: DataFrame, codes: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, approx_ip): PQ asymmetric-distance top-k by inner
+    product. Per query a lookup table ip(q_subvec, centroid) is computed
+    once (|queries| * m * k_codes rows, broadcast); corpus scoring is a
+    posexplode of the m codes + broadcast LUT join + one (qid, vec_id)
+    sum. Lookup values are integerized (round(ip*1e9) as long) so the sum
+    is order-independent and exactly reproducible cross-engine."""
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    sub = F.size("cvec")
+    lut = (F.broadcast(q).crossJoin(F.broadcast(codebook))
+           .select("qid", "s", "cid",
+                   F.round(_dot(F.slice("qv", F.col("s") * sub + 1, sub),
+                                F.col("cvec")) * 1e9).cast("long")
+                   .alias("ip9")))
+    exploded = codes.select("vec_id",
+                            F.posexplode("codes").alias("s", "code"))
+    scored = (
+        exploded.join(F.broadcast(lut),
+                      (exploded["s"] == lut["s"])
+                      & (exploded["code"] == lut["cid"]))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("ip9").alias("ip9")))
+    w = W.partitionBy("qid").orderBy(F.col("ip9").desc(), F.col("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id",
+                    F.round(F.col("ip9") / 1e9, 6).alias("approx_ip")))

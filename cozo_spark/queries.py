@@ -1843,6 +1843,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join_point_lookup (join_multiway + scan_filter_project stay),
 # text_token_stats (text_bpe_tokens stays), text_quality and pii_redact
 # (repetition_signals + lang_id keep the `<~`-dispatch map-only family).
+# Demoted r5b (r3+r4-verified, rotated out so ann_pq_topk and
+# lm_quality_score land inside the 50-row cap): agg_basic (agg_stats +
+# agg_min_cost + agg_median keep the aggregate family), sort_topk
+# (reorder_sort_rank keeps the engine sort path; TakeOrdered stays
+# plan-asserted in tests/test_plan_quality.py).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1854,6 +1859,7 @@ DEMOTED: tuple = (
     "doc_fingerprint",
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
+    "agg_basic", "sort_topk",
 )
 
 
@@ -2362,3 +2368,104 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.register_dataframe("pages", urls, keys=["doc_id"])
     out = db.run_script_df("?[norm_url, keeper_id, n_copies] <~ UrlDedup(*pages[])")
     return out.select("norm_url", "keeper_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline round 5: PQ compressed-vector ANN + unigram-LM quality
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_pq_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rk AS (SELECT vec_id, v,
+                  row_number() OVER (ORDER BY md5(cast(vec_id + 42 AS VARCHAR)),
+                                     vec_id) AS rk
+           FROM c),
+    base AS (SELECT rk - 1 AS cid, v FROM rk WHERE rk <= 8),
+    cb AS (SELECT t.s, base.cid,
+                  base.v[t.s*16+1 : t.s*16+16] AS cvec
+           FROM base CROSS JOIN (SELECT s::INT AS s FROM range(4) r(s)) t),
+    enc AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT c.vec_id, cb.s, cb.cid,
+               row_number() OVER (PARTITION BY c.vec_id, cb.s
+                 ORDER BY list_distance(c.v[cb.s*16+1 : cb.s*16+16], cb.cvec),
+                          cb.cid) AS rn
+        FROM c CROSS JOIN cb) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+    lut AS (SELECT q.qid, cb.s, cb.cid,
+                   CAST(round(list_inner_product(
+                     q.qv[cb.s*16+1 : cb.s*16+16], cb.cvec) * 1e9) AS BIGINT)
+                   AS ip9
+            FROM q CROSS JOIN cb),
+    scored AS (
+      SELECT l.qid, e.vec_id, SUM(l.ip9) AS ip9
+      FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+      WHERE l.qid <> e.vec_id
+      GROUP BY l.qid, e.vec_id)
+    SELECT qid, vec_id, ROUND(ip9 / 1e9, 6) AS approx_ip FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY ip9 DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (build + ADC top-k) — the COMPRESSED
+    vector scale path (each vector becomes m=4 codes; query scoring is a
+    broadcast lookup-table join, integerized so the cross-engine sum is
+    exact). Codebook = md5-ordered deterministic sample, portable to the
+    DuckDB oracle like ann_ivf_topk's centroids."""
+    from cozo_spark.operators.similarity import pq_build, pq_ip_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook, codes = pq_build(emb, m=4, k_codes=8)
+    out = pq_ip_topk(emb.filter("vec_id < 5"), codebook, codes, k=10)
+    return out.select("qid", "vec_id", "approx_ip")
+
+
+@query(
+    "lm_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(f.cnt * 1e12 / (SELECT n FROM tot)) AS BIGINT)
+               AS rel12
+      FROM toks t JOIN freq f USING (tok))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(rel12) / count(*) / 1e12, 9) AS mean_tok_freq
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: mean token relative frequency per
+    document (the log-free unigram-LM family — low values flag docs full
+    of rare/garbage tokens; ln() is avoided deliberately because libm ulp
+    differences would break cross-engine hashing, while ratios integerized
+    at 1e12 sum exactly). Two shuffles: token-frequency aggregation (the
+    frequency table is broadcast back) and the per-doc mean."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                           lambda t: t != "")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    scored = (toks.join(F.broadcast(freq), "tok")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id",
+                      F.round(F.col("cnt") * 1e12 / F.col("n"))
+                      .cast("long").alias("rel12")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(F.sum("rel12") / F.count(F.lit(1)) / 1e12, 9)
+                 .alias("mean_tok_freq")))

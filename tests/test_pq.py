@@ -1,0 +1,91 @@
+"""Product-quantization ANN unit tests (beyond oracle parity).
+
+Covers: code well-formedness, ADC recall vs exact brute force, the
+TakeOrdered (not single-partition window) codebook sample, and the
+lm_quality_score invariants.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_pq_codes_wellformed(spark, emb):
+    from cozo_spark.operators.similarity import pq_build
+
+    codebook, codes = pq_build(emb, m=4, k_codes=8)
+    n = emb.count()
+    assert codes.count() == n
+    bad = codes.filter(
+        (F.size("codes") != 4)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 8))
+    ).count()
+    assert bad == 0
+    # codebook: one centroid slice per (subspace, code)
+    assert codebook.count() == 4 * 8
+    dim = len(emb.select("embedding").first()[0])
+    sub_len = codebook.select(F.size("cvec")).first()[0]
+    assert sub_len == dim // 4
+
+
+def test_pq_adc_matches_reconstructed_ip(spark, emb):
+    """ADC is exact w.r.t. the quantized corpus: approx_ip(q, x) must equal
+    ip(q, reconstruct(codes(x))) — the defining identity of PQ asymmetric
+    distance. (Recall against the un-quantized corpus is data-dependent and
+    meaningless on isotropic random embeddings, so we test the identity,
+    not recall.)"""
+    from cozo_spark.operators.similarity import pq_build, pq_ip_topk
+
+    codebook, codes = pq_build(emb, m=4, k_codes=8)
+    q = emb.filter("vec_id < 3")
+    approx = {(r["qid"], r["vec_id"]): r["approx_ip"]
+              for r in pq_ip_topk(q, codebook, codes, k=10).collect()}
+    assert len(approx) == 30
+    cb = {(r["s"], r["cid"]): list(r["cvec"]) for r in codebook.collect()}
+    recon = {
+        r["vec_id"]: [x for s, code in enumerate(r["codes"])
+                      for x in cb[(s, code)]]
+        for r in codes.collect()
+    }
+    qv = {r["vec_id"]: list(r["embedding"]) for r in q.collect()}
+    for (qid, vid), got in approx.items():
+        # mirror the engine's integerized sum: per-subspace round(ip*1e9)
+        dim = len(qv[qid])
+        sub = dim // 4
+        ip9 = sum(
+            round(sum(a * b for a, b in zip(
+                qv[qid][s * sub:(s + 1) * sub],
+                recon[vid][s * sub:(s + 1) * sub])) * 1e9)
+            for s in range(4)
+        )
+        assert abs(got - round(ip9 / 1e9, 6)) < 1e-9, (qid, vid)
+
+
+def test_pq_build_no_single_partition_window(spark, emb):
+    """The codebook sample must compile to TakeOrderedAndProject, not an
+    unpartitioned row_number window (the 100 TB scale-killer pattern)."""
+    from cozo_spark.operators.similarity import pq_build
+
+    codebook, codes = pq_build(emb, m=4, k_codes=8)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_lm_quality_score_invariants(spark):
+    from cozo_spark.queries import QUERIES
+
+    df = QUERIES["lm_quality_score"](spark, SF_SMALL)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        # mean relative frequency of tokens lies in (0, 1]
+        assert 0.0 < r["mean_tok_freq"] <= 1.0
