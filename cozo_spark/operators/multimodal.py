@@ -17,7 +17,10 @@ Decode status by format:
   chroma upsample, JFIF color convert); progressive (SOF2) raises with
   context. Pure-Python entropy decode is the documented throughput
   fallback — swap in a codec lib for production corpora.
-- remaining compressed formats (WebP/MP3/video/...) — GATED: raise
+- ``video/x-msvideo`` (MJPEG AVI) — REAL frame extraction: stdlib RIFF
+  chunk walk (operators/avi.py) + the JPEG decoder per sampled frame;
+  ``sample_frames`` timestamps off the container's own frame clock.
+- remaining compressed formats (WebP/MP3/H.264+MP4/...) — GATED: raise
   NotImplementedError with a clear message (no codec libraries in this
   container); the kernel bodies are the only thing that changes when one
   is installed.
@@ -412,23 +415,65 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True,
+                  decode: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (explode on the
-    Python side — frame extraction is inherently in-kernel)."""
-    if not fake:
-        raise NotImplementedError("real frame extraction requires a video library")
+    Python side — frame extraction is inherently in-kernel).
 
+    MJPEG AVI payloads (``RIFF..AVI ``) are extracted for REAL: the stdlib
+    RIFF walk (operators/avi.py) yields per-frame JPEG bytes, the sample
+    grid every_ms apart picks the nearest frame by the container's own
+    frame clock, and ``frame_hash`` is the md5 of the actual frame
+    payload. With ``decode=True`` each sampled frame additionally runs
+    through the baseline JPEG decoder and reports real width/height (the
+    expensive path — leave off when a hash is enough for dedup). Non-AVI
+    payloads use the deterministic fake grid when ``fake=True`` (plumbing
+    tests without codec fixtures) and raise otherwise — real MP4/H.264
+    extraction needs codec libraries this container doesn't ship.
+    """
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_ts_ms", T.LongType()),
         T.StructField("frame_hash", T.StringType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
     ])
+    cols = ["media_id", "frame_idx", "frame_ts_ms", "frame_hash",
+            "frame_w", "frame_h"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cozo_spark.operators.avi import decode_avi_frames, is_avi
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                content = r["content"] or b""
+                if is_avi(bytes(content)):
+                    usec, frames = decode_avi_frames(bytes(content))
+                    ms_per_frame = (usec / 1000.0) or 40.0
+                    dur = len(frames) * ms_per_frame
+                    n_samples = max(int(dur // every_ms), 1 if frames else 0)
+                    for i in range(n_samples):
+                        ts = i * every_ms
+                        fi = min(int(ts / ms_per_frame), len(frames) - 1)
+                        w = h = None
+                        if decode:
+                            from cozo_spark.operators.jpeg import decode_jpeg
+
+                            img = decode_jpeg(frames[fi])
+                            h, w = int(img.shape[0]), int(img.shape[1])
+                        rows.append({
+                            "media_id": r["media_id"], "frame_idx": fi,
+                            "frame_ts_ms": ts,
+                            "frame_hash": hashlib.md5(frames[fi]).hexdigest(),
+                            "frame_w": w, "frame_h": h,
+                        })
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame extraction for non-MJPEG-AVI containers "
+                        "requires a video codec library")
                 dur = (r["meta"]["duration_ms"] if r["meta"] is not None else None) or 0
                 n = max(int(dur // every_ms), 1)
                 for i in range(n):
@@ -437,9 +482,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
                         "frame_idx": i,
                         "frame_ts_ms": i * every_ms,
                         "frame_hash": hashlib.md5(
-                            (r["content"] or b"") + i.to_bytes(4, "little")).hexdigest(),
+                            content + i.to_bytes(4, "little")).hexdigest(),
+                        "frame_w": None, "frame_h": None,
                     })
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_hash"])
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(kernel, out_schema)
 
