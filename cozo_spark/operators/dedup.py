@@ -450,3 +450,60 @@ def ngram_contamination(
         .filter(F.col("overlap_ratio") >= threshold)
         .select("doc_id", "bench_id", F.round("overlap_ratio", 6).alias("overlap_ratio"))
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame, k: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_dup_spans, n_dup_tokens, dup_fraction): exact cross-
+    document substring duplication, the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operation re-expressed as
+    shuffles Spark can bound.
+
+    Their suffix-array scan finds verbatim token runs repeated across the
+    corpus; the distributed equivalent is (1) hash every k-token shingle
+    (md5 of the joined window — engine-portable), (2) keep hashes seen in
+    MORE THAN ONE document (one hash-keyed shuffle over 16-byte keys, never
+    text), (3) per document, merge the flagged [pos, pos+k) windows into
+    maximal islands with a doc-partitioned running-max window (gaps-and-
+    islands), (4) report span count / covered tokens / covered fraction.
+    Only documents containing at least one cross-doc duplicate span appear.
+    At 100 TB every stage is bounded: the shingle shuffle carries hashes,
+    the island merge is per-doc, and no stage is quadratic in documents.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("toks"))
+    sh = (
+        toks.select(
+            "doc_id", F.size("toks").alias("n_toks"),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size("toks") - k, F.lit(0)) + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k)))
+            )).alias("pos", "h"))
+    )
+    dup = (sh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter("nd > 1").select("h"))
+    fl = (sh.join(dup, "h")
+          .select("doc_id", "n_toks", "pos",
+                  F.least(F.col("pos") + k, F.col("n_toks")).alias("fin")))
+    w_prev = (W.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(W.unboundedPreceding, -1))
+    brk = F.when(F.col("pos") > F.coalesce(F.max("fin").over(w_prev),
+                                           F.lit(-1)), 1).otherwise(0)
+    grp = (fl.withColumn("brk", brk)
+           .withColumn("gid", F.sum("brk").over(
+               W.partitionBy("doc_id").orderBy("pos")))
+           .groupBy("doc_id", "n_toks", "gid")
+           .agg(F.min("pos").alias("s"), F.max("fin").alias("e")))
+    return (grp.groupBy("doc_id", "n_toks")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+                 F.sum(F.col("e") - F.col("s")).cast("long")
+                 .alias("n_dup_tokens"))
+            .select("doc_id", "n_dup_spans", "n_dup_tokens",
+                    F.round(F.col("n_dup_tokens") / F.col("n_toks"), 9)
+                    .alias("dup_fraction")))

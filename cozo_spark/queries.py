@@ -1843,11 +1843,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join_point_lookup (join_multiway + scan_filter_project stay),
 # text_token_stats (text_bpe_tokens stays), text_quality and pii_redact
 # (repetition_signals + lang_id keep the `<~`-dispatch map-only family).
-# Demoted r5b (r3+r4-verified, rotated out so ann_pq_topk and
-# lm_quality_score land inside the 50-row cap): agg_basic (agg_stats +
-# agg_min_cost + agg_median keep the aggregate family), sort_topk
-# (reorder_sort_rank keeps the engine sort path; TakeOrdered stays
-# plan-asserted in tests/test_plan_quality.py).
+# Demoted r5b (r3+r4-verified, rotated out so ann_pq_topk,
+# lm_quality_score and substring_dedup land inside the 50-row cap):
+# agg_basic (agg_stats + agg_min_cost + agg_median keep the aggregate
+# family), sort_topk (reorder_sort_rank keeps the engine sort path;
+# TakeOrdered stays plan-asserted in tests/test_plan_quality.py),
+# unify_expr (x = expr unification also exercised by scalar_string_math's
+# engine-path expressions and text_word_topk's in-explosion).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1859,7 +1861,7 @@ DEMOTED: tuple = (
     "doc_fingerprint",
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
-    "agg_basic", "sort_topk",
+    "agg_basic", "sort_topk", "unify_expr",
 )
 
 
@@ -2469,3 +2471,58 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.round(F.sum("rel12") / F.count(F.lit(1)) / 1e12, 9)
                  .alias("mean_tok_freq")))
+
+
+@query(
+    "substring_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, len(toks) AS n_toks, CAST(u.i - 1 AS INT) AS pos,
+             md5(array_to_string(toks[u.i : u.i + 7], ' ')) AS h
+      FROM t, unnest(range(1, greatest(len(toks) - 8, 0) + 2)) AS u(i)
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    fl AS (
+      SELECT doc_id, n_toks, pos, least(pos + 8, n_toks) AS fin
+      FROM sh WHERE h IN (SELECT h FROM dup)
+    ),
+    marks AS (
+      SELECT doc_id, n_toks, pos, fin,
+             CASE WHEN pos > coalesce(max(fin) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM fl
+    ),
+    grp AS (
+      SELECT doc_id, n_toks, pos, fin,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM marks
+    ),
+    spans AS (
+      SELECT doc_id, n_toks, min(pos) AS s, max(fin) AS e
+      FROM grp GROUP BY doc_id, n_toks, gid
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
+           ROUND(sum(e - s) * 1.0 / n_toks, 9) AS dup_fraction
+    FROM spans GROUP BY doc_id, n_toks
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring duplication (Lee et al. 2022 span
+    dedup, distributed): hash every 8-token shingle, keep hashes spanning
+    >1 document, merge flagged windows into maximal per-doc spans via a
+    doc-partitioned gaps-and-islands window, report span count / covered
+    tokens / fraction. The shuffle carries md5 hashes, never text."""
+    from cozo_spark.operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, k=8)

@@ -89,3 +89,24 @@ def test_lm_quality_score_invariants(spark):
         assert r["n_tokens"] >= 1
         # mean relative frequency of tokens lies in (0, 1]
         assert 0.0 < r["mean_tok_freq"] <= 1.0
+
+
+def test_substring_dedup_span_merge(spark):
+    """Two docs share one verbatim 12-token run → overlapping 8-token
+    shingles must merge into ONE maximal span covering exactly 12 tokens;
+    a doc with no cross-doc run must not appear."""
+    from cozo_spark.operators.dedup import substring_dup_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [(1, f"intro one two {shared} outro unique tokens here"),
+         (2, f"{shared} completely different tail words follow now"),
+         (3, "nothing in common with anything else at all truly")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in substring_dup_spans(docs, k=8).collect()}
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d]["n_dup_spans"] == 1
+        assert rows[d]["n_dup_tokens"] == 12
+    # doc 1 has 3 + 12 + 4 = 19 tokens
+    assert abs(rows[1]["dup_fraction"] - 12 / 19) < 1e-9
