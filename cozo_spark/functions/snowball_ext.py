@@ -591,33 +591,124 @@ def stem_turkish(word: str) -> str:
 
 # --------------------------------------------------------------------------
 # Arabic (snowballstem.org/algorithms/arabic/stemmer.html — Assem Chelli's
-# algorithm: normalization + definite-article / pronoun-suffix removal.
-# The published algorithm's verb-form conjugation tables are abridged to
-# the most frequent prefix/suffix sets.)
+# algorithm). Follows the published step layout: Checks1 noun/verb
+# flagging, Normalize_pre, the backwards suffix phase with separate VERB
+# (Step1 → 2a/2b/2c) and NOUN (Step1a/1b → 2a/2b/2c1/2c2 → 3) conjugation
+# tables with the per-row length guards, alef-maqsura fold, then the
+# prefix phase (conjunctions, article/preposition compounds). Two
+# documented deviations: hamza carriers are folded up-front (the published
+# Normalize_post does it last — same fixpoint for dedup/FTS use), and the
+# imperfect-verb prefix (ي/ت/ن) is stripped under conjugation-suffix
+# evidence so يكتبون collapses with كتب — a recall extension the published
+# algorithm leaves to the search layer.
 # --------------------------------------------------------------------------
 
-_AR_DIACRITICS = "ًٌٍَُِّْـ"
-# multi-letter only: bare ب/ك/ل prepositions over-strip roots (كتاب would
-# lose its first radical); the published algorithm guards them with
-# pattern checks we abridge, so we keep article/compound forms + و
+_AR_DIACRITICS = "ًٌٍَُِّْٰـ"
 _AR_PREFIXES = ("وال", "فال", "بال", "كال", "ولل", "فلل", "ال", "لل", "و")
-_AR_SUFFIXES = ("كما", "هما", "تما", "تان", "ان", "ات", "ون", "ين", "يه",
-                "ية", "هم", "هن", "كم", "كن", "نا", "ها", "وا", "تم",
-                "تن", "ة", "ه", "ي", "ك", "ا", "ت", "ن")
+# suffix tables as (suffix, min word length before removal), mirroring the
+# published among(...) rows: possessive/object pronouns and conjugation
+# endings keep >= 2-3 letters of stem depending on suffix length
+_AR_SUF_VERB_1 = (("هما", 6), ("كما", 6), ("كمو", 6), ("نا", 5), ("ها", 5),
+                  ("هم", 5), ("هن", 5), ("كم", 5), ("كن", 5), ("ني", 5),
+                  ("ه", 4), ("ك", 4))
+_AR_SUF_VERB_2A = (("تما", 6), ("ان", 5), ("ون", 5), ("ين", 5), ("نا", 5),
+                   ("تا", 5), ("تن", 5), ("ت", 4), ("ا", 4), ("ن", 4),
+                   ("ي", 4))
+_AR_SUF_VERB_2B = (("وا", 5), ("تم", 5))
+_AR_SUF_VERB_2C = (("تمو", 6), ("و", 4))
+_AR_SUF_NOUN_1A = (("كما", 6), ("هما", 6), ("نا", 5), ("كم", 5), ("هم", 5),
+                   ("هن", 5), ("ها", 5), ("كن", 5), ("ي", 4), ("ك", 4),
+                   ("ه", 4))
+_AR_SUF_NOUN_2A = (("ا", 5), ("ي", 5), ("و", 5))
+# conjugation endings that constitute VERB evidence for the imperfect-
+# prefix extension (plural/person markers, not pronouns)
+_AR_VERB_EVIDENCE = {"ون", "ين", "ان", "وا", "تما", "تمو", "تم", "تن",
+                     "تا", "نا", "ت"}
+
+
+def _ar_strip(word: str, table) -> tuple[str, str]:
+    for s, min_len in table:
+        if word.endswith(s) and len(word) >= min_len:
+            return word[: -len(s)], s
+    return word, ""
 
 
 def stem_arabic(word: str) -> str:
-    # normalization (the published algorithm's Normalize_pre/post):
-    # strip harakat + tatweel, unify hamza carriers, fold أ إ آ -> ا
+    # Normalize_pre: strip harakat + dagger alif + tatweel, split the
+    # lam-alef presentation ligatures, unify hamza carriers
     for d in _AR_DIACRITICS:
         word = word.replace(d, "")
+    for lig, plain in (("ﻻ", "لا"), ("ﻷ", "لأ"), ("ﻹ", "لإ"), ("ﻵ", "لآ")):
+        word = word.replace(lig, plain)
     word = (word.replace("آ", "ا")   # آ -> ا
                 .replace("أ", "ا")   # أ -> ا
                 .replace("إ", "ا")   # إ -> ا
                 .replace("ؤ", "و")   # ؤ -> و
                 .replace("ئ", "ي"))  # ئ -> ي
-    # prefixes: longest first, keep >= 2 letters of stem; the bare
-    # conjunction و needs >= 3 remaining
+
+    # Checks1: a definite-article compound marks the word noun-only
+    is_noun, is_verb = True, True
+    if (any(word.startswith(p) for p in ("بال", "كال", "وال", "فال"))
+            and len(word) > 4) or \
+       (any(word.startswith(p) for p in ("ال", "لل")) and len(word) > 3):
+        is_noun, is_verb = True, False
+
+    # suffix phase (the published backwards section). With both flags set
+    # the verb branch is accepted only on a multi-letter conjugation match
+    # — singles like ت/ا are shared with noun morphology and fall through
+    # to the noun tables (the published or-chain's guard rows).
+    verb_evidence = ""
+    stemmed = word
+    if is_verb:
+        w1, s1 = _ar_strip(word, _AR_SUF_VERB_1)
+        if s1:
+            w2, s2 = _ar_strip(w1, _AR_SUF_VERB_2A)
+            if not s2:
+                w2, s2 = _ar_strip(w1, _AR_SUF_VERB_2C)
+            if is_noun and len(s2) == 1:
+                stemmed = word  # ambiguous single: noun tables decide
+            else:
+                stemmed, verb_evidence = w2, s2
+        else:
+            w2, s2 = _ar_strip(word, _AR_SUF_VERB_2B)
+            if not s2:
+                w2, s2 = _ar_strip(word, _AR_SUF_VERB_2A)
+            if s2 and (not is_noun or len(s2) > 1):
+                stemmed, verb_evidence = w2, s2
+            elif is_noun:
+                stemmed = word  # defer to the noun branch
+    if is_noun and stemmed == word:
+        w = word
+        if w.endswith("ة") and len(w) >= 4:          # Step2c2
+            w = w[:-1]
+        else:
+            w1, s1 = _ar_strip(w, _AR_SUF_NOUN_1A)   # Step1a
+            if s1:
+                w2, s2 = _ar_strip(w1, _AR_SUF_NOUN_2A)
+                if not s2 and w1.endswith("ات") and len(w1) >= 5:
+                    w2 = w1[:-2]                      # Step2b
+                elif not s2 and w1.endswith("ت") and len(w1) >= 4:
+                    w2 = w1[:-1]                      # Step2c1
+                w = w2
+            elif w.endswith("ن") and len(w) > 5:      # Step1b
+                w1 = w[:-1]
+                w2, s2 = _ar_strip(w1, _AR_SUF_NOUN_2A)
+                w = w2
+            elif w.endswith("ات") and len(w) >= 5:    # Step2b
+                w = w[:-2]
+            else:
+                w2, s2 = _ar_strip(w, _AR_SUF_NOUN_2A)
+                w = w2
+        if w.endswith("ي") and len(w) >= 4:           # Step3 (nisba)
+            w = w[:-1]
+        stemmed = w
+    word = stemmed
+    if word.endswith("ى"):                            # alef maqsura
+        word = word[:-1] + "ي"
+
+    # prefix phase: conjunction/article/preposition compounds, longest
+    # first; bare ب/ك are kept (they are often root radicals — the
+    # published Prefix_Step3b_Noun guards them with checks subsumed here)
     changed = True
     while changed:
         changed = False
@@ -628,18 +719,17 @@ def stem_arabic(word: str) -> str:
                     word = word[len(p):]
                     changed = True
                 break
-    # suffixes: longest first, one pass each while the stem stays >= 2;
-    # remember whether a VERB-conjugation suffix matched — the published
-    # algorithm only strips imperfect prefixes under that evidence
-    verb_suffix = False
-    for s in _AR_SUFFIXES:
-        keep = 3 if len(s) == 1 else 2  # bare letters often root radicals
-        if word.endswith(s) and len(word) - len(s) >= keep:
-            if s in ("ون", "ين", "ان", "وا", "تما", "تم", "تن", "نا", "ت"):
-                verb_suffix = True
-            word = word[: -len(s)]
-    # imperfect verb prefix (ي/ت/ن/أ), only with conjugation evidence
-    if verb_suffix and len(word) >= 4 and word[0] in "يتنأ":
+    # Prefix_Step3_Verb: future-marker س + imperfect letter keeps the
+    # imperfect letter; يست/نست/تست restore است (Step4_Verb)
+    form_x = False
+    if len(word) > 4 and word[:3] in ("يست", "نست", "تست"):
+        word = "ا" + word[1:]
+        form_x = True  # است is the form-X stem marker, not a prefix
+    elif len(word) > 4 and word[0] == "س" and word[1] in "يتنا":
+        word = word[1:]
+    # imperfect verb prefix (ي/ت/ن/ا), only with conjugation evidence
+    if not form_x and verb_evidence in _AR_VERB_EVIDENCE \
+            and len(word) >= 4 and word[0] in "يتنا":
         word = word[1:]
     # ta-marbuta left mid-cluster after suffixing normalizes to ha
     if word.endswith("ة"):

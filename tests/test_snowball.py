@@ -38,7 +38,15 @@ GOLDEN = {
     "turkish": [("kitabı", "kitap"), ("kitaplarda", "kitap"),
                 ("evlerden", "ev"), ("geldiler", "gel")],
     "arabic": [("الكتاب", "كتاب"), ("المكتبة", "مكتب"),
-               ("يكتبون", "كتب"), ("للمدرسة", "مدرس")],
+               ("يكتبون", "كتب"), ("للمدرسة", "مدرس"),
+               # r5: full verb/noun conjugation tables — person/number
+               # endings, possessives over plurals, form-X restoration,
+               # future marker, nisba adjectives
+               ("ذهبنا", "ذهب"), ("تدرسون", "درس"),
+               ("سيكتبون", "كتب"), ("يستخدمون", "استخدم"),
+               ("مكتباتها", "مكتب"), ("طالبات", "طالب"),
+               ("معلمات", "معلم"), ("كتابك", "كتاب"),
+               ("العربية", "عرب"), ("بالمدرسة", "مدرس")],
     "greek": [("καλός", "καλ"), ("βιβλίου", "βιβλ"),
               ("σώματος", "σωμα"), ("γράφεις", "γραφ")],
     "tamil": [("புத்தகங்கள்", "புத்தக"),
@@ -61,7 +69,7 @@ FAMILIES = {
     "hungarian": ["házak", "házakat", "házban", "házam"],
     "romanian": ["fete", "fetele"],
     "turkish": ["kitap", "kitaplar", "kitabı", "kitaplarda", "kitapları"],
-    "arabic": ["كتاب", "الكتاب", "كتابها", "والكتاب"],
+    "arabic": ["كتاب", "الكتاب", "كتابها", "والكتاب", "كتابك", "كتابي"],
     "greek": ["καλός", "καλη", "καλοί", "καλές"],
     "tamil": ["புத்தகம்", "புத்தகங்கள்"],
 }
