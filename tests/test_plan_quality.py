@@ -381,3 +381,40 @@ def test_const_rule_put_runs_zero_jobs(spark):
     assert after == before, f"{after - before} jobs launched by 3 const puts"
     # the merged state is correct once read
     assert db.run_script("?[v] := *wz[900001, v]").rows == [[1]]
+
+
+def test_substring_dedup_plan(props):
+    """Span dedup must stay JVM-side, keep its windows doc-partitioned
+    (never 'No Partition Defined'), and pre-aggregate the shingle counts
+    map-side before the hash shuffle."""
+    p = props("substring_dedup")
+    for node in ("ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in p["plan"], f"contains {node}"
+    assert "Exchange SinglePartition" not in p["plan"], p["plan"][:2000]
+    assert "partial_count" in p["plan"] or "partial count" in p["plan"].lower()
+
+
+def test_lm_quality_broadcasts_frequency_table(props):
+    """The token-frequency table joins back by BROADCAST — re-shuffling
+    the exploded token stream on tok would dwarf every other stage at
+    corpus scale."""
+    p = props("lm_quality_score")
+    assert p["n_broadcast_joins"] >= 1, p["plan"][:2000]
+    assert p["n_sortmerge_joins"] == 0
+
+
+def test_pq_topk_plan(spark):
+    """PQ ADC: the LUT join must broadcast (the LUT is |q|*m*k rows) and
+    the whole scoring path stays JVM-side."""
+    from cozo_spark.operators.similarity import pq_build, pq_ip_topk
+    from cozo_spark.plans.inspect import plan_properties
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    codebook, codes = pq_build(emb, m=4, k_codes=8)
+    df = pq_ip_topk(emb.filter("vec_id < 5"), codebook, codes, k=10)
+    p = plan_properties(df)
+    assert p["n_broadcast_joins"] >= 1, p["plan"][:2000]
+    for node in ("ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in p["plan"]
