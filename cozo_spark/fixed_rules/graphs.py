@@ -490,6 +490,88 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 # Registry adapters: Cozo fixed-rule signature (inputs, options) -> DataFrame
 # ---------------------------------------------------------------------------
 
+def random_walks(
+    edges: DataFrame, starts: DataFrame | None = None, steps: int = 10,
+    iterations: int = 1, seed: int = 42, weighted: bool = False,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(idx, start, path): DISTRIBUTED seeded random walks — the scale
+    path for RandomWalk (algos/random_walk.rs:34-120 semantics, hash-
+    derandomized so every engine agrees on each step's choice).
+
+    Per step: active walks join the edge list on the current node, and
+    each walk picks the neighbor minimizing a per-(walk, step, neighbor)
+    hash — an order-free argmin (min_by), so the whole step is one join +
+    one partial-aggregated groupBy, no windows. Weighted walks use
+    Efraimidis-Spirakis A-Res keys (u^(1/w) maximized == -ln(u)/w
+    minimized) from the same hash, so biased sampling stays one argmin.
+    Dead ends retire walks via the null branch of the left join. hash_fn
+    'md5' keeps every choice replicable in SQL engines (the DuckDB oracle
+    replays the walk exactly); 'xxhash64' is the cheap production variant.
+    Edge list is checkpointed once and reused every step; walk lineage is
+    truncated every 8 steps. steps joins total — the standard iterative-
+    frontier shape (only the frontier shuffles, never the corpus)."""
+    e = _checkpoint(_norm_edges(edges, weighted=weighted).select(
+        F.col("src").alias("esrc"), F.col("dst").alias("edst"),
+        *([F.col("weight").alias("ew")] if weighted else [])))
+    if starts is None:
+        starts = _nodes(e.select(F.col("esrc").alias("src"),
+                                 F.col("edst").alias("dst")))
+    scol = starts.columns[0]
+    walks = starts.select(F.col(scol).alias("start")).distinct()
+    if iterations > 1:
+        walks = walks.crossJoin(
+            F.broadcast(walks.sparkSession.range(iterations)
+                        .select(F.col("id").alias("it"))))
+    else:
+        walks = walks.withColumn("it", F.lit(0))
+    walks = walks.select(
+        "start", "it", F.col("start").alias("cur"),
+        F.array(F.col("start").cast("string")).alias("path"),
+        F.lit(True).alias("active"))
+
+    def _key(step: int):
+        parts = (F.col("start").cast("string"), F.col("it").cast("string"),
+                 F.lit(step), F.col("edst").cast("string"), F.lit(seed))
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(*parts).cast("double")
+            if weighted:
+                h = F.abs(h) % F.lit(float(2 ** 52))  # into [0, 2^52)
+        else:
+            h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 13),
+                       16, 10).cast("double")
+        if not weighted:
+            return h
+        # A-Res: u in (0,1) from the hash, key = -ln(u)/w (min wins)
+        u = (h + F.lit(1.0)) / F.lit(float(2 ** 52) + 2.0)
+        return -F.log(u) / F.col("ew")
+
+    for step in range(steps):
+        act = walks.filter("active")
+        done = walks.filter(F.col("active") == F.lit(False))
+        cand = act.join(e, act["cur"] == e["esrc"], "left")
+        if weighted:
+            cand = cand.filter(F.col("esrc").isNull() | (F.col("ew") > 0))
+        nxt = (cand.groupBy("start", "it")
+               .agg(F.min_by(F.col("edst"), _key(step)).alias("nxt"),
+                    F.any_value("path").alias("path")))
+        walks = nxt.select(
+            "start", "it",
+            F.col("nxt").alias("cur"),
+            F.when(F.col("nxt").isNull(), F.col("path"))
+             .otherwise(F.concat(F.col("path"),
+                                 F.array(F.col("nxt").cast("string"))))
+             .alias("path"),
+            F.col("nxt").isNotNull().alias("active"),
+        ).unionByName(done)
+        if (step + 1) % 8 == 0:
+            walks = _checkpoint(walks)
+    # walk identity is (start, it) — the reference's flat idx counter would
+    # need a global enumeration (single-partition window); the pair carries
+    # strictly more information and stays scale-free
+    return walks.select("start", "it", "path")
+
+
 def _adapt(fn):
     def rule(inputs: list[DataFrame], options: dict | None = None) -> DataFrame:
         options = options or {}
@@ -533,5 +615,6 @@ BUILTIN_RULES = {
     "BFSReach": _adapt(bfs_reach),
     "ShortestPathHops": _adapt(shortest_hops),
     "ShortestPathCosts": _adapt(shortest_path_costs),
+    "RandomWalkDist": _adapt(random_walks),
     **_local_rules(),
 }

@@ -1849,7 +1849,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family), sort_topk (reorder_sort_rank keeps the engine sort path;
 # TakeOrdered stays plan-asserted in tests/test_plan_quality.py),
 # unify_expr (x = expr unification also exercised by scalar_string_math's
-# engine-path expressions and text_word_topk's in-explosion).
+# engine-path expressions and text_word_topk's in-explosion),
+# neg_join_anti (datalog_negation keeps the stratified-not/anti-join
+# family; rotated out for graph_random_walk).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1861,7 +1863,7 @@ DEMOTED: tuple = (
     "doc_fingerprint",
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
-    "agg_basic", "sort_topk", "unify_expr",
+    "agg_basic", "sort_topk", "unify_expr", "neg_join_anti",
 )
 
 
@@ -2526,3 +2528,54 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return substring_dup_spans(docs, k=8)
+
+
+@query(
+    "graph_random_walk",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    -- NOTE: inside WITH RECURSIVE, DuckDB (1.0) does not dedup a plain
+    -- UNION in a non-recursive CTE — hence the explicit DISTINCT
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    starts AS (SELECT node AS start, CAST(u.it AS BIGINT) AS it
+               FROM nodes, unnest(range(2)) u(it)),
+    walk(start, it, step, cur, path, active) AS (
+      SELECT start, it, 0, start, [CAST(start AS VARCHAR)], true FROM starts
+      UNION ALL
+      SELECT start, it, step + 1, nxt,
+             CASE WHEN nxt IS NULL THEN path
+                  ELSE list_append(path, CAST(nxt AS VARCHAR)) END,
+             nxt IS NOT NULL
+      FROM (
+        SELECT w.*, (SELECT e.dst FROM edges e WHERE e.src = w.cur
+                     ORDER BY md5(concat_ws('|', w.start, w.it, w.step,
+                                            e.dst, 42))
+                     LIMIT 1) AS nxt
+        FROM walk w WHERE w.step < 6 AND w.active)
+    )
+    SELECT start, it, array_to_string(path, '->') AS walk,
+           CAST(len(path) - 1 AS BIGINT) AS n_steps
+    FROM walk WHERE step = 6 OR NOT active
+    """,
+)
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED hash-derandomized random walks (the RandomWalkDist
+    scale path for algos/random_walk.rs): per step, one frontier join +
+    one min_by argmin over a per-(walk, step, neighbor) md5 — no windows,
+    no driver adjacency. The DuckDB oracle replays every choice exactly
+    via a recursive CTE with the same md5 keys, so the whole trajectory
+    is value-hash-checked, not just its shape. Invoked THROUGH the
+    engine's `<~` dispatch."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    df = db.run_script_df(
+        "?[start, it, path] <~ RandomWalkDist(*edge[], steps: 6, "
+        "iterations: 2, seed: 42)")
+    return df.select(
+        F.col("start").cast("long").alias("start"),
+        F.col("it").cast("long").alias("it"),
+        F.array_join("path", "->").alias("walk"),
+        (F.size("path") - 1).cast("long").alias("n_steps"))

@@ -1,0 +1,98 @@
+"""Distributed hash-derandomized random walks (fixed_rules/graphs.py).
+
+The scale path for RandomWalk: per step one frontier join + one min_by
+argmin, no windows, no driver adjacency. These tests pin determinism,
+dead-end retirement, weighted bias, and the engine dispatch surface.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cozo_spark.fixed_rules.graphs import random_walks
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 1), (5, 1), (9, 6)],
+        "src long, dst long")
+
+
+def test_walks_deterministic_and_complete(spark, edges):
+    a = sorted((r["start"], r["it"], tuple(r["path"]))
+               for r in random_walks(edges, steps=5, iterations=2,
+                                     seed=7).collect())
+    b = sorted((r["start"], r["it"], tuple(r["path"]))
+               for r in random_walks(edges, steps=5, iterations=2,
+                                     seed=7).collect())
+    assert a == b
+    # one walk per (node, iteration); every step follows a real edge
+    assert len(a) == 7 * 2
+    adj = {(r["src"], r["dst"]) for r in edges.collect()}
+    for start, it, path in a:
+        assert int(path[0]) == start
+        for u, v in zip(path, path[1:]):
+            assert (int(u), int(v)) in adj
+
+
+def test_dead_end_retires_walk(spark, edges):
+    rows = {(r["start"], r["it"]): list(r["path"])
+            for r in random_walks(edges, steps=5, seed=1).collect()}
+    # 6 has no out-edges: the walk from 9 stops after one hop, from 6
+    # immediately
+    assert rows[(9, 0)] == ["9", "6"]
+    assert rows[(6, 0)] == ["6"]
+
+
+def test_seed_changes_trajectories(spark, edges):
+    a = {(r["start"], r["it"]): tuple(r["path"])
+         for r in random_walks(edges, steps=6, seed=1).collect()}
+    b = {(r["start"], r["it"]): tuple(r["path"])
+         for r in random_walks(edges, steps=6, seed=2).collect()}
+    assert a.keys() == b.keys()
+    assert any(a[k] != b[k] for k in a), "seed must change some trajectory"
+
+
+def test_weighted_bias(spark):
+    """With weight 1000:1 on 1->2 vs 1->3, (A-Res keys) virtually every
+    iteration must route 1 -> 2."""
+    we = spark.createDataFrame(
+        [(1, 2, 1000.0), (1, 3, 0.0001), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double")
+    out = random_walks(we, steps=1, iterations=20, seed=5, weighted=True,
+                       hash_fn="xxhash64")
+    picks = [r["path"][1] for r in out.filter("start = 1").collect()]
+    assert len(picks) == 20
+    assert picks.count("2") >= 18, picks
+
+
+def test_zero_weight_edges_never_taken(spark):
+    we = spark.createDataFrame(
+        [(1, 2, 0.0), (1, 3, 5.0), (3, 1, 1.0)],
+        "src long, dst long, w double")
+    out = random_walks(we, steps=3, iterations=4, seed=11, weighted=True)
+    for r in out.filter("start = 1").collect():
+        assert "2" not in r["path"][1:2], r["path"]
+
+
+def test_engine_dispatch(spark, edges):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("e", edges)
+    out = db.run_script_df(
+        "?[start, it, path] <~ RandomWalkDist(*e[], steps: 3, seed: 9)")
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all(len(r["path"]) >= 1 for r in rows)
+
+
+def test_no_single_partition_exchange(spark, edges):
+    from cozo_spark.plans.inspect import plan_properties
+
+    p = plan_properties(random_walks(edges, steps=4, seed=3))
+    assert "Exchange SinglePartition" not in p["plan"]
+    for node in ("ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in p["plan"]
