@@ -20,10 +20,16 @@ Decode status by format:
 - ``video/x-msvideo`` (MJPEG AVI) — REAL frame extraction: stdlib RIFF
   chunk walk (operators/avi.py) + the JPEG decoder per sampled frame;
   ``sample_frames`` timestamps off the container's own frame clock.
-- remaining compressed formats (WebP/MP3/H.264+MP4/...) — GATED: raise
-  NotImplementedError with a clear message (no codec libraries in this
-  container); the kernel bodies are the only thing that changes when one
-  is installed.
+- ``audio/mpeg`` — REAL metadata probe (operators/mp3.py frame-header
+  walk: duration/avg-bitrate/sample-rate/channels, ID3v2-aware, resync
+  on garbage); PCM decode stays gated.
+- every format above + GIF/WebP/MP4 containers — magic-byte sniffing and
+  a ``probe_media`` trust kernel (declared vs sniffed type, header-true
+  dims/duration, valid flag) for filtering before decode spend.
+- remaining compressed decodes (WebP/MP3-PCM/H.264+MP4/...) — GATED:
+  raise NotImplementedError with a clear message (no codec libraries in
+  this container); the kernel bodies are the only thing that changes when
+  one is installed.
 
 Everything Spark-side is real and load-bearing at 100 TB:
 
@@ -497,3 +503,154 @@ def repartition_for_blobs(df: DataFrame, target_bytes_per_partition: int = 256 <
     total = df.agg(F.coalesce(F.sum(size_col), F.lit(0)).alias("t")).collect()[0]["t"]
     n = max(int(total // target_bytes_per_partition) + 1, 1)
     return df.repartition(n)
+
+
+# --------------------------------------------------------------------------
+# Content sniffing + metadata probing — at 100 TB the media_type column is
+# routinely wrong or missing; trust the bytes, not the label.
+# --------------------------------------------------------------------------
+
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"), (b"GIF89a", "image/gif"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (_RAW_MAGIC, RAW_RGB_TYPE),
+)
+
+
+def sniff_media_type(content: bytes) -> str | None:
+    """Magic-byte container detection (the `file(1)` subset a training
+    pipeline meets): PNG/JPEG/GIF/WebP, WAV/MP3/OGG/FLAC, AVI/MP4,
+    x-raw-rgb. None when nothing matches."""
+    if not content or len(content) < 4:
+        return None
+    for magic, mt in _MAGIC:
+        if content.startswith(magic):
+            return mt
+    if content[:4] == b"RIFF" and len(content) >= 12:
+        sub = content[8:12]
+        return {b"AVI ": "video/x-msvideo", b"WAVE": "audio/wav",
+                b"WEBP": "image/webp"}.get(sub)
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        return "video/mp4"
+    # bare MPEG audio frame sync (no ID3 tag)
+    if content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
+        return "audio/mpeg"
+    return None
+
+
+def _probe_one(content: bytes) -> dict:
+    """Best-effort per-blob metadata from the sniffed container. Returns
+    plain dict; unknown fields stay None, errors mark valid=False."""
+    out = {"sniffed_type": sniff_media_type(content), "width": None,
+           "height": None, "duration_ms": None, "sample_rate": None,
+           "bitrate_kbps": None, "n_frames": None, "valid": False}
+    t = out["sniffed_type"]
+    try:
+        if t == "image/png":
+            w, h = struct.unpack(">II", content[16:24])  # IHDR leads
+            out.update(width=int(w), height=int(h), valid=True)
+        elif t == "image/jpeg":
+            out.update(_jpeg_dims(content))
+        elif t == "image/gif":
+            w, h = struct.unpack("<HH", content[6:10])
+            out.update(width=int(w), height=int(h), valid=True)
+        elif t == RAW_RGB_TYPE:
+            w, h = struct.unpack("<II", content[4:12])
+            out.update(width=int(w), height=int(h), valid=True)
+        elif t == "audio/wav":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(content), "rb") as wf:
+                rate, n = wf.getframerate(), wf.getnframes()
+            out.update(sample_rate=rate,
+                       duration_ms=int(n * 1000 / rate) if rate else None,
+                       n_frames=n, valid=True)
+        elif t == "audio/mpeg":
+            from cozo_spark.operators.mp3 import probe_mp3
+
+            m = probe_mp3(content)
+            out.update(duration_ms=m["duration_ms"],
+                       sample_rate=m["sample_rate"],
+                       bitrate_kbps=m["bitrate_kbps"],
+                       n_frames=m["n_frames"], valid=True)
+        elif t == "video/x-msvideo":
+            from cozo_spark.operators.avi import decode_avi_frames
+
+            usec, frames = decode_avi_frames(content)
+            out.update(n_frames=len(frames),
+                       duration_ms=int(len(frames) * usec / 1000)
+                       if usec else None, valid=bool(frames))
+    except Exception:
+        out["valid"] = False
+    return out
+
+
+def _jpeg_dims(content: bytes) -> dict:
+    """Width/height from the first SOFn marker — a header walk, no entropy
+    decode (works for progressive files the full decoder rejects)."""
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", content[pos + 2:pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", content[pos + 5:pos + 9])
+            return {"width": int(w), "height": int(h), "valid": True}
+        pos += 2 + seglen
+    return {"valid": False}
+
+
+PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("declared_type", T.StringType()),
+    T.StructField("sniffed_type", T.StringType()),
+    T.StructField("type_mismatch", T.BooleanType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("valid", T.BooleanType()),
+])
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Per-blob trust report: sniffed container vs declared media_type,
+    plus the real header-derived metadata (dims / duration / sample rate /
+    bitrate / frame count) for every format with a stdlib probe. The
+    quality filter a pipeline runs BEFORE spending decode cycles — and the
+    source of truth for byte-budget partitioning. mapInPandas, map-only."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                p = _probe_one(content)
+                rows.append({
+                    "media_id": r["media_id"],
+                    "declared_type": r["media_type"],
+                    "sniffed_type": p["sniffed_type"],
+                    "type_mismatch": (p["sniffed_type"] is not None
+                                      and r["media_type"] is not None
+                                      and p["sniffed_type"] != r["media_type"]),
+                    "width": p["width"], "height": p["height"],
+                    "duration_ms": p["duration_ms"],
+                    "sample_rate": p["sample_rate"],
+                    "bitrate_kbps": p["bitrate_kbps"],
+                    "n_frames": p["n_frames"], "valid": p["valid"],
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA])
+
+    return df.mapInPandas(kernel, PROBE_SCHEMA)

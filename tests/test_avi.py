@@ -87,3 +87,65 @@ def test_sample_frames_fake_path_still_works(spark):
     assert rows == [(0, 0), (1, 1000), (2, 2000)]
     with pytest.raises(Exception):
         sample_frames(media, every_ms=1000, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# media sniffing + probe_media (r5)
+# ---------------------------------------------------------------------------
+
+def test_sniff_media_type():
+    from cozo_spark.operators.avi import encode_avi_mjpeg
+    from cozo_spark.operators.mp3 import encode_mp3_silence
+    from cozo_spark.operators.multimodal import (
+        encode_png, encode_raw_rgb, encode_wav, sniff_media_type)
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    cases = {
+        sniff_media_type(encode_png(img)): "image/png",
+        sniff_media_type(encode_jpeg(img)): "image/jpeg",
+        sniff_media_type(encode_raw_rgb(img)): "image/x-raw-rgb",
+        sniff_media_type(encode_wav(np.zeros(64, np.int16), 8000)):
+            "audio/wav",
+        sniff_media_type(encode_mp3_silence(3)): "audio/mpeg",
+        sniff_media_type(encode_avi_mjpeg([encode_jpeg(img)], fps=5)):
+            "video/x-msvideo",
+        sniff_media_type(b"GIF89a" + b"\x04\x00\x04\x00" + b"\x00" * 10):
+            "image/gif",
+        sniff_media_type(b"\x00\x00\x00\x18ftypmp42rest"): "video/mp4",
+        sniff_media_type(b"random bytes here"): None,
+    }
+    for got, want in cases.items():
+        assert got == want
+
+
+def test_probe_media_types_and_metadata(spark):
+    from cozo_spark.operators.avi import encode_avi_mjpeg
+    from cozo_spark.operators.mp3 import encode_mp3_silence
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_png, probe_media)
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    mp3 = encode_mp3_silence(n_frames=38)  # 992 ms @44100, 128 kbps
+    avi = encode_avi_mjpeg([encode_jpeg(img)] * 10, fps=5)  # 2000 ms
+    meta = {"width": None, "height": None, "duration_ms": None,
+            "sample_rate": None}
+    media = spark.createDataFrame([
+        (1, "image/png", encode_png(img), meta),
+        (2, "image/png", encode_jpeg(img), meta),      # mislabeled!
+        (3, "audio/mpeg", mp3, meta),
+        (4, "video/x-msvideo", avi, meta),
+        (5, "image/png", b"\x89PNG\r\n\x1a\ntruncated", meta),
+    ], MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert rows[1]["sniffed_type"] == "image/png" and rows[1]["valid"]
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 4)
+    # mislabeling detected, and JPEG dims come from the SOF header walk
+    assert rows[2]["sniffed_type"] == "image/jpeg"
+    assert rows[2]["type_mismatch"] is True
+    assert (rows[2]["width"], rows[2]["height"]) == (6, 4)
+    assert rows[3]["valid"] and rows[3]["duration_ms"] == 992
+    assert rows[3]["sample_rate"] == 44100 and rows[3]["bitrate_kbps"] == 128
+    assert rows[4]["valid"] and rows[4]["n_frames"] == 10
+    assert rows[4]["duration_ms"] == 2000
+    # truncated PNG: sniffed but not valid
+    assert rows[5]["sniffed_type"] == "image/png" and not rows[5]["valid"]
