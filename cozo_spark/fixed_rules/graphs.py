@@ -490,6 +490,74 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 # Registry adapters: Cozo fixed-rule signature (inputs, options) -> DataFrame
 # ---------------------------------------------------------------------------
 
+def minimum_spanning_forest_boruvka(
+    edges: DataFrame, max_iterations: int = 64,
+) -> DataFrame:
+    """(src, dst, weight): DISTRIBUTED minimum spanning forest — Borůvka,
+    the scale path for the driver-side Prim/Kruskal rules
+    (algos/minimum_spanning_*.rs semantics, undirected interpretation).
+
+    Each round every component picks its lightest outgoing edge (one
+    min_by groupBy over the component-labeled edge list — ties broken by
+    the TOTAL order (weight, src, dst), which provably prevents cycles),
+    the chosen component-graph contracts via the existing distributed
+    min-label connected_components, and the component count at least
+    halves — O(log n) rounds of joins+groupBys, no driver adjacency, no
+    windows. Output matches Kruskal's forest weight exactly (and its edge
+    set when weights are distinct)."""
+    cols = edges.columns
+    if len(cols) < 2:
+        raise ValueError("Edge relation requires tuples of length at least two")
+    w = (F.col(cols[2]).cast("double") if len(cols) > 2
+         else F.lit(1.0)).alias("weight")
+    # canonical undirected edge identity (a <= b) under a total order
+    a, b = F.col(cols[0]), F.col(cols[1])
+    e = _checkpoint(edges.select(
+        F.least(a, b).alias("ea"), F.greatest(a, b).alias("eb"), w)
+        .filter(F.col("ea") != F.col("eb"))
+        .groupBy("ea", "eb").agg(F.min("weight").alias("weight")))
+    comp = _checkpoint(
+        e.select(F.col("ea").alias("node"))
+        .unionByName(e.select(F.col("eb").alias("node"))).distinct()
+        .select("node", F.col("node").alias("comp")))
+    forest = None
+    for _ in range(max_iterations):
+        lab = e.join(comp.withColumnRenamed("node", "ea")
+                         .withColumnRenamed("comp", "ca"), "ea") \
+               .join(comp.withColumnRenamed("node", "eb")
+                         .withColumnRenamed("comp", "cb"), "eb") \
+               .filter(F.col("ca") != F.col("cb"))
+        sym = (lab.select(F.col("ca").alias("c"), "ea", "eb", "weight",
+                          F.col("cb").alias("other"))
+               .unionByName(lab.select(F.col("cb").alias("c"), "ea", "eb",
+                                       "weight", F.col("ca").alias("other"))))
+        chosen = _checkpoint(
+            sym.groupBy("c").agg(
+                F.min_by(F.struct("ea", "eb", "weight", "other"),
+                         F.struct("weight", "ea", "eb")).alias("pick")))
+        if chosen.isEmpty():
+            break
+        picked = (chosen.select("pick.ea", "pick.eb", "pick.weight")
+                  .distinct())
+        forest = picked if forest is None else \
+            forest.unionByName(picked).distinct()
+        forest = _checkpoint(forest)
+        # contract: components linked by chosen edges collapse to one label
+        pairs = chosen.select(F.col("c").alias("src"),
+                              F.col("pick.other").alias("dst"))
+        newlab = connected_components(pairs).select(
+            F.col("node").alias("comp"), F.col("component").alias("ncomp"))
+        comp = _checkpoint(
+            comp.join(newlab, "comp", "left")
+            .select("node", F.coalesce("ncomp", "comp").alias("comp")))
+    spark = edges.sparkSession
+    if forest is None:
+        return spark.createDataFrame(
+            [], "src long, dst long, weight double")
+    return forest.select(F.col("ea").alias("src"),
+                         F.col("eb").alias("dst"), "weight")
+
+
 def random_walks(
     edges: DataFrame, starts: DataFrame | None = None, steps: int = 10,
     iterations: int = 1, seed: int = 42, weighted: bool = False,
@@ -616,5 +684,6 @@ BUILTIN_RULES = {
     "ShortestPathHops": _adapt(shortest_hops),
     "ShortestPathCosts": _adapt(shortest_path_costs),
     "RandomWalkDist": _adapt(random_walks),
+    "MinimumSpanningForestBoruvka": _adapt(minimum_spanning_forest_boruvka),
     **_local_rules(),
 }

@@ -96,3 +96,69 @@ def test_no_single_partition_exchange(spark, edges):
     for node in ("ArrowEvalPython", "BatchEvalPython",
                  "FlatMapGroupsInPandas", "MapInPandas"):
         assert node not in p["plan"]
+
+
+# ---------------------------------------------------------------------------
+# distributed Borůvka MSF (r5)
+# ---------------------------------------------------------------------------
+
+def _forest_stats(df):
+    rows = df.collect()
+    return len(rows), round(sum(r["weight"] for r in rows), 9)
+
+
+def test_boruvka_matches_kruskal_random(spark):
+    import random
+
+    from cozo_spark.fixed_rules.graphs import minimum_spanning_forest_boruvka
+    from cozo_spark.fixed_rules.local_graphs import (
+        minimum_spanning_forest_kruskal)
+
+    rnd = random.Random(17)
+    edges = [(rnd.randrange(30), rnd.randrange(30),
+              round(rnd.random() * 10, 3)) for _ in range(90)]
+    edges += [(200, 201, 2.5), (201, 202, 1.5)]  # disconnected component
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    bn, bw = _forest_stats(minimum_spanning_forest_boruvka(df))
+    kn, kw = _forest_stats(minimum_spanning_forest_kruskal(df))
+    assert (bn, bw) == (kn, kw)
+
+
+def test_boruvka_duplicate_weights_stay_acyclic(spark):
+    """All weights equal: only the (weight, src, dst) total order prevents
+    cycles. Forest must still have exactly n_nodes - n_components edges."""
+    from cozo_spark.fixed_rules.graphs import minimum_spanning_forest_boruvka
+
+    # complete-ish graph on 8 nodes, every weight 1.0
+    edges = [(i, j, 1.0) for i in range(8) for j in range(8) if i < j]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    out = minimum_spanning_forest_boruvka(df)
+    rows = [(r["src"], r["dst"]) for r in out.collect()]
+    assert len(rows) == 7  # spanning tree on 8 nodes
+    # acyclic: union-find check
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        assert ra != rb, f"cycle through {(a, b)}"
+        parent[ra] = rb
+
+
+def test_boruvka_engine_dispatch(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe(
+        "we", spark.createDataFrame(
+            [(1, 2, 3.0), (2, 3, 1.0), (1, 3, 2.0)],
+            "src long, dst long, w double"))
+    out = db.run_script_df(
+        "?[src, dst, weight] <~ MinimumSpanningForestBoruvka(*we[])")
+    rows = sorted((r["src"], r["dst"], r["weight"]) for r in out.collect())
+    assert rows == [(1, 3, 2.0), (2, 3, 1.0)]
