@@ -1851,7 +1851,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unify_expr (x = expr unification also exercised by scalar_string_math's
 # engine-path expressions and text_word_topk's in-explosion),
 # neg_join_anti (datalog_negation keeps the stratified-not/anti-join
-# family; rotated out for graph_random_walk).
+# family; rotated out for graph_random_walk), agg_min_cost (min_cost()
+# stays covered by the air-routes ports and datalog_shortest_min;
+# rotated out for pq_code_dedup).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1863,7 +1865,7 @@ DEMOTED: tuple = (
     "doc_fingerprint",
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
-    "agg_basic", "sort_topk", "unify_expr", "neg_join_anti",
+    "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
 )
 
 
@@ -2579,3 +2581,52 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it").cast("long").alias("it"),
         F.array_join("path", "->").alias("walk"),
         (F.size("path") - 1).cast("long").alias("n_steps"))
+
+
+@query(
+    "pq_code_dedup",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rk AS (SELECT vec_id, v,
+                  row_number() OVER (ORDER BY md5(cast(vec_id + 42 AS VARCHAR)),
+                                     vec_id) AS rk
+           FROM c),
+    base AS (SELECT rk - 1 AS cid, v FROM rk WHERE rk <= 8),
+    cb AS (SELECT t.s, base.cid,
+                  base.v[t.s*16+1 : t.s*16+16] AS cvec
+           FROM base CROSS JOIN (SELECT s::INT AS s FROM range(4) r(s)) t),
+    enc AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT c.vec_id, cb.s, cb.cid,
+               row_number() OVER (PARTITION BY c.vec_id, cb.s
+                 ORDER BY list_distance(c.v[cb.s*16+1 : cb.s*16+16], cb.cvec),
+                          cb.cid) AS rn
+        FROM c CROSS JOIN cb) WHERE rn = 1),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_sig
+      FROM enc GROUP BY vec_id)
+    SELECT pq_sig,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(vec_id) AS BIGINT) AS keeper_id
+    FROM sig GROUP BY pq_sig HAVING count(*) > 1
+    """,
+)
+def pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup on quantization codes: vectors whose
+    PQ codes coincide are near-duplicates in embedding space; grouping by
+    the m-code signature finds them with ONE shuffle over tiny keys (vs
+    all-pairs cosine). Same deterministic codebook as ann_pq_topk, so the
+    DuckDB oracle replicates the encoder exactly; keeper = min id."""
+    from cozo_spark.operators.similarity import pq_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, codes = pq_build(emb, m=4, k_codes=8)
+    sig = codes.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        .alias("pq_sig"))
+    return (sig.groupBy("pq_sig")
+            .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
+                 F.min("vec_id").cast("long").alias("keeper_id"))
+            .filter("cluster_size > 1"))
