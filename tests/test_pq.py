@@ -110,3 +110,59 @@ def test_substring_dedup_span_merge(spark):
         assert rows[d]["n_dup_tokens"] == 12
     # doc 1 has 3 + 12 + 4 = 19 tokens
     assert abs(rows[1]["dup_fraction"] - 12 / 19) < 1e-9
+
+
+def test_substring_dedup_fuzz_vs_python_reference(spark):
+    """Randomized docs with planted shared runs: substring_dup_spans must
+    agree with a direct per-doc interval-merge reference implementation."""
+    import random
+    import re
+
+    from cozo_spark.operators.dedup import substring_dup_spans
+
+    rnd = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_runs = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(8, 14)))
+        for _ in range(3)]
+    docs = []
+    for d in range(12):
+        parts = [rnd.choice(vocab) for _ in range(rnd.randint(0, 10))]
+        for run in shared_runs:
+            if rnd.random() < 0.5:
+                parts.append(run)
+                parts.extend(rnd.choice(vocab)
+                             for _ in range(rnd.randint(0, 5)))
+        docs.append((d, " ".join(parts)))
+
+    k = 8
+    toks = {d: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+            for d, s in docs}
+    occur = {}
+    for d, ts in toks.items():
+        for p in range(max(len(ts) - k, 0) + 1):
+            occur.setdefault(" ".join(ts[p:p + k]), set()).add(d)
+    expected = {}
+    for d, ts in toks.items():
+        ivs = [(p, min(p + k, len(ts)))
+               for p in range(max(len(ts) - k, 0) + 1)
+               if len(occur[" ".join(ts[p:p + k])]) > 1]
+        if not ivs:
+            continue
+        spans = []
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s > ce:
+                spans.append((cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        spans.append((cs, ce))
+        cov = sum(e - s for s, e in spans)
+        expected[d] = (len(spans), cov, round(cov / len(ts), 9))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_dup_spans"], r["n_dup_tokens"],
+                         round(r["dup_fraction"], 9))
+           for r in substring_dup_spans(df, k=k).collect()}
+    assert got == expected
