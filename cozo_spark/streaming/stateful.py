@@ -274,3 +274,31 @@ def stream_quality_filter(stream: DataFrame, text_col: str = "text",
                   / F.greatest(n_words, F.lit(1)))
     return stream.filter((n_words >= min_words)
                          & (stop_ratio <= max_stopword_ratio))
+
+
+def stream_windowed_counts(stream: DataFrame, ts_col: str,
+                           key_col: str | None = None,
+                           window_duration: str = "1 minute",
+                           slide: str | None = None,
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling/sliding-window event counts — the canonical
+    late-data-tolerant streaming aggregation (built-in `window()` +
+    `withWatermark`; Spark's state store evicts windows older than the
+    watermark, so state stays bounded on an unbounded stream; rows later
+    than the watermark are DROPPED, not misassigned).
+
+    Output: (window_start, window_end[, key], n) in append mode — a window
+    emits once, when the watermark passes its end. The batch analogue is a
+    plain groupBy(window(...)); this wrapper exists because getting the
+    watermark-before-groupBy ordering wrong silently disables eviction.
+    """
+    w = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    keys = [w] + ([F.col(key_col)] if key_col else [])
+    agg = (stream.withWatermark(ts_col, watermark)
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n")))
+    cols = [F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end")]
+    if key_col:
+        cols.append(F.col(key_col))
+    return agg.select(*cols, "n")

@@ -552,3 +552,41 @@ def test_stream_minhash_sig_matches_batch(spark):
                                      _stream_minhash_sig("text", 64, 3)
                                      .alias("s")).collect()}
     assert batch == stream_expr
+
+
+def test_stream_windowed_counts_drops_late_rows(spark, tmp_path):
+    """Tumbling 1-min windows with a 2-min watermark: a row arriving after
+    the watermark passed its window is dropped; windows emit exactly once
+    (append mode) with correct counts."""
+    import json
+
+    from cozo_spark.streaming.stateful import stream_windowed_counts
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    b1 = [{"id": 1, "k": "a", "ts": "2024-01-01T10:00:10"},
+          {"id": 2, "k": "a", "ts": "2024-01-01T10:00:40"},
+          {"id": 3, "k": "b", "ts": "2024-01-01T10:01:20"},
+          # advances the watermark far past the 10:00 and 10:01 windows
+          {"id": 4, "k": "a", "ts": "2024-01-01T10:30:00"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    stream = (spark.readStream.schema("id LONG, k STRING, ts STRING")
+              .json(str(src))
+              .withColumn("ts", F.to_timestamp("ts")))
+    out = stream_windowed_counts(stream, "ts", key_col="k",
+                                 window_duration="1 minute",
+                                 watermark="2 minutes")
+    q = (out.writeStream.format("memory").queryName("win_counts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wck")).start())
+    try:
+        q.processAllAvailable()
+        # a straggler for the long-closed 10:00 window: must be dropped
+        (src / "b2.json").write_text(json.dumps(
+            {"id": 5, "k": "a", "ts": "2024-01-01T10:00:50"}))
+        q.processAllAvailable()
+        rows = {(str(r["window_start"])[11:16], r["k"]): r["n"]
+                for r in spark.sql("SELECT * FROM win_counts").collect()}
+    finally:
+        q.stop()
+    assert rows == {("10:00", "a"): 2, ("10:01", "b"): 1}
