@@ -1853,7 +1853,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neg_join_anti (datalog_negation keeps the stratified-not/anti-join
 # family; rotated out for graph_random_walk), agg_min_cost (min_cost()
 # stays covered by the air-routes ports and datalog_shortest_min;
-# rotated out for pq_code_dedup).
+# rotated out for pq_code_dedup), dedup_exact (the dedup family keeps
+# substring_dedup, pq_code_dedup, minhash_lsh_pairs, dedup_clusters and
+# decontaminate in-cap; rotated out for asof_join_events).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1866,6 +1868,7 @@ DEMOTED: tuple = (
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
     "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
+    "dedup_exact",
 )
 
 
@@ -2630,3 +2633,46 @@ def pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
                  F.min("vec_id").cast("long").alias("keeper_id"))
             .filter("cluster_size > 1"))
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE event_type = 'error' AND user_id < 30),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'click')
+    SELECT e.user_id, e.event_id, CAST(e.ts_us AS BIGINT) AS ts_us,
+           ROUND(c.value, 2) AS click_value,
+           CAST(e.ts_us - c.ts_us AS BIGINT) AS lag_us
+    FROM err e ASOF JOIN clk c
+      ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join (operators/asof.py — the union + last-non-null
+    window trick: ONE key shuffle, nothing quadratic): for each error
+    event, the user's latest click at or before it. The oracle is
+    DuckDB's NATIVE ASOF JOIN, so the semantics are cross-checked against
+    an independent first-class implementation, not a replica."""
+    from cozo_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+    err = (ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 30))
+           .select("user_id", us.alias("ts_us"), "event_id"))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select("user_id", us.alias("ts_us"), "value"))
+    out = asof_join(err, clk, by="user_id", ts_left="ts_us",
+                    ts_right="ts_us")
+    # inner as-of for the hash gate (NULL-free); the left-join/NULL path
+    # is pinned by tests/test_asof.py
+    return (out.filter(F.col("ts_us_r").isNotNull())
+            .select(
+                "user_id", "event_id",
+                F.col("ts_us").cast("long").alias("ts_us"),
+                F.round("value_r", 2).alias("click_value"),
+                (F.col("ts_us") - F.col("ts_us_r")).cast("long")
+                .alias("lag_us")))

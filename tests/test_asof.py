@@ -1,0 +1,77 @@
+"""As-of join operator (operators/asof.py): backward semantics, equal-ts
+inclusive vs strict, tolerance staleness, NULL on no-match, plan shape."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cozo_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", 10.0, 1), ("A", 25.0, 2), ("B", 5.0, 3), ("A", 3.0, 4),
+         ("A", 20.0, 5)],
+        "sym string, ts double, trade_id long")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", 5.0, 100.0), ("A", 20.0, 101.5), ("B", 6.0, 50.0)],
+        "sym string, ts double, px double")
+
+
+def _px(df):
+    return {r["trade_id"]: r["px_r"] for r in df.collect()}
+
+
+def test_backward_inclusive(spark, trades, quotes):
+    px = _px(asof_join(trades, quotes, by="sym"))
+    assert px == {1: 100.0, 2: 101.5, 3: None, 4: None, 5: 101.5}
+
+
+def test_strict_excludes_equal_ts(spark, trades, quotes):
+    px = _px(asof_join(trades, quotes, by="sym", strict=True))
+    assert px[5] == 100.0  # trade@20 must not see quote@20
+    assert px[2] == 101.5
+
+
+def test_tolerance_voids_stale_matches(spark, trades, quotes):
+    px = _px(asof_join(trades, quotes, by="sym", tolerance=5.0))
+    assert px == {1: 100.0, 2: 101.5, 3: None, 4: None, 5: 101.5}
+    px = _px(asof_join(trades, quotes, by="sym", tolerance=4.0))
+    assert px == {1: None, 2: None, 3: None, 4: None, 5: 101.5}
+
+
+def test_matched_right_ts_exposed(spark, trades, quotes):
+    rows = {r["trade_id"]: r["ts_r"]
+            for r in asof_join(trades, quotes, by="sym").collect()}
+    assert rows[1] == 5.0 and rows[2] == 20.0 and rows[3] is None
+
+
+def test_left_rows_all_preserved(spark, trades, quotes):
+    out = asof_join(trades, quotes, by="sym")
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"sym", "ts", "trade_id", "px_r", "ts_r"}
+
+
+def test_keys_never_cross(spark, trades, quotes):
+    # B's only quote is at ts 6 > trade ts 5 → no match, and A quotes
+    # must never leak into B
+    r = asof_join(trades, quotes, by="sym").filter("sym = 'B'").collect()
+    assert len(r) == 1 and r[0]["px_r"] is None
+
+
+def test_plan_one_key_shuffle_no_python(spark, trades, quotes):
+    from cozo_spark.plans.inspect import plan_properties
+
+    p = plan_properties(asof_join(trades, quotes, by="sym"))
+    assert "Exchange SinglePartition" not in p["plan"]
+    for node in ("ArrowEvalPython", "BatchEvalPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in p["plan"]
+    # nothing quadratic: no nested-loop / cartesian node
+    assert "CartesianProduct" not in p["plan"]
+    assert "BroadcastNestedLoopJoin" not in p["plan"]
