@@ -1,0 +1,42 @@
+"""Binned range (interval) join — equi-join speed for inequality predicates.
+
+`left.value BETWEEN right.lo AND right.hi` is a predicate Catalyst can
+only execute as BroadcastNestedLoopJoin (every left row tested against
+every interval — quadratic). The standard scale fix is binning: each
+interval explodes into the fixed-width bins it overlaps, each value maps
+to exactly ONE bin, and the join becomes a hash equi-join on bin id with
+a residual between-filter. Shuffle volume = |left| + Σ interval_spans —
+linear, never a cross product. Pick ``bin_width`` near the typical
+interval width: too small multiplies the right side, too large degrades
+toward per-bin mini cross products (both only cost, never correctness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, value_col: str,
+    lo_col: str = "lo", hi_col: str = "hi",
+    bin_width: float = 1.0, how: str = "inner",
+) -> DataFrame:
+    """Join left rows to every right interval containing their value.
+
+    Intervals are closed ([lo, hi]); rows with NULL bounds or value drop
+    out (inner semantics). Output = left columns + right columns."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = F.lit(float(bin_width))
+    lb = left.withColumn("__bin",
+                         F.floor(F.col(value_col).cast("double") / w))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col).cast("double") / w).cast("long"),
+            F.floor(F.col(hi_col).cast("double") / w).cast("long"))))
+    out = (lb.join(rb, "__bin", how)
+           .filter((F.col(value_col) >= F.col(lo_col))
+                   & (F.col(value_col) <= F.col(hi_col))))
+    return out.drop("__bin")

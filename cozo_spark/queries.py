@@ -1855,7 +1855,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays covered by the air-routes ports and datalog_shortest_min;
 # rotated out for pq_code_dedup), dedup_exact (the dedup family keeps
 # substring_dedup, pq_code_dedup, minhash_lsh_pairs, dedup_clusters and
-# decontaminate in-cap; rotated out for asof_join_events).
+# decontaminate in-cap; rotated out for asof_join_events), sessionize
+# (window_running_sum + events_rollup keep the window family; rotated
+# out for events_rollup), ann_cosine_topk (ann_ivf_topk + ann_pq_topk +
+# embed_cosine_neardup keep the ANN family; rotated out for
+# range_join_prices).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1868,7 +1872,7 @@ DEMOTED: tuple = (
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
     "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
-    "dedup_exact",
+    "dedup_exact", "sessionize", "ann_cosine_topk",
 )
 
 
@@ -2676,3 +2680,74 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("value_r", 2).alias("click_value"),
                 (F.col("ts_us") - F.col("ts_us_r")).cast("long")
                 .alias("lag_us")))
+
+
+@query(
+    "range_join_prices",
+    oracle="""
+    WITH bands AS (
+      SELECT p_partkey, p_retailprice * 20 - 500 AS lo,
+             p_retailprice * 20 + 500 AS hi
+      FROM part WHERE p_partkey % 100 = 0)
+    SELECT b.p_partkey,
+           CAST(count(*) AS BIGINT) AS n_in_band,
+           ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_price
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+    GROUP BY b.p_partkey
+    """,
+)
+def range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (operators/rangejoin.py): lineitem prices vs
+    part-derived price bands as a hash equi-join on bin id + residual
+    filter — linear shuffle volume where Catalyst's only native plan is a
+    BroadcastNestedLoopJoin cross product. The oracle runs the plain
+    inequality join, so the binning is verified against the naive
+    semantics."""
+    from cozo_spark.operators.rangejoin import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_partkey") % 100 == 0)
+             .select("p_partkey",
+                     (F.col("p_retailprice") * 20 - 500).alias("lo"),
+                     (F.col("p_retailprice") * 20 + 500).alias("hi")))
+    j = range_join(li, bands, "l_extendedprice", bin_width=1000.0)
+    return (j.groupBy("p_partkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_in_band"),
+                 F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
+                               .cast("long")) / 100.0, 2).alias("sum_price")))
+
+
+@query(
+    "events_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+                ELSE event_type END AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM events WHERE user_id < 40
+    GROUP BY ROLLUP(day, event_type)
+    HAVING day IS NOT NULL
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucketed rollup: per-day per-event-type
+    aggregates PLUS per-day subtotals in one pass (GROUP BY ROLLUP —
+    Spark's Expand keeps it a single shuffle with map-side partial
+    aggregation, exactly what a continuous aggregate materializes)."""
+    ev = _t(spark, sf_dir, "events").filter("user_id < 40")
+    day = F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")),
+                        "yyyy-MM-dd")
+    base = ev.select(day.alias("day"), "event_type",
+                     F.round(F.col("value") * 100).cast("long").alias("v100"))
+    return (base.rollup("day", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("v100") / 100.0, 2).alias("total_value"))
+            .filter(F.col("day").isNotNull())
+            .select("day",
+                    F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+                    "n", "total_value"))

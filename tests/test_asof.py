@@ -75,3 +75,44 @@ def test_plan_one_key_shuffle_no_python(spark, trades, quotes):
     # nothing quadratic: no nested-loop / cartesian node
     assert "CartesianProduct" not in p["plan"]
     assert "BroadcastNestedLoopJoin" not in p["plan"]
+
+
+# ---------------------------------------------------------------------------
+# binned range join (r5)
+# ---------------------------------------------------------------------------
+
+def test_range_join_boundaries_and_bins(spark):
+    from cozo_spark.operators.rangejoin import range_join
+
+    vals = spark.createDataFrame([(float(v),) for v in
+                                  (0.0, 5.0, 10.0, 10.5, 99.9, 100.0)],
+                                 "v double")
+    ivs = spark.createDataFrame(
+        [(1, 5.0, 10.0), (2, 10.0, 100.0), (3, -1.0, 0.0)],
+        "iid long, lo double, hi double")
+    got = {(r["iid"], r["v"]) for r in
+           range_join(vals, ivs, "v", bin_width=7.0).collect()}
+    want = {(1, 5.0), (1, 10.0),             # closed [5,10]
+            (2, 10.0), (2, 10.5), (2, 99.9), (2, 100.0),
+            (3, 0.0)}
+    assert got == want
+    # result independent of bin width
+    for bw in (0.5, 3.0, 1000.0):
+        got2 = {(r["iid"], r["v"]) for r in
+                range_join(vals, ivs, "v", bin_width=bw).collect()}
+        assert got2 == want, bw
+
+
+def test_range_join_plan_is_hash_join(spark):
+    from cozo_spark.operators.rangejoin import range_join
+    from cozo_spark.plans.inspect import plan_properties
+
+    vals = spark.range(1000).select((F.col("id") * 1.0).alias("v"))
+    ivs = spark.createDataFrame([(i, i * 10.0, i * 10.0 + 25.0)
+                                 for i in range(50)],
+                                "iid long, lo double, hi double")
+    p = plan_properties(range_join(vals, ivs, "v", bin_width=10.0))
+    assert "BroadcastNestedLoopJoin" not in p["plan"]
+    assert "CartesianProduct" not in p["plan"]
+    assert (p["n_broadcast_joins"] + p["n_sortmerge_joins"] >= 1
+            or "ShuffledHashJoin" in p["plan"])
