@@ -116,3 +116,40 @@ def test_range_join_plan_is_hash_join(spark):
     assert "CartesianProduct" not in p["plan"]
     assert (p["n_broadcast_joins"] + p["n_sortmerge_joins"] >= 1
             or "ShuffledHashJoin" in p["plan"])
+
+
+def test_asof_fuzz_vs_duckdb_native(spark):
+    """Randomized instances vs DuckDB's native ASOF JOIN — ties at equal
+    ts, empty keys, interleaved histories. Right side unique per (key,ts)
+    (both implementations assume it)."""
+    import random
+
+    import duckdb
+
+    rnd = random.Random(31)
+    for trial in range(3):
+        lrows = [(f"k{rnd.randrange(6)}", float(rnd.randrange(100)), i)
+                 for i in range(80)]
+        seen = set()
+        rrows = []
+        for j in range(60):
+            key = (f"k{rnd.randrange(8)}", float(rnd.randrange(100)))
+            if key in seen:
+                continue
+            seen.add(key)
+            rrows.append((key[0], key[1], round(rnd.random() * 100, 3)))
+        left = spark.createDataFrame(lrows, "k string, ts double, lid long")
+        right = spark.createDataFrame(rrows, "k string, ts double, px double")
+        got = sorted(
+            (r["lid"], r["px_r"])
+            for r in asof_join(left, right, by="k").collect())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE l (k VARCHAR, ts DOUBLE, lid BIGINT)")
+        con.execute("CREATE TABLE r (k VARCHAR, ts DOUBLE, px DOUBLE)")
+        con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+        con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+        want = sorted(con.execute(
+            "SELECT l.lid, r.px FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts").fetchall())
+        assert got == want, f"trial {trial}"
