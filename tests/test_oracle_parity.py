@@ -122,7 +122,11 @@ def test_sf01_parity_sweep(spark):
     names = ["agg_basic", "join_multiway", "datalog_recursion",
              "datalog_shortest_min", "minhash_lsh_pairs", "dedup_exact",
              "sessionize", "graph_shortest_hops", "text_word_topk",
-             "validity_asof"]
+             "validity_asof",
+             # r5 additions — the new operator families at 10x scale
+             "substring_dedup", "asof_join_events", "graph_random_walk",
+             "lm_quality_score", "pq_code_dedup", "events_rollup",
+             "range_join_prices", "ann_pq_topk"]
     def n6(v):
         v = _norm_cell(v)
         # at 10x data the engines' float SUMS differ in the final ulps
