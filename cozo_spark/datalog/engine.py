@@ -1742,7 +1742,10 @@ class CozoDb:
     def _coerce_to_schema(self, data: DataFrame, rel: StoredRelation) -> DataFrame:
         """Write-time coercion (reference relation.rs:173-457): cast each
         provided column to its declared type. Special cases: Validity accepts
-        [ts, is_assert] lists (relation.rs:339-388)."""
+        [ts, is_assert] lists, the strings "ASSERT"/"RETRACT" (current
+        transaction timestamp, assert/retract), and RFC3339 timestamps with
+        an optional retract prefix `~`; the sentinel timestamps i64::MAX /
+        i64::MIN are rejected (relation.rs:333-389)."""
         typing = {c.name: c.typing for c in rel.keys + rel.non_keys}
         dtypes = dict(data.dtypes)
         out = data
@@ -1757,8 +1760,43 @@ class CozoDb:
                     out = out.withColumn(name, F.struct(
                         F.element_at(F.col(name), 1).cast("long").alias("ts"),
                         F.element_at(F.col(name), 2).cast("boolean").alias("is_assert")))
+                elif cur == "string":
+                    # per-transaction "now", microseconds (ValidityTs::now)
+                    import time as _time
+
+                    now_us = int(_time.time() * 1_000_000)
+                    s = F.col(name)
+                    body = F.when(s.startswith("~"), F.substring(s, 2, 2 ** 30)) \
+                            .otherwise(s)
+                    parsed_us = F.unix_micros(F.to_timestamp(body))
+                    out = out.withColumn(name, F.when(
+                        s == "ASSERT",
+                        F.struct(F.lit(now_us).alias("ts"),
+                                 F.lit(True).alias("is_assert")),
+                    ).when(
+                        s == "RETRACT",
+                        F.struct(F.lit(now_us).alias("ts"),
+                                 F.lit(False).alias("is_assert")),
+                    ).otherwise(F.struct(
+                        parsed_us.alias("ts"),
+                        (~s.startswith("~")).alias("is_assert"))))
                 elif not cur.startswith("struct"):
                     raise QueryError(f"cannot coerce {cur} to Validity for column {name!r}")
+                # EAGER per-row validation, validity writes only (writes
+                # elsewhere stay zero-job): unparseable strings (ts null
+                # after coercion — InvalidValidity) and the reserved
+                # sentinels i64::MAX (the @ "END" probe) / i64::MIN
+                # (unrepresentable as Reverse) are rejected at put time,
+                # matching relation.rs:333-389. Lazy row asserts would
+                # otherwise poison every LATER read of the relation.
+                bad = out.filter(
+                    F.col(name)["ts"].isNull()
+                    | (F.col(name)["ts"] == F.lit(2 ** 63 - 1))
+                    | (F.col(name)["ts"] == F.lit(-(2 ** 63))))
+                if not bad.isEmpty():
+                    raise QueryError(
+                        f"value cannot be coerced into validity for column "
+                        f"{name!r} (unparseable or reserved timestamp)")
             else:
                 out = out.withColumn(name, F.col(name).cast(_col_type(t)))
         return out

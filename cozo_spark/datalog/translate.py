@@ -702,7 +702,9 @@ class ClauseTranslator:
                 import time
                 at_us = int(time.time() * 1e6)
             elif at == "END":
-                at_us = (1 << 62)
+                # ValidityTs::MAX — i64::MAX is reserved as the END probe
+                # (writes reject it, reads may probe it): validity.rs:180-195
+                at_us = (1 << 63) - 1
             else:
                 import datetime as dt
                 at_us = int(dt.datetime.fromisoformat(at.replace("Z", "+00:00")).timestamp() * 1e6)
@@ -723,7 +725,10 @@ class ClauseTranslator:
             prefix = [c for c in keys if c != vcol]
         else:
             prefix = [c for c in base.columns if c != vcol]
-        w = W.partitionBy(*prefix).orderBy(F.col(f"{vcol}.ts").desc())
+        # equal-ts tiebreak: asserts sort before retracts and the first
+        # wins (the reference's (Reverse ts, Reverse is_assert) key order)
+        w = W.partitionBy(*prefix).orderBy(
+            F.col(f"{vcol}.ts").desc(), F.col(f"{vcol}.is_assert").desc())
         return (
             base.filter(F.col(f"{vcol}.ts") <= at_us)
             .withColumn("__rn", F.row_number().over(w))

@@ -520,3 +520,54 @@ def test_magic_rewrite_variable_seed_unbindable_skipped(spark):
         "reach[a, c] := reach[a, b], *uedge[b, c]\n"
         "?[a, b] := reach[a, b]")
     assert rows(r) == [(1, 2), (1, 3), (2, 3), (7, 8)]
+
+
+def test_validity_reference_scenario(spark):
+    """Direct port of the reference's own validity test
+    (cozo-core/src/data/tests/validity.rs:15-200): sentinel-timestamp
+    rejection, ASSERT/RETRACT string coercion against the transaction
+    clock, @ "NOW" / @ "END" reads, and full-history scans."""
+    import pytest as _pytest
+
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(":create vld {a, v: Validity => d}")
+
+    # i64::MAX / i64::MIN timestamps are reserved and must be rejected
+    with _pytest.raises(Exception):
+        db.run_script(
+            '?[a, v, d] <- [[1, [9223372036854775807, true], null]] '
+            ':put vld {a, v => d}')
+    with _pytest.raises(Exception):
+        db.run_script(
+            '?[a, v, d] <- [[1, [-9223372036854775808, true], null]] '
+            ':put vld {a, v => d}')
+
+    db.run_script('?[a, v, d] <- [[1, [0, true], 0]] :put vld {a, v => d}')
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d @ "NOW"}').rows) == 1
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d}').rows) == 1
+
+    db.run_script('?[a, v, d] <- [[1, [1, false], 1]] :put vld {a, v => d}')
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d @ "NOW"}').rows) == 0
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d}').rows) == 2
+
+    # "ASSERT" stamps the transaction clock (now) with is_assert=true
+    db.run_script('?[a, v, d] <- [[1, "ASSERT", 2]] :put vld {a, v => d}')
+    res = db.run_script('?[a, v, d] := *vld{a, v, d @ "NOW"}').rows
+    assert len(res) == 1 and res[0][2] == 2
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d}').rows) == 3
+
+    # "RETRACT" stamps now with is_assert=false — current view empties
+    db.run_script('?[a, v, d] <- [[1, "RETRACT", 3]] :put vld {a, v => d}')
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d @ "NOW"}').rows) == 0
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d}').rows) == 4
+
+    # a far-future assert: invisible @ NOW, visible @ END
+    db.run_script(
+        '?[a, v, d] <- [[1, [9223372036854775806, true], null]] '
+        ':put vld {a, v => d}')
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d @ "NOW"}').rows) == 0
+    res = db.run_script('?[a, v, d] := *vld{a, v, d @ "END"}').rows
+    assert len(res) == 1 and res[0][2] is None
+    assert len(db.run_script('?[a, v, d] := *vld{a, v, d}').rows) == 5
