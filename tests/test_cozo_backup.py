@@ -257,3 +257,39 @@ def test_fuzz_memcmp_bytes_order_preserved(bss):
     encs = [(memcmp_encode([b]), b) for b in bss]
     assert sorted(e for e, _ in encs) == \
         [e for e, _ in sorted(encs, key=lambda p: p[1])]
+
+
+def test_memcmp_num_order_port():
+    """Port of memcmp.rs::encode_decode_num (scaled): the shifted-int
+    family (i64::MAX >> i) - j with negations, random floats and their
+    reciprocals, ±inf — roundtrip exactly AND byte order == numeric order
+    (ints and floats interleave in one key space)."""
+    import random
+    import struct as _s
+
+    rnd = random.Random(7)
+    nums = []
+    n = (1 << 63) - 1
+    for i in range(0, 54, 6):
+        for j in (0, 1, 7, 999):
+            vb = (n >> i) - j
+            nums += [vb, -vb - 1]
+    nums += [0, 1, -1]
+    floats = [float("inf"), float("-inf")]
+    for _ in range(500):
+        f = (rnd.random() - 0.5) * 2.0
+        floats += [f, 1.0 / f if f else 0.0]
+
+    encs = []
+    for v in nums + floats:
+        e = memcmp_encode([v])
+        (dec,) = memcmp_decode(e)
+        if isinstance(v, int):
+            assert dec == v and isinstance(dec, int), v
+        else:
+            assert _s.pack(">d", dec) == _s.pack(">d", v), v
+        encs.append((e, float(v)))
+    # byte-wise order == numeric order across the MIXED int/float space
+    by_bytes = [v for _, v in sorted(encs, key=lambda p: p[0])]
+    by_value = sorted((v for _, v in encs))
+    assert by_bytes == by_value
