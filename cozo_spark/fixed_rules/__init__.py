@@ -324,6 +324,108 @@ def _register_pipeline_rules() -> None:
     register_fixed_rule("BalancedSample", balanced_sample_rule)
     register_fixed_rule("KeywordTopK", keyword_rule)
 
+    # --- round-5 operators as UDTFs ------------------------------------
+    #     spans[] <~ SubstringDedup(*docs[], k: 8)
+    #     near[]  <~ PqCodeDedup(*embeds[], m: 4, k_codes: 8)
+    #     pit[]   <~ AsofJoin(left[], right[])      # (key, ts, payload...)
+    #     rj[]    <~ RangeJoin(vals[], bands[], bin_width: 100)
+    #     meta[]  <~ ProbeMedia(*media[])           # (id, type, content)
+    #     fr[]    <~ SampleFrames(*media[], every_ms: 1000)
+
+    def substring_dedup_rule(inputs, options=None):
+        from cozo_spark.operators.dedup import substring_dup_spans
+
+        o = dict(options or {})
+        return substring_dup_spans(_doc_frame(inputs[0]),
+                                   k=int(o.get("k", 8)))
+
+    def pq_code_dedup_rule(inputs, options=None):
+        from cozo_spark.operators.similarity import pq_build
+
+        o = dict(options or {})
+        c = inputs[0].columns
+        emb = inputs[0].select(F.col(c[0]).alias("vec_id"),
+                               F.col(c[1]).alias("embedding"))
+        _, codes = pq_build(emb, m=int(o.get("m", 4)),
+                            k_codes=int(o.get("k_codes", 8)))
+        sig = codes.select(
+            "vec_id",
+            F.array_join(F.transform("codes",
+                                     lambda x: x.cast("string")), ",")
+            .alias("pq_sig"))
+        return (sig.groupBy("pq_sig")
+                .agg(F.count(F.lit(1)).alias("cluster_size"),
+                     F.min("vec_id").alias("keeper_id"))
+                .filter("cluster_size > 1"))
+
+    def asof_join_rule(inputs, options=None):
+        from cozo_spark.operators.asof import asof_join
+
+        o = dict(options or {})
+        lc, rc = inputs[0].columns, inputs[1].columns
+        if len(lc) < 2 or len(rc) < 2:
+            raise ValueError("AsofJoin inputs need (key, ts, ...) columns")
+        left = inputs[0].select(F.col(lc[0]).alias("k"),
+                                F.col(lc[1]).alias("ts"), *lc[2:])
+        right = inputs[1].select(F.col(rc[0]).alias("k"),
+                                 F.col(rc[1]).alias("ts"), *rc[2:])
+        tol = o.get("tolerance")
+        return asof_join(left, right, by="k",
+                         strict=bool(o.get("strict", False)),
+                         tolerance=float(tol) if tol is not None else None)
+
+    def range_join_rule(inputs, options=None):
+        from cozo_spark.operators.rangejoin import range_join
+
+        o = dict(options or {})
+        vc, ic = inputs[0].columns, inputs[1].columns
+        vals = inputs[0].select(F.col(vc[0]).alias("value"), *vc[1:])
+        if len(ic) < 3:
+            raise ValueError("RangeJoin intervals need (id, lo, hi)")
+        ivs = inputs[1].select(F.col(ic[0]).alias("interval_id"),
+                               F.col(ic[1]).alias("lo"),
+                               F.col(ic[2]).alias("hi"))
+        return range_join(vals, ivs, "value",
+                          bin_width=float(o.get("bin_width", 1.0)))
+
+    def _media_frame(df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        c = df.columns
+        if len(c) < 3:
+            raise ValueError(
+                "expected a (media_id, media_type, content[, meta]) input")
+        meta_t = T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType())])
+        meta = (F.col(c[3]) if len(c) > 3
+                else F.lit(None).cast(meta_t))
+        return df.select(F.col(c[0]).alias("media_id"),
+                         F.col(c[1]).alias("media_type"),
+                         F.col(c[2]).alias("content"), meta.alias("meta"))
+
+    def probe_media_rule(inputs, options=None):
+        from cozo_spark.operators.multimodal import probe_media
+
+        return probe_media(_media_frame(inputs[0]))
+
+    def sample_frames_rule(inputs, options=None):
+        from cozo_spark.operators.multimodal import sample_frames
+
+        o = dict(options or {})
+        return sample_frames(_media_frame(inputs[0]),
+                             every_ms=int(o.get("every_ms", 1000)),
+                             decode=bool(o.get("decode", False)))
+
+    register_fixed_rule("SubstringDedup", substring_dedup_rule)
+    register_fixed_rule("PqCodeDedup", pq_code_dedup_rule)
+    register_fixed_rule("AsofJoin", asof_join_rule)
+    register_fixed_rule("RangeJoin", range_join_rule)
+    register_fixed_rule("ProbeMedia", probe_media_rule)
+    register_fixed_rule("SampleFrames", sample_frames_rule)
+
 
 _register_builtins()
 

@@ -153,3 +153,58 @@ def test_asof_fuzz_vs_duckdb_native(spark):
             "SELECT l.lid, r.px FROM l ASOF LEFT JOIN r "
             "ON l.k = r.k AND l.ts >= r.ts").fetchall())
         assert got == want, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# round-5 UDTF (`<~`) dispatch surface
+# ---------------------------------------------------------------------------
+
+def test_r5_rules_through_engine(spark):
+    import numpy as np
+
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.operators.jpeg import encode_jpeg
+    from cozo_spark.operators.multimodal import MEDIA_SCHEMA
+
+    db = CozoDb(spark)
+    shared = " ".join(f"t{i}" for i in range(10))
+    db.register_dataframe("docs", spark.createDataFrame(
+        [(1, f"a b c {shared}"), (2, f"{shared} x y z"), (3, "nothing here at all")],
+        "doc_id long, text string"))
+    spans = db.run_script_df(
+        "?[doc_id, n_dup_spans, n_dup_tokens, dup_fraction] <~ "
+        "SubstringDedup(*docs[], k: 8)").collect()
+    assert {r["doc_id"] for r in spans} == {1, 2}
+
+    db.register_dataframe("trades", spark.createDataFrame(
+        [("A", 10.0, 1), ("A", 25.0, 2)], "sym string, ts double, tid long"))
+    db.register_dataframe("quotes", spark.createDataFrame(
+        [("A", 5.0, 100.0), ("A", 20.0, 101.5)],
+        "sym string, ts double, px double"))
+    pit = db.run_script_df(
+        "?[k, ts, tid, px_r, ts_r] <~ AsofJoin(*trades[], *quotes[])")
+    assert {(r["tid"], r["px_r"]) for r in pit.collect()} == \
+        {(1, 100.0), (2, 101.5)}
+
+    db.register_dataframe("vals", spark.createDataFrame(
+        [(7.0,), (55.0,)], "v double"))
+    db.register_dataframe("bands", spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 50.0, 60.0)], "iid long, lo double, hi double"))
+    rj = db.run_script_df(
+        "?[value, interval_id, lo, hi] <~ RangeJoin(vals[], bands[], "
+        "bin_width: 10) vals[v] := *vals[v] bands[i, l, h] := *bands[i, l, h]")
+    assert {(r["interval_id"], r["value"]) for r in rj.collect()} == \
+        {(1, 7.0), (2, 55.0)}
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    media = spark.createDataFrame(
+        [(9, "image/png", encode_jpeg(img),
+          {"width": None, "height": None, "duration_ms": None,
+           "sample_rate": None})], MEDIA_SCHEMA)
+    db.register_dataframe("media", media)
+    probed = db.run_script_df(
+        "?[media_id, declared_type, sniffed_type, type_mismatch, width, "
+        "height, duration_ms, sample_rate, bitrate_kbps, n_frames, valid] "
+        "<~ ProbeMedia(*media[])").collect()
+    assert probed[0]["sniffed_type"] == "image/jpeg"
+    assert probed[0]["type_mismatch"] is True
