@@ -2532,11 +2532,16 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup, distributed): hash every 8-token shingle, keep hashes spanning
     >1 document, merge flagged windows into maximal per-doc spans via a
     doc-partitioned gaps-and-islands window, report span count / covered
-    tokens / fraction. The shuffle carries md5 hashes, never text."""
-    from cozo_spark.operators.dedup import substring_dup_spans
-
-    docs = _t(spark, sf_dir, "documents")
-    return substring_dup_spans(docs, k=8)
+    tokens / fraction. The shuffle carries md5 hashes, never text.
+    Runs THROUGH the engine's `<~` UDTF dispatch (SubstringDedup)."""
+    db = _db(spark, sf_dir, ())
+    db.register_dataframe("docs", _t(spark, sf_dir, "documents")
+                          .select("doc_id", "text"))
+    out = db.run_script_df(
+        "?[doc_id, n_dup_spans, n_dup_tokens, dup_fraction] <~ "
+        "SubstringDedup(*docs[], k: 8)")
+    return out.select("doc_id", F.col("n_dup_spans").cast("long"),
+                      F.col("n_dup_tokens").cast("long"), "dup_fraction")
 
 
 @query(
@@ -2624,19 +2629,16 @@ def pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ codes coincide are near-duplicates in embedding space; grouping by
     the m-code signature finds them with ONE shuffle over tiny keys (vs
     all-pairs cosine). Same deterministic codebook as ann_pq_topk, so the
-    DuckDB oracle replicates the encoder exactly; keeper = min id."""
-    from cozo_spark.operators.similarity import pq_build
-
-    emb = _t(spark, sf_dir, "embeddings")
-    _, codes = pq_build(emb, m=4, k_codes=8)
-    sig = codes.select(
-        "vec_id",
-        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
-        .alias("pq_sig"))
-    return (sig.groupBy("pq_sig")
-            .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
-                 F.min("vec_id").cast("long").alias("keeper_id"))
-            .filter("cluster_size > 1"))
+    DuckDB oracle replicates the encoder exactly; keeper = min id.
+    Runs THROUGH the engine's `<~` UDTF dispatch (PqCodeDedup)."""
+    db = _db(spark, sf_dir, ())
+    db.register_dataframe("embeds", _t(spark, sf_dir, "embeddings")
+                          .select("vec_id", "embedding"))
+    out = db.run_script_df(
+        "?[pq_sig, cluster_size, keeper_id] <~ "
+        "PqCodeDedup(*embeds[], m: 4, k_codes: 8)")
+    return out.select("pq_sig", F.col("cluster_size").cast("long"),
+                      F.col("keeper_id").cast("long"))
 
 
 @query(
@@ -2660,25 +2662,28 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     window trick: ONE key shuffle, nothing quadratic): for each error
     event, the user's latest click at or before it. The oracle is
     DuckDB's NATIVE ASOF JOIN, so the semantics are cross-checked against
-    an independent first-class implementation, not a replica."""
-    from cozo_spark.operators.asof import asof_join
-
+    an independent first-class implementation, not a replica. Runs
+    THROUGH the engine's `<~` UDTF dispatch (AsofJoin)."""
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
-    err = (ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 30))
-           .select("user_id", us.alias("ts_us"), "event_id"))
-    clk = (ev.filter(F.col("event_type") == "click")
-           .select("user_id", us.alias("ts_us"), "value"))
-    out = asof_join(err, clk, by="user_id", ts_left="ts_us",
-                    ts_right="ts_us")
+    db = _db(spark, sf_dir, ())
+    db.register_dataframe(
+        "err", ev.filter((F.col("event_type") == "error")
+                         & (F.col("user_id") < 30))
+                 .select("user_id", us.alias("ts_us"), "event_id"))
+    db.register_dataframe(
+        "clk", ev.filter(F.col("event_type") == "click")
+                 .select("user_id", us.alias("ts_us"), "value"))
+    out = db.run_script_df(
+        "?[k, ts, event_id, value_r, ts_r] <~ AsofJoin(*err[], *clk[])")
     # inner as-of for the hash gate (NULL-free); the left-join/NULL path
     # is pinned by tests/test_asof.py
-    return (out.filter(F.col("ts_us_r").isNotNull())
+    return (out.filter(F.col("ts_r").isNotNull())
             .select(
-                "user_id", "event_id",
-                F.col("ts_us").cast("long").alias("ts_us"),
+                F.col("k").alias("user_id"), "event_id",
+                F.col("ts").cast("long").alias("ts_us"),
                 F.round("value_r", 2).alias("click_value"),
-                (F.col("ts_us") - F.col("ts_us_r")).cast("long")
+                (F.col("ts") - F.col("ts_r")).cast("long")
                 .alias("lag_us")))
 
 
@@ -2704,16 +2709,21 @@ def range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — linear shuffle volume where Catalyst's only native plan is a
     BroadcastNestedLoopJoin cross product. The oracle runs the plain
     inequality join, so the binning is verified against the naive
-    semantics."""
-    from cozo_spark.operators.rangejoin import range_join
-
-    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
-    bands = (_t(spark, sf_dir, "part")
-             .filter(F.col("p_partkey") % 100 == 0)
-             .select("p_partkey",
-                     (F.col("p_retailprice") * 20 - 500).alias("lo"),
-                     (F.col("p_retailprice") * 20 + 500).alias("hi")))
-    j = range_join(li, bands, "l_extendedprice", bin_width=1000.0)
+    semantics. Runs THROUGH the engine's `<~` UDTF dispatch (RangeJoin)."""
+    db = _db(spark, sf_dir, ())
+    db.register_dataframe(
+        "vals", _t(spark, sf_dir, "lineitem").select("l_extendedprice"))
+    db.register_dataframe(
+        "bands", _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 100 == 0)
+        .select("p_partkey",
+                (F.col("p_retailprice") * 20 - 500).alias("lo"),
+                (F.col("p_retailprice") * 20 + 500).alias("hi")))
+    j = (db.run_script_df(
+        "?[value, interval_id, lo, hi] <~ RangeJoin(*vals[], *bands[], "
+        "bin_width: 1000)")
+        .withColumnRenamed("value", "l_extendedprice")
+        .withColumnRenamed("interval_id", "p_partkey"))
     return (j.groupBy("p_partkey")
             .agg(F.count(F.lit(1)).cast("long").alias("n_in_band"),
                  F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
