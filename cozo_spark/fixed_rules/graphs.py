@@ -619,9 +619,19 @@ def random_walks(
         done = walks.filter(F.col("active") == F.lit(False))
         cand = act.join(e, act["cur"] == e["esrc"], "left")
         if weighted:
-            cand = cand.filter(F.col("esrc").isNull() | (F.col("ew") > 0))
+            # zero/negative-weight edges are unwalkable, but the walk must
+            # RETIRE, not vanish: nullify the destination instead of
+            # filtering the row (a node whose edges are all weight-0 then
+            # yields nxt=null via min_by, like a dead end — matches the
+            # local rule's `sum(ws) <= 0: break`)
+            cand = cand.withColumn(
+                "edst", F.when(F.col("ew") > 0, F.col("edst")))
+        # nullified/dead-end rows sort to +inf so a real neighbor always
+        # wins the argmin; an all-null group yields nxt=null (retire)
+        key = F.when(F.col("edst").isNotNull(), _key(step)) \
+               .otherwise(F.lit(float("inf")))
         nxt = (cand.groupBy("start", "it")
-               .agg(F.min_by(F.col("edst"), _key(step)).alias("nxt"),
+               .agg(F.min_by(F.col("edst"), key).alias("nxt"),
                     F.any_value("path").alias("path")))
         walks = nxt.select(
             "start", "it",

@@ -162,3 +162,17 @@ def test_boruvka_engine_dispatch(spark):
         "?[src, dst, weight] <~ MinimumSpanningForestBoruvka(*we[])")
     rows = sorted((r["src"], r["dst"], r["weight"]) for r in out.collect())
     assert rows == [(1, 3, 2.0), (2, 3, 1.0)]
+
+
+def test_all_zero_weight_node_retires_walk(spark):
+    """A node whose out-edges are ALL weight-0 must retire the walk (like
+    a dead end), not silently drop it from the output."""
+    we = spark.createDataFrame(
+        [(1, 2, 0.0), (1, 3, 0.0), (2, 1, 1.0)],
+        "src long, dst long, w double")
+    rows = {(r["start"], r["it"]): list(r["path"])
+            for r in random_walks(we, steps=3, seed=2,
+                                  weighted=True).collect()}
+    assert rows[(1, 0)] == ["1"]          # retired immediately, kept
+    assert rows[(2, 0)] == ["2", "1"]     # 2 -> 1, then stuck at 1
+    assert set(rows) == {(1, 0), (2, 0), (3, 0)}
