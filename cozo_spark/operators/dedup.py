@@ -489,6 +489,7 @@ def substring_dup_spans(
            .agg(F.count_distinct("doc_id").alias("nd"))
            .filter("nd > 1").select("h"))
     fl = (sh.join(dup, "h")
+          .filter("n_toks > 0")  # token-less docs: no spans, no 0-division
           .select("doc_id", "n_toks", "pos",
                   F.least(F.col("pos") + k, F.col("n_toks")).alias("fin")))
     w_prev = (W.partitionBy("doc_id").orderBy("pos")

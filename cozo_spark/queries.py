@@ -2501,7 +2501,7 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
     fl AS (
       SELECT doc_id, n_toks, pos, least(pos + 8, n_toks) AS fin
-      FROM sh WHERE h IN (SELECT h FROM dup)
+      FROM sh WHERE h IN (SELECT h FROM dup) AND n_toks > 0
     ),
     marks AS (
       SELECT doc_id, n_toks, pos, fin,
