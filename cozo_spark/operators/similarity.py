@@ -305,3 +305,71 @@ def pq_ip_topk(
             .filter(F.col("rn") <= k)
             .select("qid", "vec_id",
                     F.round(F.col("ip9") / 1e9, 6).alias("approx_ip")))
+
+
+def kmeans_lloyd(
+    corpus: DataFrame, k: int = 4, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42, scale: int = 10 ** 6,
+) -> tuple[list, DataFrame]:
+    """Deterministic distributed k-means (Lloyd): returns (centroids as a
+    python list of long-arrays, assignment DataFrame (vec_id, cid)).
+
+    The classic Spark shape: assignment is a map-side argmin against k
+    broadcast-literal centroids (k distance expressions, whole-stage
+    codegen, no join), recompute is one explode + (cid, dim) groupBy —
+    per iteration one shuffle over (k·dim) keys and one k-row collect.
+
+    Everything is INTEGERIZED so any engine replays it bit-for-bit: input
+    coords round to 1e6-scaled longs, distances are exact integer sums
+    (dim·(2·scale)² bounded — fits int64 for dim ≤ ~1e4), new centroids
+    round(sum/n) with exact integer sums. Ties: lowest cid. Empty
+    clusters keep their previous centroid. Init = md5-ordered TakeOrdered
+    sample (engine-portable, same trick as ivf/pq)."""
+    x6 = F.transform(F.col(vec_col).cast("array<double>"),
+                     lambda x: F.round(x * scale).cast("long"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), x6.alias("x6"))
+    rows = (c.select(F.md5((F.col("vec_id") + F.lit(seed)).cast("string"))
+                     .alias("_h"), "vec_id", "x6")
+            .orderBy("_h", "vec_id").limit(k).collect())
+    rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
+    cents = [list(r["x6"]) for r in rows]
+    dim = len(cents[0])
+
+    def _assign(df):
+        dists = []
+        for cid in range(len(cents)):
+            lit_c = F.array(*[F.lit(int(v)) for v in cents[cid]])
+            d2 = F.aggregate(
+                F.zip_with("x6", lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda a, x: a + x)
+            dists.append(d2)
+        least = F.least(*dists) if len(dists) > 1 else dists[0]
+        cid_col = None
+        for i in range(len(cents) - 1, -1, -1):
+            hit = F.lit(i)
+            cid_col = hit if cid_col is None else \
+                F.when(dists[i] <= least, hit).otherwise(cid_col)
+        return df.withColumn("cid", cid_col)
+
+    for _ in range(iters):
+        assigned = _assign(c)
+        sums = (assigned.select("cid", F.posexplode("x6").alias("d", "v"))
+                .groupBy("cid", "d")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")))
+        got = sums.collect()
+
+        def _half_away(x: float) -> int:
+            # SQL ROUND semantics (half away from zero), NOT python's
+            # banker's rounding — keeps the DuckDB replica bit-identical
+            import math
+
+            return int(math.floor(x + 0.5)) if x >= 0 \
+                else -int(math.floor(-x + 0.5))
+
+        acc: dict = {}
+        for r in got:
+            acc.setdefault(r["cid"], [0] * dim)[r["d"]] = \
+                _half_away(r["s"] / r["n"])
+        cents = [acc.get(cid, cents[cid]) for cid in range(len(cents))]
+    return cents, _assign(c).select("vec_id", "cid")

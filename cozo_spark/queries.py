@@ -1859,7 +1859,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (window_running_sum + events_rollup keep the window family; rotated
 # out for events_rollup), ann_cosine_topk (ann_ivf_topk + ann_pq_topk +
 # embed_cosine_neardup keep the ANN family; rotated out for
-# range_join_prices).
+# range_join_prices), graph_degree_centrality (embarrassingly-parallel
+# groupBy; the graph family keeps reachability/shortest/triangles/
+# two-hop/cycle3/random-walk in-cap; rotated out for kmeans_clusters).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1873,6 +1875,7 @@ DEMOTED: tuple = (
     "text_quality", "pii_redact",
     "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
     "dedup_exact", "sessionize", "ann_cosine_topk",
+    "graph_degree_centrality",
 )
 
 
@@ -2761,3 +2764,67 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day",
                     F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
                     "n", "total_value"))
+
+
+_KM_ASSIGN_SQL = """
+  SELECT vec_id, x6, cid FROM (
+    SELECT c.vec_id, c.x6, k.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (c.x6[i] - k.cv[i]) * (c.x6[i] - k.cv[i]))),
+             k.cid) AS rn
+    FROM c CROSS JOIN {cents} k) WHERE rn = 1
+"""
+
+
+@query(
+    "kmeans_clusters",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS x6
+      FROM embeddings),
+    rk AS (SELECT vec_id, x6,
+                  row_number() OVER (ORDER BY md5(cast(vec_id + 42 AS VARCHAR)),
+                                     vec_id) AS rk
+           FROM c),
+    c0 AS (SELECT CAST(rk - 1 AS INT) AS cid, x6 AS cv FROM rk WHERE rk <= 4),
+    a1 AS ({_KM_ASSIGN_SQL.format(cents='c0')}),
+    s1 AS (SELECT cid, u.i AS d,
+                  CAST(round(SUM(x6[u.i])::DOUBLE / count(*)) AS BIGINT) AS v
+           FROM a1, unnest(range(1, 65)) u(i) GROUP BY cid, u.i),
+    c1 AS (SELECT c0.cid, coalesce(n.cv, c0.cv) AS cv
+           FROM c0 LEFT JOIN (SELECT cid, list(v ORDER BY d) AS cv
+                              FROM s1 GROUP BY cid) n USING (cid)),
+    a2 AS ({_KM_ASSIGN_SQL.format(cents='c1')}),
+    s2 AS (SELECT cid, u.i AS d,
+                  CAST(round(SUM(x6[u.i])::DOUBLE / count(*)) AS BIGINT) AS v
+           FROM a2, unnest(range(1, 65)) u(i) GROUP BY cid, u.i),
+    c2 AS (SELECT c1.cid, coalesce(n.cv, c1.cv) AS cv
+           FROM c1 LEFT JOIN (SELECT cid, list(v ORDER BY d) AS cv
+                              FROM s2 GROUP BY cid) n USING (cid)),
+    a3 AS ({_KM_ASSIGN_SQL.format(cents='c2')})
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vec_id) AS BIGINT) AS keeper_id
+    FROM a3 GROUP BY cid
+    """,
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, EXACTLY replayable in SQL: coordinates
+    integerize to 1e6-scaled longs, distances are exact integer sums,
+    centroid updates round exact integer means — so the DuckDB oracle
+    re-derives both iterations bit-for-bit (two unrolled
+    assign+recompute rounds) and the final assignment hash-matches.
+    Spark side: assignment is a broadcast-literal argmin (codegen, no
+    join), recompute one (cid, dim) shuffle — the classic scalable
+    k-means shape."""
+    from cozo_spark.operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_lloyd(emb, k=4, iters=2)
+    return (assign.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.min("vec_id").cast("long").alias("keeper_id"))
+            .select(F.col("cid").cast("long"), "n_members", "keeper_id"))

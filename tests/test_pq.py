@@ -166,3 +166,45 @@ def test_substring_dedup_fuzz_vs_python_reference(spark):
                          round(r["dup_fraction"], 9))
            for r in substring_dup_spans(df, k=k).collect()}
     assert got == expected
+
+
+def test_kmeans_lloyd_matches_python_model(spark, emb):
+    """Distributed Lloyd vs a direct Python implementation: integerized
+    arithmetic must make centroids AND assignments identical."""
+    import hashlib
+    import math
+
+    from cozo_spark.operators.similarity import kmeans_lloyd
+
+    cents, assign = kmeans_lloyd(emb, k=4, iters=2)
+    data = {r["vec_id"]: [int(math.floor(x * 1e6 + 0.5)) if x >= 0
+                          else -int(math.floor(-x * 1e6 + 0.5))
+                          for x in r["embedding"]]
+            for r in emb.collect()}
+    order = sorted(data, key=lambda i:
+                   (hashlib.md5(str(i + 42).encode()).hexdigest(), i))
+    pc = [list(data[i]) for i in order[:4]]
+    dim = len(pc[0])
+
+    def assign_all(cs):
+        return {vid: min(range(len(cs)), key=lambda cid: (
+            sum((a - b) ** 2 for a, b in zip(x, cs[cid])), cid))
+            for vid, x in data.items()}
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+
+    for _ in range(2):
+        a = assign_all(pc)
+        acc = {}
+        for vid, cid in a.items():
+            s, n = acc.setdefault(cid, ([0] * dim, 0))
+            for d in range(dim):
+                s[d] += data[vid][d]
+            acc[cid] = (s, n + 1)
+        pc = [[half_away(acc[c][0][d] / acc[c][1]) for d in range(dim)]
+              if c in acc else pc[c] for c in range(4)]
+    assert cents == pc
+    got = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    assert got == assign_all(pc)
