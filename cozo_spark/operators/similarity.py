@@ -78,16 +78,34 @@ def cosine_topk(
 def ivf_build(
     corpus: DataFrame, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (centroids, assigned corpus).
 
-    Centroids = deterministic sample of corpus vectors (k-means++ would
-    refine; sampling is adequate for recall benchmarking and keeps the build
-    one pass). Assignment = argmin L2 over broadcast centroids — at write
+    Centroids = deterministic sample of corpus vectors; ``refine_iters``
+    > 0 runs that many Lloyd iterations over them (kmeans_lloyd —
+    deterministic, integerized) for tighter cells at a one-off build
+    cost. Assignment = argmin L2 over broadcast centroids — at write
     time in a production pipeline, so queries never pay it.
     Returns (centroids(cid, cvec), assigned(id, vec, cid)).
     """
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if refine_iters > 0:
+        km_cents, _ = kmeans_lloyd(corpus, k=n_centroids,
+                                   iters=refine_iters, id_col=id_col,
+                                   vec_col=vec_col, seed=seed)
+        cents = c.sparkSession.createDataFrame(
+            [(cid, [x / 1e6 for x in cv])
+             for cid, cv in enumerate(km_cents)],
+            "cid int, cvec array<double>")
+        dist0 = l2_dist_col(F.col("v"), F.col("cvec"))
+        aw0 = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
+        assigned = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn("_d", dist0)
+            .withColumn("_rn", F.row_number().over(aw0)).filter("_rn = 1")
+            .select("vec_id", "v", "cid"))
+        return cents, assigned
     # pseudo-random but PORTABLE pick: md5 of the id+seed decimal string is
     # identical in any engine (DuckDB md5(...)), unlike xxhash64 — the IVF
     # result is therefore fully oracle-checkable

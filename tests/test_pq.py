@@ -208,3 +208,27 @@ def test_kmeans_lloyd_matches_python_model(spark, emb):
     assert cents == pc
     got = {r["vec_id"]: r["cid"] for r in assign.collect()}
     assert got == assign_all(pc)
+
+
+def test_ivf_refined_centroids(spark, emb):
+    """refine_iters > 0 runs Lloyd over the sampled centroids: every
+    vector still lands in exactly one cell, probing still works, and the
+    refined cells have no larger total within-cluster distance than the
+    raw sample."""
+    from cozo_spark.operators.similarity import (
+        ivf_build, ivf_cosine_topk, l2_dist_col)
+
+    def sse(cents, assigned):
+        j = assigned.join(cents, "cid")
+        return (j.select(F.sum(
+            F.pow(l2_dist_col(F.col("v"), F.col("cvec")), 2)).alias("s"))
+            .first()["s"])
+
+    c0, a0 = ivf_build(emb, n_centroids=8)
+    c1, a1 = ivf_build(emb, n_centroids=8, refine_iters=2)
+    n = emb.count()
+    assert a1.count() == n and a1.select("vec_id").distinct().count() == n
+    assert sse(c1, a1) <= sse(c0, a0) + 1e-6  # Lloyd never increases SSE
+    q = emb.filter("vec_id < 2")
+    hits = ivf_cosine_topk(q, c1, a1, k=5, nprobe=3)
+    assert hits.groupBy("qid").count().filter("count != 5").count() == 0
