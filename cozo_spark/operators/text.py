@@ -330,3 +330,38 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url",
     return (n.groupBy("norm_url")
             .agg(F.min(id_col).alias("keeper_id"),
                  F.count("*").alias("n_copies")))
+
+
+def chunk_documents(df: DataFrame, size: int = 128, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    ) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_md5): overlapping
+    fixed-token-window chunking — the pretraining/RAG splitter.
+
+    Chunk i covers tokens [i*stride, i*stride + size) with
+    stride = size - overlap; the last chunk is the remainder (never
+    empty, no chunk starts past the end). Entirely JVM-side: one
+    transform over a chunk-index sequence + posexplode — map-only, no
+    shuffle, so it composes with downstream dedup at any scale. The md5
+    of the joined window identifies chunk content without carrying the
+    text (dedup over chunks = groupBy chunk_md5)."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    n = F.size("__toks")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i * stride + 1, size)))
+    return (df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+            .filter(n > 0)
+            .select("doc_id", n.alias("__n"),
+                    F.posexplode(chunks).alias("chunk_idx", "__chunk"))
+            .select("doc_id", "chunk_idx",
+                    F.least(F.lit(size),
+                            F.col("__n") - F.col("chunk_idx") * stride)
+                    .cast("long").alias("n_chunk_tokens"),
+                    F.md5("__chunk").alias("chunk_md5")))

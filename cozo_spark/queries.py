@@ -1861,7 +1861,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embed_cosine_neardup keep the ANN family; rotated out for
 # range_join_prices), graph_degree_centrality (embarrassingly-parallel
 # groupBy; the graph family keeps reachability/shortest/triangles/
-# two-hop/cycle3/random-walk in-cap; rotated out for kmeans_clusters).
+# two-hop/cycle3/random-walk in-cap; rotated out for kmeans_clusters),
+# pack_sequences (the chunk/pack family keeps doc_chunking and
+# balanced_sample in-cap; rotated out for doc_chunking).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1875,7 +1877,7 @@ DEMOTED: tuple = (
     "text_quality", "pii_redact",
     "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
     "dedup_exact", "sessionize", "ann_cosine_topk",
-    "graph_degree_centrality",
+    "graph_degree_centrality", "pack_sequences",
 )
 
 
@@ -2828,3 +2830,36 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
                  F.min("vec_id").cast("long").alias("keeper_id"))
             .select(F.col("cid").cast("long"), "n_members", "keeper_id"))
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(CAST(ceil((len(toks) - 16) / 112.0) AS INT), 1)
+               AS n_chunks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+           CAST(least(128, n - u.i * 112) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[u.i * 112 + 1 : u.i * 112 + 128], ' '))
+             AS chunk_md5
+    FROM base, unnest(range(0, n_chunks)) u(i)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (size 128, overlap 16 → stride
+    112) — the pretraining/RAG document splitter, map-only JVM-side
+    (transform over a chunk-index sequence + posexplode, zero shuffles);
+    chunk content identified by md5 so chunk-level dedup is a groupBy."""
+    from cozo_spark.operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           size=128, overlap=16)

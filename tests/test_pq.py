@@ -232,3 +232,28 @@ def test_ivf_refined_centroids(spark, emb):
     q = emb.filter("vec_id < 2")
     hits = ivf_cosine_topk(q, c1, a1, k=5, nprobe=3)
     assert hits.groupBy("qid").count().filter("count != 5").count() == 0
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: overlap windows, remainder chunk, short docs one
+    chunk, empty docs none."""
+    import hashlib
+
+    from cozo_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "solo"), (3, "")], "doc_id long, text string")
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_md5"])
+         for r in chunk_documents(docs, size=4, overlap=1).collect()))
+    toks = [f"w{i}" for i in range(10)]
+    # stride 3, n=10: ceil((10-1)/3) = 3 chunks at 0/3/6 — [6,10) already
+    # reaches the final token, so no 4th chunk starts past the end
+    want = []
+    for i in range(3):
+        seg = toks[i * 3:i * 3 + 4]
+        want.append((1, i, len(seg),
+                     hashlib.md5(" ".join(seg).encode()).hexdigest()))
+    want.append((2, 0, 1, hashlib.md5(b"solo").hexdigest()))
+    assert rows == sorted(want)
