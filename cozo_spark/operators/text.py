@@ -365,3 +365,32 @@ def chunk_documents(df: DataFrame, size: int = 128, overlap: int = 16,
                             F.col("__n") - F.col("chunk_idx") * stride)
                     .cast("long").alias("n_chunk_tokens"),
                     F.md5("__chunk").alias("chunk_md5")))
+
+
+def dataset_split(df: DataFrame, weights: dict | None = None,
+                  id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """(… input columns …, split): deterministic train/val/test assignment.
+
+    The split decision is a pure function of (id, seed): the md5-derived
+    uniform in [0,1) lands in cumulative weight intervals — stable across
+    runs, engines, partitionings and data order (never rand(): a re-run
+    or a backfill must put every row in the SAME split or eval sets leak
+    into training). Map-only, zero shuffles."""
+    from cozo_spark.operators.dedup import _md5_le31
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(weights.values()))
+    u = (_md5_le31(F.concat(F.col(id_col).cast("string"),
+                            F.lit(f"|{seed}")))
+         / F.lit(float(2 ** 31)))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn("split", expr)

@@ -1863,7 +1863,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBy; the graph family keeps reachability/shortest/triangles/
 # two-hop/cycle3/random-walk in-cap; rotated out for kmeans_clusters),
 # pack_sequences (the chunk/pack family keeps doc_chunking and
-# balanced_sample in-cap; rotated out for doc_chunking).
+# balanced_sample in-cap; rotated out for doc_chunking), lang_id
+# (repetition_signals keeps the `<~` map-only text family; rotated out
+# for dataset_split).
 # Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
 # set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
 # agg_group_count, unify_explode, limit_offset, scalar_json/
@@ -1877,7 +1879,7 @@ DEMOTED: tuple = (
     "text_quality", "pii_redact",
     "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
     "dedup_exact", "sessionize", "ann_cosine_topk",
-    "graph_degree_centrality", "pack_sequences",
+    "graph_degree_centrality", "pack_sequences", "lang_id",
 )
 
 
@@ -2863,3 +2865,29 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return chunk_documents(_t(spark, sf_dir, "documents"),
                            size=128, overlap=16)
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(md5_number_lower(concat(CAST(doc_id AS VARCHAR), '|42'))
+                  & 2147483647 AS BIGINT) AS h31
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN h31 / 2147483648.0 < 0.9 THEN 'train'
+                WHEN h31 / 2147483648.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: the assignment is a pure
+    function of (doc_id, seed) via the DuckDB-replicable md5-low-bits
+    uniform — identical across runs/engines/orderings, so re-runs and
+    backfills never leak eval docs into training. Map-only."""
+    from cozo_spark.operators.text import dataset_split as _split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return _split(docs).select("doc_id", "split")

@@ -257,3 +257,22 @@ def test_chunk_documents_windows(spark):
                      hashlib.md5(" ".join(seg).encode()).hexdigest()))
     want.append((2, 0, 1, hashlib.md5(b"solo").hexdigest()))
     assert rows == sorted(want)
+
+
+def test_dataset_split_deterministic_proportions(spark):
+    from cozo_spark.operators.text import dataset_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert a == b  # pure function of (id, seed)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.03 < c["val"] / 2000 < 0.08
+    assert 0.03 < c["test"] / 2000 < 0.08
+    # different seed reshuffles membership but keeps proportions
+    d = {r["doc_id"]: r["split"]
+         for r in dataset_split(docs, seed=7).collect()}
+    assert d != a
