@@ -126,7 +126,8 @@ def test_sf01_parity_sweep(spark):
              # r5 additions — the new operator families at 10x scale
              "substring_dedup", "asof_join_events", "graph_random_walk",
              "lm_quality_score", "pq_code_dedup", "events_rollup",
-             "range_join_prices", "ann_pq_topk"]
+             "range_join_prices", "ann_pq_topk",
+             "kmeans_clusters", "doc_chunking", "dataset_split"]
     def n6(v):
         v = _norm_cell(v)
         # at 10x data the engines' float SUMS differ in the final ulps
