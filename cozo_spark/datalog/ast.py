@@ -231,6 +231,20 @@ def expr_nondet(e) -> bool:
     return False
 
 
+def _validity_nondet(v) -> bool:
+    """`@ ts` reads: a constant numeric/date probe re-evaluates
+    identically, but `@ "NOW"` bakes the wall clock into the plan — a
+    cached plan would serve rows as of its FIRST compile forever."""
+    if v is None:
+        return False
+    from cozo_spark.datalog.translate import try_const
+
+    ok, val = try_const(v)
+    if not ok:
+        return True  # conservatively uncacheable
+    return isinstance(val, str) and val == "NOW"
+
+
 def _atom_nondet(a) -> bool:
     if isinstance(a, (Unify, Cond)):
         return expr_nondet(a.expr)
@@ -240,11 +254,16 @@ def _atom_nondet(a) -> bool:
         return any(_atom_nondet(x) for x in a.atoms)
     if isinstance(a, Disj):
         return any(_atom_nondet(x) for x in a.branches)
-    if isinstance(a, (RuleApply, RelApply)):
+    if isinstance(a, RuleApply):
         return any(expr_nondet(x) for x in a.args
                    if not isinstance(x, str) and x is not None)
+    if isinstance(a, RelApply):
+        return _validity_nondet(a.validity) or \
+            any(expr_nondet(x) for x in a.args
+                if not isinstance(x, str) and x is not None)
     if isinstance(a, NamedRelApply):
-        return any(expr_nondet(v) for v in a.pairs.values() if v is not None)
+        return _validity_nondet(a.validity) or \
+            any(expr_nondet(v) for v in a.pairs.values() if v is not None)
     if isinstance(a, SearchApply):
         return any(expr_nondet(v) for v in a.opts.values())
     return False

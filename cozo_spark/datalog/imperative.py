@@ -257,9 +257,16 @@ def _run_block(db, stmts: list):
                     seen.add(k)
                     names.append(k)
                 # consume the WHOLE page chain — with row_page_size set,
-                # res.rows is only page 1 (NamedRows::next pagination)
-                rows = [tuple(r) for page in res.flatten() for r in page.rows] \
-                    if hasattr(res, "flatten") else [tuple(r) for r in res.rows]
+                # res.rows is only page 1 (NamedRows::next pagination).
+                # flatten() SEVERS the chain (reference semantics), so
+                # rebuild `res` as one whole page: the statement result may
+                # still be returned as the program's value below.
+                if hasattr(res, "flatten"):
+                    rows = [tuple(r) for page in res.flatten()
+                            for r in page.rows]
+                    res = type(res)(headers=res.headers, rows=list(rows))
+                else:
+                    rows = [tuple(r) for r in res.rows]
                 if rows:
                     # infer per-column types from non-null values (all-NULL
                     # columns default to String) — bare createDataFrame

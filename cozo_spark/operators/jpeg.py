@@ -378,8 +378,8 @@ def encode_jpeg(img: np.ndarray, quality_div: int = 1,
     q = np.maximum(_Q_LUMA_FLAT * quality_div, 1)
     if subsample:
         sf = [(2, 2), (1, 1), (1, 1)]
-        cb = cb[::2, ::2] if h % 2 == 0 and w % 2 == 0 else cb[0::2, 0::2]
-        cr = cr[::2, ::2] if h % 2 == 0 and w % 2 == 0 else cr[0::2, 0::2]
+        cb = cb[::2, ::2]
+        cr = cr[::2, ::2]
     else:
         sf = [(1, 1), (1, 1), (1, 1)]
     planes = [y, cb, cr]

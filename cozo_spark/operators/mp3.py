@@ -97,13 +97,35 @@ def probe_mp3(content: bytes) -> dict:
     samples_total = 0
     bytes_total = 0
     rate = channels = layer = None
+    RESYNC_WINDOW = 1 << 16  # bytes scanned forward after corruption
     while pos + 4 <= n:
         hdr = int.from_bytes(content[pos:pos + 4], "big")
         parsed = _parse_header(hdr)
         if parsed is None:
-            if frames:  # trailing tag/garbage after real frames: done
-                break
-            pos += 1  # resync before the first frame
+            if not frames:
+                pos += 1  # resync before the first frame
+                continue
+            # mid-stream corruption: resync like a player, but demand TWO
+            # consecutive valid headers so trailing ID3v1/APE tags never
+            # masquerade as frames; give up past the bounded window
+            found = None
+            limit = min(n - 4, pos + RESYNC_WINDOW)
+            probe = pos + 1
+            while probe <= limit:
+                cand = _parse_header(
+                    int.from_bytes(content[probe:probe + 4], "big"))
+                if cand is not None:
+                    vk, _vb, lay, br, sr, pad, _ch = cand
+                    nxt = probe + _frame_len(vk, lay, br, sr, pad)
+                    if nxt + 4 <= n and _parse_header(
+                            int.from_bytes(content[nxt:nxt + 4],
+                                           "big")) is not None:
+                        found = probe
+                        break
+                probe += 1
+            if found is None:
+                break  # trailing tag/garbage after real frames: done
+            pos = found
             continue
         vkey, vbits, lay, br, sr, pad, ch = parsed
         flen = _frame_len(vkey, lay, br, sr, pad)

@@ -456,10 +456,16 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True,
             for _, r in pdf.iterrows():
                 content = r["content"] or b""
                 if is_avi(bytes(content)):
+                    import math
+
                     usec, frames = decode_avi_frames(bytes(content))
                     ms_per_frame = (usec / 1000.0) or 40.0
                     dur = len(frames) * ms_per_frame
-                    n_samples = max(int(dur // every_ms), 1 if frames else 0)
+                    # ceil: every grid point strictly inside the video is
+                    # sampled — flooring would never sample the trailing
+                    # partial interval (up to every_ms of frames unseen)
+                    n_samples = max(int(math.ceil(dur / every_ms)),
+                                    1 if frames else 0)
                     for i in range(n_samples):
                         ts = i * every_ms
                         fi = min(int(ts / ms_per_frame), len(frames) - 1)

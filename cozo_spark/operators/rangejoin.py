@@ -36,7 +36,11 @@ def range_join(
         F.explode(F.sequence(
             F.floor(F.col(lo_col).cast("double") / w).cast("long"),
             F.floor(F.col(hi_col).cast("double") / w).cast("long"))))
-    out = (lb.join(rb, "__bin", how)
-           .filter((F.col(value_col) >= F.col(lo_col))
-                   & (F.col(value_col) <= F.col(hi_col))))
-    return out.drop("__bin")
+    # the between-filter is part of the JOIN CONDITION, not a post-filter:
+    # a post-filter would silently discard the null-extended rows of any
+    # outer join, collapsing how='left' back to inner semantics
+    rb = rb.withColumnRenamed("__bin", "__rbin")
+    cond = ((lb["__bin"] == rb["__rbin"])
+            & (lb[value_col] >= rb[lo_col])
+            & (lb[value_col] <= rb[hi_col]))
+    return lb.join(rb, cond, how).drop("__bin", "__rbin")

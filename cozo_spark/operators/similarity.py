@@ -261,6 +261,10 @@ def pq_build(
     rows = (c.select(F.md5((F.col("vec_id") + F.lit(seed)).cast("string"))
                      .alias("_h"), "vec_id", "v")
             .orderBy("_h", "vec_id").limit(k_codes).collect())
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"corpus has only {len(rows)} vectors — need at least "
+            f"k_codes={k_codes} to seed the PQ codebook")
     rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
     dim = len(rows[0]["v"])
     if dim % m:
@@ -350,6 +354,9 @@ def kmeans_lloyd(
     rows = (c.select(F.md5((F.col("vec_id") + F.lit(seed)).cast("string"))
                      .alias("_h"), "vec_id", "x6")
             .orderBy("_h", "vec_id").limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(f"corpus has only {len(rows)} vectors — need at "
+                         f"least k={k} to seed the centroids")
     rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
     cents = [list(r["x6"]) for r in rows]
     dim = len(cents[0])

@@ -2763,10 +2763,14 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("value") * 100).cast("long").alias("v100"))
     return (base.rollup("day", "event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.round(F.sum("v100") / 100.0, 2).alias("total_value"))
+                 F.round(F.sum("v100") / 100.0, 2).alias("total_value"),
+                 # GROUPING, not coalesce: a genuine NULL event_type detail
+                 # row must stay NULL, never masquerade as the subtotal
+                 F.grouping("event_type").alias("_g"))
             .filter(F.col("day").isNotNull())
             .select("day",
-                    F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+                    F.when(F.col("_g") == 1, "(all)")
+                    .otherwise(F.col("event_type")).alias("event_type"),
                     "n", "total_value"))
 
 
