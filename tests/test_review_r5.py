@@ -114,3 +114,34 @@ def test_mp3_resyncs_after_midstream_corruption():
     # but a trailing ID3v1-style tag does NOT resurrect frame counting
     m2 = probe_mp3(a + b"TAG" + b"x" * 125)
     assert m2["n_frames"] == 10
+
+
+def test_chunking_fuzz_vs_python_model(spark):
+    import hashlib
+    import random
+    import re
+
+    from cozo_spark.operators.text import chunk_documents
+
+    rnd = random.Random(3)
+    docs = [(d, " ".join(rnd.choice("abcdefgh")
+                         for _ in range(rnd.randint(0, 40))))
+            for d in range(25)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size, overlap in ((8, 0), (8, 3), (5, 4), (16, 15)):
+        stride = size - overlap
+        want = set()
+        for d, s in docs:
+            toks = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+            if not toks:
+                continue
+            n_chunks = max(-(-(len(toks) - overlap) // stride), 1)
+            for i in range(n_chunks):
+                seg = toks[i * stride:i * stride + size]
+                want.add((d, i, len(seg),
+                          hashlib.md5(" ".join(seg).encode()).hexdigest()))
+        got = {(r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"],
+                r["chunk_md5"])
+               for r in chunk_documents(df, size=size,
+                                        overlap=overlap).collect()}
+        assert got == want, (size, overlap)
