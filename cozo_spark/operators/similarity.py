@@ -276,22 +276,27 @@ def pq_build(
         [(s, cid, vec) for (s, cid), vec in sorted(cb.items())],
         "s int, cid int, cvec array<double>")
 
-    enc_cols = []
-    for s in range(m):
-        sl = F.slice("v", s * sub + 1, sub)
-        dists = [l2_dist_col(sl, F.array(*[F.lit(float(x))
-                                           for x in cb[(s, cid)]]))
-                 for cid in range(k_codes)]
-        least = F.least(*dists) if k_codes > 1 else dists[0]
-        code = None
-        for cid in range(k_codes - 1, -1, -1):
-            hit = F.lit(cid)
-            code = hit if code is None else \
-                F.when(dists[cid] <= least, hit).otherwise(code)
-        enc_cols.append(code.alias(f"_c{s}"))
-    codes = (c.select("vec_id", *enc_cols)
-             .select("vec_id",
-                     F.array(*[f"_c{s}" for s in range(m)]).alias("codes")))
+    # encode via broadcast join + argmin, NOT m*k inlined literal-array
+    # distance expressions: the expression-tree variant compiled ~2 MB of
+    # codegen per run (measured ~6 s at sf0.1, all plan/JIT overhead) —
+    # the join form is a small constant plan and the better shape at any
+    # corpus size (codebook broadcast, one (vec_id, s) argmin)
+    subs = c.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     F.slice("v", s * sub + 1, sub).alias("sv"))
+            for s in range(m)])).alias("p")
+    ).select("vec_id", "p.s", "p.sv")
+    scored = (subs.join(F.broadcast(codebook), "s")
+              .select("vec_id", "s", "cid",
+                      l2_dist_col(F.col("sv"), F.col("cvec")).alias("d")))
+    picked = (scored.groupBy("vec_id", "s")
+              .agg(F.min_by("cid", F.struct("d", "cid")).alias("code")))
+    codes = (picked.groupBy("vec_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("s", "code"))),
+                 lambda x: x["code"]).alias("codes")))
     return codebook, codes
 
 
