@@ -302,3 +302,74 @@ def stream_windowed_counts(stream: DataFrame, ts_col: str,
     if key_col:
         cols.append(F.col(key_col))
     return agg.select(*cols, "n")
+
+
+_ASOF_OUT = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.DoubleType()),
+    T.StructField("matched_ts", T.DoubleType()),
+    T.StructField("matched_value", T.DoubleType()),
+])
+_ASOF_STATE = T.StructType([
+    T.StructField("ts", T.DoubleType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def stream_asof_enrich(left: DataFrame, right: DataFrame,
+                       key_col: str = "key", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       value_col: str = "value") -> DataFrame:
+    """Streaming point-in-time enrichment: each left event picks up the
+    latest right value at-or-before its timestamp — the streaming twin of
+    operators/asof.asof_join, which Spark's native stream-stream joins
+    cannot express (they only do windowed equality ranges).
+
+    State per key = the single newest right row seen so far (the standard
+    streaming-enrichment trade-off: a right update older than the
+    retained one is ignored, and a left event older than the retained
+    right gets NULL rather than a time-travel rewind — exact as-of over
+    late data needs the batch operator). Within a micro-batch rows ARE
+    ordered by event time with right-before-left at ties, so a quote and
+    a trade arriving together enrich exactly like the batch join."""
+    l_ = left.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("side"))
+    r_ = right.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(0).alias("side"))
+    merged = l_.unionByName(r_)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        best_ts, best_v = state.get if state.exists else (None, None)
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts", "side"]).iterrows():
+                if row["side"] == 0:  # right update
+                    if best_ts is None or row["ts"] >= best_ts:
+                        best_ts, best_v = float(row["ts"]), \
+                            float(row["value"])
+                else:  # left event: enrich with the retained right
+                    hit = best_ts is not None and best_ts <= row["ts"]
+                    out.append({
+                        "key": key[0], "event_id": int(row["event_id"]),
+                        "ts": float(row["ts"]),
+                        "matched_ts": best_ts if hit else None,
+                        "matched_value": best_v if hit else None,
+                    })
+        if best_ts is not None:
+            state.update((best_ts, best_v))
+        yield pd.DataFrame(out, columns=[f.name for f in _ASOF_OUT])
+
+    return (merged.groupBy("key")
+            .applyInPandasWithState(
+                update, _ASOF_OUT, _ASOF_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

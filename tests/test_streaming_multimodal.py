@@ -590,3 +590,44 @@ def test_stream_windowed_counts_drops_late_rows(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {("10:00", "a"): 2, ("10:01", "b"): 1}
+
+
+def test_stream_asof_enrich_across_batches(spark, tmp_path):
+    """Quotes arrive in batch 1; trades in batch 2 enrich from the
+    retained per-key state. Within-batch: a quote and a later trade in
+    the same batch match; a trade OLDER than the retained quote gets
+    NULL (the documented no-rewind trade-off)."""
+    import json
+
+    from cozo_spark.streaming.stateful import stream_asof_enrich
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    (rsrc / "b1.json").write_text(json.dumps(
+        {"key": "A", "ts": 10.0, "value": 100.5}))
+    left = spark.readStream.schema(
+        "key STRING, ts DOUBLE, event_id LONG").json(str(lsrc))
+    right = spark.readStream.schema(
+        "key STRING, ts DOUBLE, value DOUBLE").json(str(rsrc))
+    out = stream_asof_enrich(left, right)
+    q = (out.writeStream.format("memory").queryName("asof_s")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: trade after the quote (match), trade before it (null),
+        # plus a same-batch newer quote + trade pair on another key
+        (lsrc / "b2.json").write_text("\n".join([
+            json.dumps({"key": "A", "ts": 20.0, "event_id": 1}),
+            json.dumps({"key": "A", "ts": 5.0, "event_id": 2}),
+            json.dumps({"key": "B", "ts": 8.0, "event_id": 3})]))
+        (rsrc / "b2.json").write_text(json.dumps(
+            {"key": "B", "ts": 7.0, "value": 50.25}))
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_ts"], r["matched_value"])
+                for r in spark.sql("SELECT * FROM asof_s").collect()}
+    finally:
+        q.stop()
+    assert rows[1] == (10.0, 100.5)     # state carried across batches
+    assert rows[2] == (None, None)      # older than retained quote
+    assert rows[3] == (7.0, 50.25)      # same-batch right-before-left
