@@ -163,3 +163,90 @@ def encode_mp3_silence(n_frames: int = 10, bitrate_idx: int = 9,
         flen = _frame_len(vkey, lay, br, sr, pad)
         out += h.to_bytes(4, "big") + b"\x00" * (flen - 4)
     return bytes(out)
+
+
+def probe_flac(content: bytes) -> dict:
+    """FLAC STREAMINFO probe (the mandatory first metadata block per the
+    public FLAC spec): sample rate, channels, bits/sample, total samples →
+    duration. Header-only, no decode."""
+    if len(content) < 42 or content[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    while pos + 4 <= len(content):
+        hdr = content[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        size = int.from_bytes(content[pos + 1:pos + 4], "big")
+        body = content[pos + 4:pos + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 18:
+                raise ValueError("truncated FLAC STREAMINFO")
+            bits = int.from_bytes(body[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            return {
+                "sample_rate": rate, "channels": channels,
+                "bits_per_sample": bps, "n_frames": total,
+                "duration_ms": total * 1000 // rate if rate else 0,
+            }
+        if last:
+            break
+        pos += 4 + size
+    raise ValueError("FLAC STREAMINFO block not found")
+
+
+def encode_flac_header(sample_rate: int = 44100, channels: int = 2,
+                       bps: int = 16, total_samples: int = 44100) -> bytes:
+    """Fixture writer: a structurally valid FLAC signature + STREAMINFO
+    block (no audio frames — enough for every header probe)."""
+    bits = ((sample_rate & 0xFFFFF) << 44) | ((channels - 1) << 41) \
+        | ((bps - 1) << 36) | (total_samples & ((1 << 36) - 1))
+    body = (b"\x10\x00\x10\x00"      # min/max blocksize 4096
+            + b"\x00\x00\x00" * 2    # min/max framesize unknown
+            + bits.to_bytes(8, "big")
+            + b"\x00" * 16)          # md5 of raw audio (unset)
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def probe_ogg(content: bytes) -> dict:
+    """OGG container probe (public RFC 3533 page layout): duration from
+    the LAST page's granule position; sample rate from the Vorbis or Opus
+    identification header on the first page. Header walk only."""
+    if len(content) < 28 or content[:4] != b"OggS":
+        raise ValueError("not an OGG payload")
+    rate = None
+    codec = None
+    pre_skip = 0
+    granule = 0
+    pos = 0
+    n = len(content)
+    while pos + 27 <= n:
+        if content[pos:pos + 4] != b"OggS":
+            nxt = content.find(b"OggS", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        g = int.from_bytes(content[pos + 6:pos + 14], "little", signed=True)
+        nseg = content[pos + 26]
+        seg_table = content[pos + 27:pos + 27 + nseg]
+        body_len = sum(seg_table)
+        body = content[pos + 27 + nseg:pos + 27 + nseg + body_len]
+        if rate is None and body[:8] == b"OpusHead" and len(body) >= 16:
+            codec = "opus"
+            pre_skip = int.from_bytes(body[10:12], "little")
+            rate = 48000  # opus granules are ALWAYS 48 kHz (RFC 7845)
+        elif rate is None and body[:7] == b"\x01vorbis" and len(body) >= 16:
+            codec = "vorbis"
+            rate = int.from_bytes(body[12:16], "little")
+        if g > 0:
+            granule = max(granule, g)
+        pos += 27 + nseg + body_len
+    if rate is None:
+        raise ValueError("no Vorbis/Opus identification header found")
+    samples = max(granule - (pre_skip if codec == "opus" else 0), 0)
+    return {
+        "codec": codec, "sample_rate": rate, "n_frames": samples,
+        "duration_ms": samples * 1000 // (48000 if codec == "opus" else rate),
+    }

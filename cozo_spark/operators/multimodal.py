@@ -584,6 +584,20 @@ def _probe_one(content: bytes) -> dict:
                        sample_rate=m["sample_rate"],
                        bitrate_kbps=m["bitrate_kbps"],
                        n_frames=m["n_frames"], valid=True)
+        elif t == "audio/flac":
+            from cozo_spark.operators.mp3 import probe_flac
+
+            m = probe_flac(content)
+            out.update(sample_rate=m["sample_rate"],
+                       duration_ms=m["duration_ms"],
+                       n_frames=m["n_frames"], valid=True)
+        elif t == "audio/ogg":
+            from cozo_spark.operators.mp3 import probe_ogg
+
+            m = probe_ogg(content)
+            out.update(sample_rate=m["sample_rate"],
+                       duration_ms=m["duration_ms"],
+                       n_frames=m["n_frames"], valid=True)
         elif t == "video/x-msvideo":
             from cozo_spark.operators.avi import decode_avi_frames
 

@@ -149,3 +149,55 @@ def test_probe_media_types_and_metadata(spark):
     assert rows[4]["duration_ms"] == 2000
     # truncated PNG: sniffed but not valid
     assert rows[5]["sniffed_type"] == "image/png" and not rows[5]["valid"]
+
+
+def test_flac_and_ogg_probes():
+    from cozo_spark.operators.mp3 import (
+        encode_flac_header, probe_flac, probe_ogg)
+
+    f = probe_flac(encode_flac_header(sample_rate=48000, channels=1,
+                                      bps=24, total_samples=96000))
+    assert f == {"sample_rate": 48000, "channels": 1,
+                 "bits_per_sample": 24, "n_frames": 96000,
+                 "duration_ms": 2000}
+    with pytest.raises(ValueError):
+        probe_flac(b"not flac")
+
+    # hand-built minimal OGG: page 0 = Vorbis id header, page 1 = granule
+    def page(body, granule, seq, flags=0):
+        import struct as _s
+
+        nseg = (len(body) + 254) // 255 or 1
+        segs = []
+        rem = len(body)
+        for _ in range(nseg):
+            segs.append(min(rem, 255))
+            rem -= segs[-1]
+        return (b"OggS" + bytes([0, flags])
+                + _s.pack("<q", granule) + b"\x01\x00\x00\x00"
+                + _s.pack("<I", seq) + b"\x00\x00\x00\x00"
+                + bytes([len(segs)]) + bytes(segs) + body)
+
+    import struct as _s
+
+    vorbis_id = (b"\x01vorbis" + _s.pack("<I", 0) + b"\x02"
+                 + _s.pack("<I", 44100) + b"\x00" * 16)
+    ogg = page(vorbis_id, 0, 0, flags=2) + page(b"\x00" * 10, 88200, 1,
+                                                flags=4)
+    o = probe_ogg(ogg)
+    assert o["codec"] == "vorbis" and o["sample_rate"] == 44100
+    assert o["duration_ms"] == 2000 and o["n_frames"] == 88200
+
+
+def test_probe_media_flac(spark):
+    from cozo_spark.operators.mp3 import encode_flac_header
+    from cozo_spark.operators.multimodal import MEDIA_SCHEMA, probe_media
+
+    meta = {"width": None, "height": None, "duration_ms": None,
+            "sample_rate": None}
+    media = spark.createDataFrame(
+        [(1, "audio/flac", encode_flac_header(total_samples=22050), meta)],
+        MEDIA_SCHEMA)
+    r = probe_media(media).collect()[0]
+    assert r["sniffed_type"] == "audio/flac" and r["valid"]
+    assert r["duration_ms"] == 500 and r["sample_rate"] == 44100
