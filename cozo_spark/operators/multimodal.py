@@ -17,6 +17,10 @@ Decode status by format:
   chroma upsample, JFIF color convert); progressive (SOF2) raises with
   context. Pure-Python entropy decode is the documented throughput
   fallback — swap in a codec lib for production corpora.
+- ``image/gif`` — REAL decode (operators/gif.py: block walk, full
+  variable-width LZW, interlace reorder, palette mapping; first frame of
+  animations) + fixture encoder; verified against an externally-authored
+  GIF.
 - ``video/x-msvideo`` (MJPEG AVI) — REAL frame extraction: stdlib RIFF
   chunk walk (operators/avi.py) + the JPEG decoder per sampled frame;
   ``sample_frames`` timestamps off the container's own frame clock.
@@ -268,6 +272,10 @@ def decode_image(content: bytes, media_type: str = RAW_RGB_TYPE) -> "np.ndarray"
         from cozo_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if media_type == "image/gif":
+        from cozo_spark.operators.gif import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
         f"decoding {media_type!r} requires an image codec library not "
         "present in this container; image/x-raw-rgb, image/png and "
