@@ -108,12 +108,17 @@ def ivf_build(
         return cents, assigned
     # pseudo-random but PORTABLE pick: md5 of the id+seed decimal string is
     # identical in any engine (DuckDB md5(...)), unlike xxhash64 — the IVF
-    # result is therefore fully oracle-checkable
-    w = W.orderBy(F.md5((F.col("vec_id") + F.lit(seed)).cast("string")), F.col("vec_id"))
-    cents = (
-        c.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n_centroids)
-        .select((F.col("_rk") - 1).alias("cid"), F.col("v").alias("cvec"))
-    )
+    # result is therefore fully oracle-checkable. orderBy+limit compiles
+    # to distributed TakeOrderedAndProject (per-partition top-k), NOT the
+    # single-partition row_number window; ranks assign driver-side on the
+    # n_centroids collected rows (broadcast-small by definition).
+    picked = (c.select(F.md5((F.col("vec_id") + F.lit(seed)).cast("string"))
+                       .alias("_h"), "vec_id", "v")
+              .orderBy("_h", "vec_id").limit(n_centroids).collect())
+    picked.sort(key=lambda r: (r["_h"], r["vec_id"]))
+    cents = c.sparkSession.createDataFrame(
+        [(cid, list(r["v"])) for cid, r in enumerate(picked)],
+        "cid int, cvec array<double>")
     dist = l2_dist_col(F.col("v"), F.col("cvec"))
     aw = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
     assigned = (
