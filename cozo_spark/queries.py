@@ -1866,15 +1866,31 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # balanced_sample in-cap; rotated out for doc_chunking), lang_id
 # (repetition_signals keeps the `<~` map-only text family; rotated out
 # for dataset_split).
-# Carry-over demotions from r4 (all r2+r3-verified near-duplicates):
-# set_intersect/set_except, agg_bool_bit/agg_product/agg_collect_unique/
-# agg_group_count, unify_explode, limit_offset, scalar_json/
-# scalar_datetime, simhash_pairs, doc_fingerprint.
+# ROTATION (round 6, per VERDICT r5 directive 2): the 12 r4 carry-overs
+# (none driver-checked since r3 — set_intersect/set_except, agg_bool_bit/
+# agg_product/agg_collect_unique/agg_group_count, unify_explode,
+# limit_offset, scalar_json/scalar_datetime, simhash_pairs,
+# doc_fingerprint) are PROMOTED back inside the cap. Demoted r6 in their
+# place — all r4+r5 driver-verified (CORRECTNESS_r04 ∩ r05), families
+# stay covered in-cap:
+#   agg_median (agg_stats + the 4 promoted agg shapes keep aggregates),
+#   semi_join (join_multiway stays), set_union_dedup (promoted
+#   set_intersect/set_except keep set ops), graph_cycle3 (graph_triangles
+#   keeps the closed-walk shape), graph_two_hop (datalog_two_hop +
+#   graph_three_hop_filter stay), graph_reachability (graph_shortest_hops
+#   + pinned datalog_recursion keep the semi-naive fixpoint family),
+#   ngram_jaccard (minhash_lsh_pairs + substring_dedup + decontaminate
+#   keep shingle-hash dedup), embed_cosine_neardup (ann_ivf_topk +
+#   ann_pq_topk keep ANN), keyword_topk (text_word_topk stays),
+#   balanced_sample (dataset_split keeps deterministic sampling),
+#   window_running_sum (events_rollup + reorder_sort_rank keep
+#   window/rank), datalog_magic_var_seed (datalog_magic_reach keeps
+#   magic sets and is pinned-adjacent).
 DEMOTED: tuple = (
-    "set_intersect", "set_except", "agg_bool_bit", "agg_product",
-    "agg_collect_unique", "agg_group_count", "unify_explode",
-    "limit_offset", "scalar_json", "scalar_datetime", "simhash_pairs",
-    "doc_fingerprint",
+    "agg_median", "semi_join", "set_union_dedup", "graph_cycle3",
+    "graph_two_hop", "graph_reachability", "ngram_jaccard",
+    "embed_cosine_neardup", "keyword_topk", "balanced_sample",
+    "window_running_sum", "datalog_magic_var_seed",
     "inline_fixed_const", "join_point_lookup", "text_token_stats",
     "text_quality", "pii_redact",
     "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
