@@ -211,6 +211,76 @@ def expr_vars(e: Expr) -> set:
     return set()
 
 
+# --- parameter analysis (prepared statements) ----------------------------------
+
+def expr_has_param(e) -> bool:
+    if isinstance(e, Param):
+        return True
+    if isinstance(e, Call):
+        return any(expr_has_param(a) for a in e.args)
+    if isinstance(e, ListEx):
+        return any(expr_has_param(x) for x in e.items)
+    if isinstance(e, ObjectEx):
+        return any(expr_has_param(k) or expr_has_param(v) for k, v in e.pairs)
+    return False
+
+
+def subst_params_expr(e, params: dict):
+    """Replace Param nodes with Const(value) — the bind step of a prepared
+    plan (engine._run_prepared compiles the substituted residuals into
+    `where` Columns on the cached skeleton)."""
+    if isinstance(e, Param):
+        return Const(params[e.name])
+    if isinstance(e, Call):
+        return Call(e.fn, tuple(subst_params_expr(a, params) for a in e.args))
+    if isinstance(e, ListEx):
+        return ListEx(tuple(subst_params_expr(x, params) for x in e.items))
+    if isinstance(e, ObjectEx):
+        return ObjectEx(tuple((subst_params_expr(k, params),
+                               subst_params_expr(v, params))
+                              for k, v in e.pairs))
+    return e
+
+
+def _maybe_expr_has_param(x) -> bool:
+    """args lists mix var-name strings, None, and Expr nodes."""
+    return x is not None and not isinstance(x, str) and expr_has_param(x)
+
+
+def atom_has_param(a) -> bool:
+    if isinstance(a, (Unify, Cond)):
+        return expr_has_param(a.expr)
+    if isinstance(a, Negation):
+        return atom_has_param(a.atom)
+    if isinstance(a, Conj):
+        return any(atom_has_param(x) for x in a.atoms)
+    if isinstance(a, Disj):
+        return any(atom_has_param(x) for x in a.branches)
+    if isinstance(a, RuleApply):
+        return any(_maybe_expr_has_param(x) for x in a.args)
+    if isinstance(a, RelApply):
+        return (_maybe_expr_has_param(a.validity)
+                or any(_maybe_expr_has_param(x) for x in a.args))
+    if isinstance(a, NamedRelApply):
+        return (_maybe_expr_has_param(a.validity)
+                or any(v is not None and expr_has_param(v)
+                       for v in a.pairs.values()))
+    if isinstance(a, SearchApply):
+        return (any(v is not None and expr_has_param(v)
+                    for v in a.pairs.values())
+                or any(expr_has_param(v) for v in a.opts.values()))
+    return False
+
+
+def rule_has_param(rule) -> bool:
+    if isinstance(rule, ConstRule):
+        return expr_has_param(rule.expr)
+    if isinstance(rule, FixedApply):
+        # expr_has_param falls through to False for plain python values
+        return any(expr_has_param(v) for v in rule.options.values())
+    return any(atom_has_param(a) for cl in rule for a in cl.body)
+
+
 # --- nondeterminism analysis --------------------------------------------------
 
 # functions whose re-evaluation yields different values; a mutation whose

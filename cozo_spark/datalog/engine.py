@@ -29,10 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cozo_spark.datalog.ast import (
-    Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, ListEx,
-    NamedRelApply, Negation, OutOpts, Program, RelApply, RuleApply,
-    RuleClause, TableSchema, Unify, _atom_nondet, expr_nondet,
-    program_nondet,
+    Call, Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, ListEx,
+    NamedRelApply, Negation, OutOpts, Param, Program, RelApply, RuleApply,
+    RuleClause, TableSchema, Unify, Var, _atom_nondet, atom_has_param,
+    expr_has_param, expr_nondet, expr_vars, program_nondet, rule_has_param,
+    subst_params_expr,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -45,6 +46,20 @@ from cozo_spark.functions.aggregates import AGGREGATIONS
 import itertools as _itertools
 
 _STORED_REL_SEQ = _itertools.count()
+
+
+def _body_refs_rule(atoms, name: str) -> bool:
+    """True if any (possibly nested) atom applies rule `name`."""
+    for a in atoms:
+        if isinstance(a, RuleApply) and a.name == name:
+            return True
+        if isinstance(a, Negation) and _body_refs_rule([a.atom], name):
+            return True
+        if isinstance(a, Conj) and _body_refs_rule(a.atoms, name):
+            return True
+        if isinstance(a, Disj) and _body_refs_rule(a.branches, name):
+            return True
+    return False
 
 
 def _condensation(nodes: set, deps: dict) -> list[set]:
@@ -484,6 +499,13 @@ class CozoDb:
                 if hit is not None:
                     self._entry_display_headers = hit[1]
                     return hit[0]
+                if params:
+                    # prepared-statement path: a $param-ized script misses
+                    # the per-value cache on every new value; reuse the
+                    # param-free plan skeleton and bind values cheaply
+                    res = self._run_prepared(script, params, parsed, key)
+                    if res is not None:
+                        return res
             self._had_eager_eval = False
             res = self._run_program(parsed)
             if (key is not None and not self._had_eager_eval
@@ -582,6 +604,195 @@ class CozoDb:
             cache[key] = ent
             while len(cache) > self._PLAN_CACHE_MAX:
                 cache.pop(next(iter(cache)))
+
+    # -- prepared statements (plan-skeleton cache) ----------------------------------
+    #
+    # A $param-ized script compiles to a plan that differs per value only in
+    # Literal leaves, but Spark DataFrames are analyzed eagerly, so a cached
+    # plan's literals cannot be swapped after the fact. Instead: parse the
+    # script with params DEFERRED (Param AST nodes), hoist every param
+    # occurrence out of the entry rule as a residual condition, compile the
+    # param-FREE remainder once (the skeleton, ~1000 py4j round-trips), and
+    # bind at hit time by compiling just the residuals into a `where` on top
+    # (a handful of py4j calls). Catalyst re-optimizes the whole bound plan
+    # per action, so the literal equality still reaches the parquet scan as
+    # a pushed filter — hoisting costs nothing at execution time.
+    #
+    # Hoisting is SOUND because rule stores have set semantics and the
+    # residuals are pure row predicates over the entry rule's final variable
+    # bindings: filters commute with distinct / union / joins / anti-joins /
+    # deterministic unification. It is GATED to programs where it provably
+    # holds: single-clause entry rule, plain-var head (no aggregation —
+    # filter-after-agg != filter-before-agg), params nowhere else, and each
+    # param occurrence either a whole condition expression or a bare column
+    # binding (rewritten to fresh-var + equality residual). Everything else
+    # falls back to the per-value plan cache. Mirrors the reference's
+    # parametrized-script re-compile (runtime/db.rs run_script params), done
+    # once instead of per call.
+
+    _skel_cache: dict = {}   # (script, param names, registry ver) -> entry
+    _skel_neg: set = set()   # scripts proven ineligible (structural, so
+    #                          independent of relation state)
+
+    def _skel_key(self, script: str, params: dict):
+        import cozo_spark.fixed_rules as _fr
+        return (script, tuple(sorted(params)), _fr.REGISTRY_VERSION)
+
+    def _skel_entry_valid(self, ent: dict) -> bool:
+        if ent["spark"] is not self.spark or self.temp_relations:
+            return False
+        if ent["snapshot"] != self._rel_snapshot():
+            return False
+        return all(self.relations[n].df is ref for n, ref in ent["rel_refs"])
+
+    def _run_prepared(self, script: str, params: dict, parsed: Program,
+                      key) -> Optional[DataFrame]:
+        """None = not eligible (caller runs the normal path)."""
+        skey = self._skel_key(script, params)
+        with CozoDb._plan_cache_lock:
+            if skey in CozoDb._skel_neg:
+                return None
+            ent = CozoDb._skel_cache.get(skey)
+        if ent is not None and not self._skel_entry_valid(ent):
+            ent = None
+        if ent is None:
+            ent = self._build_skeleton(script, params)
+            if ent is None:
+                with CozoDb._plan_cache_lock:
+                    if len(CozoDb._skel_neg) > 256:
+                        CozoDb._skel_neg.clear()
+                    CozoDb._skel_neg.add(skey)
+                return None
+        res = self._bind_skeleton(ent, params, parsed)
+        if ent["cacheable"] and isinstance(res, DataFrame):
+            # same-value repeats then hit the exact per-value cache first
+            self._plan_cache_put(key, res)
+        return res
+
+    def _build_skeleton(self, script: str, params: dict) -> Optional[dict]:
+        from cozo_spark.datalog.translate import flatten_conjunction
+
+        try:
+            dprog = parse_script(script, params, defer_params=True)
+        except Exception:
+            return None  # e.g. `:limit $n` needs a const at parse time
+        if not isinstance(dprog, Program):
+            return None
+        entry = dprog.rules.get("?")
+        if not (isinstance(entry, list) and len(entry) == 1):
+            return None
+        clause = entry[0]
+        if any(not isinstance(h, HeadVar) for h in clause.head):
+            return None
+        head_names = [h.name for h in clause.head]
+        if not head_names or len(set(head_names)) != len(head_names):
+            return None
+        for rname, rule in dprog.rules.items():
+            if rname != "?" and rule_has_param(rule):
+                return None
+        body = flatten_conjunction(clause.body)
+        if _body_refs_rule(body, "?"):
+            return None  # self-recursive entry: hoisting would change the fixpoint
+        skel_body: list = []
+        residuals: list = []
+        fresh_n = 0
+        for atom in body:
+            if not atom_has_param(atom):
+                skel_body.append(atom)
+                continue
+            if isinstance(atom, Cond):
+                residuals.append(atom.expr)
+                continue
+            if isinstance(atom, (RelApply, RuleApply)):
+                if (isinstance(atom, RelApply) and atom.validity is not None
+                        and expr_has_param(atom.validity)):
+                    return None
+                new_args = []
+                for x in atom.args:
+                    if isinstance(x, Param):
+                        fresh = f"__prep{fresh_n}_"
+                        fresh_n += 1
+                        new_args.append(fresh)
+                        residuals.append(Call("eq", (Var(fresh), x)))
+                    elif x is not None and not isinstance(x, str) \
+                            and expr_has_param(x):
+                        return None  # param nested in an arg expression
+                    else:
+                        new_args.append(x)
+                if isinstance(atom, RelApply):
+                    skel_body.append(
+                        RelApply(atom.name, new_args, atom.validity))
+                else:
+                    skel_body.append(RuleApply(atom.name, new_args))
+                continue
+            if isinstance(atom, NamedRelApply):
+                if atom.validity is not None \
+                        and expr_has_param(atom.validity):
+                    return None
+                new_pairs = {}
+                for c, v in atom.pairs.items():
+                    if isinstance(v, Param):
+                        fresh = f"__prep{fresh_n}_"
+                        fresh_n += 1
+                        new_pairs[c] = Var(fresh)
+                        residuals.append(Call("eq", (Var(fresh), v)))
+                    elif v is not None and expr_has_param(v):
+                        return None
+                    else:
+                        new_pairs[c] = v
+                skel_body.append(
+                    NamedRelApply(atom.name, new_pairs, atom.validity))
+                continue
+            return None  # Unify/Negation/Disj/Search with params: unsound to hoist
+        resid_vars: set = set()
+        for r in residuals:
+            resid_vars |= expr_vars(r)
+        ext = head_names + [v for v in sorted(resid_vars)
+                            if v not in head_names]
+        skel_prog = Program(rules=dict(dprog.rules), opts=OutOpts())
+        skel_prog.rules["?"] = [
+            RuleClause([HeadVar(v) for v in ext], skel_body)]
+        self._had_eager_eval = False
+        try:
+            skel_df = self._run_program(skel_prog)
+        except QueryError:
+            return None
+        if not isinstance(skel_df, DataFrame):
+            return None
+        ent = {
+            "df": skel_df, "residuals": tuple(residuals),
+            "head": tuple(head_names),
+            "extras": len(ext) > len(head_names),
+            "cacheable": not self._had_eager_eval,
+            "spark": self.spark, "snapshot": self._rel_snapshot(),
+            "rel_refs": tuple((n, rel.df)
+                              for n, rel in sorted(self.relations.items())),
+        }
+        if ent["cacheable"]:
+            with CozoDb._plan_cache_lock:
+                cache = CozoDb._skel_cache
+                cache[self._skel_key(script, params)] = ent
+                while len(cache) > self._PLAN_CACHE_MAX:
+                    cache.pop(next(iter(cache)))
+        return ent
+
+    def _bind_skeleton(self, ent: dict, params: dict,
+                       parsed: Program) -> DataFrame:
+        from cozo_spark.datalog.translate import _df_typer, compile_expr
+
+        skel_df = ent["df"]
+        bound = set(skel_df.columns)
+        typer = _df_typer(skel_df)
+        cond = None
+        for r in ent["residuals"]:
+            c = compile_expr(subst_params_expr(r, params), bound, typer)
+            cond = c if cond is None else (cond & c)
+        df = skel_df if cond is None else skel_df.where(cond)
+        if ent["extras"]:
+            # project the hoisted columns away and restore set semantics
+            df = df.select(*ent["head"]).distinct()
+        self._entry_display_headers = None
+        return self._output_stage(df, parsed.opts, parsed)
 
     # -- program evaluation --------------------------------------------------------
 

@@ -112,10 +112,16 @@ _EXPR_CONT_OPS = {"||", "&&", "==", "!=", "<", "<=", ">", ">=", "+", "-",
 
 
 class Parser:
-    def __init__(self, src: str, params: Optional[dict] = None):
+    def __init__(self, src: str, params: Optional[dict] = None,
+                 defer_params: bool = False):
         self.toks = tokenize(src)
         self.i = 0
         self.params = params or {}
+        # prepared-statement mode: leave `$name` as a Param AST node instead
+        # of folding the supplied value into a Const, so the engine can
+        # compile a reusable plan skeleton (engine._build_skeleton) and bind
+        # values at cache-hit time
+        self.defer_params = defer_params
 
     # -- token helpers --------------------------------------------------------
 
@@ -646,6 +652,7 @@ class Parser:
             self.eat("punct", "{")
             inner = Parser.__new__(Parser)
             inner.toks, inner.i, inner.params = self.toks, self.i, self.params
+            inner.defer_params = self.defer_params
             prog = Program()
             while not inner.at("punct", "}"):
                 if inner.at("sysopt"):
@@ -811,6 +818,8 @@ class Parser:
             name = t.text[1:]
             if name not in self.params:
                 raise ParseError(f"parameter ${name} not supplied")
+            if self.defer_params:
+                return Param(name)
             return Const(self.params[name])
         if t.kind == "punct" and t.text == "(":
             self.i += 1
@@ -924,5 +933,6 @@ def _concat_const(args):
     return out
 
 
-def parse_script(src: str, params: Optional[dict] = None):
-    return Parser(src, params).parse_script()
+def parse_script(src: str, params: Optional[dict] = None,
+                 defer_params: bool = False):
+    return Parser(src, params, defer_params=defer_params).parse_script()

@@ -1,0 +1,142 @@
+"""Prepared-statement plan skeletons (engine._run_prepared).
+
+A $param-ized script compiles its param-free skeleton once; subsequent
+calls with NEW values bind via residual `where` conditions instead of
+re-translating (reference parity: runtime/db.rs run_script re-compiles per
+call — we do the work once). These tests pin:
+- skeleton reuse across different param values (the r5 VERDICT directive's
+  "Done" criterion) with results identical to literal-inlined scripts,
+- soundness gates (aggregation heads, params in negation/unify/:limit fall
+  back to the per-value path),
+- invalidation on relation mutation,
+- pushdown: the bound literal still reaches the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _db(spark, tables=("customer", "orders")):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    for t in tables:
+        db.register_dataframe(t, spark.read.parquet(f"{SF_SMALL}/{t}.parquet"))
+    return db
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+SCRIPT = """
+?[name, total] := *customer{c_custkey: $id, c_name: name},
+                  *orders{o_custkey: $id, o_totalprice: total},
+                  total > $lo
+:sort -total
+:limit 5
+"""
+
+
+def _literal(db, script, subs):
+    s = script
+    for k, v in subs.items():
+        s = s.replace(f"${k}", repr(v) if isinstance(v, str) else str(v))
+    return _rows(db.run_script_df(s))
+
+
+def test_skeleton_reused_across_values(spark, monkeypatch):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    builds = []
+    orig = CozoDb._build_skeleton
+
+    def spy(self, script, params):
+        builds.append(script)
+        return orig(self, script, params)
+
+    monkeypatch.setattr(CozoDb, "_build_skeleton", spy)
+    for v, lo in ((1, 100.0), (4, 50.0), (10, 0.0)):
+        got = _rows(db.run_script_df(SCRIPT, {"id": v, "lo": lo}))
+        want = _literal(db, SCRIPT, {"id": v, "lo": lo})
+        assert got == want, f"id={v}"
+    # one skeleton build serves every subsequent value: the 2nd/3rd calls
+    # must be binds, not recompiles
+    assert len(builds) == 1
+
+
+def test_positional_and_rule_atom_params(spark):
+    db = _db(spark, ("customer",))
+    script = """
+    named[k, n] := *customer{c_custkey: k, c_name: n}
+    ?[n] := named[$id, n]
+    """
+    for v in (2, 7):
+        got = _rows(db.run_script_df(script, {"id": v}))
+        want = _literal(db, script, {"id": v})
+        assert got == want
+    # positional stored-relation args go through the same rewrite
+    db2 = _db(spark, ("nation",))
+    pos = "?[b] := *nation[$a, b, c]"
+    for v in (0, 3):
+        assert _rows(db2.run_script_df(pos, {"a": v})) == \
+            _literal(db2, pos, {"a": v})
+
+
+@pytest.mark.parametrize("script,params", [
+    # aggregation head: filter-before-agg must NOT be hoisted above the agg
+    ("?[count(n)] := *customer{c_custkey: k, c_name: n}, k < $hi",
+     {"hi": 10}),
+    # param inside a negated atom: anti-join subplan depends on the value
+    ("?[k] := *customer{c_custkey: k}, k < 8, not *orders{o_custkey: k, o_totalprice: $t}",
+     {"t": 1.0}),
+    # param in :limit is a parse-time constant
+    ("?[k] := *customer{c_custkey: k}\n:sort k\n:limit $n", {"n": 3}),
+    # param nested inside an expression used as a column binding
+    ("?[n] := *customer{c_custkey: $id + 1, c_name: n}", {"id": 2}),
+])
+def test_ineligible_shapes_still_correct(spark, script, params):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    got = _rows(db.run_script_df(script, params))
+    want = _literal(db, script, params)
+    assert got == want
+    assert db._skel_key(script, params) not in CozoDb._skel_cache
+
+
+def test_mutation_invalidates_skeleton(spark):
+    db = _db(spark, ())
+    db.run_script("""?[k, v] <- [[1, 'a'], [2, 'b']] :create kv {k => v}""")
+    q = "?[v] := *kv{k: $k, v}"
+    assert _rows(db.run_script_df(q, {"k": 1})) == [("a",)]
+    db.run_script("""?[k, v] <- [[1, 'z']] :put kv {k => v}""")
+    assert _rows(db.run_script_df(q, {"k": 1})) == [("z",)]
+
+
+def test_bound_literal_pushed_to_scan(spark):
+    db = _db(spark, ("customer",))
+    q = "?[n] := *customer{c_custkey: $id, c_name: n}"
+    db.run_script_df(q, {"id": 3}).collect()
+    df = db.run_script_df(q, {"id": 41})          # bind path
+    assert _rows(df) == _literal(db, q, {"id": 41})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "41" in pushed, pushed
+
+
+def test_repeated_value_hits_exact_cache(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark, ("customer",))
+    q = "?[n] := *customer{c_custkey: $id, c_name: n}"
+    a = db.run_script_df(q, {"id": 5})
+    b = db.run_script_df(q, {"id": 5})
+    assert a is b  # exact per-value cache serves the same lazy plan
+    assert _rows(b) == _literal(db, q, {"id": 5})
