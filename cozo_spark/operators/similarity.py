@@ -339,6 +339,38 @@ def pq_ip_topk(
                     F.round(F.col("ip9") / 1e9, 6).alias("approx_ip")))
 
 
+# Above this k, per-centroid literal distance expressions stop being free:
+# the plan grows O(k·dim) literal nodes and codegen/JIT cost dominates (the
+# PQ encode rewrite measured a 3× slowdown from a ~2 MB literal plan —
+# commit 9f799b6). The join path keeps the plan constant-size: broadcast
+# the k centroids as ROWS and argmin via min(struct(d2, cid)).
+KMEANS_LITERAL_MAX_K = 16
+
+
+def _assign_join(df: DataFrame, cents: list) -> DataFrame:
+    """Large-k assignment: broadcast-join the centroid table and take the
+    per-vector argmin — one broadcast of k·dim longs and one groupBy on
+    vec_id; plan size independent of k. Ties resolve to the lowest cid,
+    identical to the literal path's `<=` scan order."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, [int(v) for v in c]) for i, c in enumerate(cents)],
+        T.StructType([
+            T.StructField("cid_", T.IntegerType(), False),
+            T.StructField("c6", T.ArrayType(T.LongType(), False), False)]))
+    d2 = F.aggregate(
+        F.zip_with("x6", "c6", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    scored = (df.crossJoin(F.broadcast(cents_df))
+              .select("vec_id", "x6", "cid_", d2.alias("d2")))
+    best = (scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid_")).alias("m"),
+                 F.first("x6").alias("x6")))
+    return best.select("vec_id", "x6", F.col("m.cid_").alias("cid"))
+
+
 def kmeans_lloyd(
     corpus: DataFrame, k: int = 4, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -351,6 +383,9 @@ def kmeans_lloyd(
     broadcast-literal centroids (k distance expressions, whole-stage
     codegen, no join), recompute is one explode + (cid, dim) groupBy —
     per iteration one shuffle over (k·dim) keys and one k-row collect.
+    Above KMEANS_LITERAL_MAX_K the literal fan-out is replaced by a
+    broadcast-join + min(struct) argmin (_assign_join) so plan/JIT cost
+    stays bounded at large k — same adaptive switch the PQ encode uses.
 
     Everything is INTEGERIZED so any engine replays it bit-for-bit: input
     coords round to 1e6-scaled longs, distances are exact integer sums
@@ -372,6 +407,8 @@ def kmeans_lloyd(
     dim = len(cents[0])
 
     def _assign(df):
+        if len(cents) > KMEANS_LITERAL_MAX_K:
+            return _assign_join(df, cents)
         dists = []
         for cid in range(len(cents)):
             lit_c = F.array(*[F.lit(int(v)) for v in cents[cid]])
