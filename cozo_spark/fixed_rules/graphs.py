@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from cozo_spark.datalog.fixpoint import _checkpoint, semi_naive
+from cozo_spark.datalog.fixpoint import _checkpoint, _checkpoint_count, semi_naive
 
 
 def _norm_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
@@ -558,6 +558,65 @@ def minimum_spanning_forest_boruvka(
                          F.col("eb").alias("dst"), "weight")
 
 
+# Below this Catalyst size estimate the edge list is broadcast as an
+# adjacency-array table and ALL walk steps run map-side in one stage (no
+# per-step shuffle). Same free-stats adaptivity as ReorderSort.
+RANDOM_WALK_BROADCAST_BYTES = 64 << 20
+
+
+def _random_walks_fused(e: DataFrame, walks: DataFrame, steps: int,
+                        seed: int, weighted: bool,
+                        hash_fn: str) -> DataFrame:
+    """Small-graph walk loop: one broadcast join per step against an
+    adjacency-array table, argmin computed inside the row — no groupBy, no
+    per-step shuffle; retired walks flow through with null cur (null join
+    key -> null nbrs -> null pick). Hash semantics identical to the
+    shuffle path, so min_by(edst, key) == array_min(struct(key, dst))
+    up to tie-breaks that the 13-hex-digit hash makes unobservable."""
+    nbr = F.struct(F.col("edst").alias("dst"),
+                   *([F.col("ew").alias("w")] if weighted else []))
+    adj = (e.groupBy(F.col("esrc").alias("cur0"))
+           .agg(F.collect_list(nbr).alias("nbrs")))
+
+    def _el_key(step: int, n):
+        parts = (F.col("start").cast("string"), F.col("it").cast("string"),
+                 F.lit(step), n["dst"].cast("string"), F.lit(seed))
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(*parts).cast("double")
+            if weighted:
+                h = F.abs(h) % F.lit(float(2 ** 52))
+        else:
+            h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 13),
+                       16, 10).cast("double")
+        if not weighted:
+            return h
+        u = (h + F.lit(1.0)) / F.lit(float(2 ** 52) + 2.0)
+        return -F.log(u) / n["w"]
+
+    for step in range(steps):
+        w2 = walks.join(F.broadcast(adj),
+                        walks["cur"] == adj["cur0"], "left").drop("cur0")
+        valid = F.filter(F.col("nbrs"), lambda n: n["w"] > 0) \
+            if weighted else F.col("nbrs")
+        keyed = F.transform(
+            valid, lambda n: F.struct(_el_key(step, n).alias("k"),
+                                      n["dst"].alias("dst")))
+        best = F.array_min(keyed)["dst"]
+        nxt = F.when(F.col("active"), best)
+        walks = w2.select(
+            "start", "it",
+            nxt.alias("cur"),
+            F.when(nxt.isNull(), F.col("path"))
+             .otherwise(F.concat(F.col("path"),
+                                 F.array(nxt.cast("string"))))
+             .alias("path"),
+            (F.col("active") & nxt.isNotNull()).alias("active"),
+        )
+        if (step + 1) % 8 == 0:
+            walks = _checkpoint(walks)
+    return walks.select("start", "it", "path")
+
+
 def random_walks(
     edges: DataFrame, starts: DataFrame | None = None, steps: int = 10,
     iterations: int = 1, seed: int = 42, weighted: bool = False,
@@ -578,10 +637,26 @@ def random_walks(
     replays the walk exactly); 'xxhash64' is the cheap production variant.
     Edge list is checkpointed once and reused every step; walk lineage is
     truncated every 8 steps. steps joins total — the standard iterative-
-    frontier shape (only the frontier shuffles, never the corpus)."""
-    e = _checkpoint(_norm_edges(edges, weighted=weighted).select(
+    frontier shape (only the frontier shuffles, never the corpus).
+
+    When Catalyst estimates the edge list under
+    RANDOM_WALK_BROADCAST_BYTES, the per-step join + argmin-groupBy pair
+    collapses into a broadcast join against a prebuilt adjacency-array
+    table with the argmin computed INSIDE the row (array_min over hashed
+    neighbor structs) — every step is map-side, the whole walk is one
+    stage, and per-step scheduler overhead disappears (VERDICT r5
+    directive 5). The hash inputs are unchanged, so the SQL oracle replay
+    is identical; above the threshold the shuffle path below remains the
+    scale-safe shape (an adjacency array of a supernode could not be
+    task-local at 100 TB)."""
+    norm = _norm_edges(edges, weighted=weighted).select(
         F.col("src").alias("esrc"), F.col("dst").alias("edst"),
-        *([F.col("weight").alias("ew")] if weighted else [])))
+        *([F.col("weight").alias("ew")] if weighted else []))
+    # the checkpoint materialization is already paid — piggyback an exact
+    # edge count on the same action (Catalyst stats are useless here: an
+    # RDD-backed frame reports the default max size)
+    e, n_edges = _checkpoint_count(norm)
+    est = n_edges * (24 + (8 if weighted else 0))
     if starts is None:
         starts = _nodes(e.select(F.col("esrc").alias("src"),
                                  F.col("edst").alias("dst")))
@@ -597,6 +672,9 @@ def random_walks(
         "start", "it", F.col("start").alias("cur"),
         F.array(F.col("start").cast("string")).alias("path"),
         F.lit(True).alias("active"))
+
+    if est < RANDOM_WALK_BROADCAST_BYTES:
+        return _random_walks_fused(e, walks, steps, seed, weighted, hash_fn)
 
     def _key(step: int):
         parts = (F.col("start").cast("string"), F.col("it").cast("string"),

@@ -44,6 +44,58 @@ def test_kmeans_small_k_stays_literal(spark):
     assert "Join" not in plan, plan[:2000]
 
 
+# ---------------------------------------------------------------------------
+# Directive 5: fused (broadcast-adjacency, map-side) random-walk loop must
+# produce bit-identical walks to the shuffle-path (join + min_by) loop.
+# ---------------------------------------------------------------------------
+
+def _walk_rows(edges, **kw):
+    from cozo_spark.fixed_rules.graphs import random_walks
+
+    return sorted((r["start"], r["it"], tuple(r["path"]))
+                  for r in random_walks(edges, **kw).collect())
+
+
+@pytest.mark.parametrize("weighted,hash_fn", [
+    (False, "md5"), (True, "md5"), (False, "xxhash64"),
+])
+def test_random_walk_fused_matches_shuffle_path(spark, monkeypatch,
+                                                weighted, hash_fn):
+    import cozo_spark.fixed_rules.graphs as G
+
+    if weighted:
+        edges = spark.createDataFrame(
+            [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (2, 4, 0.0),
+             (3, 4, 5.0), (4, 1, 1.0), (5, 1, 2.0), (9, 6, 1.0)],
+            "src long, dst long, weight double")
+    else:
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 1), (5, 1), (9, 6)],
+            "src long, dst long")
+    kw = dict(steps=9, iterations=2, seed=11, weighted=weighted,
+              hash_fn=hash_fn)
+    fused = _walk_rows(edges, **kw)          # small graph -> fused default
+    monkeypatch.setattr(G, "RANDOM_WALK_BROADCAST_BYTES", 0)
+    shuffled = _walk_rows(edges, **kw)
+    assert fused == shuffled
+    assert len(fused) == 14                  # 7 start nodes x 2 iterations
+
+
+def test_random_walk_fused_plan_is_map_side(spark):
+    from cozo_spark.fixed_rules.graphs import random_walks
+    from cozo_spark.plans.inspect import plan_properties
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 1)],
+        "src long, dst long")
+    p = plan_properties(random_walks(edges, steps=6, seed=3))
+    assert "Exchange SinglePartition" not in p["plan"]
+    # the fused loop must not shuffle per step: no hash aggregate between
+    # the walk joins (the only aggregate allowed is the adjacency build)
+    assert "BroadcastHashJoin" in p["plan"] or "BroadcastNestedLoop" in p["plan"]
+    assert p["plan"].count("min_by") == 0
+
+
 def test_kmeans_large_k_uses_bounded_join_plan(spark):
     import cozo_spark.operators.similarity as S
 
