@@ -490,6 +490,234 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 # Registry adapters: Cozo fixed-rule signature (inputs, options) -> DataFrame
 # ---------------------------------------------------------------------------
 
+def betweenness_centrality_sampled(
+    edges: DataFrame, sources: int | None = None, seed: int = 42,
+    undirected: bool = False, max_depth: int = 64,
+) -> DataFrame:
+    """(node, centrality): DISTRIBUTED Brandes betweenness over a k-source
+    sample — the scale path for BetweennessCentrality (reference runs full
+    single-node Brandes, algos/all_pairs_shortest_path.rs:1-176; the
+    driver-side rule here mirrors that under the edge cap).
+
+    Estimator (Brandes & Pich 2007 pivot sampling): run Brandes'
+    forward/backward passes from k hash-sampled pivots and scale the
+    accumulated dependencies by n/k. Unbiased: E[(n/k)·Σ_{s∈S} δ_s(v)] =
+    Σ_s δ_s(v). With Hoeffding, k = (c/ε²)·ln(n) pivots bound the additive
+    error to ε·n(n−1) with high probability — at full sampling (k = n,
+    the default) the scale factor is 1 and the result is EXACT Brandes.
+
+    Spark shape: the forward pass is a semi-naive multi-source BFS carrying
+    (source, node, depth, σ path counts) — per wave one frontier join + one
+    groupBy + one anti-join against visited. The backward pass joins the
+    DAG's depth-(d, d+1) slices once per level, accumulating
+    δ(v) += σ_v/σ_w·(1+δ_w). Total jobs ≈ 2·diameter; state is O(k·V)
+    rows, so k is the knob that makes 100 TB graphs affordable. Pivots are
+    md5-ordered TakeOrdered (engine-portable determinism); multi-edges
+    contribute once per occurrence, matching the driver rule's adjacency-
+    list semantics."""
+    e0 = _norm_edges(edges).select(F.col("src").alias("esrc"),
+                                   F.col("dst").alias("edst"))
+    if undirected:
+        e0 = e0.unionAll(e0.select(F.col("edst").alias("esrc"),
+                                   F.col("esrc").alias("edst")))
+    e = _checkpoint(e0)
+    nodes = _checkpoint(
+        e.select(F.col("esrc").alias("node"))
+        .unionByName(e.select(F.col("edst").alias("node"))).distinct())
+    n = nodes.count()
+    spark = edges.sparkSession
+    ntype = dict(nodes.dtypes)["node"]
+    if n == 0:
+        return spark.createDataFrame([], f"node {ntype}, centrality double")
+    if sources is None or sources >= n:
+        srcs, k = nodes, n
+    else:
+        k = max(1, int(sources))
+        srcs = (nodes
+                .orderBy(F.md5(F.concat_ws("|", F.col("node").cast("string"),
+                                           F.lit(seed))), "node")
+                .limit(k))
+    visited = _checkpoint(srcs.select(
+        F.col("node").alias("s"), F.col("node").alias("v"),
+        F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")))
+    frontier, depth = visited, 0
+    for _ in range(max_depth):
+        cand = (frontier.join(e, frontier["v"] == e["esrc"])
+                .select("s", F.col("edst").alias("w"), "sigma"))
+        nxt = (cand.groupBy("s", "w").agg(F.sum("sigma").alias("sigma"))
+               .join(visited.select(F.col("s").alias("vs"),
+                                    F.col("v").alias("vv")),
+                     (F.col("s") == F.col("vs")) & (F.col("w") == F.col("vv")),
+                     "left_anti"))
+        depth += 1
+        nxt = nxt.select("s", F.col("w").alias("v"),
+                         F.lit(depth).alias("d"), "sigma")
+        nxt, cnt = _checkpoint_count(nxt)
+        if cnt == 0:
+            depth -= 1
+            break
+        visited = _checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    # shortest-path DAG edges: (s, v at depth d) -> (w at depth d+1)
+    vw = visited.select(F.col("s").alias("ws"), F.col("v").alias("w"),
+                        F.col("d").alias("wd"), F.col("sigma").alias("wsig"))
+    dag = _checkpoint(
+        visited.join(e, visited["v"] == e["esrc"])
+        .join(vw, (visited["s"] == vw["ws"]) & (e["edst"] == vw["w"])
+              & (vw["wd"] == visited["d"] + 1))
+        .select("s", "v", "d", "sigma", "w", "wsig"))
+    # backward accumulation, deepest level first; absent rows mean delta=0
+    delta_next = None  # (s, node, delta) for depth lvl+1
+    acc = []
+    for lvl in range(depth - 1, -1, -1):
+        slice_ = dag.filter(F.col("d") == lvl)
+        if delta_next is not None:
+            dn = delta_next.select(F.col("s").alias("ds"),
+                                   F.col("node").alias("dn"),
+                                   F.col("delta").alias("dw"))
+            slice_ = slice_.join(
+                dn, (slice_["s"] == dn["ds"]) & (slice_["w"] == dn["dn"]),
+                "left")
+        else:
+            slice_ = slice_.withColumn("dw", F.lit(None).cast("double"))
+        lvl_delta = (slice_
+                     .withColumn("contrib",
+                                 F.col("sigma") / F.col("wsig")
+                                 * (F.lit(1.0) + F.coalesce(F.col("dw"),
+                                                            F.lit(0.0))))
+                     .groupBy("s", F.col("v").alias("node"))
+                     .agg(F.sum("contrib").alias("delta")))
+        delta_next = _checkpoint(lvl_delta)
+        acc.append(delta_next)
+    if not acc:
+        return nodes.select("node", F.lit(0.0).alias("centrality")) \
+            .orderBy("node")
+    all_delta = acc[0]
+    for d_ in acc[1:]:
+        all_delta = all_delta.unionByName(d_)
+    cb = (all_delta.filter(F.col("node") != F.col("s"))
+          .groupBy("node")
+          .agg((F.sum("delta") * F.lit(float(n) / float(k)))
+               .alias("centrality")))
+    return (nodes.join(cb, "node", "left")
+            .select("node", F.coalesce("centrality", F.lit(0.0))
+                    .alias("centrality"))
+            .orderBy("node"))
+
+
+def louvain_communities(
+    edges: DataFrame, max_iter: int = 10, delta: float = 0.0001,
+    max_levels: int = 5, undirected: bool = False,
+    max_passes: int | None = None, keep_depth: int | None = None,
+) -> DataFrame:
+    """(community, node): DISTRIBUTED Louvain modularity optimization — the
+    scale path for CommunityDetectionLouvain (reference semantics
+    algos/louvain.rs:1-318; option names accepted incl. the driver-side
+    rule's aliases; `undirected` is moot, weights are symmetrized anyway).
+
+    Standard multi-level Louvain in the adjacency-MATRIX convention
+    (A[a][b] symmetric, self-loops carry doubled weight so k = row sum and
+    m2 = grand total stay invariant under contraction):
+
+    - local-move phase: SYNCHRONOUS parallel moves — per node one
+      neighbor-community weight aggregation (join comm + groupBy, the only
+      data-sized shuffle per round) and an argmax of the standard isolated-
+      node gain  w_in(c) − (Σ_tot(c) − [c=c0]·k_a)·k_a/m2  via
+      min(struct(−gain, c)) (ties to the smaller community id, like the
+      driver rule's ascending scan). Simultaneous A↔B swap oscillation is
+      broken the standard way: alternating node-parity sub-rounds (only
+      half the nodes may move per round).
+    - contraction: map both endpoints through the assignment and re-sum —
+      one groupBy; levels repeat until no merge or max_levels.
+
+    Output matches the driver-side rule: community label = min member (by
+    string order), one row per original node. Driver-side scalars are only
+    m2 / per-round move counts / level sizes (O(1) actions). Sync-parallel
+    Louvain can settle in a different (equally valid) local optimum than
+    the sequential reference on ambiguous graphs; golden tests pin
+    agreement on separable ones."""
+    if max_passes is not None:
+        max_iter = max_passes
+    e0 = _norm_edges(edges, weighted=True).filter(F.col("src") != F.col("dst"))
+    sym = (e0.select("src", "dst", "weight")
+           .unionAll(e0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "weight"))
+           .groupBy("src", "dst").agg(F.sum("weight").alias("w")))
+    g = _checkpoint(sym.select(F.col("src").alias("a"),
+                               F.col("dst").alias("b"), "w"))
+    row = g.agg(F.sum("w").alias("s")).collect()[0]
+    m2 = float(row["s"] or 0.0)
+    spark = edges.sparkSession
+    ntype = dict(g.dtypes)["a"]
+    if m2 <= 0:
+        return spark.createDataFrame([], f"community {ntype}, node {ntype}")
+    nodes0 = g.select(F.col("a").alias("node")).distinct()
+    mapping = _checkpoint(nodes0.select("node", F.col("node").alias("super")))
+    n_nodes = mapping.count()
+    for _level in range(max_levels):
+        k = g.groupBy("a").agg(F.sum("w").alias("k"))
+        comm = _checkpoint(k.select(F.col("a").alias("n_"),
+                                    F.col("a").alias("c"), "k"))
+        for rnd in range(max_iter):
+            sigma = comm.groupBy("c").agg(F.sum("k").alias("sig"))
+            nbrc = (g.filter(F.col("a") != F.col("b"))
+                    .join(comm.select(F.col("n_").alias("b"),
+                                      F.col("c").alias("cb")), "b")
+                    .groupBy("a", "cb").agg(F.sum("w").alias("win")))
+            cand = (nbrc
+                    .join(comm.select(F.col("n_").alias("a"),
+                                      F.col("c").alias("c0"), "k"), "a")
+                    .join(sigma.select(F.col("c").alias("cb"),
+                                       F.col("sig").alias("sigb")), "cb")
+                    .withColumn(
+                        "gain",
+                        F.col("win")
+                        - (F.col("sigb")
+                           - F.when(F.col("cb") == F.col("c0"),
+                                    F.col("k")).otherwise(F.lit(0.0)))
+                        * F.col("k") / F.lit(m2)))
+            best = (cand.groupBy("a", "c0")
+                    .agg(F.min(F.struct((-F.col("gain")).alias("ng"),
+                                        F.col("cb").alias("cb"))).alias("m")))
+            floor = max(delta, 0.0) + 1e-12
+            pick = F.when((-F.col("m.ng") > F.lit(floor))
+                          & (F.pmod(F.abs(F.xxhash64(
+                              F.col("n_").cast("string"))), F.lit(2))
+                             == F.lit(rnd % 2)),
+                          F.col("m.cb")).otherwise(F.col("c0"))
+            upd = (comm.join(best.select(F.col("a").alias("n_"),
+                                         "c0", "m"), "n_", "left")
+                   .select("n_",
+                           F.coalesce(pick, F.col("c")).alias("c"), "k"))
+            prev = comm.select(F.col("n_").alias("p_"),
+                               F.col("c").alias("pc"))
+            comm = _checkpoint(upd)
+            moved = (comm.join(prev, comm["n_"] == prev["p_"])
+                     .filter(F.col("c") != F.col("pc")).count())
+            if moved == 0 and rnd % 2 == 1:
+                break  # both parities quiesced
+        assign = comm.select(F.col("n_").alias("node_"), F.col("c"))
+        mapping = _checkpoint(
+            mapping.join(assign, mapping["super"] == assign["node_"])
+            .select("node", F.col("c").alias("super")))
+        g = _checkpoint(
+            g.join(assign.select(F.col("node_").alias("a"),
+                                 F.col("c").alias("ca")), "a")
+            .join(assign.select(F.col("node_").alias("b"),
+                                F.col("c").alias("cb")), "b")
+            .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
+            .agg(F.sum("w").alias("w")))
+        n_comm = g.select("a").distinct().count()
+        if n_comm >= n_nodes:
+            break
+        n_nodes = n_comm
+    labels = (mapping.groupBy("super")
+              .agg(F.min_by("node", F.col("node").cast("string"))
+                   .alias("community")))
+    return (mapping.join(labels, "super")
+            .select("community", "node"))
+
+
 def minimum_spanning_forest_boruvka(
     edges: DataFrame, max_iterations: int = 64,
 ) -> DataFrame:
@@ -773,5 +1001,7 @@ BUILTIN_RULES = {
     "ShortestPathCosts": _adapt(shortest_path_costs),
     "RandomWalkDist": _adapt(random_walks),
     "MinimumSpanningForestBoruvka": _adapt(minimum_spanning_forest_boruvka),
+    "CommunityDetectionLouvainDist": _adapt(louvain_communities),
+    "BetweennessCentralityDist": _adapt(betweenness_centrality_sampled),
     **_local_rules(),
 }

@@ -14,9 +14,9 @@ Decode status by format:
 - ``image/jpeg`` — REAL baseline decode (+ fixture encoder), stdlib+numpy
   (operators/jpeg.py: marker/DQT/DHT/SOF0/SOS parse, Huffman entropy
   decode with restart intervals, vectorized IDCT, 4:2:0/4:2:2/4:4:4
-  chroma upsample, JFIF color convert); progressive (SOF2) raises with
-  context. Pure-Python entropy decode is the documented throughput
-  fallback — swap in a codec lib for production corpora.
+  chroma upsample, JFIF color convert) AND progressive (SOF2) decode
+  (r6: spectral selection + successive approximation, Annex G).
+  Pure-Python entropy decode is the documented throughput fallback — swap in a codec lib for production corpora.
 - ``image/gif`` — REAL decode (operators/gif.py: block walk, full
   variable-width LZW, interlace reorder, palette mapping; first frame of
   animations) + fixture encoder; verified against an externally-authored
@@ -259,8 +259,8 @@ def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
 def decode_image(content: bytes, media_type: str = RAW_RGB_TYPE) -> "np.ndarray":
     """Decode an image payload to (H, W, 3) uint8.
 
-    x-raw-rgb, PNG and BASELINE JPEG decode for REAL (stdlib+numpy only;
-    see operators/jpeg.py — progressive JPEG raises with context); other
+    x-raw-rgb, PNG and JPEG (baseline AND progressive) decode for REAL
+    (stdlib+numpy only; see operators/jpeg.py); other
     codec formats (WebP/AVIF/...) are gated on libraries this container
     doesn't ship — install one and add a branch here, nothing Spark-side
     changes."""
@@ -620,7 +620,7 @@ def _probe_one(content: bytes) -> dict:
 
 def _jpeg_dims(content: bytes) -> dict:
     """Width/height from the first SOFn marker — a header walk, no entropy
-    decode (works for progressive files the full decoder rejects)."""
+    decode — cheaper than full decode when only dimensions matter."""
     pos = 2
     n = len(content)
     while pos + 4 <= n:

@@ -62,12 +62,12 @@ def test_odd_dimensions_padding():
     assert np.abs(dec.astype(float) - img.astype(float)).mean() < 5.0
 
 
-def test_progressive_rejected_with_context():
+def test_arithmetic_rejected_with_context():
     img = _test_image(h=8, w=8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="BASELINE"):
+    data[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(data))
 
 
@@ -103,3 +103,75 @@ def test_multimodal_decode_image_dispatch():
     assert out.shape == (16, 16, 3)
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"RIFF....WEBP", "image/webp")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — r6
+# ---------------------------------------------------------------------------
+
+def test_progressive_bit_identical_to_baseline():
+    """The progressive encoding carries the SAME quantized coefficients as
+    the baseline encoding, so both decodes must agree bit for bit — this
+    pins DC first/refine, AC first (both bands), EOB runs and the AC
+    refinement correction-bit protocol in one assertion."""
+    from cozo_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(h=48, w=64)
+    base = decode_jpeg(encode_jpeg(img, quality_div=1))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality_div=1))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_subsampled_and_coarse():
+    from cozo_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _test_image(h=40, w=56)  # non-multiple of 16 exercises edge MCUs
+    for qd in (1, 4):
+        base = decode_jpeg(encode_jpeg(img, quality_div=qd, subsample=True))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality_div=qd, subsample=True))
+        assert np.array_equal(base, prog), f"quality_div={qd}"
+
+
+def test_progressive_spectral_only_scan_script():
+    """Spectral selection WITHOUT successive approximation (Ah=Al=0
+    everywhere) is its own code path (no refinement scans at all)."""
+    from cozo_spark.operators.jpeg import encode_jpeg_progressive
+
+    scans = (
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 9, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+        ((0,), 10, 63, 0, 0),
+    )
+    img = _test_image()
+    base = decode_jpeg(encode_jpeg(img, quality_div=2))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality_div=2, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_sparse_image_exercises_eob_runs():
+    """A mostly-flat image makes nearly every AC block end-of-band, so the
+    EOB-run accumulation/flush paths (first AND refine) carry real weight."""
+    from cozo_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.full((64, 64, 3), 130, dtype=np.uint8)
+    img[30:34, 30:34] = (250, 10, 90)  # one busy patch
+    base = decode_jpeg(encode_jpeg(img, quality_div=1))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality_div=1))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_random_images_fuzz():
+    from cozo_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        h = int(rng.integers(2, 7)) * 8
+        w = int(rng.integers(2, 7)) * 8
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality_div=2))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality_div=2))
+        assert np.array_equal(base, prog), f"trial {trial} ({h}x{w})"

@@ -96,6 +96,177 @@ def test_random_walk_fused_plan_is_map_side(spark):
     assert p["plan"].count("min_by") == 0
 
 
+# ---------------------------------------------------------------------------
+# Directive 4: distributed Louvain (CommunityDetectionLouvainDist) — golden
+# agreement with the driver-side sequential rule on separable graphs, plan
+# free of single-partition exchanges.
+# ---------------------------------------------------------------------------
+
+def _partition(df, comm_col="community", node_col="node"):
+    """Community labels are min-member so identical partitions compare
+    equal directly."""
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[comm_col], set()).add(r[node_col])
+    return sorted((sorted(v) for v in out.values()), key=str)
+
+
+def _clique_edges(members):
+    return [(a, b, 1.0) for a in members for b in members if a < b]
+
+
+def test_louvain_dist_matches_local_on_separable_graph(spark):
+    from cozo_spark.fixed_rules.graphs import louvain_communities
+    from cozo_spark.fixed_rules.local_graphs import (
+        community_detection_louvain)
+
+    rows = (_clique_edges([1, 2, 3, 4, 5])
+            + _clique_edges([10, 11, 12, 13, 14])
+            + _clique_edges([20, 21, 22, 23])
+            + [(5, 10, 0.5), (14, 20, 0.5)])   # weak bridges
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    dist = _partition(louvain_communities(edges))
+    local = _partition(community_detection_louvain(edges))
+    assert dist == local == [[1, 2, 3, 4, 5], [10, 11, 12, 13, 14],
+                             [20, 21, 22, 23]]
+
+
+def test_louvain_dist_weighted_and_string_nodes(spark):
+    from cozo_spark.fixed_rules.graphs import louvain_communities
+
+    rows = [("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 5.0),
+            ("x", "y", 5.0), ("y", "z", 5.0), ("x", "z", 5.0),
+            ("c", "x", 0.2)]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    assert _partition(louvain_communities(edges)) == \
+        [["a", "b", "c"], ["x", "y", "z"]]
+
+
+def test_louvain_dist_multilevel_contracts(spark):
+    from cozo_spark.fixed_rules.graphs import louvain_communities
+
+    # ring of 4 triangles lightly chained: level 1 finds the triangles,
+    # level 2 may merge neighbors — result must still be a valid partition
+    # covering every node exactly once
+    rows = []
+    for base in (0, 10, 20, 30):
+        rows += _clique_edges([base, base + 1, base + 2])
+    rows += [(2, 10, 0.1), (12, 20, 0.1), (22, 30, 0.1), (32, 0, 0.1)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    part = _partition(louvain_communities(edges))
+    flat = sorted(n for grp in part for n in grp)
+    assert flat == sorted({a for r in rows for a in r[:2]})
+    # triangles must never be split across communities
+    for base in (0, 10, 20, 30):
+        tri = {base, base + 1, base + 2}
+        assert any(tri <= set(grp) for grp in part)
+
+
+def test_louvain_dist_engine_dispatch_and_plan(spark):
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.plans.inspect import plan_properties
+    from cozo_spark.fixed_rules.graphs import louvain_communities
+
+    db = CozoDb(spark)
+    db.run_script("""
+    ?[src, dst, w] <- [[1,2,1.0],[2,3,1.0],[1,3,1.0],[4,5,1.0],[5,6,1.0],[4,6,1.0],[3,4,0.1]]
+    :create e {src, dst => w}
+    """)
+    res = db.run_script("""
+    edges[src, dst, w] := *e{src, dst, w}
+    ?[community, node] <~ CommunityDetectionLouvainDist(edges[])
+    """)
+    got = {}
+    for c, n in res.rows:
+        got.setdefault(c, set()).add(n)
+    assert sorted(sorted(v) for v in got.values()) == [[1, 2, 3], [4, 5, 6]]
+
+    edges = spark.createDataFrame(
+        _clique_edges([1, 2, 3]) + _clique_edges([7, 8, 9]) + [(3, 7, 0.1)],
+        "src long, dst long, weight double")
+    p = plan_properties(louvain_communities(edges))
+    assert "Exchange SinglePartition" not in p["plan"]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in p["plan"]
+
+
+# ---------------------------------------------------------------------------
+# Directive 7: sampled distributed Brandes betweenness — exact at full
+# sampling, all-node output, engine dispatch, bounded plan.
+# ---------------------------------------------------------------------------
+
+def _bc_rows(df):
+    return {r["node"]: round(r["centrality"], 9) for r in df.collect()}
+
+
+@pytest.mark.parametrize("undirected", [False, True])
+def test_betweenness_dist_exact_at_full_sampling(spark, undirected):
+    from cozo_spark.fixed_rules.graphs import betweenness_centrality_sampled
+    from cozo_spark.fixed_rules.local_graphs import betweenness_centrality
+
+    rows = [(1, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 1), (6, 2), (3, 6)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    dist = _bc_rows(betweenness_centrality_sampled(
+        edges, undirected=undirected))
+    local = _bc_rows(betweenness_centrality(edges, undirected=undirected))
+    assert dist == local
+
+
+def test_betweenness_dist_multiedge_and_random_graph(spark):
+    import random
+
+    from cozo_spark.fixed_rules.graphs import betweenness_centrality_sampled
+    from cozo_spark.fixed_rules.local_graphs import betweenness_centrality
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+    rows = [(a, b) for a, b in rows if a != b] + [(1, 2), (1, 2)]  # multi-edge
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    assert _bc_rows(betweenness_centrality_sampled(edges)) == \
+        _bc_rows(betweenness_centrality(edges))
+
+
+def test_betweenness_dist_sampled_estimator(spark):
+    from cozo_spark.fixed_rules.graphs import betweenness_centrality_sampled
+
+    # path graph: exact centrality known; a k<n sample must stay unbiased
+    # in shape (all nodes present, non-negative, endpoints zero)
+    rows = [(i, i + 1) for i in range(10)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    est = _bc_rows(betweenness_centrality_sampled(edges, sources=4, seed=3))
+    assert len(est) == 11
+    assert all(v >= 0 for v in est.values())
+    assert est[0] == 0.0  # a source-only endpoint lies on no inner path
+
+
+def test_betweenness_dist_engine_dispatch(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script("""
+    ?[src, dst] <- [[1,2],[2,3],[3,4]]
+    :create be {src, dst}
+    """)
+    res = db.run_script("""
+    edges[src, dst] := *be{src, dst}
+    ?[node, centrality] <~ BetweennessCentralityDist(edges[])
+    """)
+    got = {r[0]: r[1] for r in res.rows}
+    # directed path 1->2->3->4: node 2 on paths (1,3),(1,4); node 3 on (1,4),(2,4)
+    assert got == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
+
+
+def test_betweenness_dist_plan_bounded(spark):
+    from cozo_spark.fixed_rules.graphs import betweenness_centrality_sampled
+    from cozo_spark.plans.inspect import plan_properties
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    p = plan_properties(betweenness_centrality_sampled(edges))
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in p["plan"]
+
+
 def test_kmeans_large_k_uses_bounded_join_plan(spark):
     import cozo_spark.operators.similarity as S
 
