@@ -86,11 +86,53 @@ def _checkpoint(df: DataFrame) -> DataFrame:
         if _CK_APPLIED.get(id(sc)) != ck_dir:
             sc.setCheckpointDir(ck_dir)
             _CK_APPLIED[id(sc)] = ck_dir
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return _sane_stats(df.checkpoint(eager=True))
+    return _sane_stats(df.localCheckpoint(eager=True))
 
 
 _CK_APPLIED: dict = {}
+
+# Any size estimate beyond 2^512 bytes carries zero information — it is
+# pure compounding artifact, see _sane_stats.
+_STATS_SANITY_BITS = 512
+
+
+def _sane_stats(df: DataFrame) -> DataFrame:
+    """Defuse Catalyst's compounding size estimates across checkpoints.
+
+    Spark's checkpoint()/localCheckpoint() stores the ORIGINAL plan's
+    size estimate on the resulting LogicalRDD (so join planning keeps
+    working). But size estimation multiplies across joins
+    (size(join) ~ size(left) x size(right)), so an ITERATIVE loop that
+    checkpoints a multi-join plan every epoch compounds the estimate
+    geometrically: bit-length roughly triples per round, and after a few
+    dozen epochs every optimizer pass grinds in BigInteger.multiply —
+    observed as a single JVM core pegged for 25+ minutes planning a
+    7-edge Louvain graph. Once the estimate exceeds any physically
+    possible size (2^512 bytes), rebuild the frame over the SAME
+    materialized RDD so the leaf reverts to the default (unknown) size.
+    Broadcast decisions are unchanged — both "absurd" and "default" sit
+    far above every broadcast threshold — and sane estimates (the ones
+    that let fixpoint deltas broadcast) are left untouched."""
+    try:
+        try:
+            sz = int(df._jdf.queryExecution().optimizedPlan().stats()
+                     .sizeInBytes())
+            sane = sz.bit_length() <= _STATS_SANITY_BITS
+        except ValueError:
+            # py4j refuses to even CONVERT the BigInteger (>4300 digits):
+            # definitively insane
+            sane = False
+        if sane:
+            return df
+        jdf = df._jdf
+        spark = df.sparkSession
+        rdd = jdf.queryExecution().toRdd()  # the materialized InternalRows
+        out = spark._jsparkSession.internalCreateDataFrame(
+            rdd, jdf.schema(), False)
+        return DataFrame(out, spark)
+    except Exception:
+        return df
 
 
 def _resolve_ck_dir(spark) -> "str | None":
@@ -118,7 +160,7 @@ def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     obs = Observation(f"__cozo_ck_{next(_OBS_SEQ)}")
     out = df.observe(obs, F.count(F.lit(1)).alias("n")) \
             .localCheckpoint(eager=True)
-    return out, int(obs.get["n"])
+    return _sane_stats(out), int(obs.get["n"])
 
 
 def semi_naive(

@@ -651,13 +651,18 @@ def louvain_communities(
     ntype = dict(g.dtypes)["a"]
     if m2 <= 0:
         return spark.createDataFrame([], f"community {ntype}, node {ntype}")
+    import os as _os
+    _dbg = _os.environ.get("COZO_LOUVAIN_DEBUG")
     nodes0 = g.select(F.col("a").alias("node")).distinct()
     mapping = _checkpoint(nodes0.select("node", F.col("node").alias("super")))
     n_nodes = mapping.count()
     for _level in range(max_levels):
+        if _dbg:
+            print(f"[louvain] level {_level} n_nodes={n_nodes}", flush=True)
         k = g.groupBy("a").agg(F.sum("w").alias("k"))
         comm = _checkpoint(k.select(F.col("a").alias("n_"),
                                     F.col("a").alias("c"), "k"))
+        prev_moved = 1
         for rnd in range(max_iter):
             sigma = comm.groupBy("c").agg(F.sum("k").alias("sig"))
             nbrc = (g.filter(F.col("a") != F.col("b"))
@@ -680,22 +685,38 @@ def louvain_communities(
                     .agg(F.min(F.struct((-F.col("gain")).alias("ng"),
                                         F.col("cb").alias("cb"))).alias("m")))
             floor = max(delta, 0.0) + 1e-12
+            # per-ROUND hash parity: a fixed parity can trap a swap cycle
+            # inside one class forever (x<->y each round); re-drawing the
+            # halves every round breaks any such cycle with prob. 1/2
             pick = F.when((-F.col("m.ng") > F.lit(floor))
                           & (F.pmod(F.abs(F.xxhash64(
-                              F.col("n_").cast("string"))), F.lit(2))
-                             == F.lit(rnd % 2)),
+                              F.col("n_").cast("string"), F.lit(rnd))),
+                              F.lit(2)) == F.lit(rnd % 2)),
                           F.col("m.cb")).otherwise(F.col("c0"))
+            # move count rides the checkpoint materialization (one action
+            # per round, same Observation trick as _checkpoint_count)
+            from pyspark.sql import Observation
+            obs = Observation(f"__louvain_{id(comm)}_{rnd}")
             upd = (comm.join(best.select(F.col("a").alias("n_"),
                                          "c0", "m"), "n_", "left")
-                   .select("n_",
-                           F.coalesce(pick, F.col("c")).alias("c"), "k"))
-            prev = comm.select(F.col("n_").alias("p_"),
-                               F.col("c").alias("pc"))
+                   .select("n_", F.col("c").alias("pc"),
+                           F.coalesce(pick, F.col("c")).alias("c"), "k")
+                   .observe(obs, F.sum((F.col("c") != F.col("pc"))
+                                       .cast("long")).alias("moved"))
+                   .drop("pc"))
             comm = _checkpoint(upd)
-            moved = (comm.join(prev, comm["n_"] == prev["p_"])
-                     .filter(F.col("c") != F.col("pc")).count())
-            if moved == 0 and rnd % 2 == 1:
-                break  # both parities quiesced
+            try:
+                moved = int(obs.get["moved"] or 0)
+            except Exception:
+                # reliable-checkpoint mode: observation delivery is only
+                # verified for localCheckpoint — run the full max_iter
+                # rounds instead of converging early (correct, just slower)
+                moved = 1
+            if _dbg:
+                print(f"[louvain]   rnd {rnd} moved={moved}", flush=True)
+            if moved == 0 and prev_moved == 0:
+                break  # two consecutive quiet half-rounds: local optimum
+            prev_moved = moved
         assign = comm.select(F.col("n_").alias("node_"), F.col("c"))
         mapping = _checkpoint(
             mapping.join(assign, mapping["super"] == assign["node_"])

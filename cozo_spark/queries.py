@@ -2598,12 +2598,15 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED hash-derandomized random walks (the RandomWalkDist
-    scale path for algos/random_walk.rs): per step, one frontier join +
-    one min_by argmin over a per-(walk, step, neighbor) md5 — no windows,
-    no driver adjacency. The DuckDB oracle replays every choice exactly
-    via a recursive CTE with the same md5 keys, so the whole trajectory
-    is value-hash-checked, not just its shape. Invoked THROUGH the
-    engine's `<~` dispatch."""
+    scale path for algos/random_walk.rs): each neighbor choice is an
+    argmin over a per-(walk, step, neighbor) md5. Size-adaptive (r6): a
+    broadcast-small edge list fuses ALL steps map-side against an
+    adjacency-array table (one stage, no per-step shuffle); larger graphs
+    keep the per-step frontier join + min_by groupBy — no windows, no
+    driver adjacency either way. The DuckDB oracle replays every choice
+    exactly via a recursive CTE with the same md5 keys, so the whole
+    trajectory is value-hash-checked, not just its shape. Invoked THROUGH
+    the engine's `<~` dispatch."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)

@@ -191,6 +191,37 @@ def test_louvain_dist_engine_dispatch_and_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# Compounding-stats regression (found building distributed Louvain):
+# checkpoint() keeps the pre-checkpoint plan's size estimate, and
+# iterative join loops compound it geometrically until every optimizer
+# pass grinds in BigInteger.multiply. _sane_stats must keep the estimate
+# bounded across unlimited epochs.
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_stats_stay_bounded_across_epochs(spark):
+    from pyspark.sql import functions as F
+
+    from cozo_spark.datalog.fixpoint import _checkpoint
+
+    def bits(df):
+        try:
+            return int(df._jdf.queryExecution().optimizedPlan().stats()
+                       .sizeInBytes()).bit_length()
+        except ValueError:  # py4j cannot even convert the BigInteger
+            return 1 << 30
+    df = _checkpoint(spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") % 3).alias("b")))
+    for i in range(8):
+        j = (df.alias("l").join(df.alias("r"), F.col("l.b") == F.col("r.b"))
+             .join(df.alias("s"), F.col("l.a") == F.col("s.a"))
+             .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+             .distinct())
+        df = _checkpoint(j)
+        assert bits(df) < 2048, f"estimate exploded at epoch {i}"
+    assert df.count() == 10
+
+
+# ---------------------------------------------------------------------------
 # Directive 7: sampled distributed Brandes betweenness — exact at full
 # sampling, all-node output, engine dispatch, bounded plan.
 # ---------------------------------------------------------------------------
