@@ -605,6 +605,63 @@ def betweenness_centrality_sampled(
             .orderBy("node"))
 
 
+def closeness_centrality_dist(
+    edges: DataFrame, sources: int | None = None, seed: int = 42,
+    undirected: bool = False, max_iterations: int = 64,
+) -> DataFrame:
+    """(node, centrality): DISTRIBUTED closeness — the scale path for
+    ClosenessCentrality (reference semantics = the driver-side rule:
+    1 / mean weighted shortest distance to the nodes reachable FROM n,
+    algos/all_pairs_shortest_path.rs).
+
+    Reuses the delta-pruned Bellman-Ford waves of shortest_path_costs
+    over ALL nodes as starts (exact, the default), or a k-pivot
+    hash-sample: closeness(n) ≈ reach_k(n)/Σ_k d(n, s) over the sampled
+    TARGETS reached — the Eppstein-Wang style estimator; exact at full
+    sampling. State is O(k·V) rows, jobs ≈ graph diameter."""
+    e0 = _norm_edges(edges, weighted=True)
+    if undirected:
+        e0 = e0.unionAll(e0.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "weight"))
+    nodes = _checkpoint(
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node"))).distinct())
+    n = nodes.count()
+    spark = edges.sparkSession
+    ntype = dict(nodes.dtypes)["node"]
+    if n == 0:
+        return spark.createDataFrame([], f"node {ntype}, centrality double")
+    if sources is None or sources >= n:
+        # exact: distances FROM every node; closeness keys on the source
+        costs = shortest_path_costs(e0, nodes,
+                                    max_iterations=max_iterations)
+        key = "start"
+    else:
+        # sampled pivots: run the waves from the pivots over the REVERSED
+        # graph, so rows give d(node -> pivot) for EVERY node; the
+        # mean-distance estimator reach/Σd is the same formula restricted
+        # to the pivot set (ratio form — no n/k scaling needed)
+        k = max(1, int(sources))
+        pivots = (nodes.orderBy(
+            F.md5(F.concat_ws("|", F.col("node").cast("string"),
+                              F.lit(seed))), "node").limit(k))
+        rev = e0.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"), "weight")
+        costs = shortest_path_costs(rev, pivots,
+                                    max_iterations=max_iterations)
+        key = "node"
+    agg = (costs.filter(F.col("start") != F.col("node"))
+           .groupBy(F.col(key).alias("node"))
+           .agg(F.count(F.lit(1)).alias("reach"),
+                F.sum("cost").alias("total")))
+    cent = F.when(F.col("total") > 0,
+                  F.col("reach") / F.col("total")).otherwise(F.lit(0.0))
+    out = (nodes.join(agg, "node", "left")
+           .select("node", F.coalesce(cent, F.lit(0.0)).alias("centrality"))
+           .orderBy("node"))
+    return out
+
+
 def louvain_communities(
     edges: DataFrame, max_iter: int = 10, delta: float = 0.0001,
     max_levels: int = 5, undirected: bool = False,
@@ -1024,5 +1081,6 @@ BUILTIN_RULES = {
     "MinimumSpanningForestBoruvka": _adapt(minimum_spanning_forest_boruvka),
     "CommunityDetectionLouvainDist": _adapt(louvain_communities),
     "BetweennessCentralityDist": _adapt(betweenness_centrality_sampled),
+    "ClosenessCentralityDist": _adapt(closeness_centrality_dist),
     **_local_rules(),
 }

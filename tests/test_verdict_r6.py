@@ -298,6 +298,55 @@ def test_betweenness_dist_plan_bounded(spark):
         assert node not in p["plan"]
 
 
+# ---------------------------------------------------------------------------
+# Distributed closeness (free-roam r6): exact at full sampling vs the
+# driver-side rule; sampled mode covers every node via reversed pivots.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("undirected", [False, True])
+def test_closeness_dist_exact_matches_local(spark, undirected):
+    from cozo_spark.fixed_rules.graphs import closeness_centrality_dist
+    from cozo_spark.fixed_rules.local_graphs import closeness_centrality
+
+    rows = [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (2, 4, 5.0),
+            (4, 1, 1.0), (5, 1, 0.5), (9, 6, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    dist = {r["node"]: round(r["centrality"], 9)
+            for r in closeness_centrality_dist(
+                edges, undirected=undirected).collect()}
+    local = {r["node"]: round(r["centrality"], 9)
+             for r in closeness_centrality(
+                 edges, undirected=undirected).collect()}
+    assert dist == local
+
+
+def test_closeness_dist_sampled_covers_all_nodes(spark):
+    from cozo_spark.fixed_rules.graphs import closeness_centrality_dist
+
+    rows = [(i, i + 1, 1.0) for i in range(10)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    est = {r["node"]: r["centrality"]
+           for r in closeness_centrality_dist(edges, sources=3,
+                                              seed=5).collect()}
+    assert len(est) == 11
+    # the sink node (10) reaches nothing: closeness 0 in any sample
+    assert est[10] == 0.0
+    assert all(v >= 0 for v in est.values())
+
+
+def test_closeness_dist_engine_dispatch(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    res = db.run_script("""
+    edges[src, dst] <- [[1,2],[2,3]]
+    ?[node, centrality] <~ ClosenessCentralityDist(edges[])
+    """)
+    got = {r[0]: round(r[1], 6) for r in res.rows}
+    # 1: dists {2:1, 3:2} -> 2/3; 2: {3:1} -> 1; 3: unreachable -> 0
+    assert got == {1: round(2 / 3, 6), 2: 1.0, 3: 0.0}
+
+
 def test_kmeans_large_k_uses_bounded_join_plan(spark):
     import cozo_spark.operators.similarity as S
 
