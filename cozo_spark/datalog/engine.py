@@ -29,11 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cozo_spark.datalog.ast import (
-    Call, Cond, Conj, ConstRule, Disj, FixedApply, HeadAggr, HeadVar, ListEx,
-    NamedRelApply, Negation, OutOpts, Param, Program, RelApply, RuleApply,
-    RuleClause, TableSchema, Unify, Var, _atom_nondet, atom_has_param,
-    expr_has_param, expr_nondet, expr_vars, program_nondet, rule_has_param,
-    subst_params_expr,
+    Call, Cond, Conj, Const, ConstRule, Disj, FixedApply, HeadAggr, HeadVar,
+    ListEx, NamedRelApply, Negation, OutOpts, Param, Program, RelApply,
+    RuleApply, RuleClause, TableSchema, Unify, Var, _atom_nondet,
+    atom_has_param, expr_has_param, expr_nondet, expr_vars, program_nondet,
+    rule_has_param, subst_params_expr,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -46,6 +46,12 @@ from cozo_spark.functions.aggregates import AGGREGATIONS
 import itertools as _itertools
 
 _STORED_REL_SEQ = _itertools.count()
+
+
+# prepared-statement skeleton build outcome: evaluation failed for a
+# reason that may change with relation state — retry next call, do NOT
+# negative-cache (that set is for structural ineligibility only)
+_SKEL_RETRY = object()
 
 
 def _body_refs_rule(atoms, name: str) -> bool:
@@ -631,8 +637,10 @@ class CozoDb:
     # once instead of per call.
 
     _skel_cache: dict = {}   # (script, param names, registry ver) -> entry
-    _skel_neg: set = set()   # scripts proven ineligible (structural, so
-    #                          independent of relation state)
+    _skel_neg: set = set()   # scripts proven STRUCTURALLY ineligible
+    #                          (independent of relation state; evaluation
+    #                          failures return _SKEL_RETRY and are NOT
+    #                          cached — the state may change)
 
     def _skel_key(self, script: str, params: dict):
         import cozo_spark.fixed_rules as _fr
@@ -657,11 +665,15 @@ class CozoDb:
             ent = None
         if ent is None:
             ent = self._build_skeleton(script, params)
-            if ent is None:
-                with CozoDb._plan_cache_lock:
-                    if len(CozoDb._skel_neg) > 256:
-                        CozoDb._skel_neg.clear()
-                    CozoDb._skel_neg.add(skey)
+            if ent is None or ent is _SKEL_RETRY:
+                # only STRUCTURAL ineligibility is cached — a skeleton that
+                # failed to EVALUATE (e.g. a relation that doesn't exist
+                # yet) may succeed after the state changes
+                if ent is None:
+                    with CozoDb._plan_cache_lock:
+                        if len(CozoDb._skel_neg) > 256:
+                            CozoDb._skel_neg.clear()
+                        CozoDb._skel_neg.add(skey)
                 return None
         res = self._bind_skeleton(ent, params, parsed)
         if ent["cacheable"] and isinstance(res, DataFrame):
@@ -712,7 +724,7 @@ class CozoDb:
                     if isinstance(x, Param):
                         fresh = f"__prep{fresh_n}_"
                         fresh_n += 1
-                        new_args.append(fresh)
+                        new_args.append(Var(fresh))
                         residuals.append(Call("eq", (Var(fresh), x)))
                     elif x is not None and not isinstance(x, str) \
                             and expr_has_param(x):
@@ -756,9 +768,9 @@ class CozoDb:
         try:
             skel_df = self._run_program(skel_prog)
         except QueryError:
-            return None
+            return _SKEL_RETRY  # state-dependent failure: not structural
         if not isinstance(skel_df, DataFrame):
-            return None
+            return _SKEL_RETRY
         ent = {
             "df": skel_df, "residuals": tuple(residuals),
             "head": tuple(head_names),
@@ -785,7 +797,18 @@ class CozoDb:
         typer = _df_typer(skel_df)
         cond = None
         for r in ent["residuals"]:
-            c = compile_expr(subst_params_expr(r, params), bound, typer)
+            b = subst_params_expr(r, params)
+            if (isinstance(b, Call) and b.fn == "eq" and len(b.args) == 2
+                    and isinstance(b.args[0], Var)
+                    and isinstance(b.args[1], Const)):
+                # synthetic column-binding residual: RAW Column equality,
+                # exactly what the unprepared path compiles for
+                # `{col: <const>}` — compile_expr's eq would instead fold
+                # a type-mismatched param to False statically, silently
+                # changing behavior between the two paths
+                c = F.col(b.args[0].name) == F.lit(b.args[1].value)
+            else:
+                c = compile_expr(b, bound, typer)
             cond = c if cond is None else (cond & c)
         df = skel_df if cond is None else skel_df.where(cond)
         if ent["extras"]:

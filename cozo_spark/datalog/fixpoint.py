@@ -163,6 +163,37 @@ def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     return _sane_stats(out), int(obs.get["n"])
 
 
+def _checkpoint_count_bytes(df: DataFrame) -> "tuple[DataFrame, int, int]":
+    """Checkpoint + row count + MEASURED byte size in one action.
+
+    The byte figure sums per-row widths (8 bytes per fixed-width column,
+    8 + length for strings) during the same materialization, so
+    broadcast-or-shuffle gates can use the real payload size instead of a
+    fixed per-row constant — a 2M-edge graph of 200-byte URL ids is NOT
+    broadcast-small even though its row count suggests so."""
+    sz = None
+    for cname, dt in df.dtypes:
+        if dt == "string":
+            w = (F.coalesce(F.length(F.col(cname)).cast("long"), F.lit(0))
+                 + F.lit(8))
+        else:
+            w = F.lit(8).cast("long")
+        sz = w if sz is None else sz + w
+    spark = df.sparkSession
+    if _resolve_ck_dir(spark):
+        out = _checkpoint(df)
+        row = out.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(sz).alias("b")).collect()[0]
+        return out, int(row["n"]), int(row["b"] or 0)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"__cozo_ckb_{next(_OBS_SEQ)}")
+    out = df.observe(obs, F.count(F.lit(1)).alias("n"),
+                     F.sum(sz).alias("b")).localCheckpoint(eager=True)
+    got = obs.get
+    return _sane_stats(out), int(got["n"]), int(got["b"] or 0)
+
+
 def semi_naive(
     base: DataFrame,
     step: Callable[[DataFrame], DataFrame],

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from cozo_spark.datalog.fixpoint import _checkpoint, _checkpoint_count, semi_naive
+from cozo_spark.datalog.fixpoint import (_OBS_SEQ, _checkpoint,
+    _checkpoint_count, _checkpoint_count_bytes, semi_naive)
 
 
 def _norm_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
@@ -753,7 +754,7 @@ def louvain_communities(
             # move count rides the checkpoint materialization (one action
             # per round, same Observation trick as _checkpoint_count)
             from pyspark.sql import Observation
-            obs = Observation(f"__louvain_{id(comm)}_{rnd}")
+            obs = Observation(f"__louvain_{next(_OBS_SEQ)}")
             upd = (comm.join(best.select(F.col("a").alias("n_"),
                                          "c0", "m"), "n_", "left")
                    .select("n_", F.col("c").alias("pc"),
@@ -959,10 +960,10 @@ def random_walks(
         F.col("src").alias("esrc"), F.col("dst").alias("edst"),
         *([F.col("weight").alias("ew")] if weighted else []))
     # the checkpoint materialization is already paid — piggyback an exact
-    # edge count on the same action (Catalyst stats are useless here: an
-    # RDD-backed frame reports the default max size)
-    e, n_edges = _checkpoint_count(norm)
-    est = n_edges * (24 + (8 if weighted else 0))
+    # count AND measured byte size on the same action (Catalyst stats are
+    # useless here — an RDD-backed frame reports the default max size —
+    # and a fixed per-row constant under-counts string node ids)
+    e, n_edges, est = _checkpoint_count_bytes(norm)
     if starts is None:
         starts = _nodes(e.select(F.col("esrc").alias("src"),
                                  F.col("edst").alias("dst")))

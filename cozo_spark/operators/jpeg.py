@@ -639,13 +639,12 @@ def encode_jpeg(img: np.ndarray, quality_div: int = 1,
     subsample=True). Quantizer is a flat table scaled by quality_div."""
     comp_blocks, sf, q, h, w, mcux, mcuy = _quantize(img, quality_div,
                                                      subsample)
-    planes = [0, 1, 2]
 
     # symbol statistics then entropy-encode
     def mcu_iter():
         for my in range(mcuy):
             for mx in range(mcux):
-                for ci in range(len(planes)):
+                for ci in range(3):
                     hs, vs = sf[ci]
                     bw = mcux * hs
                     for by in range(vs):

@@ -363,11 +363,16 @@ def _assign_join(df: DataFrame, cents: list) -> DataFrame:
     d2 = F.aggregate(
         F.zip_with("x6", "c6", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda a, x: a + x)
-    scored = (df.crossJoin(F.broadcast(cents_df))
-              .select("vec_id", "x6", "cid_", d2.alias("d2")))
-    best = (scored.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid_")).alias("m"),
-                 F.first("x6").alias("x6")))
+    # argmin per physical ROW, not per vec_id: the literal path keeps one
+    # output row per input row even when ids repeat, and the adaptive
+    # switch must be plan-only — never semantics-changing
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    scored = (tagged.crossJoin(F.broadcast(cents_df))
+              .select("__rid", "vec_id", "x6", "cid_", d2.alias("d2")))
+    best = (scored.groupBy("__rid")
+            .agg(F.first("vec_id").alias("vec_id"),
+                 F.first("x6").alias("x6"),
+                 F.min(F.struct("d2", "cid_")).alias("m")))
     return best.select("vec_id", "x6", F.col("m.cid_").alias("cid"))
 
 
