@@ -880,6 +880,40 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_closeness",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    paths(src, dst, d) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+      UNION
+      SELECT p.src, e.dst, p.d + 1 FROM paths p JOIN edges e ON p.dst = e.src
+      WHERE p.d < 50
+    ),
+    best AS (SELECT src, dst, min(d) AS d FROM paths
+             WHERE src <> dst GROUP BY src, dst),
+    agg AS (SELECT src AS node, count(*) AS reach, SUM(d) AS total
+            FROM best GROUP BY src),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges
+               UNION ALL SELECT dst FROM edges))
+    SELECT n.node,
+           ROUND(COALESCE(CAST(a.reach AS DOUBLE) / a.total, 0.0), 6)
+             AS centrality
+    FROM nodes n LEFT JOIN agg a ON n.node = a.node
+    """,
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClosenessCentralityDist (r6 scale path for ClosenessCentrality,
+    algos/all_pairs_shortest_path.rs semantics: reachable_count / total
+    distance, 0 for sinks) — delta-pruned Bellman-Ford waves from every
+    node; the DuckDB oracle replays the unweighted distances with the
+    same recursive min-hop CTE as graph_shortest_hops."""
+    from cozo_spark.fixed_rules.graphs import closeness_centrality_dist
+    df = closeness_centrality_dist(_edges(spark, sf_dir))
+    return df.select("node", F.round("centrality", 6).alias("centrality"))
+
+
+@query(
     "graph_triangles",
     oracle=f"""
     WITH dedges AS ({_EDGES_SQL}),
@@ -1886,7 +1920,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   window_running_sum (events_rollup + reorder_sort_rank keep
 #   window/rank), datalog_magic_var_seed (datalog_magic_reach keeps
 #   magic sets and is pinned-adjacent).
+# r6b: text_bpe_tokens demoted (r4+r5-verified; text_word_topk keeps token
+# counting in-cap) to make room for the NEW oracle-checked graph_closeness
+# (ClosenessCentralityDist has never had a driver row).
 DEMOTED: tuple = (
+    "text_bpe_tokens",
     "agg_median", "semi_join", "set_union_dedup", "graph_cycle3",
     "graph_two_hop", "graph_reachability", "ngram_jaccard",
     "embed_cosine_neardup", "keyword_topk", "balanced_sample",
