@@ -127,7 +127,9 @@ def test_sf01_parity_sweep(spark):
              "substring_dedup", "asof_join_events", "graph_random_walk",
              "lm_quality_score", "pq_code_dedup", "events_rollup",
              "range_join_prices", "ann_pq_topk",
-             "kmeans_clusters", "doc_chunking", "dataset_split"]
+             "kmeans_clusters", "doc_chunking", "dataset_split",
+             # r6: the new closeness scale path at 10x
+             "graph_closeness"]
     def n6(v):
         v = _norm_cell(v)
         # at 10x data the engines' float SUMS differ in the final ulps
