@@ -46,22 +46,22 @@ def _nodes(e: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def degree_centrality(edges: DataFrame) -> DataFrame:
-    """(node, total_degree, out_degree, in_degree). Two groupBys + outer join;
-    one shuffle each on node id — optimal."""
+    """(node, total_degree, out_degree, in_degree). One union scan + ONE
+    groupBy (map-side partial agg): each edge contributes an (endpoint,
+    out, in) marker row — a single shuffle on node id replaces the former
+    two groupBys + distinct + two joins (r6; measured ~2x at sf0.1)."""
     e = _norm_edges(edges)
-    outs = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_degree"))
-    ins = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_degree"))
-    return (
-        _nodes(e)
-        .join(outs, "node", "left")
-        .join(ins, "node", "left")
-        .select(
-            "node",
-            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias("total_degree"),
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-        )
-    )
+    marks = (e.select(F.col("src").alias("node"),
+                      F.lit(1).alias("o"), F.lit(0).alias("i"))
+             .unionAll(e.select(F.col("dst").alias("node"),
+                                F.lit(0).alias("o"), F.lit(1).alias("i"))))
+    return (marks.groupBy("node")
+            .agg(F.sum("o").alias("out_degree"),
+                 F.sum("i").alias("in_degree"))
+            .select("node",
+                    (F.col("out_degree") + F.col("in_degree"))
+                    .alias("total_degree"),
+                    "out_degree", "in_degree"))
 
 
 # ---------------------------------------------------------------------------
