@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from cozo_spark.datalog.ast import (
     Call, Cond, Conj, Const, ConstRule, Disj, FixedApply, HeadAggr, HeadVar,
     ListEx, NamedRelApply, Negation, OutOpts, Param, Program, RelApply,
-    RuleApply, RuleClause, TableSchema, Unify, Var, _atom_nondet,
+    RuleApply, RuleClause, SearchApply, TableSchema, Unify, Var, _atom_nondet,
     atom_has_param, expr_has_param, expr_nondet, expr_vars, program_nondet,
     rule_has_param, subst_params_expr,
 )
@@ -66,6 +66,98 @@ def _body_refs_rule(atoms, name: str) -> bool:
         if isinstance(a, Disj) and _body_refs_rule(a.branches, name):
             return True
     return False
+
+
+def _args_var_names(args, out: set) -> None:
+    for x in args:
+        if isinstance(x, str):
+            out.add(x)
+        elif isinstance(x, Var):
+            out.add(x.name)
+        elif x is not None:
+            out |= expr_vars(x)
+
+
+def _body_var_names(atoms) -> set:
+    """Every variable name appearing anywhere in (possibly nested) atoms —
+    used to pick collision-free fresh names for hoisted param bindings."""
+    out: set = set()
+    for a in atoms:
+        if isinstance(a, (RuleApply, RelApply)):
+            _args_var_names(a.args, out)
+            if isinstance(a, RelApply) and a.validity is not None:
+                out |= expr_vars(a.validity)
+        elif isinstance(a, (NamedRelApply, SearchApply)):
+            for c, v in a.pairs.items():
+                if v is None:
+                    out.add(c)
+                else:
+                    _args_var_names([v], out)
+            if isinstance(a, NamedRelApply) and a.validity is not None:
+                out |= expr_vars(a.validity)
+            if isinstance(a, SearchApply):
+                for v in a.opts.values():
+                    if v is not None:
+                        out |= expr_vars(v)
+        elif isinstance(a, Unify):
+            out.add(a.var)
+            out |= expr_vars(a.expr)
+        elif isinstance(a, Cond):
+            out |= expr_vars(a.expr)
+        elif isinstance(a, Negation):
+            out |= _body_var_names([a.atom])
+        elif isinstance(a, Conj):
+            out |= _body_var_names(a.atoms)
+        elif isinstance(a, Disj):
+            out |= _body_var_names(a.branches)
+    return out
+
+
+def _body_rule_refs(atoms) -> set:
+    """Names of rules applied by any (possibly nested) atom."""
+    out: set = set()
+    for a in atoms:
+        if isinstance(a, RuleApply):
+            out.add(a.name)
+        elif isinstance(a, Negation):
+            out |= _body_rule_refs([a.atom])
+        elif isinstance(a, Conj):
+            out |= _body_rule_refs(a.atoms)
+        elif isinstance(a, Disj):
+            out |= _body_rule_refs(a.branches)
+    return out
+
+
+def _reaches_recursion(rules: dict) -> set:
+    """Rule names that are (transitively) recursive: members of a cyclic
+    SCC, plus every rule that can reach one. Hoisting a constant out of an
+    application of such a rule would defeat magic-set restriction (the
+    seed constant becomes a free variable, so the skeleton computes the
+    full unrestricted fixpoint)."""
+    deps: dict = {}
+    for name, rule in rules.items():
+        if isinstance(rule, list):
+            d: set = set()
+            for cl in rule:
+                d |= _body_rule_refs(cl.body)
+        elif isinstance(rule, FixedApply):
+            d = {inp.name for inp in rule.inputs if inp.kind == "rule"}
+        else:
+            d = set()
+        deps[name] = d & set(rules)
+    cyclic: set = set()
+    for scc in _condensation(set(rules), deps):
+        if len(scc) > 1 or next(iter(scc)) in deps[next(iter(scc))]:
+            cyclic |= scc
+    reach = set(cyclic)
+    changed = True
+    while changed:
+        changed = False
+        for name, d in deps.items():
+            if name not in reach and d & reach:
+                reach.add(name)
+                changed = True
+    return reach
 
 
 def _condensation(nodes: set, deps: dict) -> list[set]:
@@ -676,7 +768,7 @@ class CozoDb:
                         CozoDb._skel_neg.add(skey)
                 return None
         res = self._bind_skeleton(ent, params, parsed)
-        if ent["cacheable"] and isinstance(res, DataFrame):
+        if isinstance(res, DataFrame):
             # same-value repeats then hit the exact per-value cache first
             self._plan_cache_put(key, res)
         return res
@@ -707,7 +799,18 @@ class CozoDb:
             return None  # self-recursive entry: hoisting would change the fixpoint
         skel_body: list = []
         residuals: list = []
+        used_names = set(head_names) | _body_var_names(body)
+        recursive_rules: Optional[set] = None  # computed on first need
         fresh_n = 0
+
+        def _fresh() -> str:
+            nonlocal fresh_n
+            while f"__prep{fresh_n}_" in used_names:
+                fresh_n += 1
+            name = f"__prep{fresh_n}_"
+            fresh_n += 1
+            return name
+
         for atom in body:
             if not atom_has_param(atom):
                 skel_body.append(atom)
@@ -719,11 +822,20 @@ class CozoDb:
                 if (isinstance(atom, RelApply) and atom.validity is not None
                         and expr_has_param(atom.validity)):
                     return None
+                if isinstance(atom, RuleApply):
+                    # hoisting a constant out of a (transitively) recursive
+                    # rule application turns a magic-restricted single-seed
+                    # fixpoint into the full unrestricted closure — results
+                    # stay correct but asymptotically slower; structurally
+                    # ineligible instead
+                    if recursive_rules is None:
+                        recursive_rules = _reaches_recursion(dprog.rules)
+                    if atom.name in recursive_rules:
+                        return None
                 new_args = []
                 for x in atom.args:
                     if isinstance(x, Param):
-                        fresh = f"__prep{fresh_n}_"
-                        fresh_n += 1
+                        fresh = _fresh()
                         new_args.append(Var(fresh))
                         residuals.append(Call("eq", (Var(fresh), x)))
                     elif x is not None and not isinstance(x, str) \
@@ -744,8 +856,7 @@ class CozoDb:
                 new_pairs = {}
                 for c, v in atom.pairs.items():
                     if isinstance(v, Param):
-                        fresh = f"__prep{fresh_n}_"
-                        fresh_n += 1
+                        fresh = _fresh()
                         new_pairs[c] = Var(fresh)
                         residuals.append(Call("eq", (Var(fresh), v)))
                     elif v is not None and expr_has_param(v):
@@ -771,21 +882,26 @@ class CozoDb:
             return _SKEL_RETRY  # state-dependent failure: not structural
         if not isinstance(skel_df, DataFrame):
             return _SKEL_RETRY
+        if self._had_eager_eval:
+            # evaluation already ran Spark jobs (recursive fixpoint / eager
+            # fixed rule): the skeleton cannot be cached, so every call
+            # would rebuild it — strictly worse than the unprepared path
+            # (which keeps magic restriction). Eagerness is a function of
+            # the program text, so this is structural.
+            return None
         ent = {
             "df": skel_df, "residuals": tuple(residuals),
             "head": tuple(head_names),
             "extras": len(ext) > len(head_names),
-            "cacheable": not self._had_eager_eval,
             "spark": self.spark, "snapshot": self._rel_snapshot(),
             "rel_refs": tuple((n, rel.df)
                               for n, rel in sorted(self.relations.items())),
         }
-        if ent["cacheable"]:
-            with CozoDb._plan_cache_lock:
-                cache = CozoDb._skel_cache
-                cache[self._skel_key(script, params)] = ent
-                while len(cache) > self._PLAN_CACHE_MAX:
-                    cache.pop(next(iter(cache)))
+        with CozoDb._plan_cache_lock:
+            cache = CozoDb._skel_cache
+            cache[self._skel_key(script, params)] = ent
+            while len(cache) > self._PLAN_CACHE_MAX:
+                cache.pop(next(iter(cache)))
         return ent
 
     def _bind_skeleton(self, ent: dict, params: dict,

@@ -18,11 +18,28 @@ two columns are (from, to), optional third is weight.
 
 from __future__ import annotations
 
+import logging
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from cozo_spark.datalog.fixpoint import (_OBS_SEQ, _checkpoint,
     _checkpoint_count, _checkpoint_count_bytes, semi_naive)
+
+_log = logging.getLogger("cozo_spark.graphs")
+
+# Exact all-sources centrality carries O(V^2) state rows — fine at test
+# scale, the wrong default plan on a big graph. Above this node count a
+# DEFAULT call (sources=None) switches to a c*ln(n) pivot sample
+# (Brandes & Pich 2007: k = (c/eps^2)*ln(n) bounds the additive error to
+# eps*n(n-1) w.h.p.); passing sources >= n stays the explicit exact switch.
+AUTO_EXACT_MAX_NODES = 8192
+_AUTO_PIVOT_C = 32.0
+
+
+def _auto_pivots(n: int) -> int:
+    return max(1, min(n, int(math.ceil(_AUTO_PIVOT_C * math.log(max(n, 2))))))
 
 
 def _norm_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
@@ -504,8 +521,14 @@ def betweenness_centrality_sampled(
     forward/backward passes from k hash-sampled pivots and scale the
     accumulated dependencies by n/k. Unbiased: E[(n/k)·Σ_{s∈S} δ_s(v)] =
     Σ_s δ_s(v). With Hoeffding, k = (c/ε²)·ln(n) pivots bound the additive
-    error to ε·n(n−1) with high probability — at full sampling (k = n,
-    the default) the scale factor is 1 and the result is EXACT Brandes.
+    error to ε·n(n−1) with high probability — at full sampling (k = n)
+    the scale factor is 1 and the result is EXACT Brandes. Defaults:
+    ``sources=None`` is exact up to AUTO_EXACT_MAX_NODES nodes, then
+    auto-samples c·ln(n) pivots (exact all-sources is O(V²) state — the
+    wrong default plan at scale); pass ``sources >= n`` to force exact.
+    ``max_depth`` is an accuracy knob too: BFS waves stop there, so nodes
+    farther than max_depth hops from a pivot drop out of that pivot's
+    dependency sums — a warning is logged if the cap truncates.
 
     Spark shape: the forward pass is a semi-naive multi-source BFS carrying
     (source, node, depth, σ path counts) — per wave one frontier join + one
@@ -530,10 +553,19 @@ def betweenness_centrality_sampled(
     ntype = dict(nodes.dtypes)["node"]
     if n == 0:
         return spark.createDataFrame([], f"node {ntype}, centrality double")
-    if sources is None or sources >= n:
-        srcs, k = nodes, n
+    if sources is None and n > AUTO_EXACT_MAX_NODES:
+        k = _auto_pivots(n)
+        _log.warning(
+            "BetweennessCentralityDist: %d nodes > %d — auto-sampling %d "
+            "pivots (pass sources>=n to force exact all-sources Brandes)",
+            n, AUTO_EXACT_MAX_NODES, k)
+    elif sources is None or sources >= n:
+        k = n
     else:
         k = max(1, int(sources))
+    if k >= n:
+        srcs = nodes
+    else:
         srcs = (nodes
                 .orderBy(F.md5(F.concat_ws("|", F.col("node").cast("string"),
                                            F.lit(seed))), "node")
@@ -541,7 +573,7 @@ def betweenness_centrality_sampled(
     visited = _checkpoint(srcs.select(
         F.col("node").alias("s"), F.col("node").alias("v"),
         F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")))
-    frontier, depth = visited, 0
+    frontier, depth, truncated = visited, 0, True
     for _ in range(max_depth):
         cand = (frontier.join(e, frontier["v"] == e["esrc"])
                 .select("s", F.col("edst").alias("w"), "sigma"))
@@ -556,9 +588,16 @@ def betweenness_centrality_sampled(
         nxt, cnt = _checkpoint_count(nxt)
         if cnt == 0:
             depth -= 1
+            truncated = False
             break
         visited = _checkpoint(visited.unionByName(nxt))
         frontier = nxt
+    if truncated:
+        _log.warning(
+            "BetweennessCentralityDist: BFS still expanding at "
+            "max_depth=%d — nodes beyond that distance are dropped from "
+            "the dependency sums; raise max_depth for exact results",
+            max_depth)
     # shortest-path DAG edges: (s, v at depth d) -> (w at depth d+1)
     vw = visited.select(F.col("s").alias("ws"), F.col("v").alias("w"),
                         F.col("d").alias("wd"), F.col("sigma").alias("wsig"))
@@ -611,15 +650,23 @@ def closeness_centrality_dist(
     undirected: bool = False, max_iterations: int = 64,
 ) -> DataFrame:
     """(node, centrality): DISTRIBUTED closeness — the scale path for
-    ClosenessCentrality (reference semantics = the driver-side rule:
-    1 / mean weighted shortest distance to the nodes reachable FROM n,
-    algos/all_pairs_shortest_path.rs).
+    this repo's driver-side ClosenessCentrality rule (local_graphs.py):
+    reachable_count / total weighted shortest distance to the nodes
+    reachable FROM n (i.e. 1 / mean distance over the reached set), 0 for
+    sinks. NOTE this deliberately diverges from the upstream reference
+    formula (algos/all_pairs_shortest_path.rs computes
+    nc²/(total·(n−1)) with self-distance included); both rules here share
+    the reach/total convention so the Dist rule is a drop-in for the
+    local one.
 
     Reuses the delta-pruned Bellman-Ford waves of shortest_path_costs
-    over ALL nodes as starts (exact, the default), or a k-pivot
-    hash-sample: closeness(n) ≈ reach_k(n)/Σ_k d(n, s) over the sampled
-    TARGETS reached — the Eppstein-Wang style estimator; exact at full
-    sampling. State is O(k·V) rows, jobs ≈ graph diameter."""
+    over ALL nodes as starts (exact), or a k-pivot hash-sample:
+    closeness(n) ≈ reach_k(n)/Σ_k d(n, s) over the sampled TARGETS
+    reached — the Eppstein-Wang style estimator; exact at full sampling.
+    Defaults: ``sources=None`` is exact up to AUTO_EXACT_MAX_NODES nodes,
+    then auto-samples c·ln(n) pivots (exact is O(V²) state); pass
+    ``sources >= n`` to force exact. State is O(k·V) rows, jobs ≈ graph
+    diameter."""
     e0 = _norm_edges(edges, weighted=True)
     if undirected:
         e0 = e0.unionAll(e0.select(F.col("dst").alias("src"),
@@ -632,7 +679,17 @@ def closeness_centrality_dist(
     ntype = dict(nodes.dtypes)["node"]
     if n == 0:
         return spark.createDataFrame([], f"node {ntype}, centrality double")
-    if sources is None or sources >= n:
+    if sources is None and n > AUTO_EXACT_MAX_NODES:
+        k = _auto_pivots(n)
+        _log.warning(
+            "ClosenessCentralityDist: %d nodes > %d — auto-sampling %d "
+            "pivots (pass sources>=n to force exact all-sources)",
+            n, AUTO_EXACT_MAX_NODES, k)
+    elif sources is None or sources >= n:
+        k = n
+    else:
+        k = max(1, int(sources))
+    if k >= n:
         # exact: distances FROM every node; closeness keys on the source
         costs = shortest_path_costs(e0, nodes,
                                     max_iterations=max_iterations)
@@ -642,7 +699,6 @@ def closeness_centrality_dist(
         # graph, so rows give d(node -> pivot) for EVERY node; the
         # mean-distance estimator reach/Σd is the same formula restricted
         # to the pivot set (ratio form — no n/k scaling needed)
-        k = max(1, int(sources))
         pivots = (nodes.orderBy(
             F.md5(F.concat_ws("|", F.col("node").cast("string"),
                               F.lit(seed))), "node").limit(k))

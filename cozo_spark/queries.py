@@ -903,11 +903,13 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClosenessCentralityDist (r6 scale path for ClosenessCentrality,
-    algos/all_pairs_shortest_path.rs semantics: reachable_count / total
-    distance, 0 for sinks) — delta-pruned Bellman-Ford waves from every
-    node; the DuckDB oracle replays the unweighted distances with the
-    same recursive min-hop CTE as graph_shortest_hops."""
+    """ClosenessCentralityDist (r6 scale path for this repo's driver-side
+    ClosenessCentrality convention: reachable_count / total distance, 0
+    for sinks — deliberately diverging from upstream
+    all_pairs_shortest_path.rs's nc²/(total·(n−1))) — delta-pruned
+    Bellman-Ford waves from every node; the DuckDB oracle replays the
+    unweighted distances with the same recursive min-hop CTE as
+    graph_shortest_hops."""
     from cozo_spark.fixed_rules.graphs import closeness_centrality_dist
     df = closeness_centrality_dist(_edges(spark, sf_dir))
     return df.select("node", F.round("centrality", 6).alias("centrality"))
