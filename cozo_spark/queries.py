@@ -916,6 +916,65 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_betweenness",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    paths(src, dst, d) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+      UNION
+      SELECT p.src, e.dst, p.d + 1 FROM paths p JOIN edges e ON p.dst = e.src
+      WHERE p.d < 50
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    dist AS (
+      SELECT src, dst, min(d) AS d FROM paths WHERE src <> dst
+      GROUP BY src, dst
+      UNION ALL
+      SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+    ),
+    walks(s, v, d) AS (
+      -- one row per shortest path: extend only along shortest-path DAG
+      -- edges (d(s, w) = d(s, v) + 1), so count(*) per (s, v) IS sigma
+      SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT w.s, e.dst, w.d + 1
+      FROM walks w JOIN edges e ON e.src = w.v
+      JOIN dist dd ON dd.src = w.s AND dd.dst = e.dst AND dd.d = w.d + 1
+    ),
+    sigma AS (SELECT s, v, max(d) AS d, count(*) AS sigma
+              FROM walks GROUP BY s, v),
+    bc AS (
+      -- pair dependency: sigma_st(v)/sigma_st summed over s<>v<>t with
+      -- d(s,v) + d(v,t) = d(s,t)
+      SELECT sv.v AS node,
+             SUM(CAST(sv.sigma AS DOUBLE) * vt.sigma / st.sigma) AS c
+      FROM sigma sv
+      JOIN sigma vt ON vt.s = sv.v
+      JOIN sigma st ON st.s = sv.s AND st.v = vt.v
+      WHERE sv.s <> sv.v AND vt.v <> sv.v AND vt.v <> sv.s
+        AND sv.d + vt.d = st.d
+      GROUP BY sv.v
+    )
+    SELECT n.node, ROUND(COALESCE(bc.c, 0.0), 6) AS centrality
+    FROM nodes n LEFT JOIN bc ON n.node = bc.node
+    """,
+)
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BetweennessCentralityDist at default (full) sampling = EXACT directed
+    Brandes (scale path for BetweennessCentrality,
+    algos/all_pairs_shortest_path.rs parity verified in test_verdict_r6):
+    distributed forward BFS carrying sigma path counts + per-level backward
+    dependency accumulation. The DuckDB oracle replays it non-recursively
+    from first principles: sigma via shortest-path-DAG walk enumeration,
+    then the pair-dependency identity sigma_st(v) = sigma_sv * sigma_vt
+    when d(s,v)+d(v,t)=d(s,t)."""
+    from cozo_spark.fixed_rules.graphs import betweenness_centrality_sampled
+    df = betweenness_centrality_sampled(_edges(spark, sf_dir))
+    return df.select("node", F.round("centrality", 6).alias("centrality"))
+
+
+@query(
     "graph_triangles",
     oracle=f"""
     WITH dedges AS ({_EDGES_SQL}),
@@ -1925,15 +1984,34 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r6b: text_bpe_tokens demoted (r4+r5-verified; text_word_topk keeps token
 # counting in-cap) to make room for the NEW oracle-checked graph_closeness
 # (ClosenessCentralityDist has never had a driver row).
+# ROTATION (round 7, per VERDICT r6 directives 2+3): the 10 r5-demoted
+# queries (2 rounds driver-unchecked — agg_basic, sort_topk, unify_expr,
+# neg_join_anti, agg_min_cost, inline_fixed_const, join_point_lookup,
+# text_token_stats, text_quality, pii_redact) are PROMOTED back inside the
+# cap, plus the NEW oracle-checked graph_betweenness
+# (BetweennessCentralityDist's first driver row). Demoted r7 in their
+# place — 11 shapes, ALL r5+r6 driver-verified (CORRECTNESS_r05 ∩ r06),
+# families stay covered in-cap:
+#   html_boilerplate_strip + repetition_signals (lm_quality_score +
+#   promoted text_quality/pii_redact keep map-only text scoring),
+#   url_normalize_dedup + decontaminate (dedup_clusters + minhash keep
+#   hash dedup), doc_chunking (dataset_split keeps map-only doc ops),
+#   graph_triangles + graph_three_hop_filter (graph_pattern_long +
+#   datalog_two_hop + new graph_betweenness keep multi-hop patterns),
+#   pq_code_dedup (ann_pq_topk keeps PQ), range_join_prices
+#   (asof_join_events keeps temporal joins), events_rollup
+#   (reorder_sort_rank + promoted sort_topk keep ordered shapes),
+#   substring_dedup (minhash_lsh_pairs keeps shingle-hash dedup).
 DEMOTED: tuple = (
+    "html_boilerplate_strip", "repetition_signals", "url_normalize_dedup",
+    "decontaminate", "doc_chunking", "graph_triangles",
+    "graph_three_hop_filter", "pq_code_dedup", "range_join_prices",
+    "events_rollup", "substring_dedup",
     "text_bpe_tokens",
     "agg_median", "semi_join", "set_union_dedup", "graph_cycle3",
     "graph_two_hop", "graph_reachability", "ngram_jaccard",
     "embed_cosine_neardup", "keyword_topk", "balanced_sample",
     "window_running_sum", "datalog_magic_var_seed",
-    "inline_fixed_const", "join_point_lookup", "text_token_stats",
-    "text_quality", "pii_redact",
-    "agg_basic", "sort_topk", "unify_expr", "neg_join_anti", "agg_min_cost",
     "dedup_exact", "sessionize", "ann_cosine_topk",
     "graph_degree_centrality", "pack_sequences", "lang_id",
 )
