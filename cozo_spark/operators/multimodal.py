@@ -30,7 +30,10 @@ Decode status by format:
 - every format above + GIF/WebP/MP4 containers — magic-byte sniffing and
   a ``probe_media`` trust kernel (declared vs sniffed type, header-true
   dims/duration, valid flag) for filtering before decode spend.
-- remaining compressed decodes (WebP/MP3-PCM/H.264+MP4/...) — GATED:
+- ``image/webp`` — REAL lossless (VP8L) decode, pure stdlib+numpy
+  (operators/webp.py: prefix codes, color cache, meta groups, LZ77, all
+  four inverse transforms); lossy VP8 stays gated.
+- remaining compressed decodes (lossy WebP/MP3-PCM/H.264+MP4/...) — GATED:
   raise NotImplementedError with a clear message (no codec libraries in
   this container); the kernel bodies are the only thing that changes when
   one is installed.
@@ -259,11 +262,11 @@ def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
 def decode_image(content: bytes, media_type: str = RAW_RGB_TYPE) -> "np.ndarray":
     """Decode an image payload to (H, W, 3) uint8.
 
-    x-raw-rgb, PNG and JPEG (baseline AND progressive) decode for REAL
-    (stdlib+numpy only; see operators/jpeg.py); other
-    codec formats (WebP/AVIF/...) are gated on libraries this container
-    doesn't ship — install one and add a branch here, nothing Spark-side
-    changes."""
+    x-raw-rgb, PNG, JPEG (baseline AND progressive), GIF and lossless
+    WebP (VP8L) decode for REAL (stdlib+numpy only; see operators/jpeg.py
+    and operators/webp.py); other codec formats (lossy WebP/AVIF/...) are
+    gated on libraries this container doesn't ship — install one and add
+    a branch here, nothing Spark-side changes."""
     if media_type == RAW_RGB_TYPE:
         return decode_raw_rgb(content)
     if media_type == "image/png":
@@ -276,10 +279,15 @@ def decode_image(content: bytes, media_type: str = RAW_RGB_TYPE) -> "np.ndarray"
         from cozo_spark.operators.gif import decode_gif
 
         return decode_gif(content)
+    if media_type == "image/webp":
+        from cozo_spark.operators.webp import decode_webp
+
+        return decode_webp(content)
     raise NotImplementedError(
         f"decoding {media_type!r} requires an image codec library not "
-        "present in this container; image/x-raw-rgb, image/png and "
-        "baseline image/jpeg are the lib-free paths")
+        "present in this container; image/x-raw-rgb, image/png, "
+        "image/jpeg, image/gif and lossless image/webp are the lib-free "
+        "paths")
 
 
 def _resize_nearest(img: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
