@@ -786,11 +786,39 @@ class CozoDb:
         if not (isinstance(entry, list) and len(entry) == 1):
             return None
         clause = entry[0]
-        if any(not isinstance(h, HeadVar) for h in clause.head):
+        if any(not isinstance(h, (HeadVar, HeadAggr)) for h in clause.head):
             return None
-        head_names = [h.name for h in clause.head]
-        if not head_names or len(set(head_names)) != len(head_names):
-            return None
+        agg_head = any(isinstance(h, HeadAggr) for h in clause.head)
+        if agg_head:
+            # r7 (VERDICT r6 #6): aggregation-head scripts where the params
+            # bind BEFORE the aggregation — the common `WHERE key = $id
+            # GROUP BY` shape. The body-hoisting rules below only ever lift
+            # whole pre-aggregation row predicates, so applying them to the
+            # raw (multiset) match stream before aggregate_head is exactly
+            # the unprepared evaluation order. Gates:
+            if any(expr_has_param(e) for h in clause.head
+                   if isinstance(h, HeadAggr) for e in h.extra):
+                return None  # param as an aggregation argument
+            if any(isinstance(h, HeadAggr) and h.aggr not in AGGREGATIONS
+                   for h in clause.head):
+                return None
+            if any(isinstance(r, FixedApply) for r in dprog.rules.values()) \
+                    or _reaches_recursion(dprog.rules):
+                # eager evaluation makes the skeleton uncacheable, and the
+                # raw re-translation path skips the magic rewrite
+                return None
+            group_names = [h.name for h in clause.head
+                           if isinstance(h, HeadVar)]
+            if len(set(group_names)) != len(group_names):
+                return None
+            head_names = [h.name if isinstance(h, HeadVar) else h.var
+                          for h in clause.head]
+            if not head_names or not all(head_names):
+                return None
+        else:
+            head_names = [h.name for h in clause.head]
+            if not head_names or len(set(head_names)) != len(head_names):
+                return None
         for rname, rule in dprog.rules.items():
             if rname != "?" and rule_has_param(rule):
                 return None
@@ -870,6 +898,10 @@ class CozoDb:
         resid_vars: set = set()
         for r in residuals:
             resid_vars |= expr_vars(r)
+        if agg_head:
+            return self._build_skeleton_agg(script, params, dprog, clause,
+                                            skel_body, residuals, resid_vars,
+                                            head_names)
         ext = head_names + [v for v in sorted(resid_vars)
                             if v not in head_names]
         skel_prog = Program(rules=dict(dprog.rules), opts=OutOpts())
@@ -904,10 +936,140 @@ class CozoDb:
                 cache.pop(next(iter(cache)))
         return ent
 
+    def _build_skeleton_agg(self, script: str, params: dict, dprog: Program,
+                            clause, skel_body: list, residuals: list,
+                            resid_vars: set, input_names: list):
+        """Aggregation-head plan skeleton (r7): the skeleton is the entry
+        body's RAW multiset match stream (translate(..., raw=True) — the
+        exact stream the unprepared path feeds aggregate_head) projected to
+        the head's input positions plus the residual variables. Binding
+        filters that stream and THEN aggregates, which is precisely where
+        the unprepared plan evaluates the hoisted pre-aggregation
+        conditions, so multiplicities and group keys are identical.
+        Support rules are evaluated once (lazy plans — recursion and fixed
+        rules are gated out by the caller)."""
+        import re as _re
+
+        if any(_re.fullmatch(r"__h\d+", v) for v in resid_vars):
+            return None  # would collide with the raw positional columns
+        head = list(clause.head)
+        raw_head = head + [HeadVar(v) for v in sorted(resid_vars)
+                           if v not in set(input_names)]
+        resid_pos: dict = {}
+        probe_vars: list = []
+        for i, h in enumerate(raw_head):
+            v = h.name if isinstance(h, HeadVar) else h.var
+            if v in resid_vars and v not in resid_pos:
+                resid_pos[v] = i
+            if v not in probe_vars:
+                probe_vars.append(v)
+        # the probe entry drives support-rule evaluation through the
+        # standard machinery; its own (set-semantics) store is a lazy plan
+        # that is never executed
+        probe = Program(rules=dict(dprog.rules), opts=OutOpts())
+        probe.rules["?"] = [
+            RuleClause([HeadVar(v) for v in probe_vars], skel_body)]
+        self._had_eager_eval = False
+        try:
+            stores = self._evaluate_rules(probe)
+            tr = ClauseTranslator(
+                self.spark, self._make_resolver(stores),
+                key_resolver=self._resolve_keys,
+                search_resolver=self._search,
+                rule_unique_resolver=self._resolve_rule_unique,
+                trusted_key_resolver=self._resolve_trusted_keys)
+            raws = [tr.translate(raw_head, list(conj), raw=True)
+                    for conj in expand_disjunctions(skel_body)]
+        except QueryError:
+            return _SKEL_RETRY
+        if self._had_eager_eval:
+            return None  # structural: see _build_skeleton
+        raw = raws[0]
+        for p in raws[1:]:
+            raw = raw.unionByName(p)
+        headers = [h.name if isinstance(h, HeadVar) else f"{h.aggr}({h.var})"
+                   for h in head]
+        seen: set = set()
+        uniq = []
+        for hname in headers:
+            while hname in seen:
+                hname += "_"
+            seen.add(hname)
+            uniq.append(hname)
+        # pre-analyze everything value-independent NOW so binding is just
+        # where -> groupBy.agg -> select (3 plan analyses, no .dtypes round
+        # trips): residual-aliased frame, its dtype map, and the unresolved
+        # aggregation/key/reorder Column objects (Columns are plan-free
+        # expressions — reusable against the filtered frame at bind time)
+        named = raw.select(
+            *raw.columns,
+            *[F.col(f"__h{i}").alias(v) for v, i in resid_pos.items()])
+        dtypes = dict(named.dtypes)
+        keys = []
+        aggs = []
+        for i, h in enumerate(head):
+            if isinstance(h, HeadVar):
+                keys.append(F.col(f"__h{i}").alias(uniq[i]))
+            else:
+                spec = AGGREGATIONS[h.aggr]
+                extra = [const_eval(e) for e in h.extra]
+                try:
+                    agg_col = spec.build(F.col(f"__h{i}"), *extra,
+                                         dtype=dtypes.get(f"__h{i}"))
+                except TypeError:
+                    agg_col = spec.build(F.col(f"__h{i}"), *extra)
+                aggs.append(agg_col.alias(uniq[i]))
+        ent = {
+            "df": named, "residuals": tuple(residuals),
+            "agg_head": tuple(head), "resid_pos": resid_pos,
+            "uniq": tuple(uniq), "keys": keys, "aggs": aggs,
+            "dtypes": dtypes,
+            "display": headers if uniq != headers else None,
+            "spark": self.spark, "snapshot": self._rel_snapshot(),
+            "rel_refs": tuple((n, rel.df)
+                              for n, rel in sorted(self.relations.items())),
+        }
+        with CozoDb._plan_cache_lock:
+            cache = CozoDb._skel_cache
+            cache[self._skel_key(script, params)] = ent
+            while len(cache) > self._PLAN_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+        return ent
+
+    def _bind_skeleton_agg(self, ent: dict, params: dict,
+                           parsed: Program) -> DataFrame:
+        from cozo_spark.datalog.translate import compile_expr
+
+        named = ent["df"]
+        bound = set(ent["resid_pos"])
+        typer = ent["dtypes"].get
+        cond = None
+        for r in ent["residuals"]:
+            b = subst_params_expr(r, params)
+            if (isinstance(b, Call) and b.fn == "eq" and len(b.args) == 2
+                    and isinstance(b.args[0], Var)
+                    and isinstance(b.args[1], Const)):
+                # synthetic column-binding residual — RAW Column equality,
+                # matching the unprepared path (see _bind_skeleton)
+                c = F.col(b.args[0].name) == F.lit(b.args[1].value)
+            else:
+                c = compile_expr(b, bound, typer)
+            cond = c if cond is None else (cond & c)
+        df = named if cond is None else named.where(cond)
+        # pre-built Column objects: where -> groupBy.agg -> reorder select
+        grouped = (df.groupBy(*ent["keys"]).agg(*ent["aggs"])
+                   if ent["keys"] else df.agg(*ent["aggs"]))
+        out = grouped.select(*ent["uniq"])
+        self._entry_display_headers = (list(ent["display"])
+                                       if ent["display"] else None)
+        return self._output_stage(out, parsed.opts, parsed)
+
     def _bind_skeleton(self, ent: dict, params: dict,
                        parsed: Program) -> DataFrame:
         from cozo_spark.datalog.translate import _df_typer, compile_expr
 
+        if "agg_head" in ent:
+            return self._bind_skeleton_agg(ent, params, parsed)
         skel_df = ent["df"]
         bound = set(skel_df.columns)
         typer = _df_typer(skel_df)

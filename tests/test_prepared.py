@@ -88,9 +88,9 @@ def test_positional_and_rule_atom_params(spark):
 
 
 @pytest.mark.parametrize("script,params", [
-    # aggregation head: filter-before-agg must NOT be hoisted above the agg
-    ("?[count(n)] := *customer{c_custkey: k, c_name: n}, k < $hi",
-     {"hi": 10}),
+    # (aggregation heads became ELIGIBLE in r7 — the skeleton is the raw
+    # pre-aggregation stream and the filter binds before aggregate_head;
+    # see tests/test_prepared_agg.py)
     # param inside a negated atom: anti-join subplan depends on the value
     ("?[k] := *customer{c_custkey: k}, k < 8, not *orders{o_custkey: k, o_totalprice: $t}",
      {"t": 1.0}),
