@@ -144,30 +144,38 @@ def _md5_le64(c):
 
 
 def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, gram) rows: lowercase word n-grams, built JVM-side with
-    posexplode + window lead (codegen'd; higher-order functions are
-    CodegenFallback and Pandas UDFs carry variable multi-second stage costs).
+    """(id, gram) rows: lowercase word n-grams, built JVM-side and
+    MAP-ONLY — zero shuffles (higher-order functions are CodegenFallback
+    and Pandas UDFs carry variable multi-second stage costs; the previous
+    window-lead formulation shuffled + sorted the token stream per doc).
     Docs with fewer than n words yield their single shorter gram; token-less
-    docs yield no rows. One shuffle (the doc_id window) that at scale carries
-    the token stream — the standard distributed-tokenization shape."""
-    toks = (
-        _spread_small_input(df.select(F.col(id_col), F.col(text_col)), id_col)
-        .select(F.col(id_col),
-                F.posexplode(F.split(F.lower(F.col(text_col)), "\\s+"))
-                .alias("pos", "w"))
-        .filter(F.col("w") != "")
-    )
+    docs yield no rows."""
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), "\\s+"), "")
+    base = (_spread_small_input(df.select(F.col(id_col), F.col(text_col)),
+                                id_col)
+            .select(F.col(id_col), ws.alias("_ws")))
     if n == 1:
-        return toks.select(id_col, F.col("w").alias("gram"))
-    wspec = W.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("w", i).over(wspec).alias(f"_w{i}") for i in range(1, n)]
-    g = toks.select(
-        id_col, "w",
-        F.count("*").over(W.partitionBy(id_col)).alias("_cnt"),
-        F.row_number().over(wspec).alias("_rn"), *leads)
-    keep = (F.col(f"_w{n-1}").isNotNull()
-            | ((F.col("_cnt") < n) & (F.col("_rn") == 1)))
-    gram = F.concat_ws(" ", F.col("w"), *[F.col(f"_w{i}") for i in range(1, n)])
+        return base.select(id_col, F.explode("_ws").alias("gram"))
+    # MAP-ONLY shingling (r7, replaces the window-lead formulation whose
+    # partitionBy-doc shuffle + sort was ~half the signature-build cost):
+    # arrays_zip over n shifted slices of the token array gives the struct
+    # (w[p], w[p+1], ..., w[p+n-1]) at each position, padded with nulls at
+    # the tail. slice/arrays_zip/concat_ws are regular codegen expressions
+    # (unlike lambda HOFs, which are CodegenFallback), so the whole stage
+    # stays in whole-stage codegen and never shuffles — shingling at scale
+    # is embarrassingly parallel.
+    shifted = [F.col("_ws").alias("_w0")] + [
+        F.slice("_ws", i + 1,
+                F.greatest(F.size("_ws") - i, F.lit(0))).alias(f"_w{i}")
+        for i in range(1, n)]
+    g = base.select(
+        id_col, F.size("_ws").alias("_nw"),
+        F.posexplode(F.arrays_zip(*shifted)).alias("_pos", "_g"))
+    # full grams only, except: a doc shorter than n words keeps its single
+    # (shorter) leading gram — concat_ws skips the null tail
+    keep = (F.col(f"_g._w{n-1}").isNotNull()
+            | ((F.col("_nw") < n) & (F.col("_pos") == 0)))
+    gram = F.concat_ws(" ", *[F.col(f"_g._w{i}") for i in range(n)])
     return g.filter(keep).select(id_col, gram.alias("gram"))
 
 
