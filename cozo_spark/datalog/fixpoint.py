@@ -71,12 +71,7 @@ def _checkpoint(df: DataFrame) -> DataFrame:
       executor loss on long cluster recursions.
     """
     spark = df.sparkSession
-    ck_dir = None
-    try:
-        ck_dir = spark.conf.get("spark.cozo.checkpointDir", None)
-    except Exception:
-        ck_dir = None
-    ck_dir = ck_dir or os.environ.get("COZO_SPARK_CHECKPOINT_DIR")
+    ck_dir = _resolve_ck_dir(spark)
     if ck_dir:
         sc = spark.sparkContext
         # setCheckpointDir creates <dir>/<random-UUID> and getCheckpointDir
@@ -145,22 +140,20 @@ def _resolve_ck_dir(spark) -> "str | None":
 
 def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     """Checkpoint + row count in ONE action: an Observation attached
-    before the eager localCheckpoint collects count(*) during the same
+    before the eager checkpoint collects count(*) during the same
     materialization job, halving the fixpoint's per-epoch action count
     (the separate .count() job it replaces was cheap but not free —
-    scheduler latency per job dominates small epochs). The reliable
-    checkpoint() mode keeps the two-action path (observation delivery is
-    only verified for localCheckpoint)."""
-    spark = df.sparkSession
-    if _resolve_ck_dir(spark):
-        out = _checkpoint(df)
-        return out, out.count()
+    scheduler latency per job dominates small epochs). Observable-metric
+    delivery fires on ANY action since Spark 3.3, including reliable
+    ``checkpoint(eager=True)`` — verified on this Spark in
+    tests/test_verdict_r7.py — so both checkpoint modes share the
+    single-action path (r7; reliable mode previously paid a second
+    count job)."""
     from pyspark.sql import Observation
 
     obs = Observation(f"__cozo_ck_{next(_OBS_SEQ)}")
-    out = df.observe(obs, F.count(F.lit(1)).alias("n")) \
-            .localCheckpoint(eager=True)
-    return _sane_stats(out), int(obs.get["n"])
+    out = _checkpoint(df.observe(obs, F.count(F.lit(1)).alias("n")))
+    return out, int(obs.get["n"])
 
 
 def _checkpoint_count_bytes(df: DataFrame) -> "tuple[DataFrame, int, int]":
@@ -179,19 +172,14 @@ def _checkpoint_count_bytes(df: DataFrame) -> "tuple[DataFrame, int, int]":
         else:
             w = F.lit(8).cast("long")
         sz = w if sz is None else sz + w
-    spark = df.sparkSession
-    if _resolve_ck_dir(spark):
-        out = _checkpoint(df)
-        row = out.agg(F.count(F.lit(1)).alias("n"),
-                      F.sum(sz).alias("b")).collect()[0]
-        return out, int(row["n"]), int(row["b"] or 0)
     from pyspark.sql import Observation
 
+    # single action in BOTH checkpoint modes (see _checkpoint_count)
     obs = Observation(f"__cozo_ckb_{next(_OBS_SEQ)}")
-    out = df.observe(obs, F.count(F.lit(1)).alias("n"),
-                     F.sum(sz).alias("b")).localCheckpoint(eager=True)
+    out = _checkpoint(df.observe(obs, F.count(F.lit(1)).alias("n"),
+                                 F.sum(sz).alias("b")))
     got = obs.get
-    return _sane_stats(out), int(got["n"]), int(got["b"] or 0)
+    return out, int(got["n"]), int(got["b"] or 0)
 
 
 def semi_naive(

@@ -822,9 +822,14 @@ def louvain_communities(
             try:
                 moved = int(obs.get["moved"] or 0)
             except Exception:
-                # reliable-checkpoint mode: observation delivery is only
-                # verified for localCheckpoint — run the full max_iter
-                # rounds instead of converging early (correct, just slower)
+                # defensive only — observable-metric delivery is verified
+                # for BOTH localCheckpoint and reliable checkpoint on this
+                # Spark (test_verdict_r7). If it ever fails, run the full
+                # max_iter rounds (correct, just slower) and SAY so.
+                _log.warning(
+                    "Louvain: observation delivery failed — early-exit "
+                    "convergence disabled, running all %d rounds per "
+                    "level", max_iter)
                 moved = 1
             if _dbg:
                 print(f"[louvain]   rnd {rnd} moved={moved}", flush=True)
