@@ -104,59 +104,35 @@ def decode_raw_rgb(content: bytes) -> "np.ndarray":
 # --------------------------------------------------------------------------
 # PNG codec — stdlib only (zlib inflate + struct chunk walk + scanline
 # defilter per the PNG spec §6/§9). Supports the overwhelmingly common
-# profile: bit depth 8, interlace none, color types 0/2/3/4/6. 16-bit and
-# Adam7 raise with context (they'd only need more branches, no new libs).
+# profile: bit depth 8, color types 0/2/3/4/6, interlace none AND Adam7
+# (r7). 16-bit raises with context (it'd only need a branch, no new libs).
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-def decode_png(content: bytes) -> "np.ndarray":
-    """PNG bytes → (H, W, 3) uint8, pure stdlib (zlib + struct + numpy)."""
-    import zlib
 
-    if content is None or content[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, plte = 8, [], None
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(content):
-        (ln,) = struct.unpack(">I", content[pos:pos + 4])
-        tag = content[pos + 4:pos + 8]
-        data = content[pos + 8:pos + 8 + ln]
-        pos += 12 + ln  # skip CRC
-        if tag == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data)
-        elif tag == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if ch is None:
-        raise ValueError(f"bad PNG color type {ctype}")
-    raw = zlib.decompress(b"".join(idat))
+def _png_defilter(raw: bytes, off: int, w: int, h: int,
+                  ch: int) -> tuple["np.ndarray", int]:
+    """Defilter one (sub-)image of w*h pixels starting at byte `off`;
+    returns ((h, w*ch) array, next offset). Vectorized where the spec's
+    data dependencies allow: None/Up are elementwise, Sub is a
+    per-channel-lane prefix sum (recon[i] = raw[i] + recon[i-1] ⇒ cumsum
+    mod 256); Average/Paeth genuinely recurse on the CURRENT row, so they
+    run one Python step per PIXEL with the channel lanes vectorized."""
     stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    if off + (stride + 1) * h > len(raw):
         raise ValueError("PNG scanline size mismatch")
-    # defilter, vectorized where the spec's data dependencies allow:
-    # None/Up are elementwise, Sub is a per-channel-lane prefix sum
-    # (recon[i] = raw[i] + recon[i-1] ⇒ cumsum mod 256); Average/Paeth
-    # genuinely recurse on the CURRENT row, so they run one Python step
-    # per PIXEL with the channel lanes vectorized (w steps, not w·ch)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        f = raw[y * (stride + 1)]
+        f = raw[off + y * (stride + 1)]
         cur = np.frombuffer(raw, dtype=np.uint8,
-                            offset=y * (stride + 1) + 1, count=stride).copy()
+                            offset=off + y * (stride + 1) + 1,
+                            count=stride).copy()
         if f == 1:    # Sub: cumsum over pixels, per channel lane
             lanes = cur.reshape(-1, ch).astype(np.uint32)
             cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
@@ -186,7 +162,61 @@ def decode_png(content: bytes) -> "np.ndarray":
             raise ValueError(f"bad PNG filter {f}")
         out[y] = cur
         prev = cur
-    px = out.reshape(h, w, ch)
+    return out, off + (stride + 1) * h
+
+
+def decode_png(content: bytes) -> "np.ndarray":
+    """PNG bytes → (H, W, 3) uint8, pure stdlib (zlib + struct + numpy)."""
+    import zlib
+
+    if content is None or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # skip CRC
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 1:
+        # Adam7 (r7 — the last documented PNG gate): seven independently
+        # filtered sub-images, deinterleaved onto the (y0::dy, x0::dx)
+        # lattices; empty passes carry no bytes at all
+        full = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _png_defilter(raw, off, pw, ph, ch)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("PNG Adam7 datastream size mismatch")
+        px = full
+    else:
+        stride = w * ch
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG scanline size mismatch")
+        out, _ = _png_defilter(raw, 0, w, h, ch)
+        px = out.reshape(h, w, ch)
     if ctype == 2:
         return px.copy()
     if ctype == 6:
@@ -201,9 +231,10 @@ def decode_png(content: bytes) -> "np.ndarray":
     return plte[px[..., 0]]
 
 
-def encode_png(pixels: "np.ndarray") -> bytes:
+def encode_png(pixels: "np.ndarray", interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 → PNG bytes (color type 2, filter 0) — stdlib only;
-    used by tests/fixtures and ::export of raw images."""
+    used by tests/fixtures and ::export of raw images. ``interlace=True``
+    writes Adam7 pass-ordered scanlines (fixture for the decoder path)."""
     import zlib
 
     a = np.asarray(pixels, dtype=np.uint8)
@@ -213,8 +244,18 @@ def encode_png(pixels: "np.ndarray") -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 

@@ -101,8 +101,16 @@ def test_multimodal_decode_image_dispatch():
     data = encode_jpeg(img)
     out = decode_image(data, "image/jpeg")
     assert out.shape == (16, 16, 3)
+    # lossless WebP decodes for REAL since r7; lossy VP8 stays gated
+    from cozo_spark.operators.webp import encode_webp_lossless
+    import numpy as np
+    np.testing.assert_array_equal(
+        decode_image(encode_webp_lossless(img), "image/webp"), img)
+    import struct as _struct
+    lossy = (b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(b"RIFF....WEBP", "image/webp")
+        decode_image(lossy, "image/webp")
 
 
 # ---------------------------------------------------------------------------

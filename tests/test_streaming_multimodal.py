@@ -631,3 +631,19 @@ def test_stream_asof_enrich_across_batches(spark, tmp_path):
     assert rows[1] == (10.0, 100.5)     # state carried across batches
     assert rows[2] == (None, None)      # older than retained quote
     assert rows[3] == (7.0, 50.25)      # same-batch right-before-left
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNGs (r7 — the last documented PNG gate) decode pixel-exact:
+    the interlaced fixture must equal both the source array and its
+    non-interlaced twin, across sizes that exercise empty/partial passes."""
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(77)
+    for h, w in [(1, 1), (3, 5), (8, 8), (7, 9), (16, 17), (33, 31)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        inter = decode_png(encode_png(img, interlace=True))
+        np.testing.assert_array_equal(inter, img)
+        np.testing.assert_array_equal(inter, decode_png(encode_png(img)))
