@@ -573,6 +573,7 @@ def betweenness_centrality_sampled(
     visited = _checkpoint(srcs.select(
         F.col("node").alias("s"), F.col("node").alias("v"),
         F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")))
+    levels = [visited]  # checkpointed (s, v, d, sigma) frontier per depth
     frontier, depth, truncated = visited, 0, True
     for _ in range(max_depth):
         cand = (frontier.join(e, frontier["v"] == e["esrc"])
@@ -590,7 +591,11 @@ def betweenness_centrality_sampled(
             depth -= 1
             truncated = False
             break
-        visited = _checkpoint(visited.unionByName(nxt))
+        # union of checkpointed DELTAS (the semi-naive pattern): a full
+        # re-checkpoint of `visited` per wave pinned O(depth * k * V)
+        # duplicate blocks and OOM'd the 150k-node sf1 run
+        visited = visited.unionByName(nxt)
+        levels.append(nxt)
         frontier = nxt
     if truncated:
         _log.warning(
@@ -598,19 +603,22 @@ def betweenness_centrality_sampled(
             "max_depth=%d — nodes beyond that distance are dropped from "
             "the dependency sums; raise max_depth for exact results",
             max_depth)
-    # shortest-path DAG edges: (s, v at depth d) -> (w at depth d+1)
-    vw = visited.select(F.col("s").alias("ws"), F.col("v").alias("w"),
-                        F.col("d").alias("wd"), F.col("sigma").alias("wsig"))
-    dag = _checkpoint(
-        visited.join(e, visited["v"] == e["esrc"])
-        .join(vw, (visited["s"] == vw["ws"]) & (e["edst"] == vw["w"])
-              & (vw["wd"] == visited["d"] + 1))
-        .select("s", "v", "d", "sigma", "w", "wsig"))
-    # backward accumulation, deepest level first; absent rows mean delta=0
+    # backward accumulation, deepest level first; absent rows mean delta=0.
+    # Each level's shortest-path DAG slice ((s, v at d) -> (w at d+1)) is
+    # joined LAZILY from the per-depth frontier deltas — materializing the
+    # full DAG up front is O(k*E) rows (573M at 382 pivots x 1.5M edges)
+    # and OOM'd the sf1 run; the lazy slices execute inside each level's
+    # delta checkpoint and only O(k*V_level) rows ever materialize.
     delta_next = None  # (s, node, delta) for depth lvl+1
     acc = []
     for lvl in range(depth - 1, -1, -1):
-        slice_ = dag.filter(F.col("d") == lvl)
+        cur = levels[lvl].select("s", "v", "sigma")
+        nxt_ = levels[lvl + 1].select(F.col("s").alias("ws"),
+                                      F.col("v").alias("w"),
+                                      F.col("sigma").alias("wsig"))
+        slice_ = (cur.join(e, cur["v"] == e["esrc"])
+                  .join(nxt_, (cur["s"] == nxt_["ws"])
+                        & (e["edst"] == nxt_["w"])))
         if delta_next is not None:
             dn = delta_next.select(F.col("s").alias("ds"),
                                    F.col("node").alias("dn"),
