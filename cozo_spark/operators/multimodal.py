@@ -103,9 +103,10 @@ def decode_raw_rgb(content: bytes) -> "np.ndarray":
 
 # --------------------------------------------------------------------------
 # PNG codec — stdlib only (zlib inflate + struct chunk walk + scanline
-# defilter per the PNG spec §6/§9). Supports the overwhelmingly common
-# profile: bit depth 8, color types 0/2/3/4/6, interlace none AND Adam7
-# (r7). 16-bit raises with context (it'd only need a branch, no new libs).
+# defilter per the PNG spec §6/§9). Supports bit depth 8 (color types
+# 0/2/3/4/6) and 16 (non-palette, reduced to 8-bit by the high byte),
+# interlace none AND Adam7 (both r7). Sub-byte depths (1/2/4) raise with
+# context.
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -118,11 +119,13 @@ _ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 def _png_defilter(raw: bytes, off: int, w: int, h: int,
                   ch: int) -> tuple["np.ndarray", int]:
     """Defilter one (sub-)image of w*h pixels starting at byte `off`;
-    returns ((h, w*ch) array, next offset). Vectorized where the spec's
-    data dependencies allow: None/Up are elementwise, Sub is a
-    per-channel-lane prefix sum (recon[i] = raw[i] + recon[i-1] ⇒ cumsum
-    mod 256); Average/Paeth genuinely recurse on the CURRENT row, so they
-    run one Python step per PIXEL with the channel lanes vectorized."""
+    returns ((h, w*ch) array, next offset). `ch` is BYTES per pixel (the
+    spec's filter distance bpp — channels x bytes-per-sample).
+    Vectorized where the spec's data dependencies allow: None/Up are
+    elementwise, Sub is a per-byte-lane prefix sum (recon[i] = raw[i] +
+    recon[i-1] ⇒ cumsum mod 256); Average/Paeth genuinely recurse on the
+    CURRENT row, so they run one Python step per PIXEL with the byte
+    lanes vectorized."""
     stride = w * ch
     if off + (stride + 1) * h > len(raw):
         raise ValueError("PNG scanline size mismatch")
@@ -189,34 +192,41 @@ def decode_png(content: bytes) -> "np.ndarray":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/color type {ctype} (8-bit all types "
+            "and 16-bit non-palette supported)")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None:
         raise ValueError(f"bad PNG color type {ctype}")
+    bpp = ch * (depth // 8)  # filter distance is in BYTES per pixel
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:
-        # Adam7 (r7 — the last documented PNG gate): seven independently
-        # filtered sub-images, deinterleaved onto the (y0::dy, x0::dx)
-        # lattices; empty passes carry no bytes at all
-        full = np.zeros((h, w, ch), dtype=np.uint8)
+        # Adam7 (r7): seven independently filtered sub-images,
+        # deinterleaved onto the (y0::dy, x0::dx) lattices; empty passes
+        # carry no bytes at all
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub, off = _png_defilter(raw, off, pw, ph, ch)
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, off = _png_defilter(raw, off, pw, ph, bpp)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         if off != len(raw):
             raise ValueError("PNG Adam7 datastream size mismatch")
         px = full
     else:
-        stride = w * ch
+        stride = w * bpp
         if len(raw) != (stride + 1) * h:
             raise ValueError("PNG scanline size mismatch")
-        out, _ = _png_defilter(raw, 0, w, h, ch)
-        px = out.reshape(h, w, ch)
+        out, _ = _png_defilter(raw, 0, w, h, bpp)
+        px = out.reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian 16-bit samples -> 8-bit by the high byte (r7 — the
+        # standard 16->8 reduction; sample value v maps to v >> 8)
+        px = px.reshape(h, w, ch, 2)[..., 0]
     if ctype == 2:
         return px.copy()
     if ctype == 6:
@@ -232,19 +242,27 @@ def decode_png(content: bytes) -> "np.ndarray":
 
 
 def encode_png(pixels: "np.ndarray", interlace: bool = False) -> bytes:
-    """(H, W, 3) uint8 → PNG bytes (color type 2, filter 0) — stdlib only;
-    used by tests/fixtures and ::export of raw images. ``interlace=True``
-    writes Adam7 pass-ordered scanlines (fixture for the decoder path)."""
+    """(H, W, 3) uint8 (or uint16 → depth-16) → PNG bytes (color type 2,
+    filter 0) — stdlib only; used by tests/fixtures and ::export of raw
+    images. ``interlace=True`` writes Adam7 pass-ordered scanlines
+    (fixture for the decoder path)."""
     import zlib
 
-    a = np.asarray(pixels, dtype=np.uint8)
+    a = np.asarray(pixels)
+    if a.dtype == np.uint16:
+        a = a.astype(">u2")
+        depth = 16
+    else:
+        a = a.astype(np.uint8)
+        depth = 8
     h, w = a.shape[0], a.shape[1]
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0,
+                       1 if interlace else 0)
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7_PASSES:

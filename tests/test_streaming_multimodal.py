@@ -647,3 +647,18 @@ def test_png_adam7_interlaced_decode():
         inter = decode_png(encode_png(img, interlace=True))
         np.testing.assert_array_equal(inter, img)
         np.testing.assert_array_equal(inter, decode_png(encode_png(img)))
+
+
+def test_png_16bit_decode():
+    """16-bit non-palette PNGs (r7) decode with the standard high-byte
+    reduction, plain and Adam7-interlaced."""
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(99)
+    img16 = rng.integers(0, 65536, size=(11, 13, 3), dtype=np.uint16)
+    want = (img16 >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img16)), want)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(img16, interlace=True)), want)
