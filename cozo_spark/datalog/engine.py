@@ -819,6 +819,13 @@ class CozoDb:
             head_names = [h.name for h in clause.head]
             if not head_names or len(set(head_names)) != len(head_names):
                 return None
+            # ANY recursion makes the skeleton evaluation eager (the
+            # fixpoint runs at build time) and therefore uncacheable; the
+            # post-eval _had_eager_eval check would still refuse it, but
+            # only AFTER computing a full UNRESTRICTED closure once (a
+            # hoisted param strips the magic seed) — pre-gate instead
+            if _reaches_recursion(dprog.rules):
+                return None
         for rname, rule in dprog.rules.items():
             if rname != "?" and rule_has_param(rule):
                 return None
@@ -828,7 +835,6 @@ class CozoDb:
         skel_body: list = []
         residuals: list = []
         used_names = set(head_names) | _body_var_names(body)
-        recursive_rules: Optional[set] = None  # computed on first need
         fresh_n = 0
 
         def _fresh() -> str:
@@ -850,16 +856,6 @@ class CozoDb:
                 if (isinstance(atom, RelApply) and atom.validity is not None
                         and expr_has_param(atom.validity)):
                     return None
-                if isinstance(atom, RuleApply):
-                    # hoisting a constant out of a (transitively) recursive
-                    # rule application turns a magic-restricted single-seed
-                    # fixpoint into the full unrestricted closure — results
-                    # stay correct but asymptotically slower; structurally
-                    # ineligible instead
-                    if recursive_rules is None:
-                        recursive_rules = _reaches_recursion(dprog.rules)
-                    if atom.name in recursive_rules:
-                        return None
                 new_args = []
                 for x in atom.args:
                     if isinstance(x, Param):
@@ -956,22 +952,21 @@ class CozoDb:
         raw_head = head + [HeadVar(v) for v in sorted(resid_vars)
                            if v not in set(input_names)]
         resid_pos: dict = {}
-        probe_vars: list = []
         for i, h in enumerate(raw_head):
             v = h.name if isinstance(h, HeadVar) else h.var
             if v in resid_vars and v not in resid_pos:
                 resid_pos[v] = i
-            if v not in probe_vars:
-                probe_vars.append(v)
-        # the probe entry drives support-rule evaluation through the
-        # standard machinery; its own (set-semantics) store is a lazy plan
-        # that is never executed
-        probe = Program(rules=dict(dprog.rules), opts=OutOpts())
-        probe.rules["?"] = [
-            RuleClause([HeadVar(v) for v in probe_vars], skel_body)]
+        # evaluate only the SUPPORT rules (the entry body is translated
+        # raw below — building a throwaway set-semantics entry store here
+        # would double the py4j-heavy plan construction the skeleton
+        # exists to amortize); _evaluate_rules and magic_restrict are
+        # generic over the rule set and don't require a '?'
+        support = Program(rules={r: v for r, v in dprog.rules.items()
+                                 if r != "?"}, opts=OutOpts())
         self._had_eager_eval = False
         try:
-            stores = self._evaluate_rules(probe)
+            stores = (self._evaluate_rules(support)
+                      if support.rules else {})
             tr = ClauseTranslator(
                 self.spark, self._make_resolver(stores),
                 key_resolver=self._resolve_keys,

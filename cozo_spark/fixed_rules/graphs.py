@@ -598,11 +598,22 @@ def betweenness_centrality_sampled(
         levels.append(nxt)
         frontier = nxt
     if truncated:
-        _log.warning(
-            "BetweennessCentralityDist: BFS still expanding at "
-            "max_depth=%d — nodes beyond that distance are dropped from "
-            "the dependency sums; raise max_depth for exact results",
-            max_depth)
+        # the loop exhausted with a non-empty final frontier — but that
+        # frontier may simply be the LAST BFS level (traversal complete
+        # exactly at the cap). Probe one wave cheaply before alarming.
+        probe = (frontier.join(e, frontier["v"] == e["esrc"])
+                 .select("s", F.col("edst").alias("w"))
+                 .join(visited.select(F.col("s").alias("vs"),
+                                      F.col("v").alias("vv")),
+                       (F.col("s") == F.col("vs"))
+                       & (F.col("w") == F.col("vv")), "left_anti")
+                 .limit(1))
+        if probe.count() > 0:
+            _log.warning(
+                "BetweennessCentralityDist: BFS still expanding at "
+                "max_depth=%d — nodes beyond that distance are dropped "
+                "from the dependency sums; raise max_depth for exact "
+                "results", max_depth)
     # backward accumulation, deepest level first; absent rows mean delta=0.
     # Each level's shortest-path DAG slice ((s, v at d) -> (w at d+1)) is
     # joined LAZILY from the per-depth frontier deltas — materializing the

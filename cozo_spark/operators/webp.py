@@ -52,20 +52,31 @@ import numpy as np
 
 
 class _BitReader:
-    __slots__ = ("buf", "pos", "nbits")
+    """Incremental LSB-first reader: O(1) per read via a small accumulator
+    fed one byte at a time (a whole-payload big-int window re-shifted per
+    read is O(payload) per read — O(payload²) total, minutes on a real
+    crawl-sized image)."""
+
+    __slots__ = ("data", "byte", "acc", "nacc")
 
     def __init__(self, data: bytes, start_byte: int = 0):
-        self.buf = int.from_bytes(data[start_byte:], "little")
-        self.nbits = 8 * (len(data) - start_byte)
-        self.pos = 0
+        self.data = data
+        self.byte = start_byte
+        self.acc = 0
+        self.nacc = 0
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.nbits:
-            raise ValueError("VP8L: bitstream truncated")
-        v = (self.buf >> self.pos) & ((1 << n) - 1)
-        self.pos += n
+        while self.nacc < n:
+            if self.byte >= len(self.data):
+                raise ValueError("VP8L: bitstream truncated")
+            self.acc |= self.data[self.byte] << self.nacc
+            self.byte += 1
+            self.nacc += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nacc -= n
         return v
 
 
@@ -788,7 +799,8 @@ def _emit_prefix_code(bw: _BitWriter, freqs: dict,
     if len(cl_freq) == 1:
         only = next(iter(cl_freq))
         cl_freq[0 if only != 0 else 1] = 1  # keep the cl tree 2-symbol
-    cl_depth = _huffman_lengths(cl_freq)
+    # the code-length-code lengths are stored in 3-bit fields: depth <= 7
+    cl_depth = _huffman_lengths(cl_freq, max_len=7)
     cl_lengths = [0] * 19
     for s, ln in cl_depth.items():
         cl_lengths[s] = ln
@@ -872,7 +884,10 @@ def _emit_entropy_image(bw: _BitWriter, argb, xsize: int, *,
         ).reshape(-1)
         meta_argb = (0xFF000000 | (meta_px << 8)).astype(np.uint32)
         _emit_entropy_image(bw, meta_argb, mw, allow_meta=False)
-        num_groups = 2
+        # the decoder sizes the group list from the meta image's max index
+        # — a 1x1 (or single-row/col even-sum) grid is all-zero, so
+        # emitting a fixed 2 groups would desynchronize the stream
+        num_groups = int(meta_px.max()) + 1
     elif allow_meta:
         bw.write(0, 1)
 

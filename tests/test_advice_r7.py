@@ -121,6 +121,16 @@ def test_betweenness_truncation_warns(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="cozo_spark.graphs"):
         betweenness_centrality_sampled(edges, max_depth=10).collect()
     assert not any("max_depth" in r.message for r in caplog.records)
+    # traversal completing EXACTLY at the cap is not truncation (the
+    # 7-node chain's deepest BFS level is 6): no false alarm
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="cozo_spark.graphs"):
+        exact_at_cap = betweenness_centrality_sampled(
+            edges, max_depth=6).collect()
+    assert not any("max_depth" in r.message for r in caplog.records)
+    assert sorted(map(tuple, exact_at_cap)) == sorted(
+        map(tuple, betweenness_centrality_sampled(
+            edges, max_depth=10).collect()))
 
 
 def test_centrality_auto_pivot_default(spark, monkeypatch, caplog):

@@ -181,3 +181,39 @@ def test_probe_media_sniffs_webp():
 
     assert sniff_media_type(
         encode_webp_lossless(_rand_rgb(4, 4))) == "image/webp"
+
+
+# --- round-7 review regressions -------------------------------------------
+
+
+def test_meta_groups_tiny_grid():
+    """meta_bits yielding a 1x1 (all-zero) entropy image must emit exactly
+    the group count the decoder will read (was: fixed 2 groups -> stream
+    desync, silently wrong pixels)."""
+    for h, w, mb in [(16, 13, 4), (8, 8, 5), (9, 30, 5), (1, 1, 3)]:
+        img = _rand_rgb(h, w, seed=1000 + h + w)
+        _roundtrip(img, meta_bits=mb)
+
+
+def test_skewed_frequencies_cl_depth_cap():
+    """Fibonacci-skewed symbol frequencies push the code-length Huffman
+    past 7 levels; its lengths live in 3-bit fields so the encoder must
+    cap depth at 7 (was: written mod 8 -> corrupt stream)."""
+    rng = _rng(21)
+    # build an image whose green-channel histogram is heavily skewed
+    vals, counts, f1, f2 = [], [], 1, 1
+    for v in range(24):
+        vals.append(v * 11 % 256)
+        counts.append(f1)
+        f1, f2 = f2, f1 + f2
+    col = np.repeat(np.array(vals, dtype=np.uint8), counts)
+    col = np.resize(col, 32 * 32)
+    img = np.stack([col, col[::-1], np.roll(col, 7)], axis=1).reshape(32, 32, 3)
+    _roundtrip(img)
+    _roundtrip(img, use_lz77=True, cache_bits=4)
+
+
+def test_larger_image_roundtrip():
+    """O(1)-per-read bit reader: a crawl-thumbnail-sized image decodes
+    (the old whole-payload big-int reader was O(bytes^2))."""
+    _roundtrip(_rand_rgb(160, 192, seed=22))
