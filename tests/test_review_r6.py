@@ -106,10 +106,14 @@ def test_skeleton_eval_failure_not_permanently_cached(spark):
     db.run_script("?[k, v] <- [[2, 'b']] :put latecomer {k => v}")
     assert [tuple(r) for r in db.run_script_df(q, {"k": 2}).collect()] == \
         [("b",)]
-    # structural ineligibility IS cached
+    # aggregation heads became ELIGIBLE in r7 (raw-stream skeleton,
+    # tests/test_prepared_agg.py) — the skeleton caches positively now;
+    # structural ineligibility caching is pinned by
+    # tests/test_advice_r7.py::test_recursive_param_neg_cached_structurally
     agg = "?[count(n)] := *latecomer{k: n}, n < $hi"
-    db.run_script_df(agg, {"hi": 10})
-    assert db._skel_key(agg, {"hi": 10}) in CozoDb._skel_neg
+    assert [tuple(r) for r in db.run_script_df(agg, {"hi": 10}).collect()] \
+        == [(2,)]
+    assert db._skel_key(agg, {"hi": 10}) in CozoDb._skel_cache
 
 
 def test_type_mismatched_param_same_prepared_and_not(spark):

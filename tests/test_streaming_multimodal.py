@@ -108,14 +108,18 @@ def test_image_features(media):
 
 
 def test_real_decode_is_gated_for_compressed_formats(spark):
-    """PNG/WAV/baseline-JPEG now decode for real (stdlib+numpy);
-    remaining compressed formats (WebP, MP3) still gate on the missing
-    library — the error surfaces from the executor kernel at action
-    time."""
+    """PNG/WAV/JPEG/GIF and (since r7) lossless WebP decode for real;
+    remaining compressed formats (lossy VP8 WebP, MP3 PCM) still gate on
+    the missing library — the error surfaces from the executor kernel at
+    action time."""
+    import struct as _s
+
     from cozo_spark.operators.multimodal import (
         MEDIA_SCHEMA, extract_audio_features, extract_image_features)
 
-    rows = [(9, "image/webp", b"RIFF....WEBP-fake",
+    lossy_vp8 = (b"RIFF" + _s.pack("<I", 16) + b"WEBP"
+                 + b"VP8 " + _s.pack("<I", 4) + b"\x00" * 4)
+    rows = [(9, "image/webp", lossy_vp8,
              {"width": 8, "height": 8, "duration_ms": None,
               "sample_rate": None}),
             (10, "audio/mpeg", b"ID3-fake",
