@@ -961,17 +961,23 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BetweennessCentralityDist at default (full) sampling = EXACT directed
-    Brandes (scale path for BetweennessCentrality,
-    algos/all_pairs_shortest_path.rs parity verified in test_verdict_r6):
-    distributed forward BFS carrying sigma path counts + per-level backward
-    dependency accumulation. The DuckDB oracle replays it non-recursively
-    from first principles: sigma via shortest-path-DAG walk enumeration,
-    then the pair-dependency identity sigma_st(v) = sigma_sv * sigma_vt
-    when d(s,v)+d(v,t)=d(s,t)."""
-    from cozo_spark.fixed_rules.graphs import betweenness_centrality_sampled
-    df = betweenness_centrality_sampled(_edges(spark, sf_dir))
-    return df.select("node", F.round("centrality", 6).alias("centrality"))
+    """BetweennessCentralityDist at default (exact ≤ AUTO_EXACT_MAX_NODES)
+    sampling = EXACT directed Brandes (scale path for
+    BetweennessCentrality, algos/all_pairs_shortest_path.rs parity
+    verified in test_verdict_r6): distributed forward BFS carrying sigma
+    path counts + per-level backward dependency accumulation, invoked
+    THROUGH the engine's `<~` fixed-rule dispatch. The DuckDB oracle
+    replays it non-recursively from first principles: sigma via
+    shortest-path-DAG walk enumeration, then the pair-dependency identity
+    sigma_st(v) = sigma_sv * sigma_vt when d(s,v)+d(v,t)=d(s,t)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.register_dataframe("edge", _edges(spark, sf_dir))
+    df = db.run_script_df(
+        "?[node, centrality] <~ BetweennessCentralityDist(*edge[])")
+    return df.select(F.col("node").cast("long").alias("node"),
+                     F.round("centrality", 6).alias("centrality"))
 
 
 @query(
