@@ -168,6 +168,16 @@ def _png_defilter(raw: bytes, off: int, w: int, h: int,
     return out, off + (stride + 1) * h
 
 
+def _png_unpack_subbyte(rows: "np.ndarray", pw: int,
+                        depth: int) -> "np.ndarray":
+    """(h, row_bytes) defiltered bytes → (h, pw) sample values for bit
+    depths 1/2/4 (MSB-first packing, PNG spec §7.2)."""
+    bits = np.unpackbits(rows, axis=1)[:, :pw * depth]
+    bits = bits.reshape(rows.shape[0], pw, depth).astype(np.uint16)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
+
 def decode_png(content: bytes) -> "np.ndarray":
     """PNG bytes → (H, W, 3) uint8, pure stdlib (zlib + struct + numpy)."""
     import zlib
@@ -192,15 +202,45 @@ def decode_png(content: bytes) -> "np.ndarray":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16) or (depth == 16 and ctype == 3):
-        raise NotImplementedError(
-            f"PNG bit depth {depth}/color type {ctype} (8-bit all types "
-            "and 16-bit non-palette supported)")
+    if depth not in (1, 2, 4, 8, 16) or (depth == 16 and ctype == 3) \
+            or (depth < 8 and ctype not in (0, 3)):
+        raise ValueError(
+            f"invalid PNG bit depth {depth} / color type {ctype}")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if ch is None:
         raise ValueError(f"bad PNG color type {ctype}")
-    bpp = ch * (depth // 8)  # filter distance is in BYTES per pixel
     raw = zlib.decompress(b"".join(idat))
+    if depth < 8:
+        # sub-byte gray / palette (r7 — the last PNG gate): rows are
+        # byte-aligned, the filter distance is one byte, samples unpack
+        # MSB-first within each byte
+        if interlace == 1:
+            vals = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue
+                prb = (pw * depth + 7) // 8
+                sub, off = _png_defilter(raw, off, prb, ph, 1)
+                vals[y0::dy, x0::dx] = _png_unpack_subbyte(sub, pw, depth)
+            if off != len(raw):
+                raise ValueError("PNG Adam7 datastream size mismatch")
+        else:
+            row_bytes = (w * depth + 7) // 8
+            if len(raw) != (row_bytes + 1) * h:
+                raise ValueError("PNG scanline size mismatch")
+            out, _ = _png_defilter(raw, 0, row_bytes, h, 1)
+            vals = _png_unpack_subbyte(out, w, depth)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            return plte[np.where(vals < len(plte), vals, 0)]
+        # grayscale sample scaling v * 255/(2^d - 1) — exact (255/85/17)
+        g = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    bpp = ch * (depth // 8)  # filter distance is in BYTES per pixel
     if interlace == 1:
         # Adam7 (r7): seven independently filtered sub-images,
         # deinterleaved onto the (y0::dy, x0::dx) lattices; empty passes

@@ -666,3 +666,67 @@ def test_png_16bit_decode():
     np.testing.assert_array_equal(decode_png(encode_png(img16)), want)
     np.testing.assert_array_equal(
         decode_png(encode_png(img16, interlace=True)), want)
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit gray and palette PNGs (r7 — the last PNG gate) decode,
+    plain and Adam7. Fixtures are hand-packed (filter 0, MSB-first)."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import (
+        _ADAM7_PASSES, _PNG_SIG, decode_png)
+
+    def chunk(tag, data):
+        return (_s.pack(">I", len(data)) + tag + data
+                + _s.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    def pack_rows(vals, depth):
+        h, w = vals.shape
+        out = []
+        for y in range(h):
+            bits = np.zeros(w * depth, dtype=np.uint8)
+            for x in range(w):
+                for b in range(depth):
+                    bits[x * depth + b] = (int(vals[y, x]) >> (depth - 1 - b)) & 1
+            out.append(b"\x00" + np.packbits(bits).tobytes())
+        return b"".join(out)
+
+    def build(vals, depth, ctype, plte=None, interlace=0):
+        h, w = vals.shape
+        ihdr = _s.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        if interlace:
+            parts = []
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                sub = vals[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    parts.append(pack_rows(sub, depth))
+            raw = b"".join(parts)
+        else:
+            raw = pack_rows(vals, depth)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte.tobytes())
+        body += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        return _PNG_SIG + body
+
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        vals = rng.integers(0, n, size=(9, 13), dtype=np.uint8)
+        # gray: v * 255/(2^d - 1)
+        want_gray = np.repeat(
+            (vals * (255 // (n - 1))).astype(np.uint8)[..., None], 3, axis=2)
+        np.testing.assert_array_equal(
+            decode_png(build(vals, depth, 0)), want_gray)
+        np.testing.assert_array_equal(
+            decode_png(build(vals, depth, 0, interlace=1)), want_gray)
+        # palette
+        plte = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(build(vals, depth, 3, plte=plte)), plte[vals])
+        np.testing.assert_array_equal(
+            decode_png(build(vals, depth, 3, plte=plte, interlace=1)),
+            plte[vals])
