@@ -335,8 +335,16 @@ def decode_wav(content: bytes) -> tuple["np.ndarray", int]:
         a = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:
         a = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 3:
+        # 24-bit little-endian PCM (r7): assemble + sign-extend
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        a = v.astype(np.float64) / float(1 << 23)
+    elif sw == 4:
+        a = np.frombuffer(frames, dtype="<i4").astype(np.float64) / float(1 << 31)
     else:
-        raise NotImplementedError(f"WAV sample width {sw} (only 1/2 bytes)")
+        raise NotImplementedError(f"WAV sample width {sw} (1-4 bytes supported)")
     if nch > 1:
         a = a.reshape(-1, nch).mean(axis=1)
     return a, rate

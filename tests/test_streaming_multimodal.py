@@ -730,3 +730,38 @@ def test_png_subbyte_depths():
         np.testing.assert_array_equal(
             decode_png(build(vals, depth, 3, plte=plte, interlace=1)),
             plte[vals])
+
+
+def test_wav_24_and_32_bit_pcm():
+    """24-bit (3-byte LE, sign-extended) and 32-bit PCM WAVs decode (r7);
+    fixtures are hand-built with the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cozo_spark.operators.multimodal import decode_wav
+
+    vals24 = np.array([0, 1, -1, (1 << 23) - 1, -(1 << 23), 12345, -54321],
+                      dtype=np.int64)
+    raw24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals24)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(raw24)
+    a, rate = decode_wav(buf.getvalue())
+    np.testing.assert_allclose(a, vals24 / float(1 << 23), atol=0)
+    assert rate == 8000
+
+    vals32 = np.array([0, (1 << 31) - 1, -(1 << 31), 7, -7], dtype=np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(4)
+        wf.setframerate(16000)
+        wf.writeframes(vals32.astype("<i4").tobytes())
+    a, rate = decode_wav(buf.getvalue())
+    np.testing.assert_allclose(a, vals32 / float(1 << 31), atol=0)
+    assert rate == 16000
