@@ -690,6 +690,8 @@ def _probe_one(content: bytes) -> dict:
         elif t == RAW_RGB_TYPE:
             w, h = struct.unpack("<II", content[4:12])
             out.update(width=int(w), height=int(h), valid=True)
+        elif t == "image/webp":
+            out.update(_webp_dims(content))
         elif t == "audio/wav":
             import io
             import wave
@@ -731,6 +733,35 @@ def _probe_one(content: bytes) -> dict:
     except Exception:
         out["valid"] = False
     return out
+
+
+def _webp_dims(content: bytes) -> dict:
+    """Header-true WebP dimensions (r7) — chunk walk only, no decode:
+    VP8X carries a 24-bit canvas size, VP8L packs 14-bit w-1/h-1 after
+    the signature byte, lossy VP8 keyframes carry 14-bit dims at frame
+    offset 6."""
+    off = 12
+    while off + 8 <= len(content):
+        fourcc = content[off:off + 4]
+        (size,) = struct.unpack("<I", content[off + 4:off + 8])
+        p = content[off + 8:off + 8 + size]
+        if fourcc == b"VP8X" and len(p) >= 10:
+            w = 1 + int.from_bytes(p[4:7], "little")
+            h = 1 + int.from_bytes(p[7:10], "little")
+            return {"width": w, "height": h, "valid": True}
+        if fourcc == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+            bits = int.from_bytes(p[1:5], "little")
+            return {"width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1, "valid": True}
+        if fourcc == b"VP8 " and len(p) >= 10:
+            # keyframe: 3-byte frame tag, then 3-byte start code 9D 01 2A
+            if p[3:6] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", p[6:10])
+                return {"width": w & 0x3FFF, "height": h & 0x3FFF,
+                        "valid": True}
+            return {"valid": False}
+        off += 8 + size + (size & 1)
+    return {"valid": False}
 
 
 def _jpeg_dims(content: bytes) -> dict:

@@ -217,3 +217,27 @@ def test_larger_image_roundtrip():
     """O(1)-per-read bit reader: a crawl-thumbnail-sized image decodes
     (the old whole-payload big-int reader was O(bytes^2))."""
     _roundtrip(_rand_rgb(160, 192, seed=22))
+
+
+def test_probe_media_webp_dims():
+    """probe_media reports header-true WebP dimensions (r7): VP8L 14-bit
+    dims, VP8X 24-bit canvas, lossy-VP8 keyframe dims — chunk walk only."""
+    from cozo_spark.operators.multimodal import _probe_one
+
+    plain = encode_webp_lossless(_rand_rgb(23, 41, seed=30))
+    p = _probe_one(plain)
+    assert (p["width"], p["height"], p["valid"]) == (41, 23, True)
+    # VP8X-extended: canvas size from the extended header
+    vp8l_chunk = plain[12:]
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + b"\x00" * 4
+            + (41 - 1).to_bytes(3, "little") + (23 - 1).to_bytes(3, "little"))
+    body = b"WEBP" + vp8x + vp8l_chunk
+    ext = b"RIFF" + struct.pack("<I", len(body)) + body
+    p = _probe_one(ext)
+    assert (p["width"], p["height"], p["valid"]) == (41, 23, True)
+    # lossy keyframe: dims at frame offset 6 after the 9D 01 2A start code
+    frame = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    body = b"WEBP" + b"VP8 " + struct.pack("<I", len(frame)) + frame
+    lossy = b"RIFF" + struct.pack("<I", len(body)) + body
+    p = _probe_one(lossy)
+    assert (p["width"], p["height"], p["valid"]) == (640, 480, True)
