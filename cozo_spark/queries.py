@@ -2008,16 +2008,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (asof_join_events keeps temporal joins), events_rollup
 #   (reorder_sort_rank + promoted sort_topk keep ordered shapes),
 #   substring_dedup (minhash_lsh_pairs keeps shingle-hash dedup).
+# ROTATION (round 8, per VERDICT r7 directive 2): the 13 r6-demoted queries
+# (2 rounds driver-unchecked) are PROMOTED back inside the cap: agg_median,
+# semi_join, set_union_dedup, graph_cycle3, graph_two_hop,
+# graph_reachability, ngram_jaccard, embed_cosine_neardup, keyword_topk,
+# balanced_sample, window_running_sum, datalog_magic_var_seed,
+# text_bpe_tokens. Demoted r8 in their place — 13 shapes, ALL r6+r7
+# driver-verified (CORRECTNESS_r06 ∩ r07), never a pinned engine row, and
+# NOT simhash_pairs / minhash_lsh_pairs (their operators were rewritten
+# this round and need a fresh driver row). Families stay covered in-cap:
+#   agg_bool_bit + agg_product + agg_collect_unique + agg_group_count
+#     (agg_basic/agg_stats/agg_min_cost from r7 + promoted agg_median keep
+#     aggregates),
+#   set_intersect + set_except (promoted set_union_dedup keeps set ops),
+#   unify_explode (unify_expr from r7 keeps unification),
+#   limit_offset (sort_topk from r7 keeps ordered/limit; the :limit
+#     fixpoint early-exit stays unit-tested),
+#   scalar_json + scalar_datetime (scalar_string_math stays),
+#   datalog_two_hop (promoted graph_two_hop + graph_pattern_long stay),
+#   graph_closeness (graph_betweenness — r7's first row — keeps the
+#     centrality Dist family),
+#   doc_fingerprint (minhash/simhash + promoted ngram_jaccard keep
+#     hash-fingerprint dedup).
 DEMOTED: tuple = (
+    # r8-demoted (r6+r7 driver-verified)
+    "agg_bool_bit", "agg_product", "agg_collect_unique", "agg_group_count",
+    "set_intersect", "set_except", "unify_explode", "limit_offset",
+    "scalar_json", "scalar_datetime", "datalog_two_hop", "graph_closeness",
+    "doc_fingerprint",
+    # r7-demoted (r5+r6 driver-verified; due for promotion r9)
     "html_boilerplate_strip", "repetition_signals", "url_normalize_dedup",
     "decontaminate", "doc_chunking", "graph_triangles",
     "graph_three_hop_filter", "pq_code_dedup", "range_join_prices",
     "events_rollup", "substring_dedup",
-    "text_bpe_tokens",
-    "agg_median", "semi_join", "set_union_dedup", "graph_cycle3",
-    "graph_two_hop", "graph_reachability", "ngram_jaccard",
-    "embed_cosine_neardup", "keyword_topk", "balanced_sample",
-    "window_running_sum", "datalog_magic_var_seed",
+    # r5-demoted (r3+r4 driver-verified; 3 rounds unchecked — promote r9,
+    # they are the oldest debt after this rotation)
     "dedup_exact", "sessionize", "ann_cosine_topk",
     "graph_degree_centrality", "pack_sequences", "lang_id",
 )

@@ -125,7 +125,7 @@ def test_louvain_dist_matches_local_on_separable_graph(spark):
             + _clique_edges([20, 21, 22, 23])
             + [(5, 10, 0.5), (14, 20, 0.5)])   # weak bridges
     edges = spark.createDataFrame(rows, "src long, dst long, weight double")
-    dist = _partition(louvain_communities(edges))
+    dist = _partition(louvain_communities(edges, local_threshold=0))
     local = _partition(community_detection_louvain(edges))
     assert dist == local == [[1, 2, 3, 4, 5], [10, 11, 12, 13, 14],
                              [20, 21, 22, 23]]
@@ -138,7 +138,7 @@ def test_louvain_dist_weighted_and_string_nodes(spark):
             ("x", "y", 5.0), ("y", "z", 5.0), ("x", "z", 5.0),
             ("c", "x", 0.2)]
     edges = spark.createDataFrame(rows, "src string, dst string, weight double")
-    assert _partition(louvain_communities(edges)) == \
+    assert _partition(louvain_communities(edges, local_threshold=0)) == \
         [["a", "b", "c"], ["x", "y", "z"]]
 
 
@@ -153,7 +153,7 @@ def test_louvain_dist_multilevel_contracts(spark):
         rows += _clique_edges([base, base + 1, base + 2])
     rows += [(2, 10, 0.1), (12, 20, 0.1), (22, 30, 0.1), (32, 0, 0.1)]
     edges = spark.createDataFrame(rows, "src long, dst long, weight double")
-    part = _partition(louvain_communities(edges))
+    part = _partition(louvain_communities(edges, local_threshold=0))
     flat = sorted(n for grp in part for n in grp)
     assert flat == sorted({a for r in rows for a in r[:2]})
     # triangles must never be split across communities
@@ -184,7 +184,7 @@ def test_louvain_dist_engine_dispatch_and_plan(spark):
     edges = spark.createDataFrame(
         _clique_edges([1, 2, 3]) + _clique_edges([7, 8, 9]) + [(3, 7, 0.1)],
         "src long, dst long, weight double")
-    p = plan_properties(louvain_communities(edges))
+    p = plan_properties(louvain_communities(edges, local_threshold=0))
     assert "Exchange SinglePartition" not in p["plan"]
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in p["plan"]

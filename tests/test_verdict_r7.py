@@ -80,9 +80,9 @@ def test_louvain_equal_under_reliable_checkpoint(spark, reliable_ck):
             + [(a, b, 1.0) for a in range(10, 14) for b in range(10, 14)
                if a != b] + [(3, 10, 0.1)])
     edges = spark.createDataFrame(rows, "src long, dst long, weight double")
-    got = sorted(tuple(r) for r in louvain_communities(edges).collect())
+    got = sorted(tuple(r) for r in louvain_communities(edges, local_threshold=0).collect())
     spark.conf.unset("spark.cozo.checkpointDir")
-    want = sorted(tuple(r) for r in louvain_communities(edges).collect())
+    want = sorted(tuple(r) for r in louvain_communities(edges, local_threshold=0).collect())
     assert got == want
     comm = {}
     for c, n in got:
