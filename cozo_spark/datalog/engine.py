@@ -160,6 +160,144 @@ def _reaches_recursion(rules: dict) -> set:
     return reach
 
 
+def _extend_apps(atoms: list, name: str, extra: list) -> bool:
+    """Append `extra` args to every application of rule `name` in `atoms`
+    (in place, recursing through Conj/Disj). False if the rule is applied
+    under a Negation — the appended column would be unbound there, so the
+    hoist is unsound."""
+    for i, a in enumerate(atoms):
+        if isinstance(a, RuleApply) and a.name == name:
+            atoms[i] = RuleApply(name, list(a.args) + list(extra))
+        elif isinstance(a, Negation):
+            if _body_refs_rule([a.atom], name):
+                return False
+        elif isinstance(a, Conj):
+            if not _extend_apps(a.atoms, name, extra):
+                return False
+        elif isinstance(a, Disj):
+            if not _extend_apps(a.branches, name, extra):
+                return False
+    return True
+
+
+def _hoist_support_params(rules: dict) -> bool:
+    """Migrate Param args out of NON-RECURSIVE support rules into their
+    application sites (r8, VERDICT r7 #5) — a param in a support rule body
+    is the entry-level hoist applied one level down:
+
+        sup[x] := *r{a: x, b: $p}        ?[x] := sup[x]
+        ==>
+        sup[x, f] := *r{a: x, b: f}      ?[x] := sup[x, $p]
+
+    The Param lands at the application site, where _build_skeleton's
+    existing entry hoist (fresh var + eq residual, bind-time filter +
+    distinct re-projection) takes over — set semantics are preserved
+    because filter-then-project == project-then-filter for an equality on
+    the exported column. Iterates callers upward (params migrate along the
+    rule DAG; recursion is pre-gated by the caller, so this terminates).
+    Mutates `rules` in place; returns False on any ineligible shape:
+    multi-clause or aggregation-head param rules, params outside direct
+    RelApply/NamedRelApply/RuleApply args, application under Negation, a
+    FixedApply consuming the rewritten rule, ConstRule/FixedApply params.
+    """
+    for n, r in rules.items():
+        if n != "?" and rule_has_param(r) and not isinstance(r, list):
+            return False  # ConstRule / FixedApply params: nothing to hoist
+    all_vars: set = set()
+    for rule in rules.values():
+        if isinstance(rule, list):
+            for cl in rule:
+                all_vars |= _body_var_names(cl.body)
+                all_vars |= {h.name if isinstance(h, HeadVar) else h.var
+                             for h in cl.head}
+    counter = [0]
+
+    def _fresh() -> str:
+        while f"__prepsup{counter[0]}_" in all_vars:
+            counter[0] += 1
+        name = f"__prepsup{counter[0]}_"
+        counter[0] += 1
+        all_vars.add(name)
+        return name
+
+    for _ in range(len(rules) + 1):
+        target = next(
+            (n for n, r in rules.items()
+             if n != "?" and isinstance(r, list) and rule_has_param(r)),
+            None)
+        if target is None:
+            return True
+        clauses = rules[target]
+        if len(clauses) != 1:
+            return False  # disjunctive param rule: branch alignment unclear
+        cl = clauses[0]
+        if any(not isinstance(h, HeadVar) for h in cl.head):
+            return False  # aggregation head: hoisting changes multiplicity
+        from cozo_spark.datalog.translate import flatten_conjunction
+
+        body = flatten_conjunction(cl.body)
+        new_body: list = []
+        hoisted: list = []  # (fresh var name, Param)
+        for atom in body:
+            if not atom_has_param(atom):
+                new_body.append(atom)
+                continue
+            if isinstance(atom, (RelApply, RuleApply)):
+                if (isinstance(atom, RelApply) and atom.validity is not None
+                        and expr_has_param(atom.validity)):
+                    return False
+                new_args = []
+                for x in atom.args:
+                    if isinstance(x, Param):
+                        f = _fresh()
+                        new_args.append(Var(f))
+                        hoisted.append((f, x))
+                    elif x is not None and not isinstance(x, str) \
+                            and expr_has_param(x):
+                        return False  # param nested in an arg expression
+                    else:
+                        new_args.append(x)
+                new_body.append(
+                    RelApply(atom.name, new_args, atom.validity)
+                    if isinstance(atom, RelApply)
+                    else RuleApply(atom.name, new_args))
+            elif isinstance(atom, NamedRelApply):
+                if atom.validity is not None \
+                        and expr_has_param(atom.validity):
+                    return False
+                new_pairs = {}
+                for c, v in atom.pairs.items():
+                    if isinstance(v, Param):
+                        f = _fresh()
+                        new_pairs[c] = Var(f)
+                        hoisted.append((f, v))
+                    elif v is not None and expr_has_param(v):
+                        return False
+                    else:
+                        new_pairs[c] = v
+                new_body.append(
+                    NamedRelApply(atom.name, new_pairs, atom.validity))
+            else:
+                return False  # Cond/Unify/Negation/Disj/Search with params
+        if not hoisted:
+            return False  # defensive: param detected but not liftable
+        cl.body = new_body
+        cl.head = list(cl.head) + [HeadVar(f) for f, _ in hoisted]
+        extra = [p for _, p in hoisted]
+        for n2, r2 in rules.items():
+            if isinstance(r2, FixedApply):
+                if any(inp.kind == "rule" and inp.name == target
+                       for inp in r2.inputs):
+                    return False  # fixed rule consumes the changed arity
+                continue
+            if not isinstance(r2, list) or n2 == target:
+                continue
+            for cl2 in r2:
+                if not _extend_apps(cl2.body, target, extra):
+                    return False
+    return False  # did not converge (only possible with recursion)
+
+
 def _condensation(nodes: set, deps: dict) -> list[set]:
     """SCC condensation in dependency-first topological order (the reference
     uses petgraph's condensation in query/stratify.rs:225-314). Iterative
@@ -826,8 +964,14 @@ class CozoDb:
             # hoisted param strips the magic seed) — pre-gate instead
             if _reaches_recursion(dprog.rules):
                 return None
-        for rname, rule in dprog.rules.items():
-            if rname != "?" and rule_has_param(rule):
+        if any(rname != "?" and rule_has_param(rule)
+               for rname, rule in dprog.rules.items()):
+            # r8 (VERDICT r7 #5): params in NON-recursive support rules are
+            # hoisted to their application sites, where the entry hoist
+            # below takes over (recursion is pre-gated above for both
+            # paths, so the migration runs on a DAG). Ineligible shapes
+            # refuse the skeleton exactly like the old blanket gate.
+            if not _hoist_support_params(dprog.rules):
                 return None
         body = flatten_conjunction(clause.body)
         if _body_refs_rule(body, "?"):

@@ -282,10 +282,14 @@ def decode_png(content: bytes) -> "np.ndarray":
 
 
 def encode_png(pixels: "np.ndarray", interlace: bool = False) -> bytes:
-    """(H, W, 3) uint8 (or uint16 → depth-16) → PNG bytes (color type 2,
-    filter 0) — stdlib only; used by tests/fixtures and ::export of raw
-    images. ``interlace=True`` writes Adam7 pass-ordered scanlines
-    (fixture for the decoder path)."""
+    """(H, W, {1|3|4}) or (H, W) uint8 (or uint16 → depth-16) → PNG bytes
+    (color type 0/2/6 to match, filter 0) — stdlib only; used by
+    tests/fixtures and ::export of raw images. ``interlace=True`` writes
+    Adam7 pass-ordered scanlines (fixture for the decoder path).
+
+    r8 (found by the codec fuzz sweep): the IHDR color type previously
+    hard-coded 2 (RGB) whatever the channel count, so a grayscale input
+    silently produced a stream the decoder rejects."""
     import zlib
 
     a = np.asarray(pixels)
@@ -295,13 +299,19 @@ def encode_png(pixels: "np.ndarray", interlace: bool = False) -> bytes:
     else:
         a = a.astype(np.uint8)
         depth = 8
+    if a.ndim == 2:
+        a = a[..., None]
+    ctype = {1: 0, 3: 2, 4: 6}.get(a.shape[2])
+    if ctype is None:
+        raise ValueError(f"encode_png: unsupported channel count "
+                         f"{a.shape[2]} (expected 1, 3 or 4)")
     h, w = a.shape[0], a.shape[1]
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                        1 if interlace else 0)
     if interlace:
         parts = []

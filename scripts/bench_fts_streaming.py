@@ -1,0 +1,145 @@
+"""Measured wall-times for the FTS family and the stateful-streaming ops
+(VERDICT r7 directive 4) — the two families that had green correctness rows
+but no BENCH number at any scale factor.
+
+FTS rows (over $sf_dir/documents.parquet):
+  fts_index_build   tokenize + inverted index + per-term doc_freq,
+                    checkpoint-materialized (FtsIndex.build)
+  fts_search_and    TF-IDF 'filter AND join' top-50 on the built index —
+                    the classic skew shape (per-term posting-list join)
+  fts_search_or     'filter OR join' union scoring
+  fts_search_prefix prefix expansion 'fil*'
+  fts_engine_search the full engine path (::fts create + ~docs:ft atom),
+                    what the driver's oracle row runs end to end
+
+Streaming rows (micro-batch replay of the documents table as N parquet
+files, drained with trigger(availableNow), memory sink):
+  stream_running_counts   applyInPandasWithState cumulative counts
+  stream_exact_dedup      stateful first-seen exact dedup by content hash
+  stream_windowed_counts  watermarked sliding-window counts (events table)
+
+Usage: python scripts/bench_fts_streaming.py [sf_dir]
+Prints one JSON line {"metric": "fts_streaming_total", ...} like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+    from cozo_spark.session import get_spark
+
+    spark = get_spark("bench_fts_streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict = {}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # warm footers + JVM
+
+    # ---- FTS ----
+    from cozo_spark.operators.fts import FtsIndex
+
+    t0 = time.perf_counter()
+    idx = FtsIndex.build(docs, "text", "doc_id")
+    n_postings = idx.df.count()
+    timings["fts_index_build"] = round(time.perf_counter() - t0, 3)
+
+    for key, q in (("fts_search_and", "filter AND join"),
+                   ("fts_search_or", "filter OR join"),
+                   ("fts_search_prefix", "fil*")):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            idx.search(q, k=50).collect()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[key] = round(best, 3)
+
+    from cozo_spark import queries as Q
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        Q.QUERIES["fts_engine_search"](spark, sf_dir).collect()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    timings["fts_engine_search"] = round(best, 3)
+
+    # ---- stateful streaming: replay tables as micro-batched file streams
+    tmp = tempfile.mkdtemp(prefix="cozo_stream_bench_")
+    try:
+        # 8 micro-batch files of documents (maxFilesPerTrigger=1)
+        src_docs = os.path.join(tmp, "docs")
+        (docs.select("doc_id", "text").repartition(8)
+         .write.mode("overwrite").parquet(src_docs))
+        schema_docs = "doc_id LONG, text STRING"
+
+        from cozo_spark.streaming.stateful import (
+            running_counts, stream_exact_dedup, stream_windowed_counts)
+
+        def drain(out, name, mode):
+            q = (out.writeStream.format("memory").queryName(name)
+                 .option("checkpointLocation", os.path.join(tmp, name + "_ck"))
+                 .outputMode(mode).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            return spark.table(name).count()
+
+        t0 = time.perf_counter()
+        stream = (spark.readStream.schema(schema_docs)
+                  .option("maxFilesPerTrigger", "1").parquet(src_docs))
+        drain(running_counts(
+            stream.withColumn("k", (F.col("doc_id") % 64).cast("string")),
+            "k"), "b_counts", "update")
+        timings["stream_running_counts"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        stream = (spark.readStream.schema(schema_docs)
+                  .option("maxFilesPerTrigger", "1").parquet(src_docs))
+        n_uniq = drain(stream_exact_dedup(stream, "text"),
+                       "b_dedup", "append")
+        timings["stream_exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+        # events windowed counts (watermark + sliding window)
+        from cozo_spark.queries import _t
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        src_ev = os.path.join(tmp, "events")
+        ev.repartition(8).write.mode("overwrite").parquet(src_ev)
+        t0 = time.perf_counter()
+        stream = (spark.readStream
+                  .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+                  .option("maxFilesPerTrigger", "1").parquet(src_ev))
+        drain(stream_windowed_counts(stream, "ts",
+                                     window_duration="10 minutes",
+                                     slide="5 minutes",
+                                     watermark="30 minutes"),
+              "b_win", "append")
+        timings["stream_windowed_counts"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "fts_streaming_total", "value": total, "unit": "sec",
+        "queries": timings, "sf": sf,
+        "n_docs": n_docs, "n_postings": n_postings,
+        "dedup_uniques": n_uniq,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,10 +47,27 @@ TS_SHIFT = {"orders": "o_orderdate", "lineitem": "l_shipdate",
 COPY_AS_IS = ("nation", "region")
 
 
+# Opt-in value-domain widening (--widen-values, VERDICT r7 #7): the default
+# tiling repeats prices over a FIXED domain, so range-join candidate volume
+# densifies superlinearly by construction. A real 100x corpus widens its
+# value domain instead; these per-copy shifts keep each copy's price bands
+# aligned with its own lineitems (l_extendedprice shift = 20x the
+# p_retailprice shift — the band is retailprice*20 +/- 500), so matches
+# scale linearly like a real corpus.
+VALUE_SHIFT = {
+    "part": {"p_retailprice": 5_000.0},
+    "lineitem": {"l_extendedprice": 100_000.0},
+}
+WIDEN = False
+
+
 def _copy(df, table: str, c: int):
     out = df
     for col, off in OFFSETS.get(table, {}).items():
         out = out.withColumn(col, F.col(col) + F.lit(c * off))
+    if WIDEN:
+        for col, off in VALUE_SHIFT.get(table, {}).items():
+            out = out.withColumn(col, F.col(col) + F.lit(c * off))
     ts_col = TS_SHIFT.get(table)
     if ts_col and c:
         out = out.withColumn(
@@ -71,8 +88,11 @@ def _copy(df, table: str, c: int):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else str(
+    global WIDEN
+    args = [a for a in sys.argv[1:] if a != "--widen-values"]
+    WIDEN = "--widen-values" in sys.argv[1:]
+    n = int(args[0]) if args else 10
+    out_dir = args[1] if len(args) > 1 else str(
         Path(__file__).resolve().parents[1] / ".localdata" / "sf1")
     os.makedirs(out_dir, exist_ok=True)
     from cozo_spark.session import get_spark

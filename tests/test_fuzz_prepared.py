@@ -47,15 +47,29 @@ def _gen(rnd: random.Random):
         return f"${name}"
 
     body = []
-    use_helper = rnd.random() < 0.35
+    use_helper = rnd.random() < 0.45
     helper = ""
     if use_helper:
-        helper = "helper[k, v] := *t{k, v}\n"
-        if rnd.random() < 0.5:
-            body.append(f"helper[{p(rnd.randrange(0, 50))}, v]")
-            body.append("k = 1")
-        else:
+        r = rnd.random()
+        if r < 0.35:
+            # r8 (VERDICT r7 #5): param INSIDE the support rule body —
+            # hoisted to the application site by _hoist_support_params
+            sv = p("s" + str(rnd.randrange(0, 5)))
+            helper = f"helper[k, v] := *t{{k, v, s: {sv}}}\n"
             body.append("helper[k, v]")
+        elif r < 0.55:
+            # r8: two-level support chain with the param at the bottom
+            sv = p("s" + str(rnd.randrange(0, 5)))
+            helper = (f"base[k, v] := *t[k, v, {sv}]\n"
+                      "helper[k, v] := base[k, v]\n")
+            body.append("helper[k, v]")
+        else:
+            helper = "helper[k, v] := *t{k, v}\n"
+            if rnd.random() < 0.5:
+                body.append(f"helper[{p(rnd.randrange(0, 50))}, v]")
+                body.append("k = 1")
+            else:
+                body.append("helper[k, v]")
     else:
         style = rnd.choice(["named", "pos"])
         if style == "named":
