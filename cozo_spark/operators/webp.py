@@ -657,8 +657,14 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 
 def decode_webp(content: bytes) -> np.ndarray:
     """RIFF/WEBP container -> (H, W, 3) uint8 RGB (alpha dropped, matching
-    decode_image's contract). Lossless (VP8L) decodes for real — plain and
-    VP8X-extended layouts; lossy (VP8) stays gated."""
+    decode_image's contract). Lossless (VP8L) decodes for real with the
+    from-scratch decoder above — plain and VP8X-extended layouts, pinned
+    against FOREIGN libwebp bitstreams (tests/test_webp_native.py). Lossy
+    (VP8) decodes through the system libwebp when present (r8,
+    operators/webp_native.py — the from-scratch RFC 6386 path is blocked
+    on ~2,000 spec constants unavailable offline; inventing them would
+    pass same-hand roundtrips while corrupting real files) and keeps the
+    narrowed gate otherwise."""
     if len(content) < 16 or content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("not a RIFF/WEBP container")
     off = 12
@@ -669,9 +675,14 @@ def decode_webp(content: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(payload)[..., :3]
         if fourcc == b"VP8 ":
+            from cozo_spark.operators import webp_native
+
+            if webp_native.available():
+                return webp_native.decode_rgb(content)
             raise NotImplementedError(
-                "lossy WebP (VP8) requires a codec library not present in "
-                "this container; lossless WebP (VP8L) decodes lib-free")
+                "lossy WebP (VP8) decode requires the system libwebp "
+                "shared library, which is not present on this host; "
+                "lossless WebP (VP8L) decodes lib-free")
         # VP8X / ALPH / ICCP / EXIF / XMP / ANIM: keep scanning
         off += 8 + size + (size & 1)
     raise ValueError("WEBP container has no VP8L or VP8 chunk")
