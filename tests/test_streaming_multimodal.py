@@ -108,10 +108,10 @@ def test_image_features(media):
 
 
 def test_real_decode_is_gated_for_compressed_formats(spark):
-    """PNG/WAV/JPEG/GIF and (since r7) lossless WebP decode for real;
-    remaining compressed formats (lossy VP8 WebP, MP3 PCM) still gate on
-    the missing library — the error surfaces from the executor kernel at
-    action time."""
+    """PNG/WAV/JPEG/GIF, lossless WebP (r7), and — when the system libwebp
+    is present — lossy VP8 (r8) decode for real; a CORRUPT lossy payload
+    must error cleanly from the executor kernel either way, and MP3 PCM
+    still gates on the genuinely missing library."""
     import struct as _s
 
     from cozo_spark.operators.multimodal import (
@@ -126,7 +126,10 @@ def test_real_decode_is_gated_for_compressed_formats(spark):
              {"width": None, "height": None, "duration_ms": 1000,
               "sample_rate": 44100})]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="codec library|NotImplementedError"):
+    with pytest.raises(
+            Exception,
+            match="codec library|NotImplementedError|could not decode|"
+                  "libwebp"):
         extract_image_features(
             media.filter("media_type = 'image/webp'"), fake=False).collect()
     with pytest.raises(Exception, match="codec library|NotImplementedError"):

@@ -146,11 +146,21 @@ def test_decode_image_dispatch():
     np.testing.assert_array_equal(out, img)
 
 
-def test_lossy_vp8_still_gated():
+def test_lossy_vp8_gated_or_rejected():
+    """r8: a VP8 chunk decodes through the system libwebp when present
+    (this garbage payload must then be REJECTED, not decoded); without the
+    library the narrowed NotImplementedError gate stays
+    (test_webp_native.py covers the real decode + forced-absent gate)."""
+    from cozo_spark.operators import webp_native
+
     fake = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
             + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
-    with pytest.raises(NotImplementedError, match="lossy WebP"):
-        decode_webp(fake)
+    if webp_native.available():
+        with pytest.raises(ValueError, match="could not decode"):
+            decode_webp(fake)
+    else:
+        with pytest.raises(NotImplementedError, match="lossy WebP"):
+            decode_webp(fake)
 
 
 def test_vp8x_extended_layout_reaches_vp8l():
