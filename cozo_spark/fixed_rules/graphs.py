@@ -882,16 +882,19 @@ def louvain_communities(
         k = g.groupBy("a").agg(F.sum("w").alias("k"))
         comm = _checkpoint(k.select(F.col("a").alias("n_"),
                                     F.col("a").alias("c"), "k"))
-        prev_moved = 1
-        for rnd in range(max_iter):
-            sigma = comm.groupBy("c").agg(F.sum("k").alias("sig"))
+        floor = max(delta, 0.0) + 1e-12
+
+        def _round(comm_in, rnd: int):
+            """One synchronous local-move sub-round as a LAZY frame + its
+            observe handle (move count rides whatever action executes it)."""
+            sigma = comm_in.groupBy("c").agg(F.sum("k").alias("sig"))
             nbrc = (g.filter(F.col("a") != F.col("b"))
-                    .join(comm.select(F.col("n_").alias("b"),
-                                      F.col("c").alias("cb")), "b")
+                    .join(comm_in.select(F.col("n_").alias("b"),
+                                         F.col("c").alias("cb")), "b")
                     .groupBy("a", "cb").agg(F.sum("w").alias("win")))
             cand = (nbrc
-                    .join(comm.select(F.col("n_").alias("a"),
-                                      F.col("c").alias("c0"), "k"), "a")
+                    .join(comm_in.select(F.col("n_").alias("a"),
+                                         F.col("c").alias("c0"), "k"), "a")
                     .join(sigma.select(F.col("c").alias("cb"),
                                        F.col("sig").alias("sigb")), "cb")
                     .withColumn(
@@ -904,7 +907,6 @@ def louvain_communities(
             best = (cand.groupBy("a", "c0")
                     .agg(F.min(F.struct((-F.col("gain")).alias("ng"),
                                         F.col("cb").alias("cb"))).alias("m")))
-            floor = max(delta, 0.0) + 1e-12
             # per-ROUND hash parity: a fixed parity can trap a swap cycle
             # inside one class forever (x<->y each round); re-drawing the
             # halves every round breaks any such cycle with prob. 1/2
@@ -913,35 +915,68 @@ def louvain_communities(
                               F.col("n_").cast("string"), F.lit(rnd))),
                               F.lit(2)) == F.lit(rnd % 2)),
                           F.col("m.cb")).otherwise(F.col("c0"))
-            # move count rides the checkpoint materialization (one action
-            # per round, same Observation trick as _checkpoint_count)
             from pyspark.sql import Observation
             obs = Observation(f"__louvain_{next(_OBS_SEQ)}")
-            upd = (comm.join(best.select(F.col("a").alias("n_"),
-                                         "c0", "m"), "n_", "left")
+            upd = (comm_in.join(best.select(F.col("a").alias("n_"),
+                                            "c0", "m"), "n_", "left")
                    .select("n_", F.col("c").alias("pc"),
                            F.coalesce(pick, F.col("c")).alias("c"), "k")
                    .observe(obs, F.sum((F.col("c") != F.col("pc"))
                                        .cast("long")).alias("moved"))
                    .drop("pc"))
-            comm = _checkpoint(upd)
+            return upd, obs
+
+        def _moved(obs) -> int:
             try:
-                moved = int(obs.get["moved"] or 0)
+                return int(obs.get["moved"] or 0)
             except Exception:
                 # defensive only — observable-metric delivery is verified
-                # for BOTH localCheckpoint and reliable checkpoint on this
-                # Spark (test_verdict_r7). If it ever fails, run the full
+                # for BOTH checkpoint modes incl. upstream observe nodes
+                # (test_verdict_r7/r8). If it ever fails, run the full
                 # max_iter rounds (correct, just slower) and SAY so.
                 _log.warning(
                     "Louvain: observation delivery failed — early-exit "
                     "convergence disabled, running all %d rounds per "
                     "level", max_iter)
-                moved = 1
-            if _dbg:
-                print(f"[louvain]   rnd {rnd} moved={moved}", flush=True)
-            if moved == 0 and prev_moved == 0:
-                break  # two consecutive quiet half-rounds: local optimum
-            prev_moved = moved
+                return 1
+
+        # r8 (VERDICT r7 #1 second half): two parity sub-rounds fold into
+        # ONE checkpoint action — the even half's observe node rides the
+        # odd half's materialization (CollectMetrics delivers for every
+        # node in the executed plan), halving the per-round driver-action
+        # constant that dominates the Dist path. Break decisions replay
+        # the original per-round order exactly; stopping after the even
+        # half re-checkpoints its (cheap, one-join-deep) lazy frame.
+        prev_moved, rnd = 1, 0
+        while rnd < max_iter:
+            upd0, obs0 = _round(comm, rnd)
+            if rnd + 1 < max_iter:
+                upd1, obs1 = _round(upd0, rnd + 1)
+                comm = _checkpoint(upd1)
+                moved0, moved1 = _moved(obs0), _moved(obs1)
+                if _dbg:
+                    print(f"[louvain]   rnd {rnd} moved={moved0}; "
+                          f"rnd {rnd+1} moved={moved1}", flush=True)
+                if moved0 == 0 and prev_moved == 0:
+                    # the per-round loop would have stopped BEFORE the odd
+                    # half: restore that state (upd0 references the prior
+                    # checkpoint — one cheap terminal action)
+                    comm = _checkpoint(upd0)
+                    break
+                if moved1 == 0 and moved0 == 0:
+                    break
+                prev_moved = moved1
+                rnd += 2
+            else:
+                comm = _checkpoint(upd0)
+                moved0 = _moved(obs0)
+                if _dbg:
+                    print(f"[louvain]   rnd {rnd} moved={moved0}",
+                          flush=True)
+                if moved0 == 0 and prev_moved == 0:
+                    break
+                prev_moved = moved0
+                rnd += 1
         assign = comm.select(F.col("n_").alias("node_"), F.col("c"))
         mapping = _checkpoint(
             mapping.join(assign, mapping["super"] == assign["node_"])

@@ -55,9 +55,16 @@ def main() -> None:
     nc = G.closeness_centrality_dist(edges, **kw).count()
     timings["closeness_dist"] = round(time.perf_counter() - t0, 2)
 
+    # default path (r8: small graphs route to the driver-side rule) AND
+    # the forced distributed path, so the gate's effect and the paired
+    # -round Dist improvement are both visible
     t0 = time.perf_counter()
     nl = G.louvain_communities(edges).count()
+    timings["louvain_auto"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    nld = G.louvain_communities(edges, local_threshold=0).count()
     timings["louvain_dist"] = round(time.perf_counter() - t0, 2)
+    assert nl == nld, (nl, nld)
 
     assert nb == nc == n_nodes, (nb, nc, n_nodes)
     print(json.dumps({

@@ -109,7 +109,12 @@ def test_multimodal_decode_image_dispatch():
     import struct as _struct
     lossy = (b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
              + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4)
-    with pytest.raises(NotImplementedError, match="codec"):
+    # r8: lossy VP8 decodes via the system libwebp when present, so this
+    # GARBAGE payload must be rejected cleanly; without the library the
+    # NotImplementedError gate stays
+    from cozo_spark.operators import webp_native
+    exc = ValueError if webp_native.available() else NotImplementedError
+    with pytest.raises(exc):
         decode_image(lossy, "image/webp")
 
 
