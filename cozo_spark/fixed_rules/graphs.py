@@ -940,43 +940,27 @@ def louvain_communities(
                     "level", max_iter)
                 return 1
 
-        # r8 (VERDICT r7 #1 second half): two parity sub-rounds fold into
-        # ONE checkpoint action — the even half's observe node rides the
-        # odd half's materialization (CollectMetrics delivers for every
-        # node in the executed plan), halving the per-round driver-action
-        # constant that dominates the Dist path. Break decisions replay
-        # the original per-round order exactly; stopping after the even
-        # half re-checkpoints its (cheap, one-join-deep) lazy frame.
-        prev_moved, rnd = 1, 0
-        while rnd < max_iter:
-            upd0, obs0 = _round(comm, rnd)
-            if rnd + 1 < max_iter:
-                upd1, obs1 = _round(upd0, rnd + 1)
-                comm = _checkpoint(upd1)
-                moved0, moved1 = _moved(obs0), _moved(obs1)
-                if _dbg:
-                    print(f"[louvain]   rnd {rnd} moved={moved0}; "
-                          f"rnd {rnd+1} moved={moved1}", flush=True)
-                if moved0 == 0 and prev_moved == 0:
-                    # the per-round loop would have stopped BEFORE the odd
-                    # half: restore that state (upd0 references the prior
-                    # checkpoint — one cheap terminal action)
-                    comm = _checkpoint(upd0)
-                    break
-                if moved1 == 0 and moved0 == 0:
-                    break
-                prev_moved = moved1
-                rnd += 2
-            else:
-                comm = _checkpoint(upd0)
-                moved0 = _moved(obs0)
-                if _dbg:
-                    print(f"[louvain]   rnd {rnd} moved={moved0}",
-                          flush=True)
-                if moved0 == 0 and prev_moved == 0:
-                    break
-                prev_moved = moved0
-                rnd += 1
+        # NOTE (r8, measured negative result): folding two parity
+        # sub-rounds under ONE checkpoint action — the VERDICT r7 #1
+        # "checkpoint every K rounds" suggestion — was implemented and
+        # benchmarked at sf0.1-forced-Dist: 53.6 s unpersisted (the odd
+        # half references the even half 4x with no cross-branch subplan
+        # reuse) and 55.9 s with the even half persisted, vs 40-46 s for
+        # per-round checkpoints. The per-round action overhead is NOT the
+        # dominant cost; plan-analysis + cache-management overhead of the
+        # folded plan exceeds the saved action. Kept per-round. The
+        # user-facing fix for small graphs is the local_threshold gate
+        # above; above the gate the per-round shape stands.
+        prev_moved = 1
+        for rnd in range(max_iter):
+            upd, obs = _round(comm, rnd)
+            comm = _checkpoint(upd)
+            moved = _moved(obs)
+            if _dbg:
+                print(f"[louvain]   rnd {rnd} moved={moved}", flush=True)
+            if moved == 0 and prev_moved == 0:
+                break  # two consecutive quiet half-rounds: local optimum
+            prev_moved = moved
         assign = comm.select(F.col("n_").alias("node_"), F.col("c"))
         mapping = _checkpoint(
             mapping.join(assign, mapping["super"] == assign["node_"])
