@@ -135,3 +135,28 @@ def test_gate_message_when_library_absent(monkeypatch):
     monkeypatch.setattr(WN, "_load_err", "forced-absent (test)")
     with pytest.raises(NotImplementedError, match="libwebp"):
         decode_webp(lossy)
+
+
+def test_lossy_webp_through_spark_pipeline(spark):
+    """End-to-end Spark plumbing: real lossy-VP8 bytes flow through the
+    mapInPandas feature kernel (decode happens on the executor via the
+    gated binding) — the r7 gate no longer blocks the crawl path."""
+    from cozo_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_image_features, probe_media)
+
+    rnd = np.random.RandomState(17)
+    imgs = [np.tile(rnd.randint(0, 256, (1, 8, 3)).astype(np.uint8),
+                    (16, 2, 1)) for _ in range(4)]
+    rows = [(i, "image/webp", N.encode_lossy(im, quality=85.0),
+             {"width": None, "height": None, "duration_ms": None,
+              "sample_rate": None})
+            for i, im in enumerate(imgs)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    probed = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert all(probed[i]["width"] == 16 and probed[i]["height"] == 16
+               for i in range(4))
+    feats = extract_image_features(media, fake=False).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert all(f == f for f in r["features"])  # no NaNs
