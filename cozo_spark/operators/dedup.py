@@ -499,10 +499,14 @@ def simhash_near_pairs(
         warn_keys=("star_groups",))
 
     # --- stage 1: hamming-0 pairs inside identical-signature groups ---
+    # join strategy is left to Catalyst/AQE: the duplicated-signature set
+    # can itself be huge at corpus scale (100M+ rows on a 1B-doc crawl),
+    # so a forced broadcast would pin it on the driver; AQE broadcasts it
+    # only when the runtime size allows
     dup_groups = groups.filter(F.col("n") >= 2)
     small_ids = sigs.join(
-        F.broadcast(dup_groups.filter(F.col("n") <= _MAX_BUCKET)
-                    .select("simhash")), "simhash")
+        dup_groups.filter(F.col("n") <= _MAX_BUCKET).select("simhash"),
+        "simhash")
     intra_small = (
         small_ids.alias("a")
         .join(small_ids.alias("b"),
@@ -513,7 +517,7 @@ def simhash_near_pairs(
                 F.lit(0).cast("long").alias("hamming")))
     big_groups = dup_groups.filter(F.col("n") > _MAX_BUCKET)
     intra_star = (
-        sigs.join(F.broadcast(big_groups.select("simhash", "rep")), "simhash")
+        sigs.join(big_groups.select("simhash", "rep"), "simhash")
         .filter(F.col(id_col) != F.col("rep"))
         .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"),
                 F.lit(0).cast("long").alias("hamming")))
