@@ -242,6 +242,24 @@ def subst_params_expr(e, params: dict):
     return e
 
 
+def rename_vars_expr(e, mapping: dict):
+    """Rename Var nodes per ``mapping`` (missing names unchanged) — used by
+    the prepared-statement support-rule hoist to re-home a migrated filter
+    condition onto the application site's fresh argument variables."""
+    if isinstance(e, Var):
+        new = mapping.get(e.name)
+        return Var(new) if new is not None else e
+    if isinstance(e, Call):
+        return Call(e.fn, tuple(rename_vars_expr(a, mapping) for a in e.args))
+    if isinstance(e, ListEx):
+        return ListEx(tuple(rename_vars_expr(x, mapping) for x in e.items))
+    if isinstance(e, ObjectEx):
+        return ObjectEx(tuple((rename_vars_expr(k, mapping),
+                               rename_vars_expr(v, mapping))
+                              for k, v in e.pairs))
+    return e
+
+
 def _maybe_expr_has_param(x) -> bool:
     """args lists mix var-name strings, None, and Expr nodes."""
     return x is not None and not isinstance(x, str) and expr_has_param(x)

@@ -33,7 +33,7 @@ from cozo_spark.datalog.ast import (
     ListEx, NamedRelApply, Negation, OutOpts, Param, Program, RelApply,
     RuleApply, RuleClause, SearchApply, TableSchema, Unify, Var, _atom_nondet,
     atom_has_param, expr_has_param, expr_nondet, expr_vars, program_nondet,
-    rule_has_param, subst_params_expr,
+    rename_vars_expr, rule_has_param, subst_params_expr,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -160,23 +160,55 @@ def _reaches_recursion(rules: dict) -> set:
     return reach
 
 
-def _extend_apps(atoms: list, name: str, extra: list) -> bool:
+def _extend_apps(atoms: list, name: str, extra: list,
+                 cond_pack: tuple | None = None, fresh=None) -> bool:
     """Append `extra` args to every application of rule `name` in `atoms`
     (in place, recursing through Conj/Disj). False if the rule is applied
     under a Negation — the appended column would be unbound there, so the
-    hoist is unsound."""
-    for i, a in enumerate(atoms):
+    hoist is unsound.
+
+    ``cond_pack`` = (alias_vars, cond_exprs): filter conditions migrated
+    OUT of the hoisted rule (r9, VERDICT r8 #3). ``alias_vars`` are the
+    rule's newly-exported head variables in head order (appended AFTER the
+    param exports, matching the arg order here); for each application site
+    a fresh site-local variable is generated per alias (via ``fresh``),
+    appended as the corresponding arg, and each migrated condition is
+    re-inserted right after the application with its variables renamed to
+    the site's fresh args — the filter applies to exactly the rows it
+    filtered inside the rule, at a level closer to the entry where the
+    entry hoist residualizes it."""
+    i = 0
+    while i < len(atoms):
+        a = atoms[i]
         if isinstance(a, RuleApply) and a.name == name:
-            atoms[i] = RuleApply(name, list(a.args) + list(extra))
+            args = list(a.args) + list(extra)
+            inserts: list = []
+            if cond_pack is not None:
+                alias_vars, cond_exprs = cond_pack
+                mapping = {v: fresh() for v in alias_vars}
+                args += [Var(mapping[v]) for v in alias_vars]
+                inserts = [Cond(rename_vars_expr(e, mapping))
+                           for e in cond_exprs]
+            atoms[i] = RuleApply(name, args)
+            atoms[i + 1:i + 1] = inserts
+            i += len(inserts)
         elif isinstance(a, Negation):
             if _body_refs_rule([a.atom], name):
                 return False
         elif isinstance(a, Conj):
-            if not _extend_apps(a.atoms, name, extra):
+            if not _extend_apps(a.atoms, name, extra, cond_pack, fresh):
                 return False
         elif isinstance(a, Disj):
-            if not _extend_apps(a.branches, name, extra):
-                return False
+            for j, br in enumerate(a.branches):
+                if isinstance(br, (Conj, Negation, Disj)):
+                    if not _extend_apps([br], name, extra, cond_pack, fresh):
+                        return False
+                elif isinstance(br, RuleApply) and br.name == name:
+                    sub = [br]
+                    if not _extend_apps(sub, name, extra, cond_pack, fresh):
+                        return False
+                    a.branches[j] = sub[0] if len(sub) == 1 else Conj(sub)
+        i += 1
     return True
 
 
@@ -195,11 +227,26 @@ def _hoist_support_params(rules: dict) -> bool:
     because filter-then-project == project-then-filter for an equality on
     the exported column. Iterates callers upward (params migrate along the
     rule DAG; recursion is pre-gated by the caller, so this terminates).
+    r9 (VERDICT r8 #3): params inside FILTER conditions of support rules
+    (`sup[x] := *r{a: x, b: y}, y > $lo`) are migrated too — the most
+    common prepared shape. The whole Cond is lifted out of the rule: each
+    of its variables gains a fresh alias export (`f = y` + head var, so
+    head names never collide), and every application site re-inserts the
+    condition over site-fresh argument vars, where the next level up (or
+    the entry hoist's Cond residualization) takes over. Set semantics are
+    preserved by the same argument as the arg-position hoist: the rule's
+    store grows unfiltered rows distinct on the widened head, the migrated
+    filter keeps exactly the rows the in-rule filter kept, and the entry's
+    distinct re-projection restores the original column set.
+
     Mutates `rules` in place; returns False on any ineligible shape:
     multi-clause or aggregation-head param rules, params outside direct
-    RelApply/NamedRelApply/RuleApply args, application under Negation, a
-    FixedApply consuming the rewritten rule, ConstRule/FixedApply params.
+    RelApply/NamedRelApply/RuleApply args or whole Cond atoms, application
+    under Negation, a FixedApply consuming the rewritten rule,
+    ConstRule/FixedApply params, condition vars not bound by a positive
+    atom of the same body.
     """
+    from cozo_spark.datalog.translate import _atom_output_vars
     for n, r in rules.items():
         if n != "?" and rule_has_param(r) and not isinstance(r, list):
             return False  # ConstRule / FixedApply params: nothing to hoist
@@ -220,7 +267,10 @@ def _hoist_support_params(rules: dict) -> bool:
         all_vars.add(name)
         return name
 
-    for _ in range(len(rules) + 1):
+    # budget: a caller already de-parameterized can regain params when a
+    # callee defined later is processed (caller-before-callee dict order),
+    # so a k-rule param chain can need up to O(k^2) processings (ADVICE r8)
+    for _ in range(len(rules) ** 2 + 1):
         target = next(
             (n for n, r in rules.items()
              if n != "?" and isinstance(r, list) and rule_has_param(r)),
@@ -238,9 +288,13 @@ def _hoist_support_params(rules: dict) -> bool:
         body = flatten_conjunction(cl.body)
         new_body: list = []
         hoisted: list = []  # (fresh var name, Param)
+        pend_conds: list = []  # whole Cond exprs to migrate to call sites
         for atom in body:
             if not atom_has_param(atom):
                 new_body.append(atom)
+                continue
+            if isinstance(atom, Cond):
+                pend_conds.append(atom.expr)
                 continue
             if isinstance(atom, (RelApply, RuleApply)):
                 if (isinstance(atom, RelApply) and atom.validity is not None
@@ -278,11 +332,34 @@ def _hoist_support_params(rules: dict) -> bool:
                 new_body.append(
                     NamedRelApply(atom.name, new_pairs, atom.validity))
             else:
-                return False  # Cond/Unify/Negation/Disj/Search with params
-        if not hoisted:
+                return False  # Unify/Negation/Disj/Search with params
+        if not hoisted and not pend_conds:
             return False  # defensive: param detected but not liftable
+        cond_pack = None
+        alias_order: list = []   # orig var names, head-append order
+        if pend_conds:
+            binds: set = set()
+            for a in new_body:
+                binds |= _atom_output_vars(a)
+            cvars: set = set()
+            for e in pend_conds:
+                cvars |= expr_vars(e)
+            if not cvars <= binds:
+                return False  # cond var unbound by a positive atom
+            if any(expr_nondet(e) for e in pend_conds):
+                return False  # re-evaluating at the site would re-roll
+            alias_of: dict = {}
+            for v in sorted(cvars):
+                f = _fresh()
+                alias_of[v] = f
+                new_body.append(Unify(f, Var(v)))
+                alias_order.append(f)
+            # site conds reference the EXPORT names (renamed per site)
+            pend_conds = [rename_vars_expr(e, alias_of) for e in pend_conds]
+            cond_pack = (alias_order, pend_conds)
         cl.body = new_body
-        cl.head = list(cl.head) + [HeadVar(f) for f, _ in hoisted]
+        cl.head = (list(cl.head) + [HeadVar(f) for f, _ in hoisted]
+                   + [HeadVar(f) for f in alias_order])
         extra = [p for _, p in hoisted]
         for n2, r2 in rules.items():
             if isinstance(r2, FixedApply):
@@ -293,9 +370,11 @@ def _hoist_support_params(rules: dict) -> bool:
             if not isinstance(r2, list) or n2 == target:
                 continue
             for cl2 in r2:
-                if not _extend_apps(cl2.body, target, extra):
+                if not _extend_apps(cl2.body, target, extra,
+                                    cond_pack, _fresh):
                     return False
-    return False  # did not converge (only possible with recursion)
+    return False  # budget exhausted: recursion (pre-gated by callers) or
+    #               a param chain deeper than the O(k^2) bound
 
 
 def _condensation(nodes: set, deps: dict) -> list[set]:
@@ -912,7 +991,8 @@ class CozoDb:
         return res
 
     def _build_skeleton(self, script: str, params: dict) -> Optional[dict]:
-        from cozo_spark.datalog.translate import flatten_conjunction
+        from cozo_spark.datalog.translate import (_atom_output_vars,
+                                                  flatten_conjunction)
 
         try:
             dprog = parse_script(script, params, defer_params=True)
@@ -978,6 +1058,10 @@ class CozoDb:
             return None  # self-recursive entry: hoisting would change the fixpoint
         skel_body: list = []
         residuals: list = []
+        computed: list = []    # (var, expr, multi): bind-time columns (r9)
+        comp_names: set = set()
+        outside_binds = None   # lazily: vars bound by non-param-unify atoms
+        unify_param_ids: set = set()
         used_names = set(head_names) | _body_var_names(body)
         fresh_n = 0
 
@@ -1034,16 +1118,69 @@ class CozoDb:
                 skel_body.append(
                     NamedRelApply(atom.name, new_pairs, atom.validity))
                 continue
-            return None  # Unify/Negation/Disj/Search with params: unsound to hoist
+            if isinstance(atom, Unify) and not agg_head and atom.var != "_":
+                # r9 (VERDICT r8 #3): unification with params —
+                #   `y = $k * 2`  (binding: compute the column at bind time)
+                #   `*r{a: y}, y = $p + 1`  (y bound elsewhere: filter)
+                # The agg path refuses: its raw-stream head translation
+                # needs every head var bound inside the skeleton.
+                y = atom.var
+                if outside_binds is None:
+                    unify_param_ids = {
+                        id(a) for a in body
+                        if isinstance(a, Unify) and atom_has_param(a)}
+                    outside_binds = set().union(
+                        *(_atom_output_vars(a) for a in body
+                          if id(a) not in unify_param_ids), set())
+                if y in outside_binds or y in comp_names:
+                    if atom.multi:
+                        return None  # membership filter: multiplicity-laden
+                    # raw == like the translator's bound-unify filter (the
+                    # compile_expr eq would fold type mismatches to False)
+                    residuals.append(Call("__raw_eq", (Var(y), atom.expr)))
+                    continue
+                if expr_nondet(atom.expr):
+                    # skeleton distinct collapses rows BEFORE the draw —
+                    # fewer random values than the unprepared evaluation
+                    return None
+                if not expr_vars(atom.expr) <= (comp_names | outside_binds):
+                    return None  # unbound / forward computed chain: the
+                    #               unprepared path reports or evaluates
+                for a in body:
+                    if (id(a) == id(atom) or isinstance(a, Cond)
+                            or id(a) in unify_param_ids):
+                        continue  # param-free Conds on y move below; later
+                        #           param unifies compile after y at bind
+                    if y in _body_var_names([a]):
+                        return None  # y feeds a join/negation/search
+                computed.append((y, atom.expr, atom.multi))
+                comp_names.add(y)
+                continue
+            return None  # Negation/Disj/Search with params: unsound to hoist
+        if comp_names:
+            kept = []
+            for a in skel_body:
+                # param-free filters over a computed column evaluate at
+                # bind time too (same pre-projection position)
+                if isinstance(a, Cond) and expr_vars(a.expr) & comp_names:
+                    residuals.append(a.expr)
+                else:
+                    kept.append(a)
+            skel_body = kept
         resid_vars: set = set()
         for r in residuals:
             resid_vars |= expr_vars(r)
+        for _, e, _m in computed:
+            resid_vars |= expr_vars(e)
+        resid_vars -= comp_names
         if agg_head:
             return self._build_skeleton_agg(script, params, dprog, clause,
                                             skel_body, residuals, resid_vars,
                                             head_names)
-        ext = head_names + [v for v in sorted(resid_vars)
-                            if v not in head_names]
+        base = [h for h in head_names if h not in comp_names]
+        ext = base + [v for v in sorted(resid_vars) if v not in set(base)]
+        if not ext:
+            return None  # every head var is computed: no skeleton body cols
         skel_prog = Program(rules=dict(dprog.rules), opts=OutOpts())
         skel_prog.rules["?"] = [
             RuleClause([HeadVar(v) for v in ext], skel_body)]
@@ -1064,7 +1201,12 @@ class CozoDb:
         ent = {
             "df": skel_df, "residuals": tuple(residuals),
             "head": tuple(head_names),
-            "extras": len(ext) > len(head_names),
+            "computed": tuple(computed),
+            # distinct re-projection needed when the skeleton carries
+            # columns beyond the (non-computed) head, or an exploding
+            # `y in list` can duplicate rows
+            "extras": (len(ext) > len(base)
+                       or any(m for _, _, m in computed)),
             "spark": self.spark, "snapshot": self._rel_snapshot(),
             "rel_refs": tuple((n, rel.df)
                               for n, rel in sorted(self.relations.items())),
@@ -1212,6 +1354,15 @@ class CozoDb:
         skel_df = ent["df"]
         bound = set(skel_df.columns)
         typer = _df_typer(skel_df)
+        df = skel_df
+        for y, e, multi in ent.get("computed", ()):
+            # bind-time column: the hoisted `y = <expr($p)>` unification
+            # (r9) — computed BEFORE the residual filters, matching the
+            # bind-then-filter order of the unprepared evaluation
+            col = compile_expr(subst_params_expr(e, params), bound, typer)
+            df = df.withColumn(y, F.explode(col) if multi else col)
+            bound = bound | {y}
+            typer = _df_typer(df)
         cond = None
         for r in ent["residuals"]:
             b = subst_params_expr(r, params)
@@ -1224,13 +1375,23 @@ class CozoDb:
                 # a type-mismatched param to False statically, silently
                 # changing behavior between the two paths
                 c = F.col(b.args[0].name) == F.lit(b.args[1].value)
+            elif isinstance(b, Call) and b.fn == "__raw_eq":
+                # hoisted bound-var unification: raw Column equality like
+                # the translator's `df.filter(col == F.col(var))`
+                c = (compile_expr(b.args[1], bound, typer)
+                     == F.col(b.args[0].name))
             else:
                 c = compile_expr(b, bound, typer)
             cond = c if cond is None else (cond & c)
-        df = skel_df if cond is None else skel_df.where(cond)
+        if cond is not None:
+            df = df.where(cond)
         if ent["extras"]:
             # project the hoisted columns away and restore set semantics
             df = df.select(*ent["head"]).distinct()
+        elif ent.get("computed"):
+            # no distinct needed (deterministic 1:1 columns over an
+            # already-distinct skeleton) but head order must be restored
+            df = df.select(*ent["head"])
         self._entry_display_headers = None
         return self._output_stage(df, parsed.opts, parsed)
 

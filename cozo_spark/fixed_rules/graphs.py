@@ -870,7 +870,7 @@ def louvain_communities(
         half = g.filter(F.col("a") < F.col("b")).select("a", "b", "w")
         return community_detection_louvain(
             half, max_passes=max_iter, delta=delta, keep_depth=keep_depth,
-            undirected=undirected)
+            max_levels=max_levels, undirected=undirected)
     import os as _os
     _dbg = _os.environ.get("COZO_LOUVAIN_DEBUG")
     nodes0 = g.select(F.col("a").alias("node")).distinct()

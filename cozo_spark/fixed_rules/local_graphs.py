@@ -544,31 +544,17 @@ def closeness_centrality(edges: DataFrame, undirected: bool = False) -> DataFram
 
 # --- Louvain community detection (algos/louvain.rs:318) -----------------------------
 
-def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
-                                max_iter: int | None = None, delta: float = 0.0001,
-                                keep_depth: int | None = None,
-                                undirected: bool = False) -> DataFrame:
-    """(community, node): single-level-iterated Louvain modularity optimization
-    (deterministic node order). The reference is also single-machine here.
-    Reference option names accepted (louvain.rs:37-40): ``max_iter``,
-    ``delta`` (min modularity gain to move), ``undirected`` (we already
-    symmetrize weights), ``keep_depth`` (single-level output here — the
-    flattened community assignment the reference returns for depth 1)."""
-    if max_iter is not None:
-        max_passes = max_iter
-    el = _collect_edges(edges, weighted=True)
-    w_adj: dict = defaultdict(lambda: defaultdict(float))
-    for a, b, w in el:
-        if a == b:
-            continue
-        w_adj[a][b] += w
-        w_adj[b][a] += w
-    nodes = sorted(w_adj, key=str)
-    m2 = sum(sum(vs.values()) for vs in w_adj.values())  # = 2m
-    if m2 == 0:
-        return edges.sparkSession.createDataFrame([], "community long, node long")
+def _louvain_one_level(A: dict, m2: float, max_passes: int,
+                       delta: float) -> dict:
+    """One Louvain local-move phase over symmetric adjacency ``A`` (matrix
+    convention: self-loops hold doubled intra-weight so k = row sum).
+    Sequential deterministic node order (sorted by str), ties to the
+    smaller community index like the reference's ascending scan. Returns
+    node -> community label, labels renumbered to the min member (str
+    order) of each community."""
+    nodes = sorted(A, key=str)
     comm = {n: i for i, n in enumerate(nodes)}
-    k = {n: sum(w_adj[n].values()) for n in nodes}
+    k = {n: sum(A[n].values()) for n in nodes}
     sigma_tot = defaultdict(float)
     for n in nodes:
         sigma_tot[comm[n]] += k[n]
@@ -578,8 +564,9 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
             c0 = comm[n]
             sigma_tot[c0] -= k[n]
             neigh_w = defaultdict(float)
-            for v, w in w_adj[n].items():
-                neigh_w[comm[v]] += w
+            for v, w in A[n].items():
+                if v != n:  # self-loop weight is not a link to a neighbor
+                    neigh_w[comm[v]] += w
             best_c, best_gain = c0, max(delta, 0.0)
             for c, w_in in sorted(neigh_w.items()):
                 gain = w_in - sigma_tot[c] * k[n] / m2
@@ -591,16 +578,69 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
                 moved = True
         if not moved:
             break
-    # renumber communities by min member for determinism
     groups = defaultdict(list)
     for n, c in comm.items():
         groups[c].append(n)
-    rows = []
-    for _, members in groups.items():
+    labels = {}
+    for members in groups.values():
         label = min(members, key=str)
         for n in members:
-            rows.append((label, n))
-    rows.sort(key=lambda t: (str(t[0]), str(t[1])))
+            labels[n] = label
+    return labels
+
+
+def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
+                                max_iter: int | None = None, delta: float = 0.0001,
+                                keep_depth: int | None = None,
+                                max_levels: int = 5,
+                                undirected: bool = False) -> DataFrame:
+    """(community, node): MULTI-LEVEL Louvain modularity optimization
+    (deterministic node order). The reference is also single-machine here
+    and is multi-level: louvain.rs:72-94 loops louvain_step (local moves +
+    contraction) until the contracted graph stops shrinking or has <= 2
+    nodes; we mirror that loop exactly, bounded by ``max_levels`` like the
+    distributed rule so the LouvainDist size gate is semantics-preserving.
+    Reference option names accepted (louvain.rs:37-40): ``max_iter``,
+    ``delta`` (min modularity gain to move), ``undirected`` (we already
+    symmetrize weights), ``keep_depth`` (our flat (community, node) output
+    is the reference's depth-1/top-level label; deeper hierarchy rows are
+    not materialized).
+
+    Contraction uses the adjacency-MATRIX convention shared with the
+    distributed rule (graphs.py louvain_communities): A is symmetric, a
+    contracted community's self-loop accumulates BOTH directions of each
+    internal edge (doubled weight), so k = row sum and m2 = grand total
+    stay invariant across levels. Community label = min original member
+    (str order) — min of mins across levels, so the flat output is stable
+    and comparable with the distributed rule."""
+    if max_iter is not None:
+        max_passes = max_iter
+    el = _collect_edges(edges, weighted=True)
+    A: dict = defaultdict(lambda: defaultdict(float))
+    for a, b, w in el:
+        if a == b:
+            continue
+        A[a][b] += w
+        A[b][a] += w
+    m2 = sum(sum(vs.values()) for vs in A.values())  # = 2m, level-invariant
+    if m2 == 0:
+        return edges.sparkSession.createDataFrame([], "community long, node long")
+    assign = {n: n for n in A}  # original node -> current super-node label
+    for _level in range(max(1, int(max_levels))):
+        labels = _louvain_one_level(A, m2, max_passes, delta)
+        if len(set(labels.values())) == len(labels):
+            break  # no merge this level — converged (louvain.rs:87-89)
+        assign = {n: labels[s] for n, s in assign.items()}
+        newA: dict = defaultdict(lambda: defaultdict(float))
+        for a, row in A.items():
+            ca = labels[a]
+            for b, w in row.items():
+                newA[ca][labels[b]] += w
+        A = newA
+        if len(A) <= 2:
+            break  # reference stops contracting at 2 nodes (louvain.rs:80)
+    rows = sorted(((c, n) for n, c in assign.items()),
+                  key=lambda t: (str(t[0]), str(t[1])))
     spark = edges.sparkSession
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
     return spark.createDataFrame(rows, f"community {typ}, node {typ}")

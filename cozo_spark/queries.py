@@ -2030,21 +2030,52 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     centrality Dist family),
 #   doc_fingerprint (minhash/simhash + promoted ngram_jaccard keep
 #     hash-fingerprint dedup).
+# ROTATION (round 9, per VERDICT r8 directive 1): the 6 r5-demoted queries
+# (3 rounds driver-unchecked — the oldest debt: dedup_exact, sessionize,
+# ann_cosine_topk, graph_degree_centrality, pack_sequences, lang_id) and
+# the 11 r7-demoted queries (due tier: html_boilerplate_strip,
+# repetition_signals, url_normalize_dedup, decontaminate, doc_chunking,
+# graph_triangles, graph_three_hop_filter, pq_code_dedup,
+# range_join_prices, events_rollup, substring_dedup) are ALL PROMOTED back
+# inside the cap. Demoted r9 in their place — 17 shapes, ALL r7+r8
+# driver-verified (CORRECTNESS_r07 ∩ r08), and NOT minhash_lsh_pairs /
+# simhash_pairs (rewritten in r8 — only one driver row post-rewrite; they
+# stay in-cap for a second verification). Families stay covered in-cap:
+#   agg_stats + agg_min_cost (agg_basic bench headline + r8-promoted
+#     agg_median + datalog_agg keep aggregates; agg_min_cost's meet-in-
+#     recursion shape also rides datalog_shortest_min, which stays),
+#   join_point_lookup + neg_join_anti (join_multiway + r8-promoted
+#     semi_join + scan_filter_project keep joins; datalog_negation stays
+#     for negation; both are bench headlines → row counts still checked),
+#   sort_topk (reorder_sort_rank + promoted events_rollup keep ordered
+#     shapes; bench headline),
+#   datalog_filter_join + datalog_magic_reach (datalog_recursion +
+#     datalog_negation + datalog_shortest_min + r8-promoted
+#     datalog_magic_var_seed keep the engine family),
+#   asof_join_events (promoted range_join_prices keeps temporal joins;
+#     validity_asof keeps time travel),
+#   text_quality + text_token_stats + pii_redact + dataset_split +
+#     lm_quality_score (promoted lang_id, html_boilerplate_strip,
+#     repetition_signals, doc_chunking, pack_sequences + bench headline
+#     text_word_topk keep map-only text ops),
+#   graph_pattern_long + graph_random_walk (r8-promoted graph_two_hop /
+#     graph_cycle3 / graph_reachability + promoted graph_triangles /
+#     graph_three_hop_filter keep multi-hop patterns; graph_betweenness
+#     stays for Dist centrality),
+#   ann_ivf_topk + kmeans_clusters (promoted ann_cosine_topk +
+#     pq_code_dedup + in-cap ann_pq_topk keep the vector family).
 DEMOTED: tuple = (
-    # r8-demoted (r6+r7 driver-verified)
+    # r9-demoted (r7+r8 driver-verified)
+    "agg_stats", "agg_min_cost", "join_point_lookup", "neg_join_anti",
+    "sort_topk", "datalog_filter_join", "datalog_magic_reach",
+    "asof_join_events", "text_quality", "text_token_stats", "pii_redact",
+    "dataset_split", "lm_quality_score", "graph_pattern_long",
+    "graph_random_walk", "ann_ivf_topk", "kmeans_clusters",
+    # r8-demoted (r6+r7 driver-verified; due for promotion r10)
     "agg_bool_bit", "agg_product", "agg_collect_unique", "agg_group_count",
     "set_intersect", "set_except", "unify_explode", "limit_offset",
     "scalar_json", "scalar_datetime", "datalog_two_hop", "graph_closeness",
     "doc_fingerprint",
-    # r7-demoted (r5+r6 driver-verified; due for promotion r9)
-    "html_boilerplate_strip", "repetition_signals", "url_normalize_dedup",
-    "decontaminate", "doc_chunking", "graph_triangles",
-    "graph_three_hop_filter", "pq_code_dedup", "range_join_prices",
-    "events_rollup", "substring_dedup",
-    # r5-demoted (r3+r4 driver-verified; 3 rounds unchecked — promote r9,
-    # they are the oldest debt after this rotation)
-    "dedup_exact", "sessionize", "ann_cosine_topk",
-    "graph_degree_centrality", "pack_sequences", "lang_id",
 )
 
 

@@ -49,9 +49,22 @@ def _gen(rnd: random.Random):
     body = []
     use_helper = rnd.random() < 0.45
     helper = ""
+    unify_var = None
     if use_helper:
         r = rnd.random()
-        if r < 0.35:
+        if r < 0.2:
+            # r9 (VERDICT r8 #3): param inside a support-rule FILTER —
+            # the Cond migrates to the application site via alias exports
+            cv = p(rnd.randrange(0, 150))
+            helper = f"helper[k, v] := *t{{k, v}}, k > {cv}\n"
+            body.append("helper[k, v]")
+        elif r < 0.3:
+            # r9: support filter + a second param at the entry
+            cv = p(rnd.randrange(1, 23))
+            helper = f"helper[k, v] := *t{{k, v}}, v < {cv}\n"
+            body.append("helper[k, v]")
+            body.append(f"k != {p(-1)}")
+        elif r < 0.45:
             # r8 (VERDICT r7 #5): param INSIDE the support rule body —
             # hoisted to the application site by _hoist_support_params
             sv = p("s" + str(rnd.randrange(0, 5)))
@@ -95,8 +108,30 @@ def _gen(rnd: random.Random):
                         f"{p(rnd.randrange(0, 2))}")
         else:
             body.append(f"v >= {rnd.randrange(0, 10)}")
+    # r9 (VERDICT r8 #3): params in unification expressions
+    ur = rnd.random()
+    if ur < 0.15:
+        # binding unify: w is computed at bind time
+        body.append(f"w = k * {p(rnd.randrange(1, 5))}")
+        unify_var = "w"
+        if rnd.random() < 0.5:
+            body.append(f"w > {rnd.randrange(0, 300)}")  # param-free cond on w
+    elif ur < 0.25:
+        # bound-var unify: filter semantics
+        body.append(f"v = {p(rnd.randrange(0, 23))}")
+    elif ur < 0.32 and not use_helper:
+        # chained computed unifies
+        body.append(f"w = {p(rnd.randrange(1, 9))} + 1")
+        body.append("x = w * 2")
+        unify_var = "x"
     if not params:  # ensure at least one param somewhere
         body.append(f"k != {p(-1)}")
+    if unify_var is not None:
+        head = f"?[k, {unify_var}]"
+        script = helper + head + " := " + ", ".join(body)
+        if rnd.random() < 0.3:
+            script += "\n:sort k\n:limit 20"
+        return script, params
     if rnd.random() < 0.4:
         head = rnd.choice(["?[k, count(v)]", "?[count(k), sum(v)]",
                            "?[s, count(k), min(v)]"

@@ -1,0 +1,200 @@
+"""Prepared statements with params in filter/unification expressions
+(r9, VERDICT r8 #3).
+
+The r8 hoist covered params in Rel/Rule/NamedRel ARGUMENT positions; these
+tests pin the r9 widening:
+- entry-level `y = $k * 2` (binding unification -> bind-time computed
+  column), `v = $p` on a bound var (filter), `v in [$a, $b]` (explode),
+  chained computed unifies;
+- support-rule filter conditions (`sup[x] := ..., x > $lo`) migrated to
+  application sites via alias exports + site-side Cond re-insertion;
+- the soundness gates that must STILL refuse (recursion, negation,
+  nondeterministic unify exprs);
+- cache-hit discipline: one skeleton build, binds thereafter.
+
+Reference shape: parse/expr.rs param substitution (the reference inlines
+params at parse time and re-compiles per call; we compile once and bind).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _db(spark, tables=("customer", "orders")):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    for t in tables:
+        db.register_dataframe(t, spark.read.parquet(f"{SF_SMALL}/{t}.parquet"))
+    return db
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _literal(db, script, subs):
+    s = script
+    for k, v in subs.items():
+        s = s.replace(f"${k}", repr(v) if isinstance(v, str) else str(v))
+    return _rows(db.run_script_df(s))
+
+
+def _spy(monkeypatch):
+    from cozo_spark.datalog.engine import CozoDb
+
+    builds = []
+    orig = CozoDb._build_skeleton
+
+    def spy(self, script, params):
+        builds.append(script)
+        return orig(self, script, params)
+
+    monkeypatch.setattr(CozoDb, "_build_skeleton", spy)
+    return builds
+
+
+def test_entry_cond_and_binding_unify(spark, monkeypatch):
+    """The directive's example shape: `*r{a: x}, x > $lo, y = $k * 2`."""
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = ("?[x, y] := *customer{c_custkey: x, c_acctbal: b}, "
+         "b > $lo, y = $k * 2")
+    for lo, k in ((100.0, 3), (500.0, 5), (0.0, 1)):
+        got = _rows(db.run_script_df(s, {"lo": lo, "k": k}))
+        assert got == _literal(db, s, {"lo": lo, "k": k})
+    assert len(builds) == 1, "one skeleton build; later calls bind"
+
+
+def test_entry_bound_var_unify_is_filter(spark, monkeypatch):
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = "?[x] := *customer{c_custkey: x, c_nationkey: n}, n = $nk"
+    for nk in (1, 3, 22):
+        assert _rows(db.run_script_df(s, {"nk": nk})) == \
+            _literal(db, s, {"nk": nk})
+    assert len(builds) == 1
+
+
+def test_entry_chained_computed_unifies(spark, monkeypatch):
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = ("?[x, z] := *customer{c_custkey: x}, "
+         "y = $k + 1, z = y * 10, x < $hi")
+    for k, hi in ((2, 20), (7, 10)):
+        assert _rows(db.run_script_df(s, {"k": k, "hi": hi})) == \
+            _literal(db, s, {"k": k, "hi": hi})
+    assert len(builds) == 1
+
+
+def test_entry_multi_unify_explodes(spark, monkeypatch):
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = "?[x, v] := *customer{c_custkey: x}, x < 5, v in [$a, $b]"
+    for a, b in ((1, 2), (9, 9), (0, 7)):
+        assert _rows(db.run_script_df(s, {"a": a, "b": b})) == \
+            _literal(db, s, {"a": a, "b": b})
+    assert len(builds) == 1
+
+
+def test_computed_col_with_param_free_cond_on_it(spark, monkeypatch):
+    """A param-free filter over the computed column must move to bind time
+    with it (it can't evaluate inside the skeleton)."""
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = "?[x, y] := *customer{c_custkey: x}, y = x + $off, y > 100, y < 130"
+    for off in (0, 50, 120):
+        assert _rows(db.run_script_df(s, {"off": off})) == \
+            _literal(db, s, {"off": off})
+    assert len(builds) == 1
+
+
+def test_support_rule_filter_param(spark, monkeypatch):
+    db = _db(spark, ("customer", "nation"))
+    builds = _spy(monkeypatch)
+    s = """
+    big[x, n] := *customer{c_custkey: x, c_acctbal: b, c_nationkey: n}, b > $lo
+    ?[x] := big[x, n], *nation{n_nationkey: n, n_name: nm}, nm = $nat
+    """
+    for lo, nat in ((100.0, "CHINA"), (0.0, "FRANCE"), (50.0, "CHINA")):
+        assert _rows(db.run_script_df(s, {"lo": lo, "nat": nat})) == \
+            _literal(db, s, {"lo": lo, "nat": nat})
+    assert len(builds) == 1
+
+
+def test_support_chain_filter_params(spark, monkeypatch):
+    """Two-level chain: the filter migrates bottom rule -> middle rule ->
+    entry, gaining alias exports at each hop."""
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = """
+    a1[x] := *customer{c_custkey: x, c_acctbal: b}, b > $lo
+    a2[x] := a1[x], x < $hi
+    ?[x] := a2[x]
+    """
+    for lo, hi in ((100.0, 50), (500.0, 100), (0.0, 10)):
+        assert _rows(db.run_script_df(s, {"lo": lo, "hi": hi})) == \
+            _literal(db, s, {"lo": lo, "hi": hi})
+    assert len(builds) == 1
+
+
+def test_support_filter_multiple_sites(spark, monkeypatch):
+    """The same filtered rule applied twice in one body: each site gets its
+    own fresh args + condition copy."""
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = """
+    f[x] := *customer{c_custkey: x, c_acctbal: b}, b > $lo
+    ?[x, y] := f[x], f[y], y = x + 1
+    """
+    for lo in (100.0, 2000.0):
+        assert _rows(db.run_script_df(s, {"lo": lo})) == \
+            _literal(db, s, {"lo": lo})
+    assert len(builds) == 1
+
+
+@pytest.mark.parametrize("script,params", [
+    # recursion through the param rule: structurally refused, still correct
+    ("""
+     r[x] := *customer{c_custkey: x}, x < $n
+     r[x] := r[y], x = y + 1, x < 5
+     ?[x] := r[x]
+     """, {"n": 3}),
+    # param unify under negation
+    ("?[x] := *customer{c_custkey: x}, not x = $k", {"k": 7}),
+    # nondeterministic unify expr (skeleton distinct would change draws)
+    ("?[x, y] := *customer{c_custkey: x}, x < 3, y = rand_float() * $k",
+     {"k": 0}),
+])
+def test_still_refused_shapes_stay_correct(spark, script, params):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark, ("customer",))
+    got = db.run_script_df(script, dict(params))
+    assert got.count() >= 0  # evaluates via the unprepared path
+    assert db._skel_key(script, params) not in CozoDb._skel_cache
+
+
+def test_bind_is_cheaper_than_retranslation(spark):
+    """The point of preparing: binding a cached skeleton must beat a full
+    re-translation by a wide margin (plan-construction time, no actions)."""
+    import time
+
+    db = _db(spark, ("customer",))
+    s = ("?[x, y] := *customer{c_custkey: x, c_acctbal: b}, "
+         "b > $lo, y = $k * 2")
+    db.run_script_df(s, {"lo": 1.0, "k": 1})  # build
+    t0 = time.perf_counter()
+    for i in range(10):
+        db.run_script_df(s, {"lo": float(i), "k": i})
+    bind = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(10):
+        db.run_script_df(
+            f"?[x, y] := *customer{{c_custkey: x, c_acctbal: b}}, "
+            f"b > {float(i)}, y = {i} * 2")
+    full = time.perf_counter() - t0
+    assert bind < full, f"bind {bind:.3f}s not cheaper than translate {full:.3f}s"
