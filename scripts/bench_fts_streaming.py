@@ -88,8 +88,11 @@ def main() -> None:
          .write.mode("overwrite").parquet(src_docs))
         schema_docs = "doc_id LONG, text STRING"
 
+        from contextlib import nullcontext
+
         from cozo_spark.streaming.stateful import (
-            running_counts, stream_exact_dedup, stream_windowed_counts)
+            running_counts, stream_exact_dedup, stream_windowed_counts,
+            streaming_state_conf)
 
         def drain(out, name, mode):
             q = (out.writeStream.format("memory").queryName(name)
@@ -98,20 +101,42 @@ def main() -> None:
             q.awaitTermination(300)
             return spark.table(name).count()
 
-        t0 = time.perf_counter()
-        stream = (spark.readStream.schema(schema_docs)
-                  .option("maxFilesPerTrigger", "1").parquet(src_docs))
-        drain(running_counts(
-            stream.withColumn("k", (F.col("doc_id") % 64).cast("string")),
-            "k"), "b_counts", "update")
-        timings["stream_running_counts"] = round(time.perf_counter() - t0, 3)
+        # r9 (VERDICT r8 #4): per-batch fixed cost is dominated by one
+        # state-store commit per shuffle partition per batch — measure the
+        # default (32 partitions) AND the tuned window (8 state
+        # partitions), plus RocksDB once as the large-state provider
+        # reference (expected slightly WORSE on small state).
+        def _conf(kind):
+            if kind == "default":
+                return nullcontext()
+            if kind == "p8":
+                return streaming_state_conf(spark, state_partitions=8)
+            return streaming_state_conf(spark, state_partitions=8,
+                                        rocksdb=True)
 
-        t0 = time.perf_counter()
-        stream = (spark.readStream.schema(schema_docs)
-                  .option("maxFilesPerTrigger", "1").parquet(src_docs))
-        n_uniq = drain(stream_exact_dedup(stream, "text"),
-                       "b_dedup", "append")
-        timings["stream_exact_dedup"] = round(time.perf_counter() - t0, 3)
+        for kind in ("default", "p8", "rocksdb"):
+            suffix = "" if kind == "default" else f"_{kind}"
+            t0 = time.perf_counter()
+            with _conf(kind):
+                stream = (spark.readStream.schema(schema_docs)
+                          .option("maxFilesPerTrigger", "1").parquet(src_docs))
+                drain(running_counts(
+                    stream.withColumn("k",
+                                      (F.col("doc_id") % 64).cast("string")),
+                    "k"), f"b_counts{suffix}", "update")
+            timings[f"stream_running_counts{suffix}"] = \
+                round(time.perf_counter() - t0, 3)
+
+        for kind in ("default", "p8"):
+            suffix = "" if kind == "default" else f"_{kind}"
+            t0 = time.perf_counter()
+            with _conf(kind):
+                stream = (spark.readStream.schema(schema_docs)
+                          .option("maxFilesPerTrigger", "1").parquet(src_docs))
+                n_uniq = drain(stream_exact_dedup(stream, "text"),
+                               f"b_dedup{suffix}", "append")
+            timings[f"stream_exact_dedup{suffix}"] = \
+                round(time.perf_counter() - t0, 3)
 
         # events windowed counts (watermark + sliding window)
         from cozo_spark.queries import _t
@@ -119,16 +144,20 @@ def main() -> None:
             "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
         src_ev = os.path.join(tmp, "events")
         ev.repartition(8).write.mode("overwrite").parquet(src_ev)
-        t0 = time.perf_counter()
-        stream = (spark.readStream
-                  .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
-                  .option("maxFilesPerTrigger", "1").parquet(src_ev))
-        drain(stream_windowed_counts(stream, "ts",
-                                     window_duration="10 minutes",
-                                     slide="5 minutes",
-                                     watermark="30 minutes"),
-              "b_win", "append")
-        timings["stream_windowed_counts"] = round(time.perf_counter() - t0, 3)
+        for kind in ("default", "p8"):
+            suffix = "" if kind == "default" else f"_{kind}"
+            t0 = time.perf_counter()
+            with _conf(kind):
+                stream = (spark.readStream
+                          .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+                          .option("maxFilesPerTrigger", "1").parquet(src_ev))
+                drain(stream_windowed_counts(stream, "ts",
+                                             window_duration="10 minutes",
+                                             slide="5 minutes",
+                                             watermark="30 minutes"),
+                      f"b_win{suffix}", "append")
+            timings[f"stream_windowed_counts{suffix}"] = \
+                round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

