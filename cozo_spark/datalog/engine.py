@@ -1136,12 +1136,17 @@ class CozoDb:
                 skel_body.append(
                     NamedRelApply(atom.name, new_pairs, atom.validity))
                 continue
-            if isinstance(atom, Unify) and not agg_head and atom.var != "_":
+            if isinstance(atom, Unify) and atom.var != "_":
                 # r9 (VERDICT r8 #3): unification with params —
                 #   `y = $k * 2`  (binding: compute the column at bind time)
                 #   `*r{a: y}, y = $p + 1`  (y bound elsewhere: filter)
-                # The agg path refuses: its raw-stream head translation
-                # needs every head var bound inside the skeleton.
+                # Sound for BOTH head kinds: a binding unify is 1:1 on the
+                # raw multiset stream and per-row expansion (explode) /
+                # joins commute on multisets, so computing at bind time
+                # (before residual filters, before aggregation) is exactly
+                # the unprepared evaluation order. The agg skeleton
+                # translates the raw head WITHOUT the computed positions
+                # and re-creates them at bind (_build_skeleton_agg).
                 y = atom.var
                 if outside_binds is None:
                     unify_param_ids = {
@@ -1194,7 +1199,7 @@ class CozoDb:
         if agg_head:
             return self._build_skeleton_agg(script, params, dprog, clause,
                                             skel_body, residuals, resid_vars,
-                                            head_names)
+                                            head_names, computed)
         base = [h for h in head_names if h not in comp_names]
         ext = base + [v for v in sorted(resid_vars) if v not in set(base)]
         if not ext:
@@ -1238,7 +1243,8 @@ class CozoDb:
 
     def _build_skeleton_agg(self, script: str, params: dict, dprog: Program,
                             clause, skel_body: list, residuals: list,
-                            resid_vars: set, input_names: list):
+                            resid_vars: set, input_names: list,
+                            computed: tuple | list = ()):
         """Aggregation-head plan skeleton (r7): the skeleton is the entry
         body's RAW multiset match stream (translate(..., raw=True) — the
         exact stream the unprepared path feeds aggregate_head) projected to
@@ -1247,19 +1253,39 @@ class CozoDb:
         the unprepared plan evaluates the hoisted pre-aggregation
         conditions, so multiplicities and group keys are identical.
         Support rules are evaluated once (lazy plans — recursion and fixed
-        rules are gated out by the caller)."""
+        rules are gated out by the caller).
+
+        r9: ``computed`` = bind-time columns from param unifications
+        (`y = v * $rate` feeding a group key or aggregation input). The
+        raw head is translated WITHOUT the computed positions (they're
+        unbound in the skeleton) and renamed back to the ORIGINAL
+        numbering; binding re-creates each computed column by name and
+        copies it into its __h positions before the filters and the
+        aggregation — 1:1 on the multiset stream, so multiplicities match
+        the unprepared order exactly (explode included: per-row expansion
+        factors commute with the joins already in the stream)."""
         import re as _re
 
-        if any(_re.fullmatch(r"__h\d+", v) for v in resid_vars):
+        comp_names = {y for y, _, _ in computed}
+        if any(_re.fullmatch(r"__h\d+", v)
+               for v in (resid_vars | comp_names)):
             return None  # would collide with the raw positional columns
         head = list(clause.head)
         raw_head = head + [HeadVar(v) for v in sorted(resid_vars)
                            if v not in set(input_names)]
+        comp_pos: dict = {}
         resid_pos: dict = {}
         for i, h in enumerate(raw_head):
             v = h.name if isinstance(h, HeadVar) else h.var
-            if v in resid_vars and v not in resid_pos:
+            if v in comp_names:
+                comp_pos.setdefault(v, []).append(i)
+            elif v in resid_vars and v not in resid_pos:
                 resid_pos[v] = i
+        trans_head = [(i, h) for i, h in enumerate(raw_head)
+                      if (h.name if isinstance(h, HeadVar) else h.var)
+                      not in comp_names]
+        if not trans_head:
+            return None  # every raw column computed: nothing to translate
         # evaluate only the SUPPORT rules (the entry body is translated
         # raw below — building a throwaway set-semantics entry store here
         # would double the py4j-heavy plan construction the skeleton
@@ -1277,7 +1303,8 @@ class CozoDb:
                 search_resolver=self._search,
                 rule_unique_resolver=self._resolve_rule_unique,
                 trusted_key_resolver=self._resolve_trusted_keys)
-            raws = [tr.translate(raw_head, list(conj), raw=True)
+            raws = [tr.translate([h for _, h in trans_head], list(conj),
+                                 raw=True)
                     for conj in expand_disjunctions(skel_body)]
         except QueryError:
             return _SKEL_RETRY
@@ -1286,6 +1313,11 @@ class CozoDb:
         raw = raws[0]
         for p in raws[1:]:
             raw = raw.unionByName(p)
+        if comp_names:
+            # restore ORIGINAL head numbering; the computed positions are
+            # re-created at bind time from the named computed columns
+            raw = raw.select(*[F.col(f"__h{red}").alias(f"__h{orig}")
+                               for red, (orig, _) in enumerate(trans_head)])
         headers = [h.name if isinstance(h, HeadVar) else f"{h.aggr}({h.var})"
                    for h in head]
         seen: set = set()
@@ -1321,6 +1353,7 @@ class CozoDb:
         ent = {
             "df": named, "residuals": tuple(residuals),
             "agg_head": tuple(head), "resid_pos": resid_pos,
+            "computed": tuple(computed), "comp_pos": comp_pos,
             "uniq": tuple(uniq), "keys": keys, "aggs": aggs,
             "dtypes": dtypes,
             "display": headers if uniq != headers else None,
@@ -1342,6 +1375,17 @@ class CozoDb:
         named = ent["df"]
         bound = set(ent["resid_pos"])
         typer = ent["dtypes"].get
+        df = named
+        for y, e, multi in ent.get("computed", ()):
+            # bind-time computed column (r9): BEFORE filters and the
+            # aggregation, 1:1 (or explode) on the raw multiset stream —
+            # the unprepared evaluation order
+            col = compile_expr(subst_params_expr(e, params), bound, typer)
+            df = df.withColumn(y, F.explode(col) if multi else col)
+            bound = bound | {y}
+            typer = dict(df.dtypes).get
+            for i in ent["comp_pos"].get(y, ()):
+                df = df.withColumn(f"__h{i}", F.col(y))
         cond = None
         for r in ent["residuals"]:
             b = subst_params_expr(r, params)
@@ -1351,10 +1395,16 @@ class CozoDb:
                 # synthetic column-binding residual — RAW Column equality,
                 # matching the unprepared path (see _bind_skeleton)
                 c = F.col(b.args[0].name) == F.lit(b.args[1].value)
+            elif isinstance(b, Call) and b.fn == "__raw_eq":
+                # hoisted bound-var unification (r9): raw == like the
+                # translator's bound-unify filter
+                c = (compile_expr(b.args[1], bound, typer)
+                     == F.col(b.args[0].name))
             else:
                 c = compile_expr(b, bound, typer)
             cond = c if cond is None else (cond & c)
-        df = named if cond is None else named.where(cond)
+        if cond is not None:
+            df = df.where(cond)
         # pre-built Column objects: where -> groupBy.agg -> reorder select
         grouped = (df.groupBy(*ent["keys"]).agg(*ent["aggs"])
                    if ent["keys"] else df.agg(*ent["aggs"]))

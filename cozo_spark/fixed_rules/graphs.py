@@ -1284,7 +1284,12 @@ def _local_rules():
         "MinimumSpanningForestKruskal": _adapt(L.minimum_spanning_forest_kruskal),
         "BetweennessCentrality": _adapt(L.betweenness_centrality),
         "ClosenessCentrality": _adapt(L.closeness_centrality),
-        "CommunityDetectionLouvain": _adapt(L.community_detection_louvain),
+        # the registered rule returns the reference's exact output shape —
+        # (labels_hierarchy_list, node), louvain.rs:44-56; direct Python
+        # callers and the Dist gate use the flat (community, node) default
+        "CommunityDetectionLouvain": _adapt(
+            lambda *inputs, **opts: L.community_detection_louvain(
+                *inputs, output="hierarchy", **opts)),
         "RandomWalk": _adapt(L.random_walk),
     }
 

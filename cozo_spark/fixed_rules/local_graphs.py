@@ -593,7 +593,8 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
                                 max_iter: int | None = None, delta: float = 0.0001,
                                 keep_depth: int | None = None,
                                 max_levels: int = 5,
-                                undirected: bool = False) -> DataFrame:
+                                undirected: bool = False,
+                                output: str = "flat") -> DataFrame:
     """(community, node): MULTI-LEVEL Louvain modularity optimization
     (deterministic node order). The reference is also single-machine here
     and is multi-level: louvain.rs:72-94 loops louvain_step (local moves +
@@ -602,9 +603,23 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
     distributed rule so the LouvainDist size gate is semantics-preserving.
     Reference option names accepted (louvain.rs:37-40): ``max_iter``,
     ``delta`` (min modularity gain to move), ``undirected`` (we already
-    symmetrize weights), ``keep_depth`` (our flat (community, node) output
-    is the reference's depth-1/top-level label; deeper hierarchy rows are
-    not materialized).
+    symmetrize weights), ``keep_depth``.
+
+    Two output shapes:
+
+    - ``output="flat"`` (default for direct/Dist callers): (community,
+      node) with community = the TOP-level label — the partition most
+      callers want, directly comparable with the distributed rule.
+    - ``output="hierarchy"`` (the REGISTERED CommunityDetectionLouvain
+      rule — the reference's exact shape, louvain.rs:44-56): (labels,
+      node) where labels is the per-level community list with the TOP
+      level FIRST (the reference builds bottom-up then reverses) and
+      ``keep_depth`` truncates to the top-k levels; an uncontractable
+      graph yields an empty list exactly like louvain()'s empty
+      hierarchy. Label VALUES are min original members per level
+      (deterministic) rather than the reference's arbitrary renumbered
+      indices — the partition at every level is identical, the numbering
+      is implementation-defined in both engines.
 
     Contraction uses the adjacency-MATRIX convention shared with the
     distributed rule (graphs.py louvain_communities): A is symmetric, a
@@ -624,13 +639,17 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
         A[b][a] += w
     m2 = sum(sum(vs.values()) for vs in A.values())  # = 2m, level-invariant
     if m2 == 0:
-        return edges.sparkSession.createDataFrame([], "community long, node long")
+        schema = ("labels array<long>, node long" if output == "hierarchy"
+                  else "community long, node long")
+        return edges.sparkSession.createDataFrame([], schema)
     assign = {n: n for n in A}  # original node -> current super-node label
+    per_level: list[dict] = []  # flattened assignment after each level
     for _level in range(max(1, int(max_levels))):
         labels = _louvain_one_level(A, m2, max_passes, delta)
         if len(set(labels.values())) == len(labels):
             break  # no merge this level — converged (louvain.rs:87-89)
         assign = {n: labels[s] for n, s in assign.items()}
+        per_level.append(dict(assign))
         newA: dict = defaultdict(lambda: defaultdict(float))
         for a, row in A.items():
             ca = labels[a]
@@ -639,9 +658,17 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
         A = newA
         if len(A) <= 2:
             break  # reference stops contracting at 2 nodes (louvain.rs:80)
+    spark = edges.sparkSession
+    if output == "hierarchy":
+        nodes = sorted(assign, key=str)
+        typ = "string" if nodes and isinstance(nodes[0], str) else "long"
+        depth = keep_depth if keep_depth is not None else len(per_level)
+        rows = [([lvl[n] for lvl in reversed(per_level)][:depth], n)
+                for n in nodes]
+        return spark.createDataFrame(
+            rows, f"labels array<{typ}>, node {typ}")
     rows = sorted(((c, n) for n, c in assign.items()),
                   key=lambda t: (str(t[0]), str(t[1])))
-    spark = edges.sparkSession
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
     return spark.createDataFrame(rows, f"community {typ}, node {typ}")
 

@@ -341,6 +341,11 @@ def decode_wav(content: bytes) -> tuple["np.ndarray", int]:
         nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),
                                   wf.getframerate(), wf.getnframes())
         frames = wf.readframes(nframes)
+    if not 0 < rate < 10_000_000:
+        # stdlib wave accepts any u32 here; an absurd rate is header
+        # corruption and poisons every downstream duration/resample
+        # computation (r9, found by the seeded mutation fuzz)
+        raise ValueError(f"implausible WAV sample rate {rate}")
     if sw == 2:
         a = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:
@@ -358,6 +363,31 @@ def decode_wav(content: bytes) -> tuple["np.ndarray", int]:
     if nch > 1:
         a = a.reshape(-1, nch).mean(axis=1)
     return a, rate
+
+
+def decode_audio_pcm(content: bytes, media_type: str = "audio/wav"
+                     ) -> tuple["np.ndarray", int]:
+    """Unified PCM decode → (mono float64 samples in [-1, 1], rate).
+
+    Lib-free paths: WAV (stdlib) and FLAC (from-scratch codec,
+    operators/flac.py — r9; frame CRCs + STREAMINFO MD5 verified).
+    Other audio types raise the gated NotImplementedError."""
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav(content)
+    if media_type in ("audio/flac", "audio/x-flac"):
+        from cozo_spark.operators.flac import decode_flac
+        from cozo_spark.operators.mp3 import probe_flac
+
+        samples, rate = decode_flac(content)
+        bps = probe_flac(content)["bits_per_sample"]
+        a = samples.astype(np.float64) / float(1 << (bps - 1))
+        if a.ndim > 1:
+            a = a.mean(axis=1)
+        return a, rate
+    raise NotImplementedError(
+        f"decoding {media_type!r} requires an audio codec library not "
+        "present in this container; audio/wav and audio/flac are the "
+        "lib-free paths")
 
 
 def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
@@ -533,12 +563,16 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
                                  hsh[2] / 255.0))
                     continue
                 mt = r.get("media_type", "audio/wav")
-                if mt not in ("audio/wav", "audio/x-wav"):
+                if mt not in ("audio/wav", "audio/x-wav", "audio/flac",
+                              "audio/x-flac"):
                     raise NotImplementedError(
                         f"decoding {mt!r} requires an audio codec library "
-                        "not present in this container; audio/wav is the "
-                        "lib-free path")
-                samples, rate = decode_wav(c)
+                        "not present in this container; audio/wav and "
+                        "audio/flac are the lib-free paths")
+                if mt in ("audio/flac", "audio/x-flac"):
+                    samples, rate = decode_audio_pcm(c, mt)
+                else:
+                    samples, rate = decode_wav(c)
                 n = samples.size
                 dur_ms = int(n * 1000 / rate) if rate else 0
                 rms = float(np.sqrt((samples ** 2).mean())) if n else 0.0

@@ -188,6 +188,41 @@ def test_louvain(spark):
     assert comm[1] != comm[4]
 
 
+def test_louvain_registered_rule_hierarchy_shape(spark):
+    """The REGISTERED CommunityDetectionLouvain returns the reference's
+    exact output shape (louvain.rs:44-56): (labels_list, node) with the
+    TOP level first and keep_depth truncating to the top-k levels; an
+    uncontractable graph yields empty lists."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    # ring of 10 triangles: two contraction levels (10 -> 5 communities)
+    rows = []
+    for i in range(10):
+        b = i * 10
+        rows += [[b, b + 1, 1.0], [b + 1, b + 2, 1.0], [b, b + 2, 1.0],
+                 [b + 2, ((i + 1) % 10) * 10, 1.0]]
+    lit = ", ".join(str(r) for r in rows)
+    db.run_script(f"?[a,b,w] <- [{lit}] :create e_tri {{a, b => w}}")
+    res = db.run_script("""
+    edges[a, b, w] := *e_tri{a, b, w}
+    ?[grp, idx] <~ CommunityDetectionLouvain(edges[])
+    """)
+    labels = {r[1]: r[0] for r in res.rows}
+    assert all(isinstance(v, list) and len(v) == 2 for v in labels.values())
+    # top level first: 5 distinct top labels, 10 distinct level-1 labels
+    assert len({tuple(v)[0] for v in labels.values()}) == 5
+    assert len({tuple(v)[1] for v in labels.values()}) == 10
+    res1 = db.run_script("""
+    edges[a, b, w] := *e_tri{a, b, w}
+    ?[grp, idx] <~ CommunityDetectionLouvain(edges[], keep_depth: 1)
+    """)
+    l1 = {r[1]: r[0] for r in res1.rows}
+    assert all(len(v) == 1 for v in l1.values())
+    assert {tuple(v)[0] for v in l1.values()} == \
+        {tuple(v)[0] for v in labels.values()}  # the TOP level survives
+
+
 def test_random_walk_deterministic(g, spark):
     from cozo_spark.fixed_rules.local_graphs import random_walk
 

@@ -127,9 +127,14 @@ def _gen(rnd: random.Random):
     if not params:  # ensure at least one param somewhere
         body.append(f"k != {p(-1)}")
     if unify_var is not None:
-        head = f"?[k, {unify_var}]"
+        if rnd.random() < 0.4 and not use_helper:
+            # r9: computed unify feeding an aggregation (input or key)
+            head = rnd.choice([f"?[k, sum({unify_var})]",
+                               f"?[{unify_var}, count(k)]"])
+        else:
+            head = f"?[k, {unify_var}]"
         script = helper + head + " := " + ", ".join(body)
-        if rnd.random() < 0.3:
+        if head.startswith("?[k,") and rnd.random() < 0.3:
             script += "\n:sort k\n:limit 20"
         return script, params
     if rnd.random() < 0.4:

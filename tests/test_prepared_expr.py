@@ -156,6 +156,44 @@ def test_support_filter_multiple_sites(spark, monkeypatch):
     assert len(builds) == 1
 
 
+def test_agg_head_with_computed_unify(spark, monkeypatch):
+    """`?[k, sum(y)] := ..., y = v * $rate` — the computed column feeds
+    the aggregation input; multiplicities must match the raw multiset
+    stream exactly (r9 widening of the r7 agg skeleton)."""
+    db = _db(spark, ("orders",))
+    builds = _spy(monkeypatch)
+    s = ("?[st, sum_t] := *orders{o_orderstatus: st, o_totalprice: p}, "
+         "y = p * $rate, p > $lo")
+    s = s.replace("sum_t", "sum(y)")
+    for rate, lo in ((2.0, 1000.0), (0.5, 50000.0), (1.0, 0.0)):
+        got = _rows(db.run_script_df(s, {"rate": rate, "lo": lo}))
+        assert got == _literal(db, s, {"rate": rate, "lo": lo})
+    assert len(builds) == 1
+
+
+def test_agg_head_with_computed_group_key(spark, monkeypatch):
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = "?[g, count(x)] := *customer{c_custkey: x}, g = x % $m"
+    for m in (3, 7, 11):
+        assert _rows(db.run_script_df(s, {"m": m})) == \
+            _literal(db, s, {"m": m})
+    assert len(builds) == 1
+
+
+def test_agg_head_with_exploding_unify(spark, monkeypatch):
+    """`w in [$a, $b]` pre-aggregation: the explode multiplies the raw
+    multiset stream, so count() doubles — bind-time explode must land
+    before the groupBy."""
+    db = _db(spark, ("customer",))
+    builds = _spy(monkeypatch)
+    s = "?[w, count(x)] := *customer{c_custkey: x}, x < 9, w in [$a, $b]"
+    for a, b in ((1, 2), (5, 5)):
+        assert _rows(db.run_script_df(s, {"a": a, "b": b})) == \
+            _literal(db, s, {"a": a, "b": b})
+    assert len(builds) == 1
+
+
 @pytest.mark.parametrize("script,params", [
     # recursion through the param rule: structurally refused, still correct
     ("""
