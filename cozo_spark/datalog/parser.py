@@ -18,7 +18,7 @@ from cozo_spark.datalog.ast import (
     Call, ColDef, Cond, Conj, Const, ConstRule, Disj, FixedApply, FixedInput,
     HeadAggr, HeadVar, ListEx, NamedRelApply, Negation, ObjectEx, OutOpts,
     Param, Program, RelApply, RuleApply, RuleClause, SearchApply, SortSpec,
-    TableSchema, Unify, Var,
+    TableSchema, Unify, Var, expr_has_param,
 )
 
 
@@ -544,6 +544,13 @@ class Parser:
 
     def _const_int(self) -> int:
         e = self.parse_expr()
+        if self.defer_params and expr_has_param(e):
+            # r9: a $param :limit/:offset no longer refuses the prepared
+            # skeleton — the skeleton is built WITHOUT output options
+            # (engine._build_skeleton passes OutOpts()) and binding applies
+            # the options from the per-call substituted parse, so the
+            # deferred value is never read. None = "resolved at bind".
+            return None  # type: ignore[return-value]
         v = const_eval(e)
         if not isinstance(v, int):
             raise ParseError(f"expected integer constant, got {v!r}")

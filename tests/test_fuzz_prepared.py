@@ -135,7 +135,8 @@ def _gen(rnd: random.Random):
             head = f"?[k, {unify_var}]"
         script = helper + head + " := " + ", ".join(body)
         if head.startswith("?[k,") and rnd.random() < 0.3:
-            script += "\n:sort k\n:limit 20"
+            lim = p(rnd.randrange(5, 30)) if rnd.random() < 0.5 else "20"
+            script += f"\n:sort k\n:limit {lim}"
         return script, params
     if rnd.random() < 0.4:
         head = rnd.choice(["?[k, count(v)]", "?[count(k), sum(v)]",
@@ -146,7 +147,8 @@ def _gen(rnd: random.Random):
             ["?[k, v]", "?[k]", "?[v, k]"])
     script = helper + head + " := " + ", ".join(body)
     if rnd.random() < 0.3 and head.startswith("?[k"):
-        script += "\n:sort k\n:limit 20"
+        lim = p(rnd.randrange(5, 30)) if rnd.random() < 0.5 else "20"
+        script += f"\n:sort k\n:limit {lim}"
     return script, params
 
 

@@ -94,8 +94,9 @@ def test_positional_and_rule_atom_params(spark):
     # param inside a negated atom: anti-join subplan depends on the value
     ("?[k] := *customer{c_custkey: k}, k < 8, not *orders{o_custkey: k, o_totalprice: $t}",
      {"t": 1.0}),
-    # param in :limit is a parse-time constant
-    ("?[k] := *customer{c_custkey: k}\n:sort k\n:limit $n", {"n": 3}),
+    # (`:limit $n` became ELIGIBLE in r9 — the skeleton is built without
+    # output options and binding applies the per-call parse's limit; see
+    # test_limit_param_prepared below)
     # param nested inside an expression used as a column binding
     ("?[n] := *customer{c_custkey: $id + 1, c_name: n}", {"id": 2}),
 ])
@@ -107,6 +108,34 @@ def test_ineligible_shapes_still_correct(spark, script, params):
     want = _literal(db, script, params)
     assert got == want
     assert db._skel_key(script, params) not in CozoDb._skel_cache
+
+
+def test_limit_param_prepared(spark, monkeypatch):
+    """`:limit $n` / `:offset $n` bind from the cached skeleton (r9): the
+    skeleton carries no output options, so the per-call parse's limit
+    applies at bind time — different n values share one skeleton."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark, ("customer",))
+    builds = []
+    orig = CozoDb._build_skeleton
+
+    def spy(self, script, params):
+        builds.append(script)
+        return orig(self, script, params)
+
+    monkeypatch.setattr(CozoDb, "_build_skeleton", spy)
+    s = "?[k] := *customer{c_custkey: k}, k > $lo\n:sort k\n:limit $n"
+    for lo, n in ((0, 3), (5, 7), (0, 1)):
+        got = _rows(db.run_script_df(s, {"lo": lo, "n": n}))
+        assert got == _literal(db, s, {"lo": lo, "n": n}), (lo, n)
+        assert len(got) == n
+    assert len(builds) == 1
+    s2 = "?[k] := *customer{c_custkey: k}\n:sort k\n:limit $n\n:offset $o"
+    for n, o in ((4, 2), (2, 10)):
+        assert _rows(db.run_script_df(s2, {"n": n, "o": o})) == \
+            _literal(db, s2, {"n": n, "o": o})
+    assert len(builds) == 2
 
 
 def test_mutation_invalidates_skeleton(spark):
