@@ -768,3 +768,54 @@ def test_wav_24_and_32_bit_pcm():
     a, rate = decode_wav(buf.getvalue())
     np.testing.assert_allclose(a, vals32 / float(1 << 31), atol=0)
     assert rate == 16000
+
+
+def test_streaming_state_conf_window(spark, tmp_path):
+    """streaming_state_conf (r9): pins spark.sql.shuffle.partitions for
+    the queries started inside the window (the value is baked into the
+    streaming checkpoint, fixing the number of state-store commit paths
+    per batch) and restores the session conf on exit; rocksdb=True
+    selects the RocksDB provider and is likewise restored."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cozo_spark.streaming.stateful import (running_counts,
+                                               streaming_state_conf)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    src = str(tmp_path / "in")
+    (spark.range(64).select(F.col("id").alias("doc_id"))
+     .repartition(2).write.mode("overwrite").parquet(src))
+    with streaming_state_conf(spark, state_partitions=3) as s:
+        assert s.conf.get("spark.sql.shuffle.partitions") == "3"
+        stream = (s.readStream.schema("doc_id LONG")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = running_counts(
+            stream.withColumn("k", (F.col("doc_id") % 4).cast("string")),
+            "k")
+        q = (out.writeStream.format("memory").queryName("sconf9")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    rows = {r["key"]: r["n"] for r in spark.table("sconf9").collect()}
+    assert rows == {str(k): 16 for k in range(4)}
+    # the pinned partitioning is recorded in the checkpoint's state dir
+    state = os.path.join(str(tmp_path / "ck"), "state", "0")
+    parts = [d for d in os.listdir(state) if d.isdigit()]
+    assert len(parts) == 3, f"3 state-store partitions expected: {parts}"
+    saved_provider = None
+    try:
+        saved_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+    except Exception:
+        pass
+    with streaming_state_conf(spark, state_partitions=2, rocksdb=True) as s:
+        assert "RocksDB" in s.conf.get(
+            "spark.sql.streaming.stateStore.providerClass")
+    try:
+        now = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    except Exception:
+        now = None
+    assert now == saved_provider  # restored (or unset again)
