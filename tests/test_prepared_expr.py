@@ -156,6 +156,37 @@ def test_support_filter_multiple_sites(spark, monkeypatch):
     assert len(builds) == 1
 
 
+def test_support_filter_param_in_disjunction_site(spark):
+    """The filtered rule applied inside an inline `or` branch: the
+    migrated condition re-inserts INTO that branch (wrapped in a Conj),
+    filtering only the rows that came through the rule."""
+    db = _db(spark, ("customer",))
+    s = """
+    f[x] := *customer{c_custkey: x, c_acctbal: w}, w > $lo
+    ?[x] := *customer{c_custkey: x}, (f[x] or x > $hi)
+    """
+    for lo, hi in ((100.0, 140), (5000.0, 20)):
+        assert _rows(db.run_script_df(s, {"lo": lo, "hi": hi})) == \
+            _literal(db, s, {"lo": lo, "hi": hi})
+
+
+def test_support_filter_param_under_negation_refuses(spark):
+    """`not f[x]` where f carries a param filter: extending f's arity
+    would leave the new column unbound under the negation — must refuse
+    the skeleton and stay correct on the unprepared path."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark, ("customer",))
+    s = """
+    f[x] := *customer{c_custkey: x, c_acctbal: w}, w > $lo
+    ?[x] := *customer{c_custkey: x}, x < 20, not f[x]
+    """
+    for lo in (100.0, 9000.0):
+        assert _rows(db.run_script_df(s, {"lo": lo})) == \
+            _literal(db, s, {"lo": lo})
+    assert db._skel_key(s, {"lo": 100.0}) not in CozoDb._skel_cache
+
+
 def test_agg_head_with_computed_unify(spark, monkeypatch):
     """`?[k, sum(y)] := ..., y = v * $rate` — the computed column feeds
     the aggregation input; multiplicities must match the raw multiset
