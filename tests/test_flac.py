@@ -167,3 +167,49 @@ def test_decode_audio_pcm_dispatch():
     assert np.allclose(a_flac, a_wav, atol=1e-4)
     with pytest.raises(NotImplementedError):
         decode_audio_pcm(b"\xff\xfb\x90\x00", "audio/mpeg")
+
+
+# --- property-based roundtrips (hypothesis) --------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.lists(st.integers(min_value=-32768, max_value=32767),
+                  min_size=1, max_size=900),
+    nch=st.integers(min_value=1, max_value=2),
+    mode=st.sampled_from(["independent", "left_side", "right_side",
+                          "mid_side"]),
+    rate=st.sampled_from([8000, 16000, 44100, 12345]),
+    blocksize=st.sampled_from([192, 256, 577, 4096]),
+)
+def test_flac_roundtrip_property(data, nch, mode, rate, blocksize):
+    """ANY int16 signal roundtrips bit-exactly through encode+decode,
+    across channel counts, stereo modes, rates, and block sizes
+    (including non-standard 577 → 16-bit blocksize-at-end header path)."""
+    n = len(data) - (len(data) % nch)
+    if n == 0:
+        n = nch
+        data = data * nch
+    x = np.array(data[:n], dtype=np.int64).reshape(-1, nch)
+    enc = encode_flac(x if nch > 1 else x[:, 0], rate=rate, bps=16,
+                      stereo_mode=mode, blocksize=blocksize)
+    dec, got_rate = decode_flac(enc)
+    assert got_rate == rate
+    got = dec.astype(np.int64).reshape(-1, nch)
+    assert np.array_equal(got, x)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.lists(st.integers(min_value=-(1 << 23), max_value=(1 << 23) - 1),
+                  min_size=1, max_size=400),
+)
+def test_flac_24bit_roundtrip_property(data):
+    x = np.array(data, dtype=np.int64)
+    dec, _ = decode_flac(encode_flac(x, rate=48000, bps=24))
+    assert np.array_equal(dec.astype(np.int64), x)
