@@ -477,6 +477,17 @@ class StoredRelation:
     # lazy-merge plans stacked on top of the last full materialization;
     # bounded by CozoDb._COMPACT_EVERY (write path is O(delta), not O(table))
     pending_merges: int = 0
+    # LSM read-view bookkeeping (r9): put/rm deltas accumulate in
+    # `lsm_pending` over the `lsm_base` snapshot, and `df` is rebuilt as
+    # ONE anti-join + ONE latest-seq-wins window over their union — plan
+    # depth (and read/compaction cost) stays O(1) in the number of pending
+    # mutations instead of one join+window LAYER per mutation (each layer
+    # cost ~0.4 s of broadcast/stage overhead at read time). Reset
+    # whenever df is swapped wholesale (update-op stacking, ::compact,
+    # persist); txn shadow clones start fresh (defaults).
+    lsm_base: Optional[DataFrame] = None
+    lsm_pending: list = field(default_factory=list)
+    lsm_rows: int = 0  # pending delta rows (broadcast gate); >cap = unknown
     # LOGICAL write counter: bumped by mutations (:put/:rm/.../:replace,
     # ::import), NOT by physical re-materializations (::compact,
     # persist_relation) which swap .df without changing contents.
@@ -802,6 +813,8 @@ class CozoDb:
         table = f"cozo_bucketed_{name}"
         save_bucketed(rel.df, table, rel.key_names, buckets)
         rel.df = bucketed(self.spark, table)
+        rel.pending_merges = 0
+        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
 
     def multi_transaction(self, write: bool = True) -> "MultiTransaction":
         """Interactive multi-statement transaction (run_multi_transaction,
@@ -2247,14 +2260,76 @@ class CozoDb:
         delta was already checkpointed, so the write cost is O(delta)); every
         _COMPACT_EVERY mutations the stacked plan is compacted into one
         materialization — the log-structured-merge shape of a scale-out
-        store, vs. the previous rewrite-the-table-per-write."""
+        store, vs. the previous rewrite-the-table-per-write. (The :update
+        path and other wholesale swaps come through here; put/rm use the
+        flat LSM view in _apply_lsm_delta instead.)"""
         rel.pending_merges += 1
         rel.version += 1
+        # df was derived from the CURRENT rel.df — the LSM bookkeeping no
+        # longer describes it; the next put/rm re-seeds from the new df
+        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
         if rel.pending_merges >= self._COMPACT_EVERY:
             rel.df = _checkpoint(df)
             rel.pending_merges = 0
         else:
             rel.df = df
+
+    _LSM_BROADCAST_ROWS = 100_000
+
+    def _apply_lsm_delta(self, rel: StoredRelation, delta: DataFrame,
+                         n_delta: Optional[int], tombstone: bool) -> None:
+        """Flat log-structured merge (r9): append the put/rm delta to the
+        pending log and rebuild the read view as
+
+            base ANTI-JOIN (all pending keys)  ∪  latest-wins(pending)
+
+        — one join + one window regardless of how many mutations are
+        pending (the previous per-mutation anti-join+union stacking cost
+        ~0.4 s of broadcast/stage overhead PER LAYER on every read, and
+        seconds per compaction). ``delta`` carries the full column set
+        (put: callers pre-collapse within-batch duplicate keys) or the
+        full KEY set (rm: tombstone; non-keys padded with typed NULLs).
+        Later sequence numbers win per key; a winning tombstone drops the
+        key. Compaction materializes the 2-operator view."""
+        if rel.lsm_base is None:
+            rel.lsm_base = rel.df
+            rel.lsm_pending = []
+            rel.lsm_rows = 0
+        cols = rel.col_names
+        proj = []
+        for c in rel.keys + rel.non_keys:
+            if tombstone and c.name not in rel.key_names:
+                proj.append(F.lit(None).cast(_col_type(c.typing))
+                            .alias(c.name))
+            else:
+                proj.append(F.col(c.name))
+        d = delta.select(
+            *proj,
+            F.lit(len(rel.lsm_pending)).alias("__seq"),
+            F.lit(bool(tombstone)).alias("__tomb"))
+        # incremental running union: O(1) plan-construction per mutation
+        prev_union = (rel.lsm_pending[-1][1]
+                      if rel.lsm_pending else None)
+        allp = d if prev_union is None else prev_union.unionByName(d)
+        rel.lsm_pending.append((d, allp))
+        rel.lsm_rows += (n_delta if n_delta is not None
+                         else self._LSM_BROADCAST_ROWS + 1)
+        keys = rel.key_names
+        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        live = (allp.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col("__tomb")))
+                .select(*cols))
+        keyset = allp.select(*keys).distinct()
+        if rel.lsm_rows <= self._LSM_BROADCAST_ROWS:
+            keyset = F.broadcast(keyset)
+        rel.df = (rel.lsm_base.join(keyset, on=keys, how="left_anti")
+                  .unionByName(live))
+        rel.version += 1
+        rel.pending_merges = len(rel.lsm_pending)
+        if rel.pending_merges >= self._COMPACT_EVERY:
+            rel.df = _checkpoint(rel.df)
+            rel.pending_merges = 0
+            rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
 
     def _execute_store_op(self, df: DataFrame, opts: OutOpts,
                           prog: Optional[Program] = None) -> NamedRows:
@@ -2330,7 +2405,14 @@ class CozoDb:
             # the second row with the same key sees the first and conflicts
             # (tests.rs test_insertions)
             dup_val_cols = [c for c in new.columns if c not in key_names]
-            if op in ("put", "update") and dup_val_cols:
+            n_inline = (len(entry.expr.items)
+                        if isinstance(entry, ConstRule)
+                        and isinstance(entry.expr, ListEx) else None)
+            # a single inline row cannot carry a within-batch duplicate —
+            # skip the dedup window (r9: it showed up TWICE per delta in
+            # the LSM read view, one window+sort+exchange per branch, and
+            # dominated single-row OLTP put/read latency)
+            if op in ("put", "update") and dup_val_cols and n_inline != 1:
                 w = W.partitionBy(*key_names).orderBy(
                     *[F.col(c).desc() for c in dup_val_cols])
                 new = (new.withColumn("__rn", F.row_number().over(w))
@@ -2341,9 +2423,14 @@ class CozoDb:
             # below stay a lazy plan over the previous state; skipped for
             # plain deterministic const-rule writes (re-evaluation is a
             # trivial local relation — zero Spark jobs on the write path)
+            n_delta = None
             if pin_delta or any(c.default is not None and expr_nondet(c.default)
                                 for c in default_cols):
-                new = _checkpoint(new)
+                from cozo_spark.datalog.fixpoint import _checkpoint_count
+
+                new, n_delta = _checkpoint_count(new)
+            else:
+                n_delta = n_inline  # inline rows: exact, free
             if op == "update":
                 # every key must already exist (stored.rs:590: "key to
                 # update does not exist")
@@ -2382,14 +2469,24 @@ class CozoDb:
             # pre-state rows at affected keys: the `_old` trigger relation
             # (stored.rs:712-717 — replaced full rows). Lazy plan over the
             # pre-mutation DataFrame; only materialized if a trigger reads it.
+            # r9: the delta is usually tiny relative to the table (the
+            # OLTP single/few-row put); a known-small key set broadcasts,
+            # so every stacked merge layer is a map-side anti/semi join
+            # instead of a shuffle — the every-8th-mutation compaction of
+            # the layered plan drops from seconds to sub-second. Unknown
+            # or large deltas keep the shuffle join (scale-safe).
             affected = new.select(*key_names).distinct()
+            if n_delta is not None and n_delta <= 100_000:
+                affected = F.broadcast(affected)
             old_full = rel.df.join(affected, on=key_names, how="left_semi")
             if op == "update":
                 # keep old values for columns not mentioned
                 upd_cols = [c for c in cols if c not in key_names]
                 old = rel.df
-                merged = old.alias("o").join(new.select(*key_names, *upd_cols).alias("n"),
-                                             on=key_names, how="left")
+                nside = new.select(*key_names, *upd_cols).alias("n")
+                if n_delta is not None and n_delta <= 100_000:
+                    nside = F.broadcast(nside)
+                merged = old.alias("o").join(nside, on=key_names, how="left")
                 sel = [F.col(k) for k in key_names]
                 for c in rel.non_keys:
                     if c.name in upd_cols:
@@ -2400,15 +2497,22 @@ class CozoDb:
                 # triggers see the POST-state merged full rows as _new
                 fired = rel.df.join(affected, on=key_names, how="left_semi")
             else:
-                keep = rel.df.join(new.select(*key_names).distinct(), on=key_names, how="left_anti")
-                self._set_merged(rel, keep.unionByName(new))
+                self._apply_lsm_delta(rel, new, n_delta, tombstone=False)
                 fired = new
             self._after_mutation(rel, "put", fired, old_full)
         elif op in ("rm", "delete"):
             key_names = rel.key_names
             rm_keys = data.select(*[c for c in cols if c in key_names]).distinct()
+            n_delta = None
             if pin_delta:
-                rm_keys = _checkpoint(rm_keys)
+                from cozo_spark.datalog.fixpoint import _checkpoint_count
+
+                rm_keys, n_delta = _checkpoint_count(rm_keys)
+            elif isinstance(entry, ConstRule) and isinstance(entry.expr,
+                                                            ListEx):
+                n_delta = len(entry.expr.items)
+            if n_delta is not None and n_delta <= 100_000:
+                rm_keys = F.broadcast(rm_keys)  # see the put-path comment
             if op == "delete":
                 # :delete is strict — every key must exist (tests.rs:1179:
                 # deleting from an empty relation errors); :rm is lenient
@@ -2429,8 +2533,14 @@ class CozoDb:
             # removed full rows for the `_old` trigger relation
             # (stored.rs:1043-1049; _new for rm carries the requested keys)
             old_full = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
-            self._set_merged(
-                rel, rel.df.join(rm_keys, on=rm_keys.columns, how="left_anti"))
+            if set(rm_keys.columns) == set(rel.key_names):
+                self._apply_lsm_delta(rel, rm_keys, n_delta, tombstone=True)
+            else:
+                # key-prefix rm: not expressible as a per-key tombstone in
+                # the flat view — stack the anti-join (rare path)
+                self._set_merged(
+                    rel, rel.df.join(rm_keys, on=rm_keys.columns,
+                                     how="left_anti"))
             self._after_mutation(rel, "rm", data, old_full)
         elif op == "ensure":
             present = data.exceptAll(rel.df.select(*cols))
@@ -2973,6 +3083,7 @@ class CozoDb:
                 if rel.pending_merges > 0:
                     rel.df = _checkpoint(rel.df)
                     rel.pending_merges = 0
+                    rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
             return NamedRows(["status"], [["OK"]])
         if kind == "explain":
             # per-atom plan table in the reference's shape (db.rs:968-1191:

@@ -1,0 +1,121 @@
+"""Flat LSM mutation view (r9, engine._apply_lsm_delta).
+
+The previous write path stacked one anti-join+union LAYER per mutation,
+so between compactions every read paid ~0.4 s of broadcast/stage overhead
+PER PENDING MUTATION and the every-8th compaction materialized an O(k²)
+plan (the anti-join distributes over the union branches). The flat view
+keeps base + pending deltas and rebuilds
+
+    base ANTI-JOIN (pending keys)  ∪  latest-seq-wins(pending)
+
+— plan shape O(1) in the pending count. These tests pin the SHAPE
+(host-independent: exactly one Window, one LeftAnti join, no per-delta
+dedup window for single-row inline writes) and the semantics (overwrite
+order, tombstone + re-insert, within-batch duplicate collapse, key-prefix
+rm fallback, compaction, trigger/changefeed visibility).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _db(spark):
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script("?[k, v] <- [[0, 0]] :create lsm_t {k => v}")
+    return db
+
+
+def _rows(db, q="?[k,v] := *lsm_t{k,v}"):
+    return {r[0]: r[1] for r in db.run_script_df(q).collect()}
+
+
+def test_read_plan_shape_is_flat(spark):
+    db = _db(spark)
+    db._COMPACT_EVERY = 10 ** 9
+    for i in range(6):
+        db.run_script(f"?[k, v] <- [[{i}, 1]] :put lsm_t {{k => v}}")
+    plan = db.relations["lsm_t"].df._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, \
+        "one latest-wins window regardless of pending count"
+    assert len(re.findall(r"LeftAnti", plan)) == 1, \
+        "one anti-join regardless of pending count"
+    assert _rows(db) == {i: 1 for i in range(6)}
+
+
+def test_overwrite_rm_reinsert_ordering(spark):
+    db = _db(spark)
+    db._COMPACT_EVERY = 10 ** 9  # force everything through the flat view
+    db.run_script("?[k, v] <- [[1, 10], [2, 20]] :put lsm_t {k => v}")
+    db.run_script("?[k, v] <- [[1, 11]] :put lsm_t {k => v}")  # overwrite
+    db.run_script("?[k] <- [[2]] :rm lsm_t {k}")               # tombstone
+    db.run_script("?[k, v] <- [[2, 22]] :put lsm_t {k => v}")  # re-insert
+    db.run_script("?[k] <- [[0]] :rm lsm_t {k}")               # base rm
+    assert _rows(db) == {1: 11, 2: 22}
+
+
+def test_within_batch_duplicate_keys_collapse(spark):
+    db = _db(spark)
+    db._COMPACT_EVERY = 10 ** 9
+    # reference semantics: largest tuple per key wins within one batch
+    db.run_script(
+        "?[k, v] <- [[5, 1], [5, 9], [6, 2]] :put lsm_t {k => v}")
+    assert _rows(db)[5] == 9 and _rows(db)[6] == 2
+
+
+def test_compaction_preserves_state(spark):
+    db = _db(spark)
+    assert db._COMPACT_EVERY == 8
+    for i in range(20):  # crosses two compactions
+        db.run_script(f"?[k, v] <- [[{i % 7}, {i}]] :put lsm_t {{k => v}}")
+    got = _rows(db)
+    # key i%7 last written at the largest i with that residue
+    want = {k: max(i for i in range(20) if i % 7 == k) for k in range(7)}
+    want[0] = max(want[0], 0)
+    assert {k: got[k] for k in range(7)} == want
+    rel = db.relations["lsm_t"]
+    assert rel.pending_merges < db._COMPACT_EVERY
+
+
+def test_derived_write_and_rm_through_view(spark):
+    db = _db(spark)
+    db._COMPACT_EVERY = 10 ** 9
+    db.run_script("?[k, v] <- [[1, 1], [2, 2], [3, 3]] :put lsm_t {k => v}")
+    # derived (non-const) write: doubles every value via a query
+    db.run_script(
+        "?[k, v] := *lsm_t{k, v: v0}, v = v0 * 10 :put lsm_t {k => v}")
+    assert _rows(db) == {0: 0, 1: 10, 2: 20, 3: 30}
+    db.run_script("?[k] := *lsm_t{k, v}, v >= 20 :rm lsm_t {k}")
+    assert _rows(db) == {0: 0, 1: 10}
+
+
+def test_triggers_and_changefeed_see_lsm_state(spark, tmp_path):
+    from cozo_spark.streaming.changefeed import attach_changefeed
+
+    db = _db(spark)
+    feed = attach_changefeed(db, str(tmp_path / "spool"))
+    seen = []
+    feed.register_callback("lsm_t", lambda op, rows: seen.append((op, rows)))
+    db.run_script("?[k, v] <- [[7, 70]] :put lsm_t {k => v}")
+    db.run_script("?[k] <- [[7]] :rm lsm_t {k}")
+    assert seen[0][0] == "put" and seen[0][1][0]["k"] == 7
+    assert seen[1][0] == "rm"
+    assert 7 not in _rows(db)
+
+
+def test_update_op_still_correct_after_lsm_puts(spark):
+    db = _db(spark)
+    db.run_script(
+        "?[k, v] <- [[1, 'a'], [2, 'b']] :create lsm_u {k => v, w default 0}")
+    db.run_script("?[k, v] <- [[1, 'z']] :update lsm_u {k => v}")
+    rows = {r[0]: (r[1], r[2]) for r in
+            db.run_script_df("?[k,v,w] := *lsm_u{k,v,w}").collect()}
+    assert rows[1] == ("z", 0) and rows[2] == ("b", 0)
+    # put after the update-stacked swap re-seeds the LSM cleanly
+    db.run_script("?[k, v] <- [[3, 'c']] :put lsm_u {k => v}")
+    assert db.run_script_df("?[k] := *lsm_u{k}").count() == 3
