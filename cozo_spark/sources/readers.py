@@ -160,6 +160,9 @@ def import_relations(db, payload: dict) -> None:
             df = kept.unionByName(df)
         rel.df = _checkpoint(df)
         rel.version += 1  # ::import is a logical write
+        # the swap invalidates any pending LSM bookkeeping (r9)
+        rel.pending_merges = 0
+        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
 
 
 def backup_parquet(db, directory: str) -> None:

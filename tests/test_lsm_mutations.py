@@ -119,3 +119,20 @@ def test_update_op_still_correct_after_lsm_puts(spark):
     # put after the update-stacked swap re-seeds the LSM cleanly
     db.run_script("?[k, v] <- [[3, 'c']] :put lsm_u {k => v}")
     assert db.run_script_df("?[k] := *lsm_u{k}").count() == 3
+
+
+def test_import_invalidates_pending_lsm_state(spark):
+    """::import swaps rel.df wholesale; a put AFTER the import must seed
+    from the imported state, not rebuild from the stale pre-import base +
+    pending log (which would silently resurrect overwritten rows)."""
+    db = _db(spark)
+    db._COMPACT_EVERY = 10 ** 9
+    for i in range(3):
+        db.run_script(f"?[k, v] <- [[{i}, {i}]] :put lsm_t {{k => v}}")
+    db.import_relations({"lsm_t": {
+        "headers": ["k", "v"], "rows": [[100, 100], [101, 101]]}})
+    db.run_script("?[k, v] <- [[200, 200]] :put lsm_t {k => v}")
+    got = _rows(db)
+    # imported rows + pre-import rows (import merges) + the post-put row
+    assert got[100] == 100 and got[101] == 101 and got[200] == 200
+    assert got[0] == 0 and got[1] == 1 and got[2] == 2
