@@ -348,6 +348,20 @@ def _hoist_support_params(rules: dict) -> bool:
                 return False  # cond var unbound by a positive atom
             if any(expr_nondet(e) for e in pend_conds):
                 return False  # re-evaluating at the site would re-roll
+            # r10 (ADVICE r9 high): the widened store is distinct on
+            # (head + alias exports), so a consumer whose head AGGREGATES
+            # would fold one row per (head, alias) pair instead of one per
+            # set-semantic head row (`?[count(s)] := sup[s]` counted the
+            # alias multiplicity). Plain-head consumers collapse the extra
+            # rows at their own head-distinct; aggregation heads do not —
+            # refuse the skeleton (unprepared path stays correct).
+            for n2, r2 in rules.items():
+                if n2 == target or not isinstance(r2, list):
+                    continue
+                for cl2 in r2:
+                    if _body_refs_rule(cl2.body, target) and any(
+                            not isinstance(h, HeadVar) for h in cl2.head):
+                        return False
             alias_of: dict = {}
             for v in sorted(cvars):
                 f = _fresh()
@@ -488,6 +502,11 @@ class StoredRelation:
     lsm_base: Optional[DataFrame] = None
     lsm_pending: list = field(default_factory=list)
     lsm_rows: int = 0  # pending delta rows (broadcast gate); >cap = unknown
+    # plan layers already stacked on lsm_base when it was seeded (e.g. by
+    # :update through _set_merged) — counted toward the compaction trigger
+    # so a mixed update/put sequence can't defer compaction to ~2× the
+    # intended read-plan depth (ADVICE r9 low)
+    lsm_base_layers: int = 0
     # LOGICAL write counter: bumped by mutations (:put/:rm/.../:replace,
     # ::import), NOT by physical re-materializations (::compact,
     # persist_relation) which swap .df without changing contents.
@@ -2295,6 +2314,7 @@ class CozoDb:
             rel.lsm_base = rel.df
             rel.lsm_pending = []
             rel.lsm_rows = 0
+            rel.lsm_base_layers = rel.pending_merges
         cols = rel.col_names
         proj = []
         for c in rel.keys + rel.non_keys:
@@ -2325,11 +2345,12 @@ class CozoDb:
         rel.df = (rel.lsm_base.join(keyset, on=keys, how="left_anti")
                   .unionByName(live))
         rel.version += 1
-        rel.pending_merges = len(rel.lsm_pending)
+        rel.pending_merges = rel.lsm_base_layers + len(rel.lsm_pending)
         if rel.pending_merges >= self._COMPACT_EVERY:
             rel.df = _checkpoint(rel.df)
             rel.pending_merges = 0
             rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+            rel.lsm_base_layers = 0
 
     def _execute_store_op(self, df: DataFrame, opts: OutOpts,
                           prog: Optional[Program] = None) -> NamedRows:

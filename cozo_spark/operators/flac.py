@@ -216,11 +216,17 @@ def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list:
     escape = (1 << pbits) - 1
     porder = r.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize >> porder <= order and nparts > 1:
-        # spec: blocksize must be divisible; first partition must be
-        # positive-length
-        if blocksize % nparts:
-            raise ValueError("blocksize not divisible by partition count")
+    # spec (RFC 9639 §9.2.7): blocksize must divide evenly into the
+    # partitions, and with multiple partitions the first one (which gives
+    # up `order` warm-up samples) must be positive-length. Raise each
+    # violation directly (ADVICE r9 low: the combined condition had a
+    # dead second clause, silently accepting a zero-length first partition)
+    if blocksize % nparts:
+        raise ValueError("blocksize not divisible by partition count")
+    if nparts > 1 and (blocksize >> porder) <= order:
+        raise ValueError("first residual partition has no samples "
+                         f"(blocksize>>porder = {blocksize >> porder} "
+                         f"<= predictor order {order})")
     out = []
     for p in range(nparts):
         n = (blocksize >> porder) - (order if p == 0 else 0)

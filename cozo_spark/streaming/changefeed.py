@@ -59,7 +59,16 @@ class ChangeFeed:
             path = os.path.join(self.spool_dir, f"changes-{self._seq:08d}.json")
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
-        cbs = self.callbacks.get(relation, [])
+        # Dispatch over a SNAPSHOT taken under the lock (ADVICE r9 medium):
+        # the SSE overflow handler unregisters a stalled subscriber from
+        # inside its own callback, and list.remove() during `for cb in cbs`
+        # skipped the NEXT healthy subscriber's delivery (a silent gap with
+        # no overflow notice). Registration from HTTP threads races the
+        # committing thread's iteration for the same reason. The callbacks
+        # themselves run outside the lock, so an in-callback unregister
+        # (which re-takes the lock) cannot deadlock.
+        with self._lock:
+            cbs = list(self.callbacks.get(relation, ()))
         if not cbs:
             return
         # old rows (replaced on put / removed on rm) materialize only when a
@@ -87,22 +96,24 @@ class ChangeFeed:
             wants_old = len(inspect.signature(fn).parameters) >= 3
         except (TypeError, ValueError):
             wants_old = False
-        self.callbacks.setdefault(relation, []).append((fn, wants_old))
+        with self._lock:
+            self.callbacks.setdefault(relation, []).append((fn, wants_old))
 
     def unregister_callback(self, relation: str, fn: Callable) -> bool:
         """Reference Db::unregister_callback (db.rs:832-845): drop one
         registration so dead subscribers don't accumulate for the db's
         lifetime (long-running SSE server)."""
-        cbs = self.callbacks.get(relation, [])
-        for entry in cbs:
-            if entry[0] is fn:
-                cbs.remove(entry)
-                break
-        else:
-            return False
-        if not cbs:
-            self.callbacks.pop(relation, None)
-        return True
+        with self._lock:
+            cbs = self.callbacks.get(relation, [])
+            for entry in cbs:
+                if entry[0] is fn:
+                    cbs.remove(entry)
+                    break
+            else:
+                return False
+            if not cbs:
+                self.callbacks.pop(relation, None)
+            return True
 
     # -- consumer side ----------------------------------------------------------
 

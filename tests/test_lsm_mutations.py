@@ -121,6 +121,36 @@ def test_update_op_still_correct_after_lsm_puts(spark):
     assert db.run_script_df("?[k] := *lsm_u{k}").count() == 3
 
 
+def test_mixed_update_put_compaction_bound(spark):
+    """ADVICE r9 low: _apply_lsm_delta overwrote pending_merges with
+    len(lsm_pending), discarding layers stacked by :update through
+    _set_merged — a mixed update/put sequence could defer compaction to
+    ~2× the intended read-plan depth. The LSM counter now seeds from the
+    pre-existing stack: total tracked depth never exceeds _COMPACT_EVERY."""
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    db.run_script("?[k, v] <- [[1, 1], [2, 2]] :put lsm_t {k => v}")
+    for round_ in range(3):
+        # :update stacks a merge layer via _set_merged (clears LSM state)
+        db.run_script(f"?[k, v] <- [[1, {round_ + 10}]] :update lsm_t {{k => v}}")
+        stacked = rel.pending_merges
+        assert rel.lsm_base is None
+        # puts re-seed the LSM; the counter must CARRY the stacked layers
+        db.run_script(f"?[k, v] <- [[{round_ + 3}, 0]] :put lsm_t {{k => v}}")
+        assert rel.pending_merges == rel.lsm_base_layers + len(rel.lsm_pending)
+        assert rel.lsm_base_layers == stacked
+        assert rel.pending_merges <= db._COMPACT_EVERY
+    # drive over the threshold with puts alone: compaction must fire at
+    # base_layers + pending >= _COMPACT_EVERY, not at pending alone
+    while rel.pending_merges != 0:
+        before = rel.pending_merges
+        db.run_script("?[k, v] <- [[99, 99]] :put lsm_t {k => v}")
+        if rel.pending_merges != 0:
+            assert rel.pending_merges == before + 1
+        assert rel.pending_merges < db._COMPACT_EVERY
+    assert _rows(db)[1] == 12 and _rows(db)[99] == 99
+
+
 def test_import_invalidates_pending_lsm_state(spark):
     """::import swaps rel.df wholesale; a put AFTER the import must seed
     from the imported state, not rebuild from the stale pre-import base +

@@ -225,6 +225,42 @@ def test_agg_head_with_exploding_unify(spark, monkeypatch):
     assert len(builds) == 1
 
 
+def test_agg_consumer_of_cond_widened_rule_refuses(spark):
+    """ADVICE r9 high: a support rule whose filter cond migrates out gains
+    alias exports — its store becomes distinct on (head + alias), so an
+    AGGREGATION-head consumer would fold one row per (head, alias) pair
+    (`?[count(s)] := sup[s]` returned 50 prepared vs 5 literal). The hoist
+    must refuse; the unprepared path stays bit-identical."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark, ("customer",))
+    # entry-level aggregation consumer
+    s1 = """
+    sup[n] := *customer{c_nationkey: n, c_acctbal: b}, b < $c
+    ?[count(n)] := sup[n]
+    """
+    # intermediate aggregation consumer (entry is plain)
+    s2 = """
+    sup[n] := *customer{c_nationkey: n, c_acctbal: b}, b < $c
+    cnt[count(n)] := sup[n]
+    ?[c] := cnt[c]
+    """
+    for s in (s1, s2):
+        for c in (100.0, 5000.0, 9999.0):
+            assert _rows(db.run_script_df(s, {"c": c})) == \
+                _literal(db, s, {"c": c})
+        assert db._skel_key(s, {"c": 100.0}) not in CozoDb._skel_cache
+    # a PLAIN-head consumer of the same shape must still prepare
+    s3 = """
+    sup[n] := *customer{c_nationkey: n, c_acctbal: b}, b < $c
+    ?[n] := sup[n]
+    """
+    for c in (100.0, 5000.0):
+        assert _rows(db.run_script_df(s3, {"c": c})) == \
+            _literal(db, s3, {"c": c})
+    assert db._skel_key(s3, {"c": 100.0}) in CozoDb._skel_cache
+
+
 @pytest.mark.parametrize("script,params", [
     # recursion through the param rule: structurally refused, still correct
     ("""

@@ -55,6 +55,33 @@ def test_changefeed_and_callbacks(spark, tmp_path):
     assert ops.count("put") == 3 and ops.count("rm") == 1
 
 
+def test_callback_unregister_during_dispatch_no_skip(spark, tmp_path):
+    """ADVICE r9 medium: a callback that unregisters ITSELF mid-dispatch
+    (the SSE overflow path) must not make the dispatcher skip the next
+    subscriber in the list — dispatch iterates a snapshot."""
+    from cozo_spark.datalog.engine import CozoDb
+    from cozo_spark.streaming.changefeed import attach_changefeed
+
+    db = CozoDb(spark)
+    feed = attach_changefeed(db, str(tmp_path / "spool_skip"))
+    first_seen, second_seen = [], []
+
+    def overflowing(op, rows):
+        first_seen.append(op)
+        feed.unregister_callback("kv2", overflowing)  # SSE overflow shape
+
+    feed.register_callback("kv2", overflowing)
+    feed.register_callback("kv2", lambda op, rows: second_seen.append(op))
+
+    db.run_script(":create kv2 {k: Int => v: Int}")
+    db.run_script("?[k, v] <- [[1, 10]] :put kv2 {k => v}")
+    db.run_script("?[k, v] <- [[2, 20]] :put kv2 {k => v}")
+
+    assert first_seen == ["put"]             # removed after its first event
+    assert second_seen == ["put", "put"], \
+        "healthy subscriber lost an event to a neighbour's unregister"
+
+
 def test_changefeed_structured_stream(spark, tmp_path):
     from cozo_spark.datalog.engine import CozoDb
     from cozo_spark.streaming.changefeed import attach_changefeed
