@@ -2064,18 +2064,47 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     stays for Dist centrality),
 #   ann_ivf_topk + kmeans_clusters (promoted ann_cosine_topk +
 #     pq_code_dedup + in-cap ann_pq_topk keep the vector family).
+# ROTATION (round 10, per VERDICT r9 directive 1): the 13 r8-demoted
+# queries (2 rounds driver-unchecked) are PROMOTED back inside the cap:
+# agg_bool_bit, agg_product, agg_collect_unique, agg_group_count,
+# set_intersect, set_except, unify_explode, limit_offset, scalar_json,
+# scalar_datetime, datalog_two_hop, graph_closeness, doc_fingerprint.
+# Demoted r10 in their place — 13 shapes, ALL r8+r9 driver-verified
+# (CORRECTNESS_r08 ∩ r09), never a pinned engine row; minhash/simhash now
+# carry TWO post-rewrite driver rows (r8+r9) and are eligible per the r9
+# verdict. Families stay covered in-cap:
+#   agg_basic (bench headline → row counts still checked; promoted
+#     agg_bool_bit/product/collect_unique/group_count + agg_median +
+#     pinned datalog_agg keep aggregates),
+#   set_union_dedup (promoted set_intersect + set_except keep set ops),
+#   unify_expr (promoted unify_explode keeps unification),
+#   scalar_string_math (promoted scalar_json + scalar_datetime keep the
+#     scalar registry),
+#   graph_two_hop (promoted datalog_two_hop + in-cap
+#     graph_three_hop_filter/graph_cycle3 keep multi-hop patterns),
+#   graph_betweenness (promoted graph_closeness + in-cap
+#     graph_degree_centrality keep the centrality Dist family),
+#   minhash_lsh_pairs + simhash_pairs (bench headline keeps minhash
+#     row-checked; dedup_exact, dedup_clusters, decontaminate,
+#     substring_dedup + promoted doc_fingerprint keep hash dedup),
+#   semi_join (join_multiway — bench headline — stays),
+#   inline_fixed_const (const rules ride every datalog_* row),
+#   text_bpe_tokens (text_word_topk — bench headline — keeps token ops),
+#   embed_cosine_neardup (ann_cosine_topk + ann_pq_topk keep vectors),
+#   ngram_jaccard (promoted doc_fingerprint + substring_dedup +
+#     decontaminate keep shingle-hash similarity).
 DEMOTED: tuple = (
-    # r9-demoted (r7+r8 driver-verified)
+    # r10-demoted (r8+r9 driver-verified)
+    "agg_basic", "set_union_dedup", "unify_expr", "scalar_string_math",
+    "graph_two_hop", "graph_betweenness", "minhash_lsh_pairs",
+    "simhash_pairs", "semi_join", "inline_fixed_const", "text_bpe_tokens",
+    "embed_cosine_neardup", "ngram_jaccard",
+    # r9-demoted (r7+r8 driver-verified; due for promotion r11)
     "agg_stats", "agg_min_cost", "join_point_lookup", "neg_join_anti",
     "sort_topk", "datalog_filter_join", "datalog_magic_reach",
     "asof_join_events", "text_quality", "text_token_stats", "pii_redact",
     "dataset_split", "lm_quality_score", "graph_pattern_long",
     "graph_random_walk", "ann_ivf_topk", "kmeans_clusters",
-    # r8-demoted (r6+r7 driver-verified; due for promotion r10)
-    "agg_bool_bit", "agg_product", "agg_collect_unique", "agg_group_count",
-    "set_intersect", "set_except", "unify_explode", "limit_offset",
-    "scalar_json", "scalar_datetime", "datalog_two_hop", "graph_closeness",
-    "doc_fingerprint",
 )
 
 
