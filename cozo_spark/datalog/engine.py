@@ -507,6 +507,18 @@ class StoredRelation:
     # so a mixed update/put sequence can't defer compaction to ~2× the
     # intended read-plan depth (ADVICE r9 low)
     lsm_base_layers: int = 0
+    # async compaction (r10, VERDICT r9 #3): at the compaction threshold the
+    # current flat view is FROZEN as the new lsm_base (lazy — no jobs on the
+    # mutating caller) and a background thread materializes it, swapping the
+    # frozen leaf for the checkpointed frame on completion. The lock
+    # serializes LSM-state changes against the installer; installs are
+    # identity-guarded (`lsm_base is frozen`), so any wholesale reset
+    # (::import / :update / ::compact / txn commit publishing a new
+    # StoredRelation) silently discards a stale install.
+    lsm_compacting: bool = False
+    lsm_thread: Any = None
+    lsm_minors: int = 0  # minor collapses since the last major freeze
+    lsm_lock: Any = field(default_factory=_threading.Lock, repr=False)
     # LOGICAL write counter: bumped by mutations (:put/:rm/.../:replace,
     # ::import), NOT by physical re-materializations (::compact,
     # persist_relation) which swap .df without changing contents.
@@ -831,9 +843,11 @@ class CozoDb:
             raise QueryError(f"relation {name!r} has no key columns")
         table = f"cozo_bucketed_{name}"
         save_bucketed(rel.df, table, rel.key_names, buckets)
-        rel.df = bucketed(self.spark, table)
-        rel.pending_merges = 0
-        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+        with rel.lsm_lock:  # an in-flight async compaction must not install
+            rel.df = bucketed(self.spark, table)
+            rel.pending_merges = 0
+            rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+            rel.lsm_base_layers = 0
 
     def multi_transaction(self, write: bool = True) -> "MultiTransaction":
         """Interactive multi-statement transaction (run_multi_transaction,
@@ -1034,9 +1048,12 @@ class CozoDb:
                             CozoDb._skel_neg.clear()
                         CozoDb._skel_neg.add(skey)
                 return None
+        self._had_eager_eval = False
         res = self._bind_skeleton(ent, params, parsed)
-        if isinstance(res, DataFrame):
+        if isinstance(res, DataFrame) and not self._had_eager_eval:
             # same-value repeats then hit the exact per-value cache first
+            # (template binds run the fixpoint eagerly — never cached, so
+            # a hit can't hide executed work; same policy as run_script_df)
             self._plan_cache_put(key, res)
         return res
 
@@ -1070,8 +1087,13 @@ class CozoDb:
             if any(isinstance(h, HeadAggr) and h.aggr not in AGGREGATIONS
                    for h in clause.head):
                 return None
-            if any(isinstance(r, FixedApply) for r in dprog.rules.values()) \
-                    or _reaches_recursion(dprog.rules):
+            if _reaches_recursion(dprog.rules):
+                # r10 (VERDICT r9 #2): recursion-reaching programs get a
+                # TEMPLATE skeleton (pre-translated param-free clause
+                # stores) instead of a flat plan — the fixpoint re-runs
+                # per seed by design
+                return self._build_recursive_template(script, params, dprog)
+            if any(isinstance(r, FixedApply) for r in dprog.rules.values()):
                 # eager evaluation makes the skeleton uncacheable, and the
                 # raw re-translation path skips the magic rewrite
                 return None
@@ -1087,13 +1109,16 @@ class CozoDb:
             head_names = [h.name for h in clause.head]
             if not head_names or len(set(head_names)) != len(head_names):
                 return None
-            # ANY recursion makes the skeleton evaluation eager (the
-            # fixpoint runs at build time) and therefore uncacheable; the
-            # post-eval _had_eager_eval check would still refuse it, but
-            # only AFTER computing a full UNRESTRICTED closure once (a
-            # hoisted param strips the magic seed) — pre-gate instead
+            # ANY recursion makes the flat skeleton's evaluation eager (the
+            # fixpoint runs at build time) and therefore uncacheable — and a
+            # hoisted param would strip the magic seed, computing a full
+            # UNRESTRICTED closure. r10 (VERDICT r9 #2): route to the
+            # recursive TEMPLATE instead — it keeps the magic seed intact
+            # (binding substitutes the param per call, so the restriction
+            # fires on the cached lazy base plans) and caches every
+            # param-free clause translation.
             if _reaches_recursion(dprog.rules):
-                return None
+                return self._build_recursive_template(script, params, dprog)
         if any(rname != "?" and rule_has_param(rule)
                for rname, rule in dprog.rules.items()):
             # r8 (VERDICT r7 #5): params in NON-recursive support rules are
@@ -1400,6 +1425,193 @@ class CozoDb:
                 cache.pop(next(iter(cache)))
         return ent
 
+    def _build_recursive_template(self, script: str, params: dict,
+                                  dprog: Program):
+        """Prepared statements for RECURSION-REACHING programs (r10,
+        VERDICT r9 #2). The seeded fixpoint is different WORK per seed
+        value — magic restriction (magic.rs:55-642 parity, magic.py) is
+        exactly the point — so unlike the flat skeleton there is no single
+        lazy plan to cache. What IS value-independent is the translation
+        of every param-free clause over stored relations: support rules,
+        and crucially the recursive rule's BASE clauses — the ones the
+        magic rewrite restricts to the seed.
+
+        Build: pre-translate those clauses into cached LAZY stores
+        (never executed here — no unrestricted closure is computed).
+        Bind: in the per-call parse (parse-time param substitution, the
+        reference's own semantics — parse/mod.rs:306-353), swap each
+        cached clause's body for a positional reference to its store,
+        drop fully-covered support rules, and run the ordinary
+        magic-restricted evaluation with the stores injected. The magic
+        seed condition then lands as a filter ON TOP of the cached lazy
+        base plan and Catalyst pushes it into the scan — goal-directed
+        scale behavior is identical to the unprepared path, and results
+        are bit-identical by construction (same parse, same adornment,
+        same stratified fixpoint; only redundant re-translation of
+        value-independent clauses is skipped)."""
+        rules = dprog.rules
+        deps: dict = {}
+        for name, rule in rules.items():
+            if isinstance(rule, list):
+                d: set = set()
+                for cl in rule:
+                    d |= _body_rule_refs(cl.body)
+            elif isinstance(rule, FixedApply):
+                d = {inp.name for inp in rule.inputs if inp.kind == "rule"}
+            else:
+                d = set()
+            deps[name] = d & set(rules)
+        cyclic: set = set()
+        sccs = _condensation(set(rules), deps)
+        for scc in sccs:
+            if len(scc) > 1 or next(iter(scc)) in deps[next(iter(scc))]:
+                cyclic |= scc
+
+        dropped: dict = {}   # rule name -> (store DF, unique positions)
+        drops: list = []
+        repls: list = []
+        slot_seq = [0]
+
+        def _resolver():
+            stores = {n: s for n, (s, _u) in dropped.items()}
+            return self._make_resolver(stores)
+
+        def _unique_resolver(n):
+            ent = dropped.get(n)
+            return ent[1] if ent is not None else None
+
+        def _tr():
+            return ClauseTranslator(
+                self.spark, _resolver(),
+                key_resolver=self._resolve_keys,
+                search_resolver=self._search,
+                rule_unique_resolver=_unique_resolver,
+                trusted_key_resolver=self._resolve_trusted_keys)
+
+        def _clause_ok(cl) -> bool:
+            if any(not isinstance(h, HeadVar) for h in cl.head):
+                return False  # agg heads need the raw multiset stream
+            for a in cl.body:
+                if isinstance(a, (Conj, Disj, SearchApply)):
+                    return False
+                if atom_has_param(a) or _atom_nondet(a):
+                    return False
+                if isinstance(a, Negation):
+                    inner = a.atom
+                    if not isinstance(inner,
+                                      (RelApply, NamedRelApply, RuleApply)):
+                        return False
+                    if isinstance(inner, RuleApply) \
+                            and inner.name not in dropped:
+                        return False
+                elif isinstance(a, RuleApply) and a.name not in dropped:
+                    return False  # per-call rule store: not cacheable
+            return True
+
+        self._had_eager_eval = False
+        try:
+            # dependencies-first: a support rule dropped earlier lets its
+            # consumers qualify (their RuleApply refs resolve to cached
+            # stores)
+            for scc in sccs:
+                name = next(iter(scc))
+                rule = rules.get(name)
+                if not isinstance(rule, list) or not rule:
+                    continue
+                recursive = name in cyclic
+                if not recursive and name != "?" \
+                        and all(_clause_ok(cl) for cl in rule):
+                    # whole support rule cacheable: drop it at bind and
+                    # serve its set-semantics store (same plan shape as
+                    # _eval_clauses_once)
+                    tr = _tr()
+                    parts, uniq = [], []
+                    for cl in rule:
+                        parts.append(self._canon(tr.translate(cl.head,
+                                                              cl.body)))
+                        uniq.append(tr.last_unique)
+                    if len(parts) == 1 and uniq[0]:
+                        store = parts[0]
+                    else:
+                        store = parts[0]
+                        for p in parts[1:]:
+                            store = store.unionByName(p)
+                        store = store.distinct()
+                    upos = frozenset(range(len(rule[0].head)))
+                    dropped[name] = (store, upos)
+                    drops.append({"name": name, "clauses": rule,
+                                  "store": store, "unique": upos})
+                    continue
+                # per-clause replacement (recursive rules' base clauses,
+                # partially-cacheable support rules, param-free entry)
+                for j, cl in enumerate(rule):
+                    if recursive and (_body_rule_refs(cl.body) & scc):
+                        continue  # recursive clause: delta-translated per epoch
+                    if not _clause_ok(cl):
+                        continue
+                    tr = _tr()
+                    store = self._canon(tr.translate(cl.head, cl.body))
+                    slot = f"__tpl{slot_seq[0]}_"
+                    slot_seq[0] += 1
+                    if slot in rules:
+                        return None
+                    repls.append({"name": name, "idx": j, "clause": cl,
+                                  "slot": slot, "store": store,
+                                  "arity": len(cl.head),
+                                  "unique": bool(tr.last_unique)})
+        except QueryError:
+            return _SKEL_RETRY  # state-dependent (e.g. missing relation)
+        if self._had_eager_eval:
+            return None  # a translation ran jobs: not cacheable
+        if not drops and not repls:
+            return None  # nothing value-independent to cache
+        ent = {
+            "template": True, "drops": drops, "repls": repls,
+            "spark": self.spark, "snapshot": self._rel_snapshot(),
+            "rel_refs": tuple((n, rel.df)
+                              for n, rel in sorted(self.relations.items())),
+        }
+        with CozoDb._plan_cache_lock:
+            cache = CozoDb._skel_cache
+            cache[self._skel_key(script, params)] = ent
+            while len(cache) > self._PLAN_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+        return ent
+
+    def _bind_recursive_template(self, ent: dict, params: dict,
+                                 parsed: Program):
+        """Bind a recursive template: verify the per-call parse still
+        matches the template structurally (param-free clauses parse
+        identically call-to-call; any mismatch falls back to the
+        unprepared path), then swap cached clauses in and evaluate."""
+        rules = parsed.rules
+        for d in ent["drops"]:
+            r = rules.get(d["name"])
+            if not isinstance(r, list) or r != d["clauses"]:
+                return None
+        for p in ent["repls"]:
+            r = rules.get(p["name"])
+            if (not isinstance(r, list) or p["idx"] >= len(r)
+                    or r[p["idx"]] != p["clause"]
+                    or p["slot"] in rules):
+                return None
+        seed_stores: dict = {}
+        seed_unique: dict = {}
+        for d in ent["drops"]:
+            del rules[d["name"]]
+            seed_stores[d["name"]] = d["store"]
+            seed_unique[d["name"]] = d["unique"]
+        for p in ent["repls"]:
+            seed_stores[p["slot"]] = p["store"]
+            if p["unique"]:
+                seed_unique[p["slot"]] = frozenset(range(p["arity"]))
+            cl = rules[p["name"]][p["idx"]]
+            rules[p["name"]][p["idx"]] = RuleClause(
+                list(cl.head),
+                [RuleApply(p["slot"], [Var(h.name) for h in cl.head])])
+        return self._run_program(parsed, seed_stores=seed_stores,
+                                 seed_unique=seed_unique)
+
     def _bind_skeleton_agg(self, ent: dict, params: dict,
                            parsed: Program) -> DataFrame:
         from cozo_spark.datalog.translate import compile_expr
@@ -1449,6 +1661,8 @@ class CozoDb:
                        parsed: Program) -> DataFrame:
         from cozo_spark.datalog.translate import _df_typer, compile_expr
 
+        if ent.get("template"):
+            return self._bind_recursive_template(ent, params, parsed)
         if "agg_head" in ent:
             return self._bind_skeleton_agg(ent, params, parsed)
         skel_df = ent["df"]
@@ -1497,12 +1711,13 @@ class CozoDb:
 
     # -- program evaluation --------------------------------------------------------
 
-    def _run_program(self, prog: Program) -> Any:
+    def _run_program(self, prog: Program, seed_stores: Optional[dict] = None,
+                     seed_unique: Optional[dict] = None) -> Any:
         if not prog.rules:
             # options-only script (e.g. bare `:create rel {...}`): unit seed
             seed = self.spark.range(1).select(F.lit(1).alias("__unit__"))
             return self._output_stage(seed, prog.opts, prog)
-        stores = self._evaluate_rules(prog)
+        stores = self._evaluate_rules(prog, seed_stores, seed_unique)
         if "?" not in stores:
             raise QueryError("program has no entry rule '?'")
         headers = self._entry_headers(prog)
@@ -1543,8 +1758,14 @@ class CozoDb:
             names.append(n)
         return names
 
-    def _evaluate_rules(self, prog: Program) -> dict[str, DataFrame]:
-        stores: dict[str, DataFrame] = {}
+    def _evaluate_rules(self, prog: Program,
+                        seed_stores: Optional[dict] = None,
+                        seed_unique: Optional[dict] = None
+                        ) -> dict[str, DataFrame]:
+        # seed_stores/seed_unique: pre-translated stores injected by the
+        # recursive-template bind (r10) — resolved before stored relations,
+        # with their set-uniqueness claims preserved for distinct elision
+        stores: dict[str, DataFrame] = dict(seed_stores) if seed_stores else {}
         self._fixed_rule_run_info = {}  # fresh per program (see
         #                                 _eval_fixed_rule / NamedRows.metadata)
 
@@ -1585,6 +1806,8 @@ class CozoDb:
         # unique on their group-key (HeadVar) positions; const rules are
         # distinct-ed at evaluation; fixed-rule outputs make no claim
         self._rule_unique = {}
+        if seed_unique:
+            self._rule_unique.update(seed_unique)
         for name, rule in prog.rules.items():
             if isinstance(rule, ConstRule):
                 h = rule.head or []
@@ -2282,18 +2505,113 @@ class CozoDb:
         store, vs. the previous rewrite-the-table-per-write. (The :update
         path and other wholesale swaps come through here; put/rm use the
         flat LSM view in _apply_lsm_delta instead.)"""
-        rel.pending_merges += 1
-        rel.version += 1
-        # df was derived from the CURRENT rel.df — the LSM bookkeeping no
-        # longer describes it; the next put/rm re-seeds from the new df
-        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
-        if rel.pending_merges >= self._COMPACT_EVERY:
-            rel.df = _checkpoint(df)
-            rel.pending_merges = 0
-        else:
-            rel.df = df
+        with rel.lsm_lock:
+            rel.pending_merges += 1
+            rel.version += 1
+            # df was derived from the CURRENT rel.df — the LSM bookkeeping no
+            # longer describes it; the next put/rm re-seeds from the new df
+            rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+            rel.lsm_base_layers = 0
+            if rel.pending_merges >= self._COMPACT_EVERY:
+                rel.df = _checkpoint(df)
+                rel.pending_merges = 0
+            else:
+                rel.df = df
 
     _LSM_BROADCAST_ROWS = 100_000
+    # majors per minor cadence: after this many minor collapses, the view is
+    # frozen and materialized in the background (the expensive step)
+    _LSM_MAJOR_EVERY = 4
+    # backpressure bound: with a major compaction in flight, minors keep the
+    # read plan flat; past this many minors the writer waits for the
+    # compactor instead of outrunning it
+    _LSM_MAX_LAG = 4
+
+    def _lsm_minor_compact(self, rel: StoredRelation) -> None:
+        """Collapse the pending log into ONE checkpointed latest-wins delta
+        (tombstones kept — they must keep masking base keys). Cost is
+        O(pending delta rows), NOT O(table): this is the cheap synchronous
+        step that bounds the flat view's union width (read cost grows
+        super-linearly in pending width — measured 1.5 s at 8 deltas vs
+        12.8 s at 17 on tiny data, the optimizer cost of pushing the
+        anti-join/window through a wide union). Callers hold rel.lsm_lock."""
+        allp = rel.lsm_pending[-1][1]
+        keys = rel.key_names
+        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        collapsed = _checkpoint(
+            allp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+            .withColumn("__seq", F.lit(0)))
+        rel.lsm_pending = [(collapsed, collapsed)]
+
+    @staticmethod
+    def _lsm_sync_compact() -> bool:
+        """COZO_SPARK_SYNC_COMPACT=1 restores the r9 synchronous compaction
+        (deterministic timing for debugging; also the A/B lever)."""
+        import os
+        return os.environ.get("COZO_SPARK_SYNC_COMPACT", "") not in ("", "0")
+
+    def _lsm_rebuild_view(self, rel: StoredRelation) -> None:
+        """Rebuild rel.df as the flat LSM view over the CURRENT lsm_base +
+        pending union (callers hold rel.lsm_lock)."""
+        allp = rel.lsm_pending[-1][1]
+        keys = rel.key_names
+        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        live = (allp.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col("__tomb")))
+                .select(*rel.col_names))
+        keyset = allp.select(*keys).distinct()
+        if rel.lsm_rows <= self._LSM_BROADCAST_ROWS:
+            keyset = F.broadcast(keyset)
+        rel.df = (rel.lsm_base.join(keyset, on=keys, how="left_anti")
+                  .unionByName(live))
+
+    def _lsm_freeze(self, rel: StoredRelation) -> DataFrame:
+        """Freeze the current flat view as the new lsm_base (the LSM
+        memtable-freeze: lazy, zero jobs on the caller) and reset the
+        pending log on top of it. Callers hold rel.lsm_lock."""
+        frozen = rel.df
+        rel.lsm_base = frozen
+        rel.lsm_base_layers = 0
+        rel.lsm_pending = []
+        rel.lsm_rows = 0
+        rel.lsm_minors = 0
+        rel.pending_merges = 0
+        rel.lsm_compacting = True
+        return frozen
+
+    def _spawn_lsm_worker(self, rel: StoredRelation,
+                          frozen: DataFrame) -> None:
+        """Materialize the frozen base off-thread; install atomically.
+        The reference never charges the writer for compaction (RocksDB
+        background threads via cozorocks) — this is the Spark analogue."""
+        def work():
+            try:
+                ck = _checkpoint(frozen)
+            except Exception:
+                ck = None
+            respawn = None
+            with rel.lsm_lock:
+                rel.lsm_compacting = False
+                rel.lsm_thread = None
+                if ck is None or rel.lsm_base is not frozen:
+                    return  # state was reset wholesale meanwhile: discard
+                rel.lsm_base = ck
+                if rel.df is frozen:      # no mutations since the freeze
+                    rel.df = ck
+                elif rel.lsm_pending:     # re-root the view on the ck leaf
+                    self._lsm_rebuild_view(rel)
+                if self._lsm_wants_major(rel):
+                    # writers outpaced this pass: chain the next compaction
+                    rel.lsm_minors = 0
+                    respawn = self._lsm_freeze(rel)
+            if respawn is not None:
+                self._spawn_lsm_worker(rel, respawn)
+
+        t = _threading.Thread(target=work, daemon=True,
+                              name=f"cozo-lsm-compact-{rel.name}")
+        rel.lsm_thread = t
+        t.start()
 
     def _apply_lsm_delta(self, rel: StoredRelation, delta: DataFrame,
                          n_delta: Optional[int], tombstone: bool) -> None:
@@ -2309,48 +2627,80 @@ class CozoDb:
         (put: callers pre-collapse within-batch duplicate keys) or the
         full KEY set (rm: tombstone; non-keys padded with typed NULLs).
         Later sequence numbers win per key; a winning tombstone drops the
-        key. Compaction materializes the 2-operator view."""
-        if rel.lsm_base is None:
-            rel.lsm_base = rel.df
-            rel.lsm_pending = []
-            rel.lsm_rows = 0
-            rel.lsm_base_layers = rel.pending_merges
-        cols = rel.col_names
-        proj = []
-        for c in rel.keys + rel.non_keys:
-            if tombstone and c.name not in rel.key_names:
-                proj.append(F.lit(None).cast(_col_type(c.typing))
-                            .alias(c.name))
+        key. At the compaction threshold the view is FROZEN as the new
+        lsm_base (lazy) and a background thread materializes it (r10,
+        VERDICT r9 #3) — the writer is never charged for compaction, like
+        the reference's RocksDB background compaction (cozorocks). With a
+        compaction already in flight, pending keeps stacking on the flat
+        view (still one join + one window) up to _LSM_MAX_LAG thresholds,
+        then the writer waits for the compactor (backpressure)."""
+        spawn_frozen = None
+        wait_thread = None
+        with rel.lsm_lock:
+            if rel.lsm_base is None:
+                rel.lsm_base = rel.df
+                rel.lsm_pending = []
+                rel.lsm_rows = 0
+                rel.lsm_base_layers = rel.pending_merges
+            proj = []
+            for c in rel.keys + rel.non_keys:
+                if tombstone and c.name not in rel.key_names:
+                    proj.append(F.lit(None).cast(_col_type(c.typing))
+                                .alias(c.name))
+                else:
+                    proj.append(F.col(c.name))
+            d = delta.select(
+                *proj,
+                F.lit(len(rel.lsm_pending)).alias("__seq"),
+                F.lit(bool(tombstone)).alias("__tomb"))
+            # incremental running union: O(1) plan-construction per mutation
+            prev_union = (rel.lsm_pending[-1][1]
+                          if rel.lsm_pending else None)
+            allp = d if prev_union is None else prev_union.unionByName(d)
+            rel.lsm_pending.append((d, allp))
+            rel.lsm_rows += (n_delta if n_delta is not None
+                             else self._LSM_BROADCAST_ROWS + 1)
+            self._lsm_rebuild_view(rel)
+            rel.version += 1
+            rel.pending_merges = rel.lsm_base_layers + len(rel.lsm_pending)
+            if self._lsm_sync_compact():
+                if rel.pending_merges >= self._COMPACT_EVERY:
+                    rel.df = _checkpoint(rel.df)
+                    rel.pending_merges = 0
+                    rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+                    rel.lsm_base_layers = 0
             else:
-                proj.append(F.col(c.name))
-        d = delta.select(
-            *proj,
-            F.lit(len(rel.lsm_pending)).alias("__seq"),
-            F.lit(bool(tombstone)).alias("__tomb"))
-        # incremental running union: O(1) plan-construction per mutation
-        prev_union = (rel.lsm_pending[-1][1]
-                      if rel.lsm_pending else None)
-        allp = d if prev_union is None else prev_union.unionByName(d)
-        rel.lsm_pending.append((d, allp))
-        rel.lsm_rows += (n_delta if n_delta is not None
-                         else self._LSM_BROADCAST_ROWS + 1)
-        keys = rel.key_names
-        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
-        live = (allp.withColumn("__rn", F.row_number().over(w))
-                .filter((F.col("__rn") == 1) & (~F.col("__tomb")))
-                .select(*cols))
-        keyset = allp.select(*keys).distinct()
-        if rel.lsm_rows <= self._LSM_BROADCAST_ROWS:
-            keyset = F.broadcast(keyset)
-        rel.df = (rel.lsm_base.join(keyset, on=keys, how="left_anti")
-                  .unionByName(live))
-        rel.version += 1
-        rel.pending_merges = rel.lsm_base_layers + len(rel.lsm_pending)
-        if rel.pending_merges >= self._COMPACT_EVERY:
-            rel.df = _checkpoint(rel.df)
-            rel.pending_merges = 0
-            rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
-            rel.lsm_base_layers = 0
+                if rel.pending_merges >= self._COMPACT_EVERY:
+                    self._lsm_minor_compact(rel)
+                    rel.lsm_minors += 1
+                    self._lsm_rebuild_view(rel)
+                    rel.pending_merges = rel.lsm_base_layers + 1
+                if self._lsm_wants_major(rel):
+                    if not rel.lsm_compacting:
+                        rel.lsm_minors = 0
+                        spawn_frozen = self._lsm_freeze(rel)
+                    elif rel.lsm_minors >= (self._LSM_MAX_LAG
+                                            * self._LSM_MAJOR_EVERY):
+                        wait_thread = rel.lsm_thread
+        if spawn_frozen is not None:
+            self._spawn_lsm_worker(rel, spawn_frozen)
+            return
+        if wait_thread is not None:
+            wait_thread.join(600)  # backpressure: compactor fell behind
+            with rel.lsm_lock:
+                if self._lsm_wants_major(rel) and not rel.lsm_compacting:
+                    rel.lsm_minors = 0
+                    spawn_frozen = self._lsm_freeze(rel)
+            if spawn_frozen is not None:
+                self._spawn_lsm_worker(rel, spawn_frozen)
+
+    def _lsm_wants_major(self, rel: StoredRelation) -> bool:
+        """Major (background) compaction triggers: enough minor collapses
+        accumulated, the collapsed delta outgrew the broadcast gate, or the
+        base itself carries stacked :update layers."""
+        return (rel.lsm_minors >= self._LSM_MAJOR_EVERY
+                or rel.lsm_rows > self._LSM_BROADCAST_ROWS
+                or rel.lsm_base_layers >= self._COMPACT_EVERY // 2)
 
     def _execute_store_op(self, df: DataFrame, opts: OutOpts,
                           prog: Optional[Program] = None) -> NamedRows:
@@ -3101,10 +3451,13 @@ class CozoDb:
             # flush every relation's pending lazy merges into one
             # materialization (the reference's storage compaction analogue)
             for rel in self.relations.values():
-                if rel.pending_merges > 0:
-                    rel.df = _checkpoint(rel.df)
-                    rel.pending_merges = 0
-                    rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+                with rel.lsm_lock:
+                    if rel.pending_merges > 0 or rel.lsm_compacting:
+                        rel.df = _checkpoint(rel.df)
+                        rel.pending_merges = 0
+                        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = \
+                            None, [], 0
+                        rel.lsm_base_layers = 0
             return NamedRows(["status"], [["OK"]])
         if kind == "explain":
             # per-atom plan table in the reference's shape (db.rs:968-1191:

@@ -158,11 +158,16 @@ def import_relations(db, payload: dict) -> None:
                   .filter(F.col("__rn") == 1).drop("__rn", "__ord"))
             kept = rel.df.join(df.select(*key_cols), key_cols, "left_anti")
             df = kept.unionByName(df)
-        rel.df = _checkpoint(df)
-        rel.version += 1  # ::import is a logical write
-        # the swap invalidates any pending LSM bookkeeping (r9)
-        rel.pending_merges = 0
-        rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+        new_df = _checkpoint(df)
+        # the swap invalidates any pending LSM bookkeeping (r9); under the
+        # LSM lock so an in-flight background compaction can't install a
+        # stale base over the imported state (r10)
+        with rel.lsm_lock:
+            rel.df = new_df
+            rel.version += 1  # ::import is a logical write
+            rel.pending_merges = 0
+            rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
+            rel.lsm_base_layers = 0
 
 
 def backup_parquet(db, directory: str) -> None:

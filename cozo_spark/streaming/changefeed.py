@@ -38,42 +38,66 @@ CHANGE_SCHEMA = T.StructType([
 
 
 class ChangeFeed:
-    def __init__(self, spool_dir: str):
+    def __init__(self, spool_dir: str, sync: Optional[bool] = None):
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
         self._lock = threading.Lock()
         self._seq = 0
         self.callbacks: dict[str, list[Callable]] = {}
+        # async dispatch (r10): the reference delivers callbacks over a
+        # channel consumed by the receiver's own thread
+        # (runtime/callback.rs:19-57) — the committing thread never pays for
+        # row materialization or slow subscribers. record() snapshots the
+        # callback list and enqueues the LAZY row plans; one ordered worker
+        # collects, spools and dispatches. This removes the ~450-550 ms
+        # per-mutation spool+collect from the write path (the r9 ~1 put/s
+        # ceiling). COZO_SPARK_SYNC_CHANGEFEED=1 (or sync=True) restores
+        # in-line delivery; flush() drains the queue for asserting tests.
+        if sync is None:
+            sync = os.environ.get("COZO_SPARK_SYNC_CHANGEFEED",
+                                  "") not in ("", "0")
+        self.sync = sync
+        import queue as _queue
+
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=4096)
+        self._worker: Optional[threading.Thread] = None
 
     # -- producer side (engine hooks) -----------------------------------------
 
     def record(self, relation: str, op: str, rows: DataFrame,
                old_rows: Optional[DataFrame] = None) -> None:
-        payload = [r.asDict(recursive=True) for r in rows.collect()]
+        # Snapshot under the lock (ADVICE r9 medium): the SSE overflow
+        # handler unregisters a stalled subscriber from inside its own
+        # callback, and list.remove() during `for cb in cbs` skipped the
+        # NEXT healthy subscriber's delivery. Snapshotting at RECORD time
+        # also pins which subscribers observe this mutation, matching the
+        # synchronous semantics.
+        with self._lock:
+            self._seq += 1
+            path = os.path.join(self.spool_dir,
+                                f"changes-{self._seq:08d}.json")
+            cbs = list(self.callbacks.get(relation, ()))
         now = time.time()
+        if self.sync:
+            self._deliver(relation, op, rows, old_rows, now, path, cbs)
+            return
+        self._ensure_worker()
+        self._q.put((relation, op, rows, old_rows, now, path, cbs))
+
+    def _deliver(self, relation: str, op: str, rows: DataFrame,
+                 old_rows: Optional[DataFrame], now: float, path: str,
+                 cbs: list) -> None:
+        payload = [r.asDict(recursive=True) for r in rows.collect()]
         lines = [json.dumps({"relation": relation, "op": op, "ts": now,
                              "row": json.dumps(p, default=str)})
                  for p in payload]
-        with self._lock:
-            self._seq += 1
-            path = os.path.join(self.spool_dir, f"changes-{self._seq:08d}.json")
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
-        # Dispatch over a SNAPSHOT taken under the lock (ADVICE r9 medium):
-        # the SSE overflow handler unregisters a stalled subscriber from
-        # inside its own callback, and list.remove() during `for cb in cbs`
-        # skipped the NEXT healthy subscriber's delivery (a silent gap with
-        # no overflow notice). Registration from HTTP threads races the
-        # committing thread's iteration for the same reason. The callbacks
-        # themselves run outside the lock, so an in-callback unregister
-        # (which re-takes the lock) cannot deadlock.
-        with self._lock:
-            cbs = list(self.callbacks.get(relation, ()))
-        if not cbs:
-            return
         # old rows (replaced on put / removed on rm) materialize only when a
         # three-argument callback wants them — reference callbacks deliver
-        # (op, new_rows, old_rows), runtime/callback.rs:19-57
+        # (op, new_rows, old_rows), runtime/callback.rs:19-57. The old-rows
+        # plan was built over the PRE-mutation frame, so a deferred collect
+        # still reads the pre-state.
         old_payload = None
         for cb, wants_old in cbs:
             if wants_old:
@@ -84,6 +108,36 @@ class ChangeFeed:
                 cb(op, payload, old_payload)
             else:
                 cb(op, payload)
+
+    def _ensure_worker(self) -> None:
+        w = self._worker
+        if w is not None and w.is_alive():
+            return
+        with self._lock:
+            w = self._worker
+            if w is not None and w.is_alive():
+                return
+            w = threading.Thread(target=self._worker_loop, daemon=True,
+                                 name="cozo-changefeed-dispatch")
+            self._worker = w
+            w.start()
+
+    def _worker_loop(self) -> None:
+        import sys
+
+        while True:
+            item = self._q.get()
+            try:
+                self._deliver(*item)
+            except Exception as e:  # isolate subscribers from each other
+                print(f"changefeed dispatch error: {e!r}", file=sys.stderr)
+            finally:
+                self._q.task_done()
+
+    def flush(self) -> None:
+        """Block until every recorded mutation is spooled and delivered."""
+        if not self.sync:
+            self._q.join()
 
     def register_callback(self, relation: str, fn: Callable) -> None:
         """Reference Db::register_callback (db.rs:789-830). A two-argument

@@ -53,6 +53,7 @@ def test_register_callback_row_lists(db):
     db.run_script(":create cbt {k: Int => v: Int}", {})
     db.run_script("?[k, v] <- [[1, 10]] :put cbt {k => v}", {})
     db.run_script("?[k, v] <- [[1, 11]] :put cbt {k => v}", {})
+    db._require().changefeed.flush()  # async dispatch (r10)
     assert got and got[0][0] == "put" and got[0][1] == [[1, 10]]
     # second put replaces (1, 10) — delivered as old rows
     assert got[1][1] == [[1, 11]] and got[1][2] == [[1, 10]]

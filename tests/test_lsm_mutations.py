@@ -79,6 +79,11 @@ def test_compaction_preserves_state(spark):
     want[0] = max(want[0], 0)
     assert {k: got[k] for k in range(7)} == want
     rel = db.relations["lsm_t"]
+    # async (r10): pending may transiently exceed the threshold while a
+    # background compaction is in flight, bounded by the lag cap; once the
+    # compactor drains (chained respawns included) the bound tightens
+    assert rel.pending_merges < db._LSM_MAX_LAG * db._COMPACT_EVERY
+    _wait_no_compaction(rel)
     assert rel.pending_merges < db._COMPACT_EVERY
 
 
@@ -103,6 +108,7 @@ def test_triggers_and_changefeed_see_lsm_state(spark, tmp_path):
     feed.register_callback("lsm_t", lambda op, rows: seen.append((op, rows)))
     db.run_script("?[k, v] <- [[7, 70]] :put lsm_t {k => v}")
     db.run_script("?[k] <- [[7]] :rm lsm_t {k}")
+    feed.flush()
     assert seen[0][0] == "put" and seen[0][1][0]["k"] == 7
     assert seen[1][0] == "rm"
     assert 7 not in _rows(db)
@@ -138,17 +144,142 @@ def test_mixed_update_put_compaction_bound(spark):
         # puts re-seed the LSM; the counter must CARRY the stacked layers
         db.run_script(f"?[k, v] <- [[{round_ + 3}, 0]] :put lsm_t {{k => v}}")
         assert rel.pending_merges == rel.lsm_base_layers + len(rel.lsm_pending)
-        assert rel.lsm_base_layers == stacked
+        # the counter CARRIES the stacked layers — unless the stack already
+        # crossed the major trigger, in which case the put folded it into a
+        # background major (base_layers reset by the freeze)
+        assert (rel.lsm_base_layers == stacked
+                or (rel.lsm_base_layers == 0
+                    and stacked >= db._COMPACT_EVERY // 2))
         assert rel.pending_merges <= db._COMPACT_EVERY
-    # drive over the threshold with puts alone: compaction must fire at
-    # base_layers + pending >= _COMPACT_EVERY, not at pending alone
-    while rel.pending_merges != 0:
-        before = rel.pending_merges
-        db.run_script("?[k, v] <- [[99, 99]] :put lsm_t {k => v}")
-        if rel.pending_merges != 0:
-            assert rel.pending_merges == before + 1
-        assert rel.pending_merges < db._COMPACT_EVERY
-    assert _rows(db)[1] == 12 and _rows(db)[99] == 99
+    # drive puts: total tracked depth (base layers + pending) must stay
+    # bounded by _COMPACT_EVERY throughout — the ADVICE invariant (the bug
+    # let it reach ~2×). Compaction is minor-collapse + async major (r10),
+    # so the bound holds without ever charging the writer a full rebuild.
+    for i in range(2 * db._COMPACT_EVERY):
+        db.run_script(f"?[k, v] <- [[{90 + i}, {i}]] :put lsm_t {{k => v}}")
+        assert rel.pending_merges <= db._COMPACT_EVERY, \
+            "mixed update/put depth exceeded the compaction bound"
+    _wait_no_compaction(rel)
+    got = _rows(db)
+    assert got[1] == 12 and all(got[90 + i] == i
+                                for i in range(2 * db._COMPACT_EVERY))
+
+
+def _wait_no_compaction(rel, timeout=60.0):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        t = rel.lsm_thread
+        if t is None and not rel.lsm_compacting:
+            return
+        if t is not None:
+            t.join(timeout=1.0)
+        else:
+            time.sleep(0.05)
+    raise AssertionError("async compaction did not finish")
+
+
+def test_async_compaction_preserves_state_and_installs(spark):
+    """r10 (VERDICT r9 #3): crossing the compaction threshold freezes the
+    flat view and materializes it on a background thread — the writer is
+    not charged. After install, the base is the checkpointed frame and
+    reads stay correct across further mutations."""
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    for i in range(20):  # crosses two thresholds
+        db.run_script(f"?[k, v] <- [[{i % 7}, {i}]] :put lsm_t {{k => v}}")
+    _wait_no_compaction(rel)
+    got = _rows(db)
+    want = {k: max(i for i in range(20) if i % 7 == k) for k in range(7)}
+    assert {k: got[k] for k in range(7)} == want
+    # post-install mutations stack on the materialized base
+    db.run_script("?[k, v] <- [[50, 50]] :put lsm_t {k => v}")
+    assert _rows(db)[50] == 50
+    assert rel.pending_merges < db._COMPACT_EVERY
+
+
+def test_sync_compaction_env_gate(spark, monkeypatch):
+    monkeypatch.setenv("COZO_SPARK_SYNC_COMPACT", "1")
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    for i in range(10):
+        db.run_script(f"?[k, v] <- [[{i}, {i}]] :put lsm_t {{k => v}}")
+    assert rel.lsm_thread is None and not rel.lsm_compacting
+    assert rel.pending_merges < db._COMPACT_EVERY
+    assert {k: _rows(db)[k] for k in range(10)} == {i: i for i in range(10)}
+
+
+def test_stale_compaction_discarded_after_import(spark, monkeypatch):
+    """A background compaction that finishes AFTER ::import swapped the
+    relation must NOT install its stale base (identity guard)."""
+    import threading
+
+    import cozo_spark.datalog.engine as EG
+
+    gate = threading.Event()
+    orig = EG._checkpoint
+
+    def slow_ck(df):
+        # block only the BACKGROUND major (the writer-side delta pins and
+        # minor collapses must run normally)
+        if threading.current_thread().name.startswith("cozo-lsm-compact"):
+            gate.wait(60)
+        return orig(df)
+
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    monkeypatch.setattr(EG, "_checkpoint", slow_ck)
+    monkeypatch.setattr(type(db), "_LSM_MAJOR_EVERY", 1)
+    for i in range(db._COMPACT_EVERY):  # trigger minor + freeze
+        db.run_script(f"?[k, v] <- [[{i}, {i}]] :put lsm_t {{k => v}}")
+    assert rel.lsm_compacting, "freeze should have spawned a worker"
+    monkeypatch.setattr(EG, "_checkpoint", orig)
+    db.import_relations({"lsm_t": {
+        "headers": ["k", "v"], "rows": [[100, 100]]}})
+    imported_df = rel.df
+    gate.set()
+    _wait_no_compaction(rel)
+    assert rel.df is imported_df, "stale install overwrote the import"
+    got = _rows(db)
+    assert got[100] == 100 and all(got[i] == i
+                                   for i in range(db._COMPACT_EVERY))
+
+
+def test_backpressure_waits_for_compactor(spark, monkeypatch):
+    """With a compaction in flight, pending stacks on the flat view up to
+    _LSM_MAX_LAG thresholds, then the writer waits for the compactor."""
+    import threading
+
+    import cozo_spark.datalog.engine as EG
+    from cozo_spark.datalog.engine import CozoDb
+
+    gate = threading.Event()
+    orig = EG._checkpoint
+
+    def slow_ck(df):
+        if threading.current_thread().name.startswith("cozo-lsm-compact"):
+            gate.wait(120)
+        return orig(df)
+
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    monkeypatch.setattr(CozoDb, "_COMPACT_EVERY", 2)
+    monkeypatch.setattr(CozoDb, "_LSM_MAJOR_EVERY", 1)
+    monkeypatch.setattr(EG, "_checkpoint", slow_ck)
+    threading.Timer(4.0, gate.set).start()
+    n = 2 * (CozoDb._LSM_MAX_LAG + 2)
+    try:
+        # first threshold -> minor + freeze (worker blocked on gate); then
+        # minors accumulate until the lag cap forces a join on the worker
+        for i in range(n):
+            db.run_script(f"?[k, v] <- [[{i}, {i}]] :put lsm_t {{k => v}}")
+    finally:
+        gate.set()
+        monkeypatch.setattr(EG, "_checkpoint", orig)
+    _wait_no_compaction(rel)
+    got = _rows(db)
+    assert all(got[i] == i for i in range(n))
 
 
 def test_import_invalidates_pending_lsm_state(spark):

@@ -124,8 +124,9 @@ def test_agg_head_headers_and_sort_limit(spark):
 
 
 def test_agg_head_gates_fall_back(spark):
-    """Recursive programs and params in aggregation arguments must NOT
-    build an agg skeleton — and still answer correctly."""
+    """Recursive agg-head programs must NOT build a flat agg skeleton —
+    r10 routes them to the recursive TEMPLATE (full per-call evaluation
+    over cached clause translations) — and still answer correctly."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
@@ -144,7 +145,9 @@ def test_agg_head_gates_fall_back(spark):
     finally:
         CozoDb._build_skeleton = orig
     assert got == _rows(db.run_script_df(rec.replace("$lo", "2")))
-    assert all(not isinstance(b, dict) for b in builds)
+    # never a FLAT agg skeleton (that would aggregate an unrestricted
+    # closure); the recursive template is the only dict allowed
+    assert all(b.get("template") for b in builds if isinstance(b, dict))
 
 
 def test_agg_head_invalidated_on_mutation(spark):

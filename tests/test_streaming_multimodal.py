@@ -46,6 +46,7 @@ def test_changefeed_and_callbacks(spark, tmp_path):
     db.run_script("?[k, v] <- [[1, 'a'], [2, 'b']] :put kv {k => v}")
     db.run_script("?[k, v] <- [[1, 'z']] :put kv {k => v}")  # replaces k=1
     db.run_script("?[k] <- [[1]] :rm kv {k}")
+    feed.flush()  # async dispatch (r10): drain before asserting
 
     assert events == [("put", 2), ("put", 1), ("rm", 1)]
     # old rows: first put replaces nothing, second replaces one, rm removes one
@@ -75,7 +76,9 @@ def test_callback_unregister_during_dispatch_no_skip(spark, tmp_path):
 
     db.run_script(":create kv2 {k: Int => v: Int}")
     db.run_script("?[k, v] <- [[1, 10]] :put kv2 {k => v}")
+    feed.flush()  # deliver (and self-unregister) before the next record
     db.run_script("?[k, v] <- [[2, 20]] :put kv2 {k => v}")
+    feed.flush()
 
     assert first_seen == ["put"]             # removed after its first event
     assert second_seen == ["put", "put"], \
@@ -91,6 +94,7 @@ def test_changefeed_structured_stream(spark, tmp_path):
     db.run_script(":create ev {k: Int => v: Int}")
     for i in range(3):
         db.run_script(f"?[k, v] <- [[{i}, {i * 10}]] :put ev {{k => v}}")
+    feed.flush()  # spool files must exist before the availableNow drain
 
     # windowed count over the stream, drained with availableNow
     s = feed.stream(spark, "ev")
@@ -324,6 +328,7 @@ def test_stateful_running_counts_across_restarts(spark, tmp_path):
     db.run_script(":create sv {k: Int => v: Int}")
     for i in range(3):
         db.run_script(f"?[k, v] <- [[{i}, {i}]] :put sv {{k => v}}")
+    feed.flush()
 
     ckpt = str(tmp_path / "ckpt")
 
@@ -347,6 +352,7 @@ def test_stateful_running_counts_across_restarts(spark, tmp_path):
     # state resumes at 3 and counts through to 5
     for i in (10, 11):
         db.run_script(f"?[k, v] <- [[{i}, {i}]] :put sv {{k => v}}")
+    feed.flush()
     assert drain()["put"] == 5
 
 
@@ -362,6 +368,7 @@ def test_stateful_stream_sessionize_timeout(spark, tmp_path):
     feed = attach_changefeed(db, str(tmp_path / "spool4"))
     db.run_script(":create zv {k: Int => v: Int}")
     db.run_script("?[k, v] <- [[1, 1], [2, 2]] :put zv {k => v}")
+    feed.flush()
 
     ckpt = str(tmp_path / "ckpt4")
     got = []
@@ -385,6 +392,7 @@ def test_stateful_stream_sessionize_timeout(spark, tmp_path):
 
     # a later, separate burst forms a NEW session (state was cleared)
     db.run_script("?[k] <- [[2]] :rm zv {k}")
+    feed.flush()
     drain()
     assert got.count(("put", 2)) == 1 and ("rm", 1) in got
 
