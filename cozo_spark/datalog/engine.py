@@ -3510,9 +3510,71 @@ class CozoDb:
                 ins = ",".join(i.name for i in rule.inputs)
                 rows.append([name, "fixed", 0, 0, "fixed_rule",
                              rule.rule_name, ins])
+                mode = self._planned_fixed_mode(rule)
+                if mode is not None:
+                    rows.append([name, "fixed", 0, 1, "planned_mode",
+                                 rule.rule_name, mode])
             else:
                 rows.append([name, "const", 0, 0, "inline_fixed", "", ""])
         return rows
+
+    def _planned_fixed_mode(self, rule: FixedApply) -> Optional[str]:
+        """Planned execution mode of a mode-switching fixed rule (r10,
+        VERDICT r9 #5): the reference's ::explain emits a per-atom plan
+        table (db.rs:968-1191), and sampling/gating decisions belong in
+        that plan view — a user inspecting ::explain should see that a
+        centrality call will pivot-sample (and with how many pivots), or
+        that Louvain will run driver-sequential under the size gate,
+        BEFORE paying for the run. Mirrors the rules' own decisions
+        (graphs.py) at the cost of one count job on the edge input;
+        derived-rule inputs are reported data-dependent, not evaluated."""
+        rn = rule.rule_name
+        if rn not in ("BetweennessCentralityDist", "ClosenessCentralityDist",
+                      "CommunityDetectionLouvainDist"):
+            return None
+        from cozo_spark.fixed_rules import graphs as G
+
+        inp = rule.inputs[0] if rule.inputs else None
+        df = None
+        if inp is not None and inp.kind in ("relation", "named_relation"):
+            try:
+                df = self._resolve_relation(inp.name)
+            except QueryError:
+                df = None
+        if df is None or len(df.columns) < 2:
+            return ("mode=data-dependent (derived input; decided at run "
+                    "time — CozoDb.last_fixed_rule_info() after the run)")
+        opts = {}
+        for k, v in rule.options.items():
+            try:
+                opts[k] = const_eval(v)
+            except Exception:
+                pass
+        a, b = df.columns[:2]
+        if rn == "CommunityDetectionLouvainDist":
+            from cozo_spark.fixed_rules.local_graphs import _MAX_DRIVER_EDGES
+
+            und = (df.filter(F.col(a) != F.col(b))
+                   .select(F.least(F.col(a), F.col(b)).alias("x"),
+                           F.greatest(F.col(a), F.col(b)).alias("y"))
+                   .distinct().count())
+            lt = opts.get("local_threshold")
+            thr = G.LOUVAIN_LOCAL_MAX_EDGES if lt is None else int(lt)
+            local = 0 < und <= min(thr, _MAX_DRIVER_EDGES)
+            return (f"mode={'driver_sequential' if local else 'distributed'}"
+                    f" edges={und} gate={thr}")
+        n = (df.select(F.col(a).alias("n"))
+             .unionByName(df.select(F.col(b).alias("n")))
+             .distinct().count())
+        sources = opts.get("sources")
+        if sources is None and n > G.AUTO_EXACT_MAX_NODES:
+            k = G._auto_pivots(n)
+        elif sources is None or sources >= n:
+            k = n
+        else:
+            k = max(1, int(sources))
+        return (f"mode={'exact' if k >= n else 'sampled'}"
+                f" pivots={min(k, n)} nodes={n}")
 
 
 def _rel_meta_fingerprint(r: StoredRelation) -> tuple:
