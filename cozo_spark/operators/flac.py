@@ -386,6 +386,10 @@ def decode_flac(content: bytes, verify_md5: bool = True
         hdr_end = r.byte  # header is byte-aligned up to here
         if r.bit:
             raise ValueError("frame header not byte-aligned")
+        if hdr_end >= len(content):
+            # r10 field-aware fuzz finding: a stream cut exactly at the CRC
+            # byte raised IndexError instead of the contract's ValueError
+            raise ValueError("FLAC bitstream truncated (frame-header CRC)")
         want_crc8 = content[hdr_end]
         if crc8(content[frame_start:hdr_end]) != want_crc8:
             raise ValueError("frame header CRC-8 mismatch")
@@ -403,6 +407,8 @@ def decode_flac(content: bytes, verify_md5: bool = True
         subs = [_decode_subframe(r, blocksize, bps + (1 if side[c] else 0))
                 for c in range(n_sub)]
         r.align()
+        if r.byte + 1 >= len(content):
+            raise ValueError("FLAC bitstream truncated (frame CRC-16)")
         want_crc16 = (content[r.byte] << 8) | content[r.byte + 1]
         if crc16(content[frame_start:r.byte]) != want_crc16:
             raise ValueError("frame CRC-16 mismatch")

@@ -111,10 +111,15 @@ def main() -> None:
                 return nullcontext()
             if kind == "p8":
                 return streaming_state_conf(spark, state_partitions=8)
+            if kind == "rocksdb_cl":
+                # r10 (VERDICT r9 #6): changelog checkpointing — per-batch
+                # incremental commit instead of full snapshot upload
+                return streaming_state_conf(spark, state_partitions=8,
+                                            changelog=True)
             return streaming_state_conf(spark, state_partitions=8,
                                         rocksdb=True)
 
-        for kind in ("default", "p8", "rocksdb"):
+        for kind in ("default", "p8", "rocksdb", "rocksdb_cl"):
             suffix = "" if kind == "default" else f"_{kind}"
             t0 = time.perf_counter()
             with _conf(kind):

@@ -79,6 +79,30 @@ def test_explain_names_louvain_gate_side(spark):
     assert "mode=distributed" in d2, d2
 
 
+def test_streaming_state_conf_changelog_sets_and_restores(spark):
+    """#6: changelog=True selects the RocksDB provider + changelog
+    checkpointing inside the window and restores the session confs after."""
+    from cozo_spark.streaming.stateful import streaming_state_conf
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    cl_key = ("spark.sql.streaming.stateStore.rocksdb."
+              "changelogCheckpointing.enabled")
+
+    def _get(k):
+        try:
+            return spark.conf.get(k)
+        except Exception:
+            return None
+
+    before = (_get(prov_key), _get(cl_key), _get("spark.sql.shuffle.partitions"))
+    with streaming_state_conf(spark, state_partitions=8, changelog=True):
+        assert "RocksDBStateStoreProvider" in spark.conf.get(prov_key)
+        assert spark.conf.get(cl_key) == "true"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert (_get(prov_key), _get(cl_key),
+            _get("spark.sql.shuffle.partitions")) == before
+
+
 def test_explain_derived_input_reports_data_dependent(spark):
     db = _db(spark)
     edges = spark.range(20).select(
