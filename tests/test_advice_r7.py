@@ -54,9 +54,12 @@ reach[x, y] := reach[x, z], *edge[z, y]
 @pytest.mark.parametrize("script", [RECURSIVE_PARAM_ARG,
                                     RECURSIVE_PARAM_COND])
 def test_recursive_param_not_prepared(spark, script):
-    """Params touching a recursive rule must NOT build a plan skeleton
-    (it would compute the unrestricted full closure per call); results
-    still match the literal-inlined run via the normal path."""
+    """Params touching a recursive rule must NOT build a FLAT plan
+    skeleton (it would compute the unrestricted full closure per call).
+    r10: they build a recursive TEMPLATE instead — cached param-free
+    clause translations, re-evaluated per call with the magic seed
+    intact (test_prepared_recursive pins the restriction) — and results
+    still match the literal-inlined run."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = _edge_db(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
@@ -75,20 +78,25 @@ def test_recursive_param_not_prepared(spark, script):
         CozoDb._build_skeleton = orig
     want = _rows(db.run_script_df(script.replace("$s", "1")))
     assert got == want == [(2,), (3,), (4,)]
-    # every build attempt must have refused (None), never returned a
-    # skeleton entry that embeds the unrestricted fixpoint
-    assert builds and all(b is None for b in builds)
+    # never a flat skeleton entry (one embedding an eagerly-evaluated
+    # unrestricted fixpoint); the r10 recursive template is allowed
+    assert builds and all(
+        b is None or (isinstance(b, dict) and b.get("template"))
+        for b in builds)
 
 
 def test_recursive_param_neg_cached_structurally(spark):
-    """The refusal is cached as STRUCTURAL, so later calls skip the
-    skeleton-build attempt entirely."""
+    """r7 pinned a NEGATIVE cache entry here; since r10 the same script
+    builds a recursive TEMPLATE, so the cache entry is now positive —
+    either way, later calls must skip a fresh skeleton-build attempt."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = _edge_db(spark, [(1, 2), (2, 3)])
     _rows(db.run_script_df(RECURSIVE_PARAM_ARG, params={"s": 1}))
     skey = db._skel_key(RECURSIVE_PARAM_ARG, {"s": 1})
-    assert skey in CozoDb._skel_neg
+    ent = CozoDb._skel_cache.get(skey)
+    assert (ent is not None and ent.get("template")) \
+        or skey in CozoDb._skel_neg
 
 
 def test_fresh_var_collision_with_user_name(spark):
