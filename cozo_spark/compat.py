@@ -126,7 +126,8 @@ class CozoDb:
 
                 return db.spark.createDataFrame([], T.StructType(
                     [T.StructField(c, T.StringType(), True) for c in cols]))
-            return db.spark.createDataFrame(rows, schema=cols)
+            from cozo_spark.plans.local import local_frame
+            return local_frame(db.spark, rows, cols)
 
         db.register_fixed_rule(name, rule)
 

@@ -1961,22 +1961,11 @@ class CozoDb:
     def _local_frame(self, rows: list, schema: T.StructType) -> DataFrame:
         """Small driver-side relation as a JVM LocalRelation (Arrow path).
 
-        A plain ``createDataFrame(list)`` produces a python-RDD leaf, and
-        EVERY job that scans one pays ~0.35 s of python-worker task
-        overhead — measured r10: the LSM minor collapse over 8 one-row
-        deltas runs 2.9 s with RDD leaves vs 0.17 s with LocalRelations,
-        and the same per-leaf constant was the r8 "0.4 s per pending
-        layer" read cost. Arrow conversion with the EXPLICIT schema keeps
-        types exact; anything Arrow can't convert (exotic nesting, mixed
-        object columns) falls back to the RDD path unchanged."""
-        try:
-            import pandas as pd
+        See plans/local.py for the measured rationale (the python-RDD
+        leaf constant: ~0.35 s per scanning job)."""
+        from cozo_spark.plans.local import local_frame
 
-            pdf = pd.DataFrame(data=[list(r) for r in rows],
-                               columns=[f.name for f in schema.fields])
-            return self.spark.createDataFrame(pdf, schema=schema)
-        except Exception:
-            return self.spark.createDataFrame(rows, schema=schema)
+        return local_frame(self.spark, rows, schema)
 
     @staticmethod
     def _coerce_row(row, schema: T.StructType):

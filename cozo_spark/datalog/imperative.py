@@ -273,7 +273,8 @@ def _run_block(db, stmts: list):
                     # raises 'Some of types cannot be determined' on them
                     schema = db._infer_schema(rows, names)
                     rows = [db._coerce_row(r, schema) for r in rows]
-                    df = db.spark.createDataFrame(rows, schema=schema)
+                    from cozo_spark.plans.local import local_frame
+                    df = local_frame(db.spark, rows, schema)
                 else:
                     df = db.spark.createDataFrame([], T.StructType(
                         [T.StructField(n, T.StringType(), True) for n in names]))

@@ -20,6 +20,7 @@ import heapq
 from collections import defaultdict
 
 from pyspark.sql import DataFrame
+from cozo_spark.plans.local import local_frame
 
 _MAX_DRIVER_EDGES = 5_000_000
 
@@ -140,7 +141,7 @@ def shortest_path_dijkstra(edges: DataFrame, starts: DataFrame, goals: DataFrame
     if not rows:
         return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
     typ = "string" if isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, cost double, path array<string>")
+    return local_frame(spark, rows, f"start {typ}, goal {typ}, cost double, path array<string>")
 
 
 # --- KShortestPathYen (algos/yen.rs:211) --------------------------------------
@@ -159,7 +160,7 @@ def k_shortest_path_yen(edges: DataFrame, starts: DataFrame, goals: DataFrame,
     if not rows:
         return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
     typ = "string" if isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, cost double, path array<string>")
+    return local_frame(spark, rows, f"start {typ}, goal {typ}, cost double, path array<string>")
 
 
 def _yen(adj, s, g, k):
@@ -253,7 +254,7 @@ def shortest_path_astar(edges: DataFrame, nodes: DataFrame | None = None,
     if not rows:
         return spark.createDataFrame([], "start long, goal long, cost double, path array<string>")
     typ = "string" if isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, cost double, path array<string>")
+    return local_frame(spark, rows, f"start {typ}, goal {typ}, cost double, path array<string>")
 
 
 def _astar(adj, s, g, h):
@@ -305,7 +306,7 @@ def dfs(edges: DataFrame, nodes: DataFrame | None = None, starts: DataFrame | No
     if starts is None:
         spark = edges.sparkSession
         all_nodes = sorted({x for a, b in el for x in (a, b)})
-        starts = spark.createDataFrame([(n,) for n in all_nodes], ["node"])
+        starts = local_frame(spark, [(n,) for n in all_nodes], ["node"])
     rows = []
     seen: set = set()  # shared across starts (algos/dfs.rs:48-53)
     done = False
@@ -333,7 +334,7 @@ def dfs(edges: DataFrame, nodes: DataFrame | None = None, starts: DataFrame | No
     if not rows:
         return spark.createDataFrame([], "start long, reached long, path array<string>")
     typ = "string" if isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"start {typ}, reached {typ}, path array<string>")
+    return local_frame(spark, rows, f"start {typ}, reached {typ}, path array<string>")
 
 
 def bfs_paths(edges: DataFrame, nodes: DataFrame | None = None,
@@ -353,7 +354,7 @@ def bfs_paths(edges: DataFrame, nodes: DataFrame | None = None,
     if starts is None:
         spark = edges.sparkSession
         all_nodes = sorted({x for a, b in el for x in (a, b)})
-        starts = spark.createDataFrame([(n,) for n in all_nodes], ["node"])
+        starts = local_frame(spark, [(n,) for n in all_nodes], ["node"])
     rows = []
     seen: set = set()  # shared across starts (bfs.rs:48-55)
     done = False
@@ -378,7 +379,7 @@ def bfs_paths(edges: DataFrame, nodes: DataFrame | None = None,
     if not rows:
         return spark.createDataFrame([], "start long, reached long, path array<string>")
     typ = "string" if isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"start {typ}, reached {typ}, path array<string>")
+    return local_frame(spark, rows, f"start {typ}, reached {typ}, path array<string>")
 
 
 def shortest_path_bfs(edges: DataFrame, starting: DataFrame, goals: DataFrame) -> DataFrame:
@@ -423,7 +424,7 @@ def shortest_path_bfs(edges: DataFrame, starting: DataFrame, goals: DataFrame) -
     if not rows:
         return spark.createDataFrame([], "start long, goal long, path array<string>")
     typ = "string" if isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"start {typ}, goal {typ}, path array<string>")
+    return local_frame(spark, rows, f"start {typ}, goal {typ}, path array<string>")
 
 
 # --- MST: Prim / Kruskal (algos/prim.rs, kruskal.rs) ------------------------------
@@ -450,7 +451,7 @@ def minimum_spanning_tree_prim(edges: DataFrame) -> DataFrame:
                 heapq.heappush(pq, (w2, v, x))
     spark = edges.sparkSession
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"src {typ}, dst {typ}, weight double")
+    return local_frame(spark, rows, f"src {typ}, dst {typ}, weight double")
 
 
 def minimum_spanning_forest_kruskal(edges: DataFrame) -> DataFrame:
@@ -473,7 +474,7 @@ def minimum_spanning_forest_kruskal(edges: DataFrame) -> DataFrame:
             rows.append((a, b, w))
     spark = edges.sparkSession
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows or [], f"src {typ}, dst {typ}, weight double")
+    return local_frame(spark, rows or [], f"src {typ}, dst {typ}, weight double")
 
 
 # --- Centralities (algos/all_pairs_shortest_path.rs:176) ---------------------------
@@ -521,7 +522,7 @@ def betweenness_centrality(edges: DataFrame, undirected: bool = False) -> DataFr
     rows = sorted(cb.items(), key=lambda t: str(t[0]))
     spark = edges.sparkSession
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"node {typ}, centrality double")
+    return local_frame(spark, rows, f"node {typ}, centrality double")
 
 
 def closeness_centrality(edges: DataFrame, undirected: bool = False) -> DataFrame:
@@ -539,7 +540,7 @@ def closeness_centrality(edges: DataFrame, undirected: bool = False) -> DataFram
     rows.sort(key=lambda t: str(t[0]))
     spark = edges.sparkSession
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"node {typ}, centrality double")
+    return local_frame(spark, rows, f"node {typ}, centrality double")
 
 
 # --- Louvain community detection (algos/louvain.rs:318) -----------------------------
@@ -670,7 +671,7 @@ def community_detection_louvain(edges: DataFrame, max_passes: int = 10,
     rows = sorted(((c, n) for n, c in assign.items()),
                   key=lambda t: (str(t[0]), str(t[1])))
     typ = "string" if rows and isinstance(rows[0][0], str) else "long"
-    return spark.createDataFrame(rows, f"community {typ}, node {typ}")
+    return local_frame(spark, rows, f"community {typ}, node {typ}")
 
 
 # --- RandomWalk (algos/random_walk.rs:138) -------------------------------------------
@@ -695,7 +696,7 @@ def random_walk(edges: DataFrame, nodes: DataFrame | None = None,
     if starts is None:
         spark = edges.sparkSession
         all_nodes = sorted({x for a, b in el for x in (a, b)})
-        starts = spark.createDataFrame([(n,) for n in all_nodes], ["node"])
+        starts = local_frame(spark, [(n,) for n in all_nodes], ["node"])
     wtable = None
     if weight is not None and not callable(weight) and nodes is not None:
         from pyspark.sql import functions as F
@@ -733,4 +734,4 @@ def random_walk(edges: DataFrame, nodes: DataFrame | None = None,
     if not rows:
         return spark.createDataFrame([], "idx long, start long, path array<string>")
     typ = "string" if isinstance(rows[0][1], str) else "long"
-    return spark.createDataFrame(rows, f"idx long, start {typ}, path array<string>")
+    return local_frame(spark, rows, f"idx long, start {typ}, path array<string>")

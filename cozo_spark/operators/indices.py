@@ -302,7 +302,8 @@ def _lsh_search(db, rel, idx: IndexDef, query_text: str, k: int,
 
     art = idx.artifact
     n_perm = art["n_perm"]
-    probe_df = db.spark.createDataFrame([(0, query_text)], "qid long, text string")
+    from cozo_spark.plans.local import local_frame
+    probe_df = local_frame(db.spark, [(0, query_text)], "qid long, text string")
     # probe MUST hash shingles the same way the index was built
     # (an md5 probe against an xxhash64 index would never collide)
     probe = minhash_signatures(probe_df, "text", "qid", num_perm=n_perm,

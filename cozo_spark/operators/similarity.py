@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from cozo_spark.plans.local import local_frame
 
 
 def _dot(a, b):
@@ -94,7 +95,8 @@ def ivf_build(
         km_cents, _ = kmeans_lloyd(corpus, k=n_centroids,
                                    iters=refine_iters, id_col=id_col,
                                    vec_col=vec_col, seed=seed)
-        cents = c.sparkSession.createDataFrame(
+        cents = local_frame(
+            c.sparkSession,
             [(cid, [x / 1e6 for x in cv])
              for cid, cv in enumerate(km_cents)],
             "cid int, cvec array<double>")
@@ -116,7 +118,8 @@ def ivf_build(
                        .alias("_h"), "vec_id", "v")
               .orderBy("_h", "vec_id").limit(n_centroids).collect())
     picked.sort(key=lambda r: (r["_h"], r["vec_id"]))
-    cents = c.sparkSession.createDataFrame(
+    cents = local_frame(
+        c.sparkSession,
         [(cid, list(r["v"])) for cid, r in enumerate(picked)],
         "cid int, cvec array<double>")
     dist = l2_dist_col(F.col("v"), F.col("cvec"))
@@ -277,7 +280,8 @@ def pq_build(
     sub = dim // m
     cb = {(s, i): list(r["v"][s * sub:(s + 1) * sub])
           for i, r in enumerate(rows) for s in range(m)}
-    codebook = c.sparkSession.createDataFrame(
+    codebook = local_frame(
+        c.sparkSession,
         [(s, cid, vec) for (s, cid), vec in sorted(cb.items())],
         "s int, cid int, cvec array<double>")
 
@@ -355,7 +359,8 @@ def _assign_join(df: DataFrame, cents: list) -> DataFrame:
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    cents_df = spark.createDataFrame(
+    cents_df = local_frame(
+        spark,
         [(i, [int(v) for v in c]) for i, c in enumerate(cents)],
         T.StructType([
             T.StructField("cid_", T.IntegerType(), False),

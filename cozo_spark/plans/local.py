@@ -1,0 +1,38 @@
+"""Driver-side small relations as JVM LocalRelations.
+
+A plain ``spark.createDataFrame(list)`` builds a python-RDD leaf
+(LogicalRDD over a parallelized pickled list), and EVERY job that scans
+one pays ~0.35 s of python-worker task overhead — measured r10: the LSM
+minor collapse over 8 one-row deltas ran 2.9 s with RDD leaves vs 0.17 s
+after this change, and the same per-leaf constant was the long-observed
+~0.4 s-per-pending-layer read cost. Converting through pandas/Arrow with
+an EXPLICIT schema yields a pure-JVM ``LocalRelation`` (LocalTableScan at
+runtime — no python workers, broadcast-able, constant-foldable). Anything
+Arrow can't convert (exotic nesting, mixed object columns) falls back to
+the RDD path unchanged, so semantics never depend on the fast path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """``createDataFrame`` for small driver-side row lists, preferring a
+    JVM LocalRelation. ``schema`` may be a StructType or a DDL string."""
+    if rows:
+        try:
+            import pandas as pd
+
+            if hasattr(schema, "fields"):
+                cols = [f.name for f in schema.fields]
+            elif isinstance(schema, (list, tuple)):
+                cols = list(schema)
+            else:
+                probe = spark.createDataFrame([], schema)
+                cols = probe.columns
+            pdf = pd.DataFrame(data=[list(r) for r in rows], columns=cols)
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema=schema)

@@ -289,7 +289,8 @@ def _make_handler(server: CozoServer):
                     from pyspark.sql import types as T
                     return server.db.spark.createDataFrame([], T.StructType(
                         [T.StructField(h, T.StringType(), True) for h in headers]))
-                return server.db.spark.createDataFrame(rows, schema=headers)
+                from cozo_spark.plans.local import local_frame
+                return local_frame(server.db.spark, rows, headers)
 
             remote_rule._cozo_remote_rule = True
             try:

@@ -697,7 +697,8 @@ def restore_cozo_backup(db, path: str) -> None:
                                                            names.index(cname)),
                                         True))
         schema = T.StructType(fields)
-        df = db.spark.createDataFrame(rel["rows"], schema=schema)
+        from cozo_spark.plans.local import local_frame
+        df = local_frame(db.spark, rel["rows"], schema)
         kdefs = [ColDef(n, t) for n, t in zip(rel["keys"], rel["key_types"])]
         ndefs = [ColDef(n, t) for n, t in
                  zip(rel["non_keys"], rel["non_key_types"])]

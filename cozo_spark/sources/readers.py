@@ -116,7 +116,8 @@ def constant(inputs: list, options: dict | None = None) -> DataFrame:
 
     rows = [tuple(r) for r in data]
     names = [f"_{i}" for i in range(len(rows[0]))]
-    return spark.createDataFrame(rows, schema=CozoDb._infer_schema(rows, names))
+    from cozo_spark.plans.local import local_frame
+    return local_frame(spark, rows, CozoDb._infer_schema(rows, names))
 
 
 def export_relations(db, names: list) -> dict:
@@ -142,7 +143,8 @@ def import_relations(db, payload: dict) -> None:
         rows = [tuple(r) for r in data["rows"]]
         headers = data.get("headers", rel.col_names)
         if rows:
-            df = db.spark.createDataFrame(rows, schema=rel.df.schema if headers == rel.col_names
+            from cozo_spark.plans.local import local_frame
+            df = local_frame(db.spark, rows, rel.df.schema if headers == rel.col_names
                                           else None)
         else:
             df = db.spark.createDataFrame([], rel.df.schema)
