@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
     """``createDataFrame`` for small driver-side row lists, preferring a
     JVM LocalRelation. ``schema`` may be a StructType or a DDL string."""
-    if rows:
+    if rows and not _has_nan(rows):
         try:
             import pandas as pd
 
@@ -31,8 +31,27 @@ def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
             else:
                 probe = spark.createDataFrame([], schema)
                 cols = probe.columns
-            pdf = pd.DataFrame(data=[list(r) for r in rows], columns=cols)
+            # dtype=object keeps None as None (a numeric pandas column
+            # would coerce it to NaN, and pandas' NaN-as-missing handling
+            # is version-dependent)
+            pdf = pd.DataFrame(data=[list(r) for r in rows], columns=cols,
+                               dtype=object)
             return spark.createDataFrame(pdf, schema=schema)
         except Exception:
             pass
     return spark.createDataFrame(rows, schema=schema)
+
+
+def _has_nan(rows: list) -> bool:
+    """True if any value is a REAL float NaN — pandas/Arrow treat NaN as
+    the missing-value marker and would convert it to NULL, whereas the RDD
+    path (and Spark semantics generally) keep NaN and NULL distinct. Such
+    rows take the RDD path so both spellings stay faithful."""
+    for r in rows:
+        for v in r:
+            if isinstance(v, float) and v != v:
+                return True
+            if isinstance(v, (list, tuple)):
+                if any(isinstance(x, float) and x != x for x in v):
+                    return True
+    return False
