@@ -72,17 +72,23 @@ class ChangeFeed:
         # NEXT healthy subscriber's delivery. Snapshotting at RECORD time
         # also pins which subscribers observe this mutation, matching the
         # synchronous semantics.
+        if not self.sync:
+            self._ensure_worker()  # before the lock: _ensure_worker locks
         with self._lock:
             self._seq += 1
             path = os.path.join(self.spool_dir,
                                 f"changes-{self._seq:08d}.json")
             cbs = list(self.callbacks.get(relation, ()))
-        now = time.time()
-        if self.sync:
-            self._deliver(relation, op, rows, old_rows, now, path, cbs)
-            return
-        self._ensure_worker()
-        self._q.put((relation, op, rows, old_rows, now, path, cbs))
+            now = time.time()
+            if not self.sync:
+                # enqueue UNDER the lock: concurrent mutator threads must
+                # reach the worker in seq (commit) order — enqueueing after
+                # release could invert delivery between two committers. A
+                # full queue blocks here briefly (bounded: the worker is
+                # draining), which is the right backpressure.
+                self._q.put((relation, op, rows, old_rows, now, path, cbs))
+                return
+        self._deliver(relation, op, rows, old_rows, now, path, cbs)
 
     def _deliver(self, relation: str, op: str, rows: DataFrame,
                  old_rows: Optional[DataFrame], now: float, path: str,
