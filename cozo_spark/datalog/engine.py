@@ -1512,53 +1512,56 @@ class CozoDb:
         try:
             # dependencies-first: a support rule dropped earlier lets its
             # consumers qualify (their RuleApply refs resolve to cached
-            # stores)
+            # stores). EVERY member of a multi-rule SCC is visited (sorted
+            # for determinism) — mutual recursion has base clauses in each
+            # member (r10 review: next(iter(scc)) cached only one,
+            # nondeterministically).
             for scc in sccs:
-                name = next(iter(scc))
-                rule = rules.get(name)
-                if not isinstance(rule, list) or not rule:
-                    continue
-                recursive = name in cyclic
-                if not recursive and name != "?" \
-                        and all(_clause_ok(cl) for cl in rule):
-                    # whole support rule cacheable: drop it at bind and
-                    # serve its set-semantics store (same plan shape as
-                    # _eval_clauses_once)
-                    tr = _tr()
-                    parts, uniq = [], []
-                    for cl in rule:
-                        parts.append(self._canon(tr.translate(cl.head,
-                                                              cl.body)))
-                        uniq.append(tr.last_unique)
-                    if len(parts) == 1 and uniq[0]:
-                        store = parts[0]
-                    else:
-                        store = parts[0]
-                        for p in parts[1:]:
-                            store = store.unionByName(p)
-                        store = store.distinct()
-                    upos = frozenset(range(len(rule[0].head)))
-                    dropped[name] = (store, upos)
-                    drops.append({"name": name, "clauses": rule,
-                                  "store": store, "unique": upos})
-                    continue
-                # per-clause replacement (recursive rules' base clauses,
-                # partially-cacheable support rules, param-free entry)
-                for j, cl in enumerate(rule):
-                    if recursive and (_body_rule_refs(cl.body) & scc):
-                        continue  # recursive clause: delta-translated per epoch
-                    if not _clause_ok(cl):
+                for name in sorted(scc):
+                    rule = rules.get(name)
+                    if not isinstance(rule, list) or not rule:
                         continue
-                    tr = _tr()
-                    store = self._canon(tr.translate(cl.head, cl.body))
-                    slot = f"__tpl{slot_seq[0]}_"
-                    slot_seq[0] += 1
-                    if slot in rules:
-                        return None
-                    repls.append({"name": name, "idx": j, "clause": cl,
-                                  "slot": slot, "store": store,
-                                  "arity": len(cl.head),
-                                  "unique": bool(tr.last_unique)})
+                    recursive = name in cyclic
+                    if not recursive and name != "?" \
+                            and all(_clause_ok(cl) for cl in rule):
+                        # whole support rule cacheable: drop it at bind and
+                        # serve its set-semantics store (same plan shape as
+                        # _eval_clauses_once)
+                        tr = _tr()
+                        parts, uniq = [], []
+                        for cl in rule:
+                            parts.append(self._canon(
+                                tr.translate(cl.head, cl.body)))
+                            uniq.append(tr.last_unique)
+                        if len(parts) == 1 and uniq[0]:
+                            store = parts[0]
+                        else:
+                            store = parts[0]
+                            for p in parts[1:]:
+                                store = store.unionByName(p)
+                            store = store.distinct()
+                        upos = frozenset(range(len(rule[0].head)))
+                        dropped[name] = (store, upos)
+                        drops.append({"name": name, "clauses": rule,
+                                      "store": store, "unique": upos})
+                        continue
+                    # per-clause replacement (recursive rules' base clauses,
+                    # partially-cacheable support rules, param-free entry)
+                    for j, cl in enumerate(rule):
+                        if recursive and (_body_rule_refs(cl.body) & scc):
+                            continue  # recursive clause: per-epoch deltas
+                        if not _clause_ok(cl):
+                            continue
+                        tr = _tr()
+                        store = self._canon(tr.translate(cl.head, cl.body))
+                        slot = f"__tpl{slot_seq[0]}_"
+                        slot_seq[0] += 1
+                        if slot in rules:
+                            return None
+                        repls.append({"name": name, "idx": j, "clause": cl,
+                                      "slot": slot, "store": store,
+                                      "arity": len(cl.head),
+                                      "unique": bool(tr.last_unique)})
         except QueryError:
             return _SKEL_RETRY  # state-dependent (e.g. missing relation)
         if self._had_eager_eval:
@@ -2574,10 +2577,14 @@ class CozoDb:
         rel.df = (rel.lsm_base.join(keyset, on=keys, how="left_anti")
                   .unionByName(live))
 
-    def _lsm_freeze(self, rel: StoredRelation) -> DataFrame:
+    def _lsm_freeze(self, rel: StoredRelation) -> "_threading.Thread":
         """Freeze the current flat view as the new lsm_base (the LSM
         memtable-freeze: lazy, zero jobs on the caller) and reset the
-        pending log on top of it. Callers hold rel.lsm_lock."""
+        pending log on top of it. Callers hold rel.lsm_lock. Returns the
+        UNSTARTED worker thread — created and published here, under the
+        lock, so a concurrent writer can never observe lsm_compacting=True
+        with lsm_thread=None and skip the backpressure join; the caller
+        starts it after releasing the lock."""
         frozen = rel.df
         rel.lsm_base = frozen
         rel.lsm_base_layers = 0
@@ -2586,13 +2593,16 @@ class CozoDb:
         rel.lsm_minors = 0
         rel.pending_merges = 0
         rel.lsm_compacting = True
-        return frozen
+        t = self._make_lsm_worker(rel, frozen)
+        rel.lsm_thread = t
+        return t
 
-    def _spawn_lsm_worker(self, rel: StoredRelation,
-                          frozen: DataFrame) -> None:
-        """Materialize the frozen base off-thread; install atomically.
-        The reference never charges the writer for compaction (RocksDB
-        background threads via cozorocks) — this is the Spark analogue."""
+    def _make_lsm_worker(self, rel: StoredRelation,
+                         frozen: DataFrame) -> "_threading.Thread":
+        """Worker that materializes the frozen base off-thread and installs
+        it atomically. The reference never charges the writer for
+        compaction (RocksDB background threads via cozorocks) — this is
+        the Spark analogue."""
         def work():
             try:
                 ck = _checkpoint(frozen)
@@ -2611,15 +2621,12 @@ class CozoDb:
                     self._lsm_rebuild_view(rel)
                 if self._lsm_wants_major(rel):
                     # writers outpaced this pass: chain the next compaction
-                    rel.lsm_minors = 0
                     respawn = self._lsm_freeze(rel)
             if respawn is not None:
-                self._spawn_lsm_worker(rel, respawn)
+                respawn.start()
 
-        t = _threading.Thread(target=work, daemon=True,
-                              name=f"cozo-lsm-compact-{rel.name}")
-        rel.lsm_thread = t
-        t.start()
+        return _threading.Thread(target=work, daemon=True,
+                                 name=f"cozo-lsm-compact-{rel.name}")
 
     def _apply_lsm_delta(self, rel: StoredRelation, delta: DataFrame,
                          n_delta: Optional[int], tombstone: bool) -> None:
@@ -2642,7 +2649,7 @@ class CozoDb:
         compaction already in flight, pending keeps stacking on the flat
         view (still one join + one window) up to _LSM_MAX_LAG thresholds,
         then the writer waits for the compactor (backpressure)."""
-        spawn_frozen = None
+        spawn_worker = None
         wait_thread = None
         with rel.lsm_lock:
             if rel.lsm_base is None:
@@ -2685,22 +2692,20 @@ class CozoDb:
                     rel.pending_merges = rel.lsm_base_layers + 1
                 if self._lsm_wants_major(rel):
                     if not rel.lsm_compacting:
-                        rel.lsm_minors = 0
-                        spawn_frozen = self._lsm_freeze(rel)
+                        spawn_worker = self._lsm_freeze(rel)
                     elif rel.lsm_minors >= (self._LSM_MAX_LAG
                                             * self._LSM_MAJOR_EVERY):
                         wait_thread = rel.lsm_thread
-        if spawn_frozen is not None:
-            self._spawn_lsm_worker(rel, spawn_frozen)
+        if spawn_worker is not None:
+            spawn_worker.start()
             return
         if wait_thread is not None:
             wait_thread.join(600)  # backpressure: compactor fell behind
             with rel.lsm_lock:
                 if self._lsm_wants_major(rel) and not rel.lsm_compacting:
-                    rel.lsm_minors = 0
-                    spawn_frozen = self._lsm_freeze(rel)
-            if spawn_frozen is not None:
-                self._spawn_lsm_worker(rel, spawn_frozen)
+                    spawn_worker = self._lsm_freeze(rel)
+            if spawn_worker is not None:
+                spawn_worker.start()
 
     def _lsm_wants_major(self, rel: StoredRelation) -> bool:
         """Major (background) compaction triggers: enough minor collapses
@@ -3547,7 +3552,14 @@ class CozoDb:
         if inp is not None and inp.kind in ("relation", "named_relation"):
             try:
                 df = self._resolve_relation(inp.name)
-            except QueryError:
+                if df is not None and inp.kind == "named_relation" \
+                        and inp.bindings:
+                    # mirror _eval_fixed_rule: the rule sees the BOUND
+                    # columns in binding order, not the relation layout
+                    df = df.select(*[F.col(c) for c, _v in inp.bindings])
+                # positional bindings only RENAME the first k columns —
+                # the first two stay the edge endpoints
+            except Exception:
                 df = None
         if df is None or len(df.columns) < 2:
             return ("mode=data-dependent (derived input; decided at run "
@@ -3562,18 +3574,22 @@ class CozoDb:
         if rn == "CommunityDetectionLouvainDist":
             from cozo_spark.fixed_rules.local_graphs import _MAX_DRIVER_EDGES
 
-            und = (df.filter(F.col(a) != F.col(b))
-                   .select(F.least(F.col(a), F.col(b)).alias("x"),
-                           F.greatest(F.col(a), F.col(b)).alias("y"))
-                   .distinct().count())
+            und = self._explain_count(
+                df, ("und", a, b),
+                lambda: df.filter(F.col(a) != F.col(b))
+                .select(F.least(F.col(a), F.col(b)).alias("x"),
+                        F.greatest(F.col(a), F.col(b)).alias("y"))
+                .distinct().count())
             lt = opts.get("local_threshold")
             thr = G.LOUVAIN_LOCAL_MAX_EDGES if lt is None else int(lt)
             local = 0 < und <= min(thr, _MAX_DRIVER_EDGES)
             return (f"mode={'driver_sequential' if local else 'distributed'}"
                     f" edges={und} gate={thr}")
-        n = (df.select(F.col(a).alias("n"))
-             .unionByName(df.select(F.col(b).alias("n")))
-             .distinct().count())
+        n = self._explain_count(
+            df, ("nodes", a, b),
+            lambda: df.select(F.col(a).alias("n"))
+            .unionByName(df.select(F.col(b).alias("n")))
+            .distinct().count())
         sources = opts.get("sources")
         if sources is None and n > G.AUTO_EXACT_MAX_NODES:
             k = G._auto_pivots(n)
@@ -3583,6 +3599,24 @@ class CozoDb:
             k = max(1, int(sources))
         return (f"mode={'exact' if k >= n else 'sampled'}"
                 f" pivots={min(k, n)} nodes={n}")
+
+    # ::explain count memo: inspecting a plan should not re-scan a large
+    # relation on every invocation (r10 review) — keyed on the exact frame
+    # identity (strong ref keeps the id stable); any mutation swaps rel.df
+    # and naturally misses
+    _explain_counts: dict = {}
+
+    def _explain_count(self, df: DataFrame, key_tail: tuple, compute):
+        key = (id(df.sparkSession), id(df._jdf)) + key_tail
+        hit = CozoDb._explain_counts.get(key)
+        if hit is not None and hit[0] is df._jdf:
+            return hit[1]
+        val = compute()
+        cache = CozoDb._explain_counts
+        cache[key] = (df._jdf, val)
+        while len(cache) > 64:
+            cache.pop(next(iter(cache)))
+        return val
 
 
 def _rel_meta_fingerprint(r: StoredRelation) -> tuple:

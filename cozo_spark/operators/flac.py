@@ -217,13 +217,15 @@ def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list:
     porder = r.read(4)
     nparts = 1 << porder
     # spec (RFC 9639 §9.2.7): blocksize must divide evenly into the
-    # partitions, and with multiple partitions the first one (which gives
-    # up `order` warm-up samples) must be positive-length. Raise each
-    # violation directly (ADVICE r9 low: the combined condition had a
-    # dead second clause, silently accepting a zero-length first partition)
+    # partitions, and (blocksize >> porder) MUST exceed the predictor
+    # order — the first partition gives up `order` warm-up samples, so
+    # equality means a zero-length first partition. The clause applies at
+    # EVERY partition order including 0 (r10 review: the r9 fix qualified
+    # it with nparts > 1, silently accepting blocksize == order at
+    # porder 0 — a warm-up-only subframe with no residuals)
     if blocksize % nparts:
         raise ValueError("blocksize not divisible by partition count")
-    if nparts > 1 and (blocksize >> porder) <= order:
+    if (blocksize >> porder) <= order:
         raise ValueError("first residual partition has no samples "
                          f"(blocksize>>porder = {blocksize >> porder} "
                          f"<= predictor order {order})")

@@ -43,15 +43,20 @@ def local_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
 
 
 def _has_nan(rows: list) -> bool:
-    """True if any value is a REAL float NaN — pandas/Arrow treat NaN as
-    the missing-value marker and would convert it to NULL, whereas the RDD
-    path (and Spark semantics generally) keep NaN and NULL distinct. Such
-    rows take the RDD path so both spellings stay faithful."""
-    for r in rows:
-        for v in r:
-            if isinstance(v, float) and v != v:
-                return True
-            if isinstance(v, (list, tuple)):
-                if any(isinstance(x, float) and x != x for x in v):
-                    return True
+    """True if any value is a REAL float NaN, at ANY nesting depth —
+    pandas/Arrow treat NaN as the missing-value marker and would convert
+    it to NULL, whereas the RDD path (and Spark semantics generally) keep
+    NaN and NULL distinct. Such rows take the RDD path so both spellings
+    stay faithful (schemas nest arbitrarily: array<array<double>>, map
+    values, struct fields)."""
+    return any(_val_has_nan(v) for r in rows for v in r)
+
+
+def _val_has_nan(v) -> bool:
+    if isinstance(v, float):
+        return v != v
+    if isinstance(v, (list, tuple, set)):
+        return any(_val_has_nan(x) for x in v)
+    if isinstance(v, dict):
+        return any(_val_has_nan(x) for kv in v.items() for x in kv)
     return False

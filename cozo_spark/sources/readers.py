@@ -144,8 +144,9 @@ def import_relations(db, payload: dict) -> None:
         headers = data.get("headers", rel.col_names)
         if rows:
             from cozo_spark.plans.local import local_frame
-            df = local_frame(db.spark, rows, rel.df.schema if headers == rel.col_names
-                                          else None)
+            df = local_frame(db.spark, rows,
+                             rel.df.schema if headers == rel.col_names
+                             else list(headers))
         else:
             df = db.spark.createDataFrame([], rel.df.schema)
         key_cols = [c.name for c in rel.keys]

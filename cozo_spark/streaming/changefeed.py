@@ -61,6 +61,13 @@ class ChangeFeed:
 
         self._q: "_queue.Queue" = _queue.Queue(maxsize=4096)
         self._worker: Optional[threading.Thread] = None
+        # Ordering lock for seq-assignment + enqueue. DISTINCT from
+        # self._lock on purpose: callbacks running on the worker thread
+        # take self._lock (register/unregister), so a producer blocked on
+        # a full queue while holding self._lock would deadlock the drain.
+        # The worker never takes _emit_lock, so enqueue backpressure can
+        # always drain.
+        self._emit_lock = threading.Lock()
 
     # -- producer side (engine hooks) -----------------------------------------
 
@@ -73,26 +80,37 @@ class ChangeFeed:
         # also pins which subscribers observe this mutation, matching the
         # synchronous semantics.
         if not self.sync:
-            self._ensure_worker()  # before the lock: _ensure_worker locks
-        with self._lock:
-            self._seq += 1
-            path = os.path.join(self.spool_dir,
-                                f"changes-{self._seq:08d}.json")
-            cbs = list(self.callbacks.get(relation, ()))
+            self._ensure_worker()
+        with self._emit_lock:
+            with self._lock:
+                self._seq += 1
+                path = os.path.join(self.spool_dir,
+                                    f"changes-{self._seq:08d}.json")
+                cbs = list(self.callbacks.get(relation, ()))
             now = time.time()
             if not self.sync:
-                # enqueue UNDER the lock: concurrent mutator threads must
-                # reach the worker in seq (commit) order — enqueueing after
-                # release could invert delivery between two committers. A
-                # full queue blocks here briefly (bounded: the worker is
-                # draining), which is the right backpressure.
-                self._q.put((relation, op, rows, old_rows, now, path, cbs))
+                if threading.current_thread() is self._worker:
+                    # re-entrant record (a subscriber callback mutated a
+                    # relation): queueing from the worker can self-deadlock
+                    # on a full queue — deliver inline instead (the nested
+                    # event lands within its parent's delivery, the
+                    # recursive-trigger ordering)
+                    self._deliver(relation, op, rows, old_rows,
+                                  now, path, cbs, isolate=True)
+                else:
+                    # enqueue UNDER the emit lock: concurrent mutators must
+                    # reach the worker in seq (commit) order. A full queue
+                    # blocks here (bounded backpressure) — and can always
+                    # drain, because the worker takes only self._lock,
+                    # never _emit_lock.
+                    self._q.put((relation, op, rows, old_rows,
+                                 now, path, cbs))
                 return
         self._deliver(relation, op, rows, old_rows, now, path, cbs)
 
     def _deliver(self, relation: str, op: str, rows: DataFrame,
                  old_rows: Optional[DataFrame], now: float, path: str,
-                 cbs: list) -> None:
+                 cbs: list, isolate: bool = False) -> None:
         payload = [r.asDict(recursive=True) for r in rows.collect()]
         lines = [json.dumps({"relation": relation, "op": op, "ts": now,
                              "row": json.dumps(p, default=str)})
@@ -106,14 +124,26 @@ class ChangeFeed:
         # still reads the pre-state.
         old_payload = None
         for cb, wants_old in cbs:
-            if wants_old:
-                if old_payload is None:
-                    old_payload = ([r.asDict(recursive=True)
-                                    for r in old_rows.collect()]
-                                   if old_rows is not None else [])
-                cb(op, payload, old_payload)
-            else:
-                cb(op, payload)
+            try:
+                if wants_old:
+                    if old_payload is None:
+                        old_payload = ([r.asDict(recursive=True)
+                                        for r in old_rows.collect()]
+                                       if old_rows is not None else [])
+                    cb(op, payload, old_payload)
+                else:
+                    cb(op, payload)
+            except Exception as e:
+                # async: a raising subscriber must not rob the REMAINING
+                # subscribers of this change (the reference's channel
+                # receivers are independent); sync mode keeps the r9
+                # propagate-to-mutator contract
+                if not isolate:
+                    raise
+                import sys
+
+                print(f"changefeed subscriber error ({relation}/{op}): "
+                      f"{e!r}", file=sys.stderr)
 
     def _ensure_worker(self) -> None:
         w = self._worker
@@ -134,8 +164,8 @@ class ChangeFeed:
         while True:
             item = self._q.get()
             try:
-                self._deliver(*item)
-            except Exception as e:  # isolate subscribers from each other
+                self._deliver(*item, isolate=True)
+            except Exception as e:  # collect/spool failure for this change
                 print(f"changefeed dispatch error: {e!r}", file=sys.stderr)
             finally:
                 self._q.task_done()

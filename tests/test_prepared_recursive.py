@@ -237,6 +237,28 @@ def test_bind_beats_retranslation(spark):
         f"template bind {bind:.2f}s not cheaper than re-translation {full:.2f}s"
 
 
+def test_mutual_recursion_caches_every_member_base(spark):
+    """r10 review: a multi-rule SCC must cache base clauses of EVERY
+    member (next(iter(scc)) only did one, nondeterministically)."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    s = """
+    even[a, b] := *edge{fr: a, to: b}
+    even[a, c] := odd[a, b], *edge{fr: b, to: c}
+    odd[a, b] := *edge{fr: a, to: b}, b % 2 == 1
+    odd[a, c] := even[a, b], *edge{fr: b, to: c}, c % 2 == 1
+    ?[b] := even[$start, b]
+    """
+    for sd in (4, 40):
+        assert _rows(db.run_script_df(s, {"start": sd})) == \
+            _literal(db, s, {"start": sd})
+    ent = CozoDb._skel_cache.get(db._skel_key(s, {"start": 4}))
+    assert ent is not None and ent.get("template")
+    cached = {(p["name"], p["idx"]) for p in ent["repls"]}
+    assert ("even", 0) in cached and ("odd", 0) in cached, cached
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_recursive_prepared(spark, seed):
     """Differential fuzz over recursive shapes with params in every
