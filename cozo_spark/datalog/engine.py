@@ -1069,6 +1069,13 @@ class CozoDb:
             return None
         entry = dprog.rules.get("?")
         if not (isinstance(entry, list) and len(entry) == 1):
+            # the FLAT skeleton needs a single-clause entry (one hoist
+            # target); the recursive TEMPLATE does not — its bind is a
+            # full per-call evaluation, so multi-clause entries prepare
+            # too when the program reaches recursion (r10)
+            if isinstance(entry, list) and len(entry) > 1 \
+                    and _reaches_recursion(dprog.rules):
+                return self._build_recursive_template(script, params, dprog)
             return None
         clause = entry[0]
         if any(not isinstance(h, (HeadVar, HeadAggr)) for h in clause.head):

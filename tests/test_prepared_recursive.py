@@ -237,6 +237,23 @@ def test_bind_beats_retranslation(spark):
         f"template bind {bind:.2f}s not cheaper than re-translation {full:.2f}s"
 
 
+def test_multi_clause_entry_with_recursion_prepares(spark, monkeypatch):
+    """A disjunctive (multi-clause) entry refuses the FLAT skeleton but
+    the recursive template handles it: bind is a full evaluation."""
+    db = _db(spark)
+    builds = _spy_builds(monkeypatch)
+    s = """
+    reach[a, b] := *edge{fr: a, to: b}
+    reach[a, c] := reach[a, b], *edge{fr: b, to: c}
+    ?[b] := reach[$start, b]
+    ?[b] := *edge{fr: $start, to: b}, b > $hi
+    """
+    for sd, hi in ((1, 100), (17, 0), (1, 399)):
+        assert _rows(db.run_script_df(s, {"start": sd, "hi": hi})) == \
+            _literal(db, s, {"start": sd, "hi": hi})
+    assert len(builds) == 1 and builds[0].get("template")
+
+
 def test_mutual_recursion_caches_every_member_base(spark):
     """r10 review: a multi-rule SCC must cache base clauses of EVERY
     member (next(iter(scc)) only did one, nondeterministically)."""
