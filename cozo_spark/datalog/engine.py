@@ -1058,6 +1058,20 @@ class CozoDb:
         return res
 
     def _build_skeleton(self, script: str, params: dict) -> Optional[dict]:
+        ent = self._build_skeleton_flat(script, params)
+        if ent is None:
+            # r10: LAST-RESORT template for every shape the flat skeleton
+            # refuses (negation/disjunction params, params in aggregation
+            # arguments, multi-clause entries...) — the template bind is a
+            # full evaluation on the per-call parse with the param-free
+            # clause translations cached, sound for ANY shape by
+            # construction (and lazy for non-recursive programs, so the
+            # per-value plan cache still applies on top)
+            ent = self._try_template(script, params)
+        return ent
+
+    def _build_skeleton_flat(self, script: str,
+                             params: dict) -> Optional[dict]:
         from cozo_spark.datalog.translate import (_atom_output_vars,
                                                   flatten_conjunction)
 
@@ -1431,6 +1445,19 @@ class CozoDb:
             while len(cache) > self._PLAN_CACHE_MAX:
                 cache.pop(next(iter(cache)))
         return ent
+
+    def _try_template(self, script: str, params: dict):
+        """Parse-and-template wrapper for the last-resort path (the flat
+        skeleton already consumed its own deferred parse)."""
+        try:
+            dprog = parse_script(script, params, defer_params=True)
+        except Exception:
+            return None
+        if not isinstance(dprog, Program):
+            return None
+        if not isinstance(dprog.rules.get("?"), (list, ConstRule)):
+            return None
+        return self._build_recursive_template(script, params, dprog)
 
     def _build_recursive_template(self, script: str, params: dict,
                                   dprog: Program):

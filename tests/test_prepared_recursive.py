@@ -276,6 +276,56 @@ def test_mutual_recursion_caches_every_member_base(spark):
     assert ("even", 0) in cached and ("odd", 0) in cached, cached
 
 
+def test_last_resort_template_negation_param(spark, monkeypatch):
+    """r10: shapes the flat skeleton refuses (a param-carrying rule
+    applied under negation) fall back to the TEMPLATE — param-free
+    support rules still cache, the bind is a full (lazy) evaluation, and
+    non-recursive binds land in the per-value plan cache too."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    builds = _spy_builds(monkeypatch)
+    s = """
+    sup[x] := *edge{fr: x, to: y}, y > 0
+    bad[x] := *edge{fr: x, to: $t}
+    ?[x] := sup[x], x < $hi, not bad[x]
+    """
+    for t, hi in ((1, 40), (7, 25), (1, 10)):
+        assert _rows(db.run_script_df(s, {"t": t, "hi": hi})) == \
+            _literal(db, s, {"t": t, "hi": hi})
+    assert len(builds) == 1 and builds[0].get("template")
+    assert [d["name"] for d in builds[0]["drops"]] == ["sup"]
+
+
+def test_last_resort_template_agg_argument_param(spark, monkeypatch):
+    """A param as an AGGREGATION argument (collect(x, $n)) refused every
+    flat path — the template evaluates it per bind."""
+    db = _db(spark)
+    builds = _spy_builds(monkeypatch)
+    s = """
+    sup[x] := *edge{fr: x}
+    ?[collect(x, $n)] := sup[x], x < 10
+    """
+    for n in (3, 5, 1):
+        got = db.run_script_df(s, {"n": n}).collect()
+        assert len(got) == 1 and len(got[0][0]) == n
+    assert len(builds) == 1 and builds[0].get("template")
+
+
+def test_last_resort_template_multiclause_nonrecursive(spark, monkeypatch):
+    db = _db(spark)
+    builds = _spy_builds(monkeypatch)
+    s = """
+    sup[x, y] := *edge{fr: x, to: y}
+    ?[x] := sup[x, y], y = $a
+    ?[x] := sup[x, y], y = $b, x < 100
+    """
+    for a, b in ((3, 9), (1, 1), (250, 7)):
+        assert _rows(db.run_script_df(s, {"a": a, "b": b})) == \
+            _literal(db, s, {"a": a, "b": b})
+    assert len(builds) == 1 and builds[0].get("template")
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_recursive_prepared(spark, seed):
     """Differential fuzz over recursive shapes with params in every
