@@ -326,6 +326,25 @@ def test_last_resort_template_multiclause_nonrecursive(spark, monkeypatch):
     assert len(builds) == 1 and builds[0].get("template")
 
 
+def test_template_invalidated_on_mutation(spark):
+    """The template's cached clause stores embed the relations' frames at
+    build time — any mutation must invalidate the entry (snapshot check)
+    so binds never serve pre-mutation data."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    db.run_script("?[fr, to] <- [[9000, 9001]] :create medge {fr => to}")
+    s = """
+    reach[a, b] := *medge{fr: a, to: b}
+    reach[a, c] := reach[a, b], *medge{fr: b, to: c}
+    ?[b] := reach[$s, b]
+    """
+    assert _rows(db.run_script_df(s, {"s": 9000})) == [(9001,)]
+    db.run_script("?[fr, to] <- [[9001, 9002]] :put medge {fr => to}")
+    assert _rows(db.run_script_df(s, {"s": 9000})) == [(9001,), (9002,)], \
+        "template bind served stale pre-mutation stores"
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_recursive_prepared(spark, seed):
     """Differential fuzz over recursive shapes with params in every
