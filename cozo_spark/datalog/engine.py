@@ -1084,12 +1084,8 @@ class CozoDb:
         entry = dprog.rules.get("?")
         if not (isinstance(entry, list) and len(entry) == 1):
             # the FLAT skeleton needs a single-clause entry (one hoist
-            # target); the recursive TEMPLATE does not — its bind is a
-            # full per-call evaluation, so multi-clause entries prepare
-            # too when the program reaches recursion (r10)
-            if isinstance(entry, list) and len(entry) > 1 \
-                    and _reaches_recursion(dprog.rules):
-                return self._build_recursive_template(script, params, dprog)
+            # target); multi-clause entries prepare via the last-resort
+            # template fallback in _build_skeleton
             return None
         clause = entry[0]
         if any(not isinstance(h, (HeadVar, HeadAggr)) for h in clause.head):

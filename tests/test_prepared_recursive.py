@@ -281,8 +281,6 @@ def test_last_resort_template_negation_param(spark, monkeypatch):
     applied under negation) fall back to the TEMPLATE — param-free
     support rules still cache, the bind is a full (lazy) evaluation, and
     non-recursive binds land in the per-value plan cache too."""
-    from cozo_spark.datalog.engine import CozoDb
-
     db = _db(spark)
     builds = _spy_builds(monkeypatch)
     s = """
