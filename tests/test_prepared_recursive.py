@@ -207,12 +207,17 @@ def test_prepared_limit_with_recursion(spark):
             n, len(_literal(db, REACH, {"start": sd})))
 
 
-def test_bind_beats_retranslation(spark):
-    """Plan-construction savings: the template pre-translates the support
-    rules and base clauses, so repeated calls spend less wall time than
-    literal re-translation of the same script (both run the same seeded
-    fixpoint jobs)."""
-    import time
+def test_bind_beats_retranslation(spark, monkeypatch):
+    """Plan-construction savings, measured DETERMINISTICALLY: a template
+    bind must run strictly fewer ClauseTranslator.translate calls than
+    the literal re-translation (the dropped support rules and replaced
+    base clauses are served from cached stores; the wrapper clause's
+    trivial re-projection doesn't count extra — it replaces the original
+    clause's translation 1:1, and dropped rules vanish entirely).
+    Wall-clock comparison is deliberately avoided: both paths run the
+    same seeded fixpoint jobs, and host noise (±2 s on this box) dwarfs
+    the ~0.1-0.3 s plan-construction delta."""
+    from cozo_spark.datalog.translate import ClauseTranslator
 
     db = _db(spark)
     s = """
@@ -224,17 +229,27 @@ def test_bind_beats_retranslation(spark):
     reach[a, c] := reach[a, b], good[b, c]
     ?[b] := reach[$start, b]
     """
-    db.run_script_df(s, {"start": 1})  # build once
-    t0 = time.perf_counter()
-    for i in range(2, 8):
-        db.run_script_df(s, {"start": i})
-    bind = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for i in range(2, 8):
-        db.run_script_df(s.replace("$start", str(i)))
-    full = time.perf_counter() - t0
-    assert bind < full, \
-        f"template bind {bind:.2f}s not cheaper than re-translation {full:.2f}s"
+    db.run_script_df(s, {"start": 1})  # build once (template cached)
+
+    counts = []
+    orig = ClauseTranslator.translate
+
+    def counting(self, *a, **k):
+        counts.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ClauseTranslator, "translate", counting)
+    db.run_script_df(s, {"start": 2})
+    bind_n = len(counts)
+    counts.clear()
+    db.run_script_df(s.replace("$start", "2"))
+    full_n = len(counts)
+    assert 0 < bind_n < full_n, \
+        f"bind ran {bind_n} translations vs {full_n} for re-translation"
+    # the 4 support-rule clauses (e1, e2, good x2) vanish entirely; the
+    # replaced base clause trades its translation for the wrapper's
+    # trivial one — so at least 4 fewer translations per call
+    assert full_n - bind_n >= 4, (bind_n, full_n)
 
 
 def test_multi_clause_entry_with_recursion_prepares(spark, monkeypatch):
