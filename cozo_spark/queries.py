@@ -2093,18 +2093,47 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   embed_cosine_neardup (ann_cosine_topk + ann_pq_topk keep vectors),
 #   ngram_jaccard (promoted doc_fingerprint + substring_dedup +
 #     decontaminate keep shingle-hash similarity).
+# ROTATION (round 11, per VERDICT r10 directive 1): the 17 r9-demoted
+# queries (2 rounds driver-unchecked) are PROMOTED back inside the cap:
+# agg_stats, agg_min_cost, join_point_lookup, neg_join_anti, sort_topk,
+# datalog_filter_join, datalog_magic_reach, asof_join_events,
+# text_quality, text_token_stats, pii_redact, dataset_split,
+# lm_quality_score, graph_pattern_long, graph_random_walk, ann_ivf_topk,
+# kmeans_clusters. Demoted r11 in their place — 17 shapes, ALL r9+r10
+# driver-verified (CORRECTNESS_r09 ∩ r10), never a pinned engine row.
+# Families stay covered in-cap:
+#   agg_median (promoted agg_stats + agg_min_cost + in-cap
+#     agg_bool_bit/product/collect_unique/group_count + pinned
+#     datalog_agg keep aggregates),
+#   ann_cosine_topk + ann_pq_topk (promoted ann_ivf_topk +
+#     kmeans_clusters + in-cap pq_code_dedup keep the vector family),
+#   balanced_sample (promoted dataset_split keeps deterministic sampling),
+#   decontaminate + substring_dedup + url_normalize_dedup (in-cap
+#     dedup_exact + dedup_clusters + doc_fingerprint keep hash dedup),
+#   doc_chunking (in-cap pack_sequences keeps chunk/pack),
+#   graph_cycle3 + graph_three_hop_filter (promoted graph_pattern_long +
+#     in-cap graph_triangles + datalog_two_hop keep multi-hop patterns),
+#   graph_degree_centrality (in-cap graph_closeness keeps centrality Dist),
+#   graph_reachability (in-cap graph_shortest_hops + pinned
+#     datalog_recursion keep the semi-naive fixpoint family),
+#   html_boilerplate_strip + lang_id + repetition_signals (promoted
+#     text_quality + text_token_stats + pii_redact + lm_quality_score +
+#     bench-headline text_word_topk keep map-only text ops),
+#   keyword_topk (text_word_topk — bench headline — stays),
+#   sessionize (in-cap window_running_sum + events_rollup keep windows).
 DEMOTED: tuple = (
-    # r10-demoted (r8+r9 driver-verified)
+    # r10-demoted (r8+r9 driver-verified; due for promotion r12)
     "agg_basic", "set_union_dedup", "unify_expr", "scalar_string_math",
     "graph_two_hop", "graph_betweenness", "minhash_lsh_pairs",
     "simhash_pairs", "semi_join", "inline_fixed_const", "text_bpe_tokens",
     "embed_cosine_neardup", "ngram_jaccard",
-    # r9-demoted (r7+r8 driver-verified; due for promotion r11)
-    "agg_stats", "agg_min_cost", "join_point_lookup", "neg_join_anti",
-    "sort_topk", "datalog_filter_join", "datalog_magic_reach",
-    "asof_join_events", "text_quality", "text_token_stats", "pii_redact",
-    "dataset_split", "lm_quality_score", "graph_pattern_long",
-    "graph_random_walk", "ann_ivf_topk", "kmeans_clusters",
+    # r11-demoted (r9+r10 driver-verified)
+    "agg_median", "ann_cosine_topk", "ann_pq_topk", "balanced_sample",
+    "decontaminate", "substring_dedup", "url_normalize_dedup",
+    "doc_chunking", "graph_cycle3", "graph_three_hop_filter",
+    "graph_degree_centrality", "graph_reachability",
+    "html_boilerplate_strip", "lang_id", "repetition_signals",
+    "keyword_topk", "sessionize",
 )
 
 
