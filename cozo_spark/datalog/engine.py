@@ -20,6 +20,7 @@ real deployment, plain DataFrame swaps here (same semantics, SURVEY §7).
 
 from __future__ import annotations
 
+import logging as _logging
 import threading as _threading
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -44,6 +45,8 @@ from cozo_spark.fixed_rules import get_fixed_rule
 from cozo_spark.functions.aggregates import AGGREGATIONS
 
 import itertools as _itertools
+
+_log = _logging.getLogger("cozo_spark.engine")
 
 _STORED_REL_SEQ = _itertools.count()
 
@@ -473,12 +476,21 @@ def _col_type(s: Optional[str]) -> T.DataType:
     return T.StringType()
 
 
+# pending delta rows above which the LSM view's key set no longer
+# broadcasts (module-level so StoredRelation._flat_lsm_view can reach it;
+# CozoDb re-exports it as a class attribute for tests and tuning)
+_LSM_BROADCAST_ROWS = 100_000
+
+
 @dataclass
 class StoredRelation:
     name: str
     keys: list  # ColDef
     non_keys: list  # ColDef
-    df: DataFrame
+    # Backing frame for the `df` property. Read `rel.df`, never `flat_df`,
+    # unless you explicitly must NOT trigger the lazy LSM view rebuild
+    # (the compaction worker's identity checks are the one such place).
+    flat_df: DataFrame
     access_level: str = "normal"
     put_triggers: list = field(default_factory=list)
     rm_triggers: list = field(default_factory=list)
@@ -518,7 +530,31 @@ class StoredRelation:
     lsm_compacting: bool = False
     lsm_thread: Any = None
     lsm_minors: int = 0  # minor collapses since the last major freeze
-    lsm_lock: Any = field(default_factory=_threading.Lock, repr=False)
+    # async minor collapse (r11): the pending-log collapse (a small
+    # checkpoint job, ~0.3 s) moves off the writer too. One minor in
+    # flight per relation; installs are identity-guarded on the captured
+    # running-union prefix, so any wholesale reset (freeze, ::import,
+    # :update) silently discards a stale collapse.
+    lsm_minor_inflight: bool = False
+    lsm_minor_thread: Any = None
+    # monotonic per-delta sequence for latest-wins ordering. With async
+    # collapse, len(lsm_pending) is NOT a valid sequence source: a collapse
+    # install shrinks the list while newer suffix deltas keep their higher
+    # seqs, and a len-based seq for the next delta would sort BELOW them.
+    # Collapsed deltas take seq 0; live deltas are always >= 1.
+    lsm_seq: int = 0
+    # Lazy flat-view rebuild (r11): a put/rm marks the view dirty instead of
+    # rebuilding it — the 8-10 py4j DataFrame ops of the rebuild (~0.09 s of
+    # every warm put, BASELINE.md r10 profile) move to the FIRST READ, which
+    # needed the fresh plan anyway. The reference's memtable insert pays zero
+    # plan construction per write (cozorocks); this is the Spark analogue.
+    # Identity-keyed plan/skeleton caches stay correct without version keys:
+    # `rel.df` identity changes exactly at first-read-after-mutation, so any
+    # cache validity check (`rel.df is ref`) that runs forces the rebuild it
+    # is about to depend on. RLock because the getter may fire under
+    # lsm_lock (freeze path, sync-compact path).
+    lsm_view_dirty: bool = False
+    lsm_lock: Any = field(default_factory=_threading.RLock, repr=False)
     # LOGICAL write counter: bumped by mutations (:put/:rm/.../:replace,
     # ::import), NOT by physical re-materializations (::compact,
     # persist_relation) which swap .df without changing contents.
@@ -538,6 +574,43 @@ class StoredRelation:
     @property
     def col_names(self) -> list:
         return [c.name for c in self.keys] + [c.name for c in self.non_keys]
+
+    @property
+    def df(self) -> DataFrame:
+        """Current read view. If a mutation marked the LSM view dirty, the
+        flat view is rebuilt here — plan construction only, no jobs — so
+        write bursts never pay per-put plan rebuilds for reads that never
+        happen between them."""
+        if self.lsm_view_dirty:
+            with self.lsm_lock:
+                if self.lsm_view_dirty:
+                    self.flat_df = self._flat_lsm_view()
+                    self.lsm_view_dirty = False
+        return self.flat_df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        # wholesale swaps (::compact, ::import, :update stacking, txn
+        # publish, worker install) define the view directly
+        self.flat_df = value
+        self.lsm_view_dirty = False
+
+    def _flat_lsm_view(self) -> DataFrame:
+        """Flat LSM read view over the CURRENT lsm_base + pending union:
+        base ANTI-JOIN (all pending keys) ∪ latest-seq-wins(pending).
+        One join + one window regardless of pending depth. Callers hold
+        lsm_lock."""
+        allp = self.lsm_pending[-1][1]
+        keys = self.key_names
+        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        live = (allp.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") == 1) & (~F.col("__tomb")))
+                .select(*self.col_names))
+        keyset = allp.select(*keys).distinct()
+        if self.lsm_rows <= _LSM_BROADCAST_ROWS:
+            keyset = F.broadcast(keyset)
+        return (self.lsm_base.join(keyset, on=keys, how="left_anti")
+                .unionByName(live))
 
 
 @dataclass
@@ -2559,7 +2632,8 @@ class CozoDb:
             else:
                 rel.df = df
 
-    _LSM_BROADCAST_ROWS = 100_000
+    # re-export of the module constant (tests/tuning reach it via the db)
+    _LSM_BROADCAST_ROWS = _LSM_BROADCAST_ROWS
     # majors per minor cadence: after this many minor collapses, the view is
     # frozen and materialized in the background (the expensive step)
     _LSM_MAJOR_EVERY = 4
@@ -2568,22 +2642,60 @@ class CozoDb:
     # compactor instead of outrunning it
     _LSM_MAX_LAG = 4
 
-    def _lsm_minor_compact(self, rel: StoredRelation) -> None:
-        """Collapse the pending log into ONE checkpointed latest-wins delta
-        (tombstones kept — they must keep masking base keys). Cost is
-        O(pending delta rows), NOT O(table): this is the cheap synchronous
-        step that bounds the flat view's union width (read cost grows
-        super-linearly in pending width — measured 1.5 s at 8 deltas vs
-        12.8 s at 17 on tiny data, the optimizer cost of pushing the
-        anti-join/window through a wide union). Callers hold rel.lsm_lock."""
-        allp = rel.lsm_pending[-1][1]
+    def _lsm_minor_begin(self, rel: StoredRelation) -> "_threading.Thread":
+        """Start an async collapse of the CURRENT pending log into ONE
+        checkpointed latest-wins delta (tombstones kept — they must keep
+        masking base keys). Cost is O(pending delta rows), NOT O(table),
+        and it runs off-thread (r11) — the writer is never charged the
+        ~0.3 s checkpoint job. The collapse bounds the flat view's union
+        width (read cost grows super-linearly in pending width — measured
+        1.5 s at 8 deltas vs 12.8 s at 17 on tiny data, the optimizer cost
+        of pushing the anti-join/window through a wide union); while one is
+        in flight, pending may overshoot to 2x _COMPACT_EVERY before the
+        writer waits (backpressure). Callers hold rel.lsm_lock; the
+        returned UNSTARTED thread is started after the lock is released."""
+        prefix_union = rel.lsm_pending[-1][1]
+        n = len(rel.lsm_pending)
         keys = rel.key_names
-        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
-        collapsed = _checkpoint(
-            allp.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn")
-            .withColumn("__seq", F.lit(0)))
-        rel.lsm_pending = [(collapsed, collapsed)]
+
+        def work():
+            try:
+                w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
+                ck = _checkpoint(
+                    prefix_union.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn")
+                    .withColumn("__seq", F.lit(0)))
+            except Exception:
+                ck = None
+            respawn = None
+            with rel.lsm_lock:
+                rel.lsm_minor_inflight = False
+                rel.lsm_minor_thread = None
+                if (ck is None or len(rel.lsm_pending) < n
+                        or rel.lsm_pending[n - 1][1] is not prefix_union):
+                    return  # pending was reset wholesale meanwhile: discard
+                # splice: collapsed prefix + deltas appended since capture.
+                # Suffix seqs are strictly greater than the collapsed 0, so
+                # latest-wins ordering is preserved.
+                entries = [(ck, ck)]
+                u = ck
+                for d, _ in rel.lsm_pending[n:]:
+                    u = u.unionByName(d)
+                    entries.append((d, u))
+                rel.lsm_pending = entries
+                rel.lsm_minors += 1
+                rel.lsm_view_dirty = True
+                rel.pending_merges = rel.lsm_base_layers + len(entries)
+                if self._lsm_wants_major(rel) and not rel.lsm_compacting:
+                    respawn = self._lsm_freeze(rel)
+            if respawn is not None:
+                respawn.start()
+
+        t = _threading.Thread(target=work, daemon=True,
+                              name=f"cozo-lsm-minor-{rel.name}")
+        rel.lsm_minor_inflight = True
+        rel.lsm_minor_thread = t
+        return t
 
     @staticmethod
     def _lsm_sync_compact() -> bool:
@@ -2591,21 +2703,6 @@ class CozoDb:
         (deterministic timing for debugging; also the A/B lever)."""
         import os
         return os.environ.get("COZO_SPARK_SYNC_COMPACT", "") not in ("", "0")
-
-    def _lsm_rebuild_view(self, rel: StoredRelation) -> None:
-        """Rebuild rel.df as the flat LSM view over the CURRENT lsm_base +
-        pending union (callers hold rel.lsm_lock)."""
-        allp = rel.lsm_pending[-1][1]
-        keys = rel.key_names
-        w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
-        live = (allp.withColumn("__rn", F.row_number().over(w))
-                .filter((F.col("__rn") == 1) & (~F.col("__tomb")))
-                .select(*rel.col_names))
-        keyset = allp.select(*keys).distinct()
-        if rel.lsm_rows <= self._LSM_BROADCAST_ROWS:
-            keyset = F.broadcast(keyset)
-        rel.df = (rel.lsm_base.join(keyset, on=keys, how="left_anti")
-                  .unionByName(live))
 
     def _lsm_freeze(self, rel: StoredRelation) -> "_threading.Thread":
         """Freeze the current flat view as the new lsm_base (the LSM
@@ -2620,6 +2717,7 @@ class CozoDb:
         rel.lsm_base_layers = 0
         rel.lsm_pending = []
         rel.lsm_rows = 0
+        rel.lsm_seq = 0
         rel.lsm_minors = 0
         rel.pending_merges = 0
         rel.lsm_compacting = True
@@ -2645,10 +2743,13 @@ class CozoDb:
                 if ck is None or rel.lsm_base is not frozen:
                     return  # state was reset wholesale meanwhile: discard
                 rel.lsm_base = ck
-                if rel.df is frozen:      # no mutations since the freeze
-                    rel.df = ck
-                elif rel.lsm_pending:     # re-root the view on the ck leaf
-                    self._lsm_rebuild_view(rel)
+                # raw flat_df on purpose: `rel.df` would rebuild a dirty
+                # view over the OLD base just to discard it below
+                if rel.flat_df is frozen and not rel.lsm_view_dirty:
+                    rel.df = ck       # no mutations since the freeze
+                elif rel.lsm_pending:
+                    # re-root the view on the ck leaf at the next read
+                    rel.lsm_view_dirty = True
                 if self._lsm_wants_major(rel):
                     # writers outpaced this pass: chain the next compaction
                     respawn = self._lsm_freeze(rel)
@@ -2680,12 +2781,15 @@ class CozoDb:
         view (still one join + one window) up to _LSM_MAX_LAG thresholds,
         then the writer waits for the compactor (backpressure)."""
         spawn_worker = None
+        spawn_minor = None
         wait_thread = None
+        wait_minor = None
         with rel.lsm_lock:
             if rel.lsm_base is None:
                 rel.lsm_base = rel.df
                 rel.lsm_pending = []
                 rel.lsm_rows = 0
+                rel.lsm_seq = 0
                 rel.lsm_base_layers = rel.pending_merges
             proj = []
             for c in rel.keys + rel.non_keys:
@@ -2694,9 +2798,10 @@ class CozoDb:
                                 .alias(c.name))
                 else:
                     proj.append(F.col(c.name))
+            rel.lsm_seq += 1  # monotonic: collapsed deltas sit at seq 0
             d = delta.select(
                 *proj,
-                F.lit(len(rel.lsm_pending)).alias("__seq"),
+                F.lit(rel.lsm_seq).alias("__seq"),
                 F.lit(bool(tombstone)).alias("__tomb"))
             # incremental running union: O(1) plan-construction per mutation
             prev_union = (rel.lsm_pending[-1][1]
@@ -2705,7 +2810,9 @@ class CozoDb:
             rel.lsm_pending.append((d, allp))
             rel.lsm_rows += (n_delta if n_delta is not None
                              else self._LSM_BROADCAST_ROWS + 1)
-            self._lsm_rebuild_view(rel)
+            # lazy view rebuild (r11): mark dirty, rebuild at first read —
+            # the write path pays zero plan construction for the view
+            rel.lsm_view_dirty = True
             rel.version += 1
             rel.pending_merges = rel.lsm_base_layers + len(rel.lsm_pending)
             if self._lsm_sync_compact():
@@ -2715,22 +2822,44 @@ class CozoDb:
                     rel.lsm_base, rel.lsm_pending, rel.lsm_rows = None, [], 0
                     rel.lsm_base_layers = 0
             else:
-                if rel.pending_merges >= self._COMPACT_EVERY:
-                    self._lsm_minor_compact(rel)
-                    rel.lsm_minors += 1
-                    self._lsm_rebuild_view(rel)
-                    rel.pending_merges = rel.lsm_base_layers + 1
                 if self._lsm_wants_major(rel):
                     if not rel.lsm_compacting:
                         spawn_worker = self._lsm_freeze(rel)
                     elif rel.lsm_minors >= (self._LSM_MAX_LAG
                                             * self._LSM_MAJOR_EVERY):
                         wait_thread = rel.lsm_thread
+                if (spawn_worker is None
+                        and rel.pending_merges >= self._COMPACT_EVERY):
+                    # collapse off-thread; while one is in flight pending
+                    # may overshoot to 2x the threshold, then backpressure
+                    if not rel.lsm_minor_inflight:
+                        spawn_minor = self._lsm_minor_begin(rel)
+                    elif rel.pending_merges >= 2 * self._COMPACT_EVERY:
+                        wait_minor = rel.lsm_minor_thread
         if spawn_worker is not None:
             spawn_worker.start()
             return
+        if spawn_minor is not None:
+            spawn_minor.start()
+            return
+        if wait_minor is not None:
+            wait_minor.join(600)  # backpressure: collapse fell behind
+            if wait_minor.is_alive():
+                _log.warning(
+                    "LSM minor collapse for %r still running after the "
+                    "600 s backpressure join; pending width may exceed "
+                    "its bound", rel.name)
+            return
         if wait_thread is not None:
             wait_thread.join(600)  # backpressure: compactor fell behind
+            if wait_thread.is_alive():
+                # a major this slow implies a base far beyond single-node
+                # scale; make the degraded state visible instead of letting
+                # pending stack silently past the lag cap (VERDICT r10 nit)
+                _log.warning(
+                    "LSM major compaction for %r still running after the "
+                    "600 s backpressure join; writes will keep stacking "
+                    "on the flat view past the lag cap", rel.name)
             with rel.lsm_lock:
                 if self._lsm_wants_major(rel) and not rel.lsm_compacting:
                     spawn_worker = self._lsm_freeze(rel)
@@ -2889,10 +3018,16 @@ class CozoDb:
             # instead of a shuffle — the every-8th-mutation compaction of
             # the layered plan drops from seconds to sub-second. Unknown
             # or large deltas keep the shuffle join (scale-safe).
+            # r11: even BUILDING this plan costs the lazy-LSM view rebuild
+            # plus a join per put (~10+ py4j ops) — skip it outright when
+            # nothing will consume it (no changefeed, no put triggers).
             affected = new.select(*key_names).distinct()
             if n_delta is not None and n_delta <= 100_000:
                 affected = F.broadcast(affected)
-            old_full = rel.df.join(affected, on=key_names, how="left_semi")
+            need_old = (getattr(self, "changefeed", None) is not None
+                        or bool(rel.put_triggers))
+            old_full = (rel.df.join(affected, on=key_names, how="left_semi")
+                        if need_old or op == "update" else None)
             if op == "update":
                 # keep old values for columns not mentioned
                 upd_cols = [c for c in cols if c not in key_names]
@@ -2945,8 +3080,13 @@ class CozoDb:
                 for r in gone.select(*rel.col_names).collect():
                     returning_rows.append(["deleted"] + list(r))
             # removed full rows for the `_old` trigger relation
-            # (stored.rs:1043-1049; _new for rm carries the requested keys)
-            old_full = rel.df.join(rm_keys, on=rm_keys.columns, how="left_semi")
+            # (stored.rs:1043-1049; _new for rm carries the requested keys).
+            # r11: plan built only when a consumer exists (see the put path)
+            need_old = (getattr(self, "changefeed", None) is not None
+                        or bool(rel.rm_triggers))
+            old_full = (rel.df.join(rm_keys, on=rm_keys.columns,
+                                    how="left_semi")
+                        if need_old else None)
             if set(rm_keys.columns) == set(rel.key_names):
                 self._apply_lsm_delta(rel, rm_keys, n_delta, tombstone=True)
             else:
@@ -3215,7 +3355,13 @@ class CozoDb:
                         f"value cannot be coerced into validity for column "
                         f"{name!r} (unparseable or reserved timestamp)")
             else:
-                out = out.withColumn(name, F.col(name).cast(_col_type(t)))
+                want = _col_type(t)
+                # r11: a cast whose source dtype already matches is a no-op
+                # semantically but still costs 2-3 py4j round-trips per
+                # column on every put — skip it (typed local frames from
+                # _eval_const_rule usually match exactly)
+                if dtypes.get(name) != want.simpleString():
+                    out = out.withColumn(name, F.col(name).cast(want))
         return out
 
     def _target_columns(self, rel: StoredRelation, opts: OutOpts, df: DataFrame) -> list:
