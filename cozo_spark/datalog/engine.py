@@ -2841,7 +2841,6 @@ class CozoDb:
             return
         if spawn_minor is not None:
             spawn_minor.start()
-            return
         if wait_minor is not None:
             wait_minor.join(600)  # backpressure: collapse fell behind
             if wait_minor.is_alive():
@@ -2849,7 +2848,9 @@ class CozoDb:
                     "LSM minor collapse for %r still running after the "
                     "600 s backpressure join; pending width may exceed "
                     "its bound", rel.name)
-            return
+        # the major-compactor join below still runs when a minor was
+        # started or waited on — past the lag cap, skipping it would let
+        # pending stack unboundedly on a stuck major
         if wait_thread is not None:
             wait_thread.join(600)  # backpressure: compactor fell behind
             if wait_thread.is_alive():
