@@ -2651,7 +2651,7 @@ class CozoDb:
         width (read cost grows super-linearly in pending width — measured
         1.5 s at 8 deltas vs 12.8 s at 17 on tiny data, the optimizer cost
         of pushing the anti-join/window through a wide union); while one is
-        in flight, pending may overshoot to 2x _COMPACT_EVERY before the
+        in flight, pending may overshoot to 4x _COMPACT_EVERY before the
         writer waits (backpressure). Callers hold rel.lsm_lock; the
         returned UNSTARTED thread is started after the lock is released."""
         prefix_union = rel.lsm_pending[-1][1]
@@ -2831,10 +2831,16 @@ class CozoDb:
                 if (spawn_worker is None
                         and rel.pending_merges >= self._COMPACT_EVERY):
                     # collapse off-thread; while one is in flight pending
-                    # may overshoot to 2x the threshold, then backpressure
+                    # may overshoot to 4x the threshold, then backpressure.
+                    # 4x because the width cost is nearly flat with Arrow
+                    # delta leaves (re-measured r11: 1.0-1.3 s reads at
+                    # widths 16-32 on tiny data — the old super-linear
+                    # blowup was the python-RDD leaf constant, gone in
+                    # r10); a tighter cap made burst writers block on the
+                    # first cold collapse for no read-side benefit.
                     if not rel.lsm_minor_inflight:
                         spawn_minor = self._lsm_minor_begin(rel)
-                    elif rel.pending_merges >= 2 * self._COMPACT_EVERY:
+                    elif rel.pending_merges >= 4 * self._COMPACT_EVERY:
                         wait_minor = rel.lsm_minor_thread
         if spawn_worker is not None:
             spawn_worker.start()

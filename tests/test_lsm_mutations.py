@@ -150,15 +150,15 @@ def test_mixed_update_put_compaction_bound(spark):
         assert (rel.lsm_base_layers == stacked
                 or (rel.lsm_base_layers == 0
                     and stacked >= db._COMPACT_EVERY // 2))
-        assert rel.pending_merges <= 2 * db._COMPACT_EVERY
+        assert rel.pending_merges <= 4 * db._COMPACT_EVERY
     # drive puts: total tracked depth (base layers + pending) must stay
     # bounded throughout — the ADVICE invariant. r11: the minor collapse
-    # runs off-thread, so pending may overshoot to 2x _COMPACT_EVERY while
+    # runs off-thread, so pending may overshoot to 4x _COMPACT_EVERY while
     # a collapse is in flight (the writer backpressures past that); the
     # writer is never charged the collapse job itself.
     for i in range(2 * db._COMPACT_EVERY):
         db.run_script(f"?[k, v] <- [[{90 + i}, {i}]] :put lsm_t {{k => v}}")
-        assert rel.pending_merges <= 2 * db._COMPACT_EVERY, \
+        assert rel.pending_merges <= 4 * db._COMPACT_EVERY, \
             "mixed update/put depth exceeded the compaction bound"
     _wait_no_compaction(rel)
     got = _rows(db)
