@@ -3780,8 +3780,20 @@ class CozoDb:
             k = n
         else:
             k = max(1, int(sources))
-        return (f"mode={'exact' if k >= n else 'sampled'}"
-                f" pivots={min(k, n)} nodes={n}")
+        mode = f"mode={'exact' if k >= n else 'sampled'}" \
+               f" pivots={min(k, n)} nodes={n}"
+        if k < n:
+            # sampled mode's accuracy boundary is part of the PLAN: the
+            # BFS/Bellman-Ford cap truncates (exact mode auto-extends
+            # instead). last_fixed_rule_info() reports whether it actually
+            # fired after the run (VERDICT r10 #6).
+            if rn == "BetweennessCentralityDist":
+                cap = int(opts.get("max_depth", 64))
+                mode += f" accuracy_cap=max_depth:{cap}"
+            else:
+                cap = int(opts.get("max_iterations", 64))
+                mode += f" accuracy_cap=max_iterations:{cap}"
+        return mode
 
     # ::explain count memo: inspecting a plan should not re-scan a large
     # relation on every invocation (r10 review) — keyed on the exact frame

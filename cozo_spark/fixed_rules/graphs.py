@@ -46,6 +46,17 @@ def _record_run_info(**kw) -> None:
     _RUN_INFO.info = dict(kw)
 
 
+def _update_run_info(**kw) -> None:
+    """Merge runtime facts (truncation hit, depth reached, convergence)
+    into the info the CURRENT rule recorded — accuracy boundaries belong
+    in the programmatic channel, not only in a log line (VERDICT r10 #6).
+    No-op when no rule recorded info on this thread (shared helpers like
+    shortest_path_costs may run outside a fixed-rule call)."""
+    info = getattr(_RUN_INFO, "info", None)
+    if info is not None:
+        info.update(kw)
+
+
 def take_run_info() -> dict | None:
     """Pop the info recorded by the most recent rule call on this thread."""
     info = getattr(_RUN_INFO, "info", None)
@@ -227,11 +238,18 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
                 "shortest_path_costs: still improving at max_iterations=%d — "
                 "auto-extending (exact caller) up to %d rounds",
                 max_iterations, limit)
-    if not converged and not delta.isEmpty():
+    unconverged = not converged and not delta.isEmpty()
+    if unconverged:
         _log.warning(
             "shortest_path_costs: iteration cap %d exhausted before "
             "convergence — some costs may be non-minimal; raise "
             "max_iterations", limit)
+    # surface the accuracy boundary to the calling rule's run info
+    # (closeness sampled mode, etc.) — VERDICT r10 #6
+    _update_run_info(iterations=int(it), iteration_cap=int(limit),
+                     truncated=bool(unconverged),
+                     auto_extended=bool(extend_to is not None
+                                        and it > max_iterations))
     return best
 
 
@@ -667,6 +685,7 @@ def betweenness_centrality_sampled(
         visited = visited.unionByName(nxt)
         levels.append(nxt)
         frontier = nxt
+    really_truncated = False
     if truncated:
         # the loop exhausted with a non-empty final frontier — but that
         # frontier may simply be the LAST BFS level (traversal complete
@@ -679,11 +698,18 @@ def betweenness_centrality_sampled(
                        & (F.col("w") == F.col("vv")), "left_anti")
                  .limit(1))
         if probe.count() > 0:
+            really_truncated = True
             _log.warning(
                 "BetweennessCentralityDist: BFS still expanding at "
                 "max_depth=%d — nodes beyond that distance are dropped "
                 "from the dependency sums; raise max_depth for exact "
                 "results", max_depth)
+    # accuracy boundary, programmatically (VERDICT r10 #6): the sampled-
+    # mode cap's hit/not + depth land in last_fixed_rule_info(), not just
+    # the log line above
+    _update_run_info(depth_reached=int(depth), max_depth=int(max_depth),
+                     truncated=really_truncated,
+                     auto_extended=bool(extended))
     # backward accumulation, deepest level first; absent rows mean delta=0.
     # Each level's shortest-path DAG slice ((s, v at d) -> (w at d+1)) is
     # joined LAZILY from the per-depth frontier deltas — materializing the
