@@ -1022,9 +1022,19 @@ class CozoDb:
 
     def _rel_snapshot(self):
         # access_level and the index set change read semantics WITHOUT
-        # swapping rel.df — they must invalidate cached plans too
+        # swapping rel.df — they must invalidate cached plans too.
+        # r11: RAW flat_df identity + the dirty flag, NOT rel.df — the
+        # property would force a lazy view rebuild of every dirty relation
+        # on every cache check, even relations the plan never reads. A
+        # dirty flag in the snapshot is exactly as invalidating: a
+        # mutation flips it (entry goes stale), the rebuild at next read
+        # changes the id (entry stays stale). A relation that is dirty at
+        # snapshot time was never read by the cached plan — evaluation
+        # forces any scanned relation clean — so a hit on a
+        # dirty-matching snapshot is sound.
         return tuple(sorted(
-            (name, id(rel.df), tuple(c.name for c in rel.keys),
+            (name, id(rel.flat_df), rel.lsm_view_dirty,
+             tuple(c.name for c in rel.keys),
              rel.keys_trusted, rel.access_level,
              tuple(sorted(rel.indices)))
             for name, rel in self.relations.items()))
@@ -1038,16 +1048,17 @@ class CozoDb:
             if spark is not self.spark or self.temp_relations:
                 return None
             # identity check: every relation the db holds now must be the
-            # exact frame the plan was compiled against
+            # exact frame the plan was compiled against (raw flat_df —
+            # see _rel_snapshot for why the property must not fire here)
             if snapshot != self._rel_snapshot():
                 return None
-            if any(self.relations[name].df is not ref
+            if any(self.relations[name].flat_df is not ref
                    for name, ref in rel_refs):
                 return None
             return df, headers
 
     def _plan_cache_put(self, key, df: DataFrame) -> None:
-        rel_refs = tuple((name, rel.df)
+        rel_refs = tuple((name, rel.flat_df)
                          for name, rel in sorted(self.relations.items()))
         ent = (df, self._entry_display_headers, self.spark,
                self._rel_snapshot(), rel_refs)
@@ -1056,6 +1067,37 @@ class CozoDb:
             cache[key] = ent
             while len(cache) > self._PLAN_CACHE_MAX:
                 cache.pop(next(iter(cache)))
+
+    def _sweep_stale_plan_entries(self) -> None:
+        """Drop cached plans/skeletons compiled against frames this db no
+        longer serves. The snapshot check already makes them unhittable
+        after a mutation — but until LRU eviction their strong refs pin
+        the OLD checkpoint lineage (localCheckpoint blocks stay persisted
+        while referenced), which is real executor storage for a big
+        relation. Called on the write path; pure-Python id comparisons,
+        no py4j. Scoped by snapshot-vs-now so entries from OTHER CozoDb
+        instances sharing this SparkSession (whose snapshots never equal
+        this db's) are untouched only if they still validate for some db:
+        we match on this db's relations appearing stale, i.e. the entry
+        names a relation this db holds under a different frame."""
+        mine = {n: (id(r.flat_df), r.lsm_view_dirty)
+                for n, r in self.relations.items()}
+
+        def stale(spark, snapshot) -> bool:
+            if spark is not self.spark:
+                return False
+            names = {s[0] for s in snapshot}
+            if names != set(mine):
+                return False  # a different db's registry: leave it alone
+            return any(mine.get(s[0]) != (s[1], s[2]) for s in snapshot)
+
+        with CozoDb._plan_cache_lock:
+            for k in [k for k, e in CozoDb._plan_cache.items()
+                      if stale(e[2], e[3])]:
+                del CozoDb._plan_cache[k]
+            for k in [k for k, e in CozoDb._skel_cache.items()
+                      if stale(e["spark"], e["snapshot"])]:
+                del CozoDb._skel_cache[k]
 
     # -- prepared statements (plan-skeleton cache) ----------------------------------
     #
@@ -1097,7 +1139,8 @@ class CozoDb:
             return False
         if ent["snapshot"] != self._rel_snapshot():
             return False
-        return all(self.relations[n].df is ref for n, ref in ent["rel_refs"])
+        return all(self.relations[n].flat_df is ref
+                   for n, ref in ent["rel_refs"])
 
     def _run_prepared(self, script: str, params: dict, parsed: Program,
                       key) -> Optional[DataFrame]:
@@ -1378,7 +1421,7 @@ class CozoDb:
             "extras": (len(ext) > len(base)
                        or any(m for _, _, m in computed)),
             "spark": self.spark, "snapshot": self._rel_snapshot(),
-            "rel_refs": tuple((n, rel.df)
+            "rel_refs": tuple((n, rel.flat_df)
                               for n, rel in sorted(self.relations.items())),
         }
         with CozoDb._plan_cache_lock:
@@ -1505,7 +1548,7 @@ class CozoDb:
             "dtypes": dtypes,
             "display": headers if uniq != headers else None,
             "spark": self.spark, "snapshot": self._rel_snapshot(),
-            "rel_refs": tuple((n, rel.df)
+            "rel_refs": tuple((n, rel.flat_df)
                               for n, rel in sorted(self.relations.items())),
         }
         with CozoDb._plan_cache_lock:
@@ -1674,7 +1717,7 @@ class CozoDb:
         ent = {
             "template": True, "drops": drops, "repls": repls,
             "spark": self.spark, "snapshot": self._rel_snapshot(),
-            "rel_refs": tuple((n, rel.df)
+            "rel_refs": tuple((n, rel.flat_df)
                               for n, rel in sorted(self.relations.items())),
         }
         with CozoDb._plan_cache_lock:
@@ -3276,6 +3319,9 @@ class CozoDb:
         from cozo_spark.operators import indices as IX
 
         IX.apply_mutation(rel, kind, rows)
+        # unpin old checkpoint lineage held by now-stale cached plans
+        # (pure-Python sweep; see _sweep_stale_plan_entries)
+        self._sweep_stale_plan_entries()
         feed = getattr(self, "changefeed", None)
         if feed is not None:
             feed.record(rel.name, kind, rows, old_rows)

@@ -141,13 +141,26 @@ def main() -> None:
     feed.flush()
     n_feed_events = len(feed_events)
 
+    # distinguish PINNED checkpoint blocks from awaiting-GC ones: anything
+    # still persisted after a full py+JVM GC cycle is genuinely referenced
+    # (caches, lsm state); growth here across n_ops would be a real leak
+    import gc
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
+    jsc = spark.sparkContext._jsc.sc()
+    rdds_after_gc = jsc.getPersistentRDDs().size()
+
     threads_after = threading.active_count()
     ok = (not errors
           and n_feed_events == n_feed_muts
           and peak["pending_a"] <= 4 * db._COMPACT_EVERY + 1
           and peak["pending_b"] <= 4 * db._COMPACT_EVERY + 1
           and peak["lsm_threads"] <= 4  # 2 relations x (major + minor)
-          and threads_after <= t_threads0 + 6)
+          and threads_after <= t_threads0 + 6
+          # pinned (post-GC) checkpoint blocks must be O(caches + live LSM
+          # state), flat in op count — growth here is a true lineage leak
+          and rdds_after_gc <= 40)
     print(json.dumps({
         "ok": ok, "n_ops": n_ops, "wall_s": round(wall, 1),
         "ops_per_s": round(n_ops / wall, 2),
@@ -157,6 +170,7 @@ def main() -> None:
         "threads_start": t_threads0, "threads_end": threads_after,
         "peak_pending": [peak["pending_a"], peak["pending_b"]],
         "peak_persistent_rdds": peak["persistent_rdds"],
+        "persistent_rdds_after_gc": rdds_after_gc,
         "feed_events": n_feed_events, "feed_muts": n_feed_muts,
         "rows_final": [len(model["a"]), len(model["b"])],
         "errors": errors[:10],
