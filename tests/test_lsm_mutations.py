@@ -388,3 +388,55 @@ def test_backpressure_timeout_logs_warning(spark, monkeypatch, caplog):
     _wait_no_compaction(rel)
     got = _rows(db)
     assert all(got[i] == i for i in range(n))
+
+
+def test_seq_monotonic_across_collapse_install(spark, monkeypatch):
+    """r11 invariant: delta sequence numbers are MONOTONIC per relation,
+    not len(lsm_pending)-based. After an async collapse splices 8 pending
+    entries down to 1, a len-based seq for the next put would be 1 —
+    sorting BELOW the live suffix deltas appended during the collapse
+    (seqs 9, 10, ...), so the NEWEST write would lose latest-wins to an
+    older one. Reproduces that exact interleaving: gate the collapse
+    checkpoint, write k=1 before the threshold and again while the
+    collapse is in flight, then assert the post-install put wins."""
+    import threading
+
+    import cozo_spark.datalog.engine as EG
+
+    gate = threading.Event()
+    entered = threading.Event()
+    orig = EG._checkpoint
+
+    def slow_ck(df):
+        if threading.current_thread().name.startswith("cozo-lsm-minor"):
+            entered.set()
+            gate.wait(60)
+        return orig(df)
+
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    monkeypatch.setattr(EG, "_checkpoint", slow_ck)
+    try:
+        # seed 7 pending deltas incl. an early write to key 1
+        db.run_script("?[k, v] <- [[1, 10]] :put lsm_t {k => v}")
+        for i in range(6):
+            db.run_script(f"?[k, v] <- [[{i + 50}, 0]] :put lsm_t {{k => v}}")
+        # 8th put crosses the threshold -> async collapse spawns (blocked)
+        db.run_script("?[k, v] <- [[60, 0]] :put lsm_t {k => v}")
+        assert entered.wait(30), "collapse worker never started"
+        # suffix deltas stacked while the collapse is in flight
+        db.run_script("?[k, v] <- [[1, 20]] :put lsm_t {k => v}")
+        db.run_script("?[k, v] <- [[61, 0]] :put lsm_t {k => v}")
+        gate.set()  # install the collapsed prefix under the suffix
+        _wait_no_compaction(rel)
+        # the write AFTER the install must still win over both earlier ones
+        db.run_script("?[k, v] <- [[1, 30]] :put lsm_t {k => v}")
+        assert rel.lsm_seq > len(rel.lsm_pending), \
+            "seq must outrun the spliced pending length"
+    finally:
+        gate.set()
+        monkeypatch.setattr(EG, "_checkpoint", orig)
+    got = _rows(db)
+    assert got[1] == 30, f"stale value resurrected: {got[1]}"
+    _wait_no_compaction(rel)
+    assert _rows(db)[1] == 30
