@@ -106,17 +106,33 @@ class ChangeFeed:
                     self._q.put((relation, op, rows, old_rows,
                                  now, path, cbs))
                 return
-        self._deliver(relation, op, rows, old_rows, now, path, cbs)
+            # sync mode: SPOOL under the emit lock (r11, VERDICT r10 nit 2
+            # — two concurrent sync mutators could momentarily expose
+            # changes-N+1 before changes-N existed when the write happened
+            # after release); callbacks still run outside the lock so a
+            # subscriber that mutates (re-entrant record) cannot deadlock.
+            payload = self._spool(relation, op, rows, now, path)
+        self._notify(relation, op, payload, old_rows, cbs, isolate=False)
 
-    def _deliver(self, relation: str, op: str, rows: DataFrame,
-                 old_rows: Optional[DataFrame], now: float, path: str,
-                 cbs: list, isolate: bool = False) -> None:
+    def _spool(self, relation: str, op: str, rows: DataFrame, now: float,
+               path: str) -> list:
         payload = [r.asDict(recursive=True) for r in rows.collect()]
         lines = [json.dumps({"relation": relation, "op": op, "ts": now,
                              "row": json.dumps(p, default=str)})
                  for p in payload]
         with open(path, "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
+        return payload
+
+    def _deliver(self, relation: str, op: str, rows: DataFrame,
+                 old_rows: Optional[DataFrame], now: float, path: str,
+                 cbs: list, isolate: bool = False) -> None:
+        payload = self._spool(relation, op, rows, now, path)
+        self._notify(relation, op, payload, old_rows, cbs, isolate)
+
+    def _notify(self, relation: str, op: str, payload: list,
+                old_rows: Optional[DataFrame], cbs: list,
+                isolate: bool) -> None:
         # old rows (replaced on put / removed on rm) materialize only when a
         # three-argument callback wants them — reference callbacks deliver
         # (op, new_rows, old_rows), runtime/callback.rs:19-57. The old-rows
