@@ -299,6 +299,58 @@ def rule_has_param(rule) -> bool:
     return any(atom_has_param(a) for cl in rule for a in cl.body)
 
 
+def _atom_ref_vars(a) -> set:
+    """Every variable NAME an atom references (bound or used — callers
+    that only need 'could this var flow through here' don't care which).
+    args lists mix var-name strings, None, and Expr nodes; NamedRelApply
+    pairs with a None value bind the var named after the column."""
+    out: set = set()
+    if isinstance(a, RuleApply):
+        for x in a.args:
+            if isinstance(x, str):
+                out.add(x)
+            elif x is not None:
+                out |= expr_vars(x)
+    elif isinstance(a, RelApply):
+        for x in a.args:
+            if isinstance(x, str):
+                out.add(x)
+            elif x is not None:
+                out |= expr_vars(x)
+        if a.validity is not None and not isinstance(a.validity, str):
+            out |= expr_vars(a.validity)
+    elif isinstance(a, NamedRelApply):
+        for col, v in a.pairs.items():
+            if v is None:
+                out.add(col)
+            else:
+                out |= expr_vars(v)
+        if a.validity is not None and not isinstance(a.validity, str):
+            out |= expr_vars(a.validity)
+    elif isinstance(a, SearchApply):
+        for col, v in a.pairs.items():
+            if v is None:
+                out.add(col)
+            else:
+                out |= expr_vars(v)
+        for v in a.opts.values():
+            out |= expr_vars(v)
+    elif isinstance(a, Unify):
+        out.add(a.var)
+        out |= expr_vars(a.expr)
+    elif isinstance(a, Cond):
+        out |= expr_vars(a.expr)
+    elif isinstance(a, Negation):
+        out |= _atom_ref_vars(a.atom)
+    elif isinstance(a, Conj):
+        for x in a.atoms:
+            out |= _atom_ref_vars(x)
+    elif isinstance(a, Disj):
+        for x in a.branches:
+            out |= _atom_ref_vars(x)
+    return out
+
+
 # --- nondeterminism analysis --------------------------------------------------
 
 # functions whose re-evaluation yields different values; a mutation whose

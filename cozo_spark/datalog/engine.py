@@ -32,9 +32,10 @@ from pyspark.sql import types as T
 from cozo_spark.datalog.ast import (
     Call, Cond, Conj, Const, ConstRule, Disj, FixedApply, HeadAggr, HeadVar,
     ListEx, NamedRelApply, Negation, OutOpts, Param, Program, RelApply,
-    RuleApply, RuleClause, SearchApply, TableSchema, Unify, Var, _atom_nondet,
-    atom_has_param, expr_has_param, expr_nondet, expr_vars, program_nondet,
-    rename_vars_expr, rule_has_param, subst_params_expr,
+    RuleApply, RuleClause, SearchApply, TableSchema, Unify, Var,
+    _atom_nondet, _atom_ref_vars, atom_has_param, expr_has_param,
+    expr_nondet, expr_vars, program_nondet, rename_vars_expr,
+    rule_has_param, subst_params_expr,
 )
 from cozo_spark.datalog.parser import const_eval, parse_script
 from cozo_spark.datalog.translate import (
@@ -1634,25 +1635,76 @@ class CozoDb:
                 rule_unique_resolver=_unique_resolver,
                 trusted_key_resolver=self._resolve_trusted_keys)
 
+        def _atom_ok(a) -> bool:
+            if isinstance(a, (Conj, Disj, SearchApply)):
+                return False
+            if atom_has_param(a) or _atom_nondet(a):
+                return False
+            if isinstance(a, Negation):
+                inner = a.atom
+                if not isinstance(inner,
+                                  (RelApply, NamedRelApply, RuleApply)):
+                    return False
+                if isinstance(inner, RuleApply) \
+                        and inner.name not in dropped:
+                    return False
+            elif isinstance(a, RuleApply) and a.name not in dropped:
+                return False  # per-call rule store: not cacheable
+            return True
+
         def _clause_ok(cl) -> bool:
             if any(not isinstance(h, HeadVar) for h in cl.head):
                 return False  # agg heads need the raw multiset stream
-            for a in cl.body:
-                if isinstance(a, (Conj, Disj, SearchApply)):
-                    return False
-                if atom_has_param(a) or _atom_nondet(a):
-                    return False
-                if isinstance(a, Negation):
-                    inner = a.atom
-                    if not isinstance(inner,
-                                      (RelApply, NamedRelApply, RuleApply)):
-                        return False
-                    if isinstance(inner, RuleApply) \
-                            and inner.name not in dropped:
-                        return False
-                elif isinstance(a, RuleApply) and a.name not in dropped:
-                    return False  # per-call rule store: not cacheable
-            return True
+            return all(_atom_ok(a) for a in cl.body)
+
+        def _try_prefix_split(name, j, cl):
+            """PREFIX template (r11): a param-carrying clause whose body
+            starts with clean (param-free, deterministic, resolvable)
+            atoms caches THAT PREFIX as a store; the bind keeps the
+            per-call suffix. Sound for set-semantic rules: the store
+            projects to exactly the prefix vars the suffix or head
+            consume, and collapsing bindings that differ only in unused
+            vars cannot change the rule's (distinct) result. Agg heads
+            are refused — they need the raw multiset stream the
+            projection would collapse. Measured WHY (BASELINE r11): the
+            agg-argument and multi-clause families bound at ~1x because
+            every clause carried the param — this recovers the param-free
+            scan/join work those clauses start with."""
+            if any(not isinstance(h, HeadVar) for h in cl.head):
+                return None
+            k = 0
+            while k < len(cl.body) and _atom_ok(cl.body[k]):
+                k += 1
+            if k == 0 or k >= len(cl.body):
+                return None  # nothing clean, or _clause_ok handled it
+            prefix = cl.body[:k]
+            if not any(isinstance(a, (RelApply, NamedRelApply, RuleApply))
+                       for a in prefix):
+                return None  # no driving relation: store would be invalid
+            later = set()
+            for a in cl.body[k:]:
+                later |= _atom_ref_vars(a)
+            later |= {h.name for h in cl.head}
+            pre = set()
+            for a in prefix:
+                pre |= _atom_ref_vars(a)
+            needed = sorted((pre & later) - {"_"})
+            if not needed:
+                return None
+            try:
+                tr = _tr()
+                store = self._canon(tr.translate(
+                    [HeadVar(v) for v in needed], list(prefix)))
+            except QueryError:
+                return None  # e.g. an existential negation var leaked in
+            slot = f"__tpl{slot_seq[0]}_"
+            slot_seq[0] += 1
+            if slot in rules:
+                return None
+            return {"name": name, "idx": j, "clause": cl, "slot": slot,
+                    "store": store, "arity": len(needed),
+                    "unique": bool(tr.last_unique),
+                    "prefix_len": k, "slot_args": tuple(needed)}
 
         self._had_eager_eval = False
         try:
@@ -1697,6 +1749,9 @@ class CozoDb:
                         if recursive and (_body_rule_refs(cl.body) & scc):
                             continue  # recursive clause: per-epoch deltas
                         if not _clause_ok(cl):
+                            split = _try_prefix_split(name, j, cl)
+                            if split is not None:
+                                repls.append(split)
                             continue
                         tr = _tr()
                         store = self._canon(tr.translate(cl.head, cl.body))
@@ -1741,9 +1796,20 @@ class CozoDb:
         for p in ent["repls"]:
             r = rules.get(p["name"])
             if (not isinstance(r, list) or p["idx"] >= len(r)
-                    or r[p["idx"]] != p["clause"]
                     or p["slot"] in rules):
                 return None
+            k = p.get("prefix_len")
+            if k is None:
+                if r[p["idx"]] != p["clause"]:
+                    return None
+            else:
+                # prefix repl: only the cached PREFIX must parse
+                # identically (it is param-free); the suffix differs per
+                # call by construction and is kept from the per-call parse
+                cl2 = r[p["idx"]]
+                if (cl2.head != p["clause"].head
+                        or cl2.body[:k] != p["clause"].body[:k]):
+                    return None
         seed_stores: dict = {}
         seed_unique: dict = {}
         for d in ent["drops"]:
@@ -1755,9 +1821,17 @@ class CozoDb:
             if p["unique"]:
                 seed_unique[p["slot"]] = frozenset(range(p["arity"]))
             cl = rules[p["name"]][p["idx"]]
-            rules[p["name"]][p["idx"]] = RuleClause(
-                list(cl.head),
-                [RuleApply(p["slot"], [Var(h.name) for h in cl.head])])
+            k = p.get("prefix_len")
+            if k is None:
+                rules[p["name"]][p["idx"]] = RuleClause(
+                    list(cl.head),
+                    [RuleApply(p["slot"], [Var(h.name) for h in cl.head])])
+            else:
+                rules[p["name"]][p["idx"]] = RuleClause(
+                    list(cl.head),
+                    [RuleApply(p["slot"],
+                               [Var(v) for v in p["slot_args"]])]
+                    + list(cl.body[k:]))
         return self._run_program(parsed, seed_stores=seed_stores,
                                  seed_unique=seed_unique)
 

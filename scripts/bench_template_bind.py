@@ -44,6 +44,14 @@ FAMILIES = {
     ?[b] := *edge{fr: $s, to: b}
     ?[b] := *edge{fr: b, to: $s}
     """,
+    # r11 prefix template's sweet spot: a multi-join param-free PREFIX
+    # before the param-dependent tail — the join pipeline caches, only
+    # the tail re-translates per call
+    "heavy_prefix": """
+    joined[a, c, s0] := *edge{fr: a, to: b}, *edge{fr: b, to: c},
+                        *edge{fr: c, to: d}, d % 3 == 0, s0 = d + a
+    ?[a, sum(s)] := joined[a, c, s0], s = s0 * $w
+    """,
 }
 # a FRESH param value per rep: a repeated value would hit the per-value
 # plan cache (prepared binds land there too) and measure a dict lookup,
@@ -52,6 +60,7 @@ PARAMS = {
     "negation_param": lambda i: {"x": 2 * i},
     "agg_arg_param": lambda i: {"w": i + 2},
     "multi_clause_entry": lambda i: {"s": i + 1},
+    "heavy_prefix": lambda i: {"w": i + 2},
 }
 
 

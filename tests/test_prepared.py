@@ -91,13 +91,15 @@ def test_positional_and_rule_atom_params(spark):
     # (aggregation heads became ELIGIBLE in r7 — the skeleton is the raw
     # pre-aggregation stream and the filter binds before aggregate_head;
     # see tests/test_prepared_agg.py)
-    # param inside a negated atom: anti-join subplan depends on the value
-    ("?[k] := *customer{c_custkey: k}, k < 8, not *orders{o_custkey: k, o_totalprice: $t}",
-     {"t": 1.0}),
+    # (param inside a negated atom became a PREFIX-template bind in r11 —
+    # the param-free *customer scan + filter prefix caches and the
+    # per-call negation joins on top; see
+    # test_prefix_template_negated_entry below)
     # (`:limit $n` became ELIGIBLE in r9 — the skeleton is built without
     # output options and binding applies the per-call parse's limit; see
     # test_limit_param_prepared below)
-    # param nested inside an expression used as a column binding
+    # param nested inside an expression used as a column binding: the
+    # param sits in the FIRST (and only) atom — no clean prefix exists
     ("?[n] := *customer{c_custkey: $id + 1, c_name: n}", {"id": 2}),
 ])
 def test_ineligible_shapes_still_correct(spark, script, params):
@@ -108,6 +110,26 @@ def test_ineligible_shapes_still_correct(spark, script, params):
     want = _literal(db, script, params)
     assert got == want
     assert db._skel_key(script, params) not in CozoDb._skel_cache
+
+
+def test_prefix_template_negated_entry(spark):
+    """r11 prefix template: a param inside a negated atom no longer
+    refuses — the clean prefix (*customer scan + k < 8) caches as a
+    store and the per-call negation anti-joins on top. Correctness
+    pinned across values; the cached entry must be a prefix repl."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    script = ("?[k] := *customer{c_custkey: k}, k < 8, "
+              "not *orders{o_custkey: k, o_totalprice: $t}")
+    for t in (1.0, 100000.0, 57586.58):
+        got = _rows(db.run_script_df(script, {"t": t}))
+        want = _literal(db, script, {"t": t})
+        assert got == want, t
+    ent = CozoDb._skel_cache.get(db._skel_key(script, {"t": 1.0}))
+    assert ent is not None and ent.get("template")
+    pr = [p for p in ent["repls"] if p.get("prefix_len")]
+    assert pr and pr[0]["prefix_len"] == 2 and pr[0]["slot_args"] == ("k",)
 
 
 def test_limit_param_prepared(spark, monkeypatch):

@@ -172,8 +172,11 @@ def test_support_filter_param_in_disjunction_site(spark):
 
 def test_support_filter_param_under_negation_refuses(spark):
     """`not f[x]` where f carries a param filter: extending f's arity
-    would leave the new column unbound under the negation — must refuse
-    the skeleton and stay correct on the unprepared path."""
+    would leave the new column unbound under the negation — the FLAT
+    skeleton's cond-migration hoist must refuse. r11: the shape now
+    prepares via the PREFIX template instead (f's param-free scan caches;
+    the per-call filter and the negation evaluate normally), so the pin
+    is template-with-prefix-repl, not absence."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = _db(spark, ("customer",))
@@ -184,7 +187,10 @@ def test_support_filter_param_under_negation_refuses(spark):
     for lo in (100.0, 9000.0):
         assert _rows(db.run_script_df(s, {"lo": lo})) == \
             _literal(db, s, {"lo": lo})
-    assert db._skel_key(s, {"lo": 100.0}) not in CozoDb._skel_cache
+    ent = CozoDb._skel_cache.get(db._skel_key(s, {"lo": 100.0}))
+    assert ent is not None and ent.get("template")
+    assert any(p.get("prefix_len") and p["name"] == "f"
+               for p in ent["repls"])
 
 
 def test_agg_head_with_computed_unify(spark, monkeypatch):
@@ -229,8 +235,12 @@ def test_agg_consumer_of_cond_widened_rule_refuses(spark):
     """ADVICE r9 high: a support rule whose filter cond migrates out gains
     alias exports — its store becomes distinct on (head + alias), so an
     AGGREGATION-head consumer would fold one row per (head, alias) pair
-    (`?[count(s)] := sup[s]` returned 50 prepared vs 5 literal). The hoist
-    must refuse; the unprepared path stays bit-identical."""
+    (`?[count(s)] := sup[s]` returned 50 prepared vs 5 literal). The FLAT
+    hoist must still refuse. r11: the shape prepares via the PREFIX
+    template instead — which is SOUND for agg consumers because the
+    cached store is an internal slot: sup still projects and distincts
+    to its own head per call, so the consumer sees exactly the literal
+    multiplicities (pinned by the value asserts across cutoffs)."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = _db(spark, ("customer",))
@@ -249,7 +259,10 @@ def test_agg_consumer_of_cond_widened_rule_refuses(spark):
         for c in (100.0, 5000.0, 9999.0):
             assert _rows(db.run_script_df(s, {"c": c})) == \
                 _literal(db, s, {"c": c})
-        assert db._skel_key(s, {"c": 100.0}) not in CozoDb._skel_cache
+        ent = CozoDb._skel_cache.get(db._skel_key(s, {"c": 100.0}))
+        assert ent is not None and ent.get("template")
+        assert any(p.get("prefix_len") and p["name"] == "sup"
+                   for p in ent["repls"])
     # a PLAIN-head consumer of the same shape must still prepare
     s3 = """
     sup[n] := *customer{c_nationkey: n, c_acctbal: b}, b < $c
@@ -262,14 +275,6 @@ def test_agg_consumer_of_cond_widened_rule_refuses(spark):
 
 
 @pytest.mark.parametrize("script,params", [
-    # recursion through the param rule: structurally refused, still correct
-    ("""
-     r[x] := *customer{c_custkey: x}, x < $n
-     r[x] := r[y], x = y + 1, x < 5
-     ?[x] := r[x]
-     """, {"n": 3}),
-    # param unify under negation
-    ("?[x] := *customer{c_custkey: x}, not x = $k", {"k": 7}),
     # nondeterministic unify expr (skeleton distinct would change draws)
     ("?[x, y] := *customer{c_custkey: x}, x < 3, y = rand_float() * $k",
      {"k": 0}),
@@ -281,6 +286,34 @@ def test_still_refused_shapes_stay_correct(spark, script, params):
     got = db.run_script_df(script, dict(params))
     assert got.count() >= 0  # evaluates via the unprepared path
     assert db._skel_key(script, params) not in CozoDb._skel_cache
+
+
+@pytest.mark.parametrize("script,mkp", [
+    # recursion with the param in the BASE clause: r11 prefix template
+    # caches the base scan, the per-call filter + magic restriction land
+    # on top (previously a structural refusal)
+    ("""
+     r[x] := *customer{c_custkey: x}, x < $n
+     r[x] := r[y], x = y + 1, x < 5
+     ?[x] := r[x]
+     """, lambda i: {"n": i + 2}),
+    # param unify under negation: prefix = the scan
+    ("?[x] := *customer{c_custkey: x}, not x = $k",
+     lambda i: {"k": i + 1}),
+])
+def test_previously_refused_shapes_now_prefix_prepare(spark, script, mkp):
+    """r11: two shapes the r10 template refused now prepare through the
+    prefix split — value-checked against literal inlining per call."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark, ("customer",))
+    for i in range(3):
+        p = mkp(i)
+        assert _rows(db.run_script_df(script, p)) == \
+            _literal(db, script, p), p
+    ent = CozoDb._skel_cache.get(db._skel_key(script, mkp(0)))
+    assert ent is not None and ent.get("template")
+    assert any(p.get("prefix_len") for p in ent["repls"])
 
 
 def test_bind_is_cheaper_than_retranslation(spark):

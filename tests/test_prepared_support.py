@@ -121,7 +121,11 @@ def test_support_param_feeding_agg_entry(spark, monkeypatch):
 
 def test_negated_application_refused_but_correct(spark):
     """A param rule applied under `not` cannot be hoisted (the appended
-    column would be unbound) — skeleton refused, results still correct."""
+    column would be unbound) — the FLAT skeleton still refuses. r11: the
+    PREFIX template prepares the shape instead — `mine` (param in its
+    only atom) stays uncached and re-translates per call, while the
+    entry's param-free prefix (*customer scan + filter) caches; the
+    negation then anti-joins the per-call `mine` on top."""
     from cozo_spark.datalog.engine import CozoDb
 
     db = _db(spark)
@@ -132,7 +136,11 @@ def test_negated_application_refused_but_correct(spark):
     for v in (1, 5):
         assert _rows(db.run_script_df(script, {"o": v})) == \
             _literal(db, script, {"o": v})
-    assert db._skel_key(script, {"o": 1}) not in CozoDb._skel_cache
+    ent = CozoDb._skel_cache.get(db._skel_key(script, {"o": 1}))
+    assert ent is not None and ent.get("template")
+    pr = [p for p in ent["repls"] if p.get("prefix_len")]
+    assert pr and pr[0]["name"] == "?" and pr[0]["prefix_len"] == 2
+    assert not any(p["name"] == "mine" for p in ent["repls"])
 
 
 def test_recursive_support_param_still_refused(spark):
