@@ -95,7 +95,7 @@ def main() -> None:
             model[rel].pop(k, None)
             if rel == "a":
                 n_feed_muts += 1
-        elif r < 0.92:  # point-ish read
+        elif r < 0.84:  # point-ish read
             k = rng.randrange(400)
             got = db.run_script_df(
                 f"?[v] := *{rel}{{k: {k}, v}}").collect()
@@ -104,6 +104,17 @@ def main() -> None:
             if want != have:
                 errors.append(f"op {i}: point read {rel}[{k}] = {have}, "
                               f"want {want}")
+        elif r < 0.92:  # PREPARED read with a fresh param (template +
+            # skeleton machinery under mutation pressure: the write-path
+            # sweep must keep binds correct, never stale)
+            lo = rng.randrange(10_000)
+            got = {row[0]: row[1] for row in db.run_script_df(
+                f"sup[k, v] := *{rel}{{k, v}}, v >= $lo\n"
+                f"?[k, v] := sup[k, v]", {"lo": lo}).collect()}
+            want = {k: v for k, v in model[rel].items() if v >= lo}
+            if got != want:
+                errors.append(f"op {i}: prepared read {rel} lo={lo} "
+                              f"diverged ({len(got)} vs {len(want)})")
         else:  # aggregate full scan
             got = db.run_script_df(f"?[count(k)] := *{rel}{{k}}").collect()
             if int(got[0][0] or 0) != len(model[rel]):
