@@ -608,7 +608,12 @@ class StoredRelation:
                 .filter((F.col("__rn") == 1) & (~F.col("__tomb")))
                 .select(*self.col_names))
         keyset = allp.select(*keys).distinct()
-        if self.lsm_rows <= _LSM_BROADCAST_ROWS:
+        # the CLASS attribute, looked up at call time — CozoDb is defined
+        # later in this module; tests/tuning set the gate via
+        # CozoDb._LSM_BROADCAST_ROWS and the view must honor it (r11: a
+        # module-constant read here left the advertised knob inert and
+        # desynchronized from _apply_lsm_delta's row accounting)
+        if self.lsm_rows <= CozoDb._LSM_BROADCAST_ROWS:
             keyset = F.broadcast(keyset)
         return (self.lsm_base.join(keyset, on=keys, how="left_anti")
                 .unionByName(live))
@@ -1045,7 +1050,7 @@ class CozoDb:
             ent = CozoDb._plan_cache.get(key)
             if ent is None:
                 return None
-            df, headers, spark, snapshot, rel_refs = ent
+            df, headers, spark, snapshot, rel_refs, _dbid = ent
             if spark is not self.spark or self.temp_relations:
                 return None
             # identity check: every relation the db holds now must be the
@@ -1062,7 +1067,7 @@ class CozoDb:
         rel_refs = tuple((name, rel.flat_df)
                          for name, rel in sorted(self.relations.items()))
         ent = (df, self._entry_display_headers, self.spark,
-               self._rel_snapshot(), rel_refs)
+               self._rel_snapshot(), rel_refs, id(self))
         with CozoDb._plan_cache_lock:
             cache = CozoDb._plan_cache
             cache[key] = ent
@@ -1076,28 +1081,21 @@ class CozoDb:
         the OLD checkpoint lineage (localCheckpoint blocks stay persisted
         while referenced), which is real executor storage for a big
         relation. Called on the write path; pure-Python id comparisons,
-        no py4j. Scoped by snapshot-vs-now so entries from OTHER CozoDb
-        instances sharing this SparkSession (whose snapshots never equal
-        this db's) are untouched only if they still validate for some db:
-        we match on this db's relations appearing stale, i.e. the entry
-        names a relation this db holds under a different frame."""
-        mine = {n: (id(r.flat_df), r.lsm_view_dirty)
-                for n, r in self.relations.items()}
-
-        def stale(spark, snapshot) -> bool:
-            if spark is not self.spark:
-                return False
-            names = {s[0] for s in snapshot}
-            if names != set(mine):
-                return False  # a different db's registry: leave it alone
-            return any(mine.get(s[0]) != (s[1], s[2]) for s in snapshot)
-
+        no py4j. Scoped by the RECORDING db's identity (entries carry
+        id(db)) so sibling CozoDb instances on the same SparkSession — in
+        particular a MultiTransaction's shadow db, whose relation names
+        mirror the base's exactly — never have their live entries wiped
+        by this db's mutations (r11 review fix). Within this db, ANY
+        snapshot mismatch sweeps: a registry that gained or lost a
+        relation makes old entries permanently unhittable too."""
+        me = id(self)
+        snap = self._rel_snapshot()
         with CozoDb._plan_cache_lock:
             for k in [k for k, e in CozoDb._plan_cache.items()
-                      if stale(e[2], e[3])]:
+                      if e[5] == me and e[3] != snap]:
                 del CozoDb._plan_cache[k]
             for k in [k for k, e in CozoDb._skel_cache.items()
-                      if stale(e["spark"], e["snapshot"])]:
+                      if e.get("db") == me and e["snapshot"] != snap]:
                 del CozoDb._skel_cache[k]
 
     # -- prepared statements (plan-skeleton cache) ----------------------------------
@@ -1424,6 +1422,7 @@ class CozoDb:
             "spark": self.spark, "snapshot": self._rel_snapshot(),
             "rel_refs": tuple((n, rel.flat_df)
                               for n, rel in sorted(self.relations.items())),
+            "db": id(self),
         }
         with CozoDb._plan_cache_lock:
             cache = CozoDb._skel_cache
@@ -1551,6 +1550,7 @@ class CozoDb:
             "spark": self.spark, "snapshot": self._rel_snapshot(),
             "rel_refs": tuple((n, rel.flat_df)
                               for n, rel in sorted(self.relations.items())),
+            "db": id(self),
         }
         with CozoDb._plan_cache_lock:
             cache = CozoDb._skel_cache
@@ -1691,16 +1691,16 @@ class CozoDb:
             needed = sorted((pre & later) - {"_"})
             if not needed:
                 return None
+            slot = f"__tpl{slot_seq[0]}_"
+            slot_seq[0] += 1
+            if slot in rules:
+                return None  # checked BEFORE the (py4j-heavy) translate
             try:
                 tr = _tr()
                 store = self._canon(tr.translate(
                     [HeadVar(v) for v in needed], list(prefix)))
             except QueryError:
                 return None  # e.g. an existential negation var leaked in
-            slot = f"__tpl{slot_seq[0]}_"
-            slot_seq[0] += 1
-            if slot in rules:
-                return None
             return {"name": name, "idx": j, "clause": cl, "slot": slot,
                     "store": store, "arity": len(needed),
                     "unique": bool(tr.last_unique),
@@ -1774,6 +1774,7 @@ class CozoDb:
             "spark": self.spark, "snapshot": self._rel_snapshot(),
             "rel_refs": tuple((n, rel.flat_df)
                               for n, rel in sorted(self.relations.items())),
+            "db": id(self),
         }
         with CozoDb._plan_cache_lock:
             cache = CozoDb._skel_cache
@@ -2776,6 +2777,7 @@ class CozoDb:
         keys = rel.key_names
 
         def work():
+            ck = None
             try:
                 w = W.partitionBy(*keys).orderBy(F.col("__seq").desc())
                 ck = _checkpoint(
@@ -2784,33 +2786,42 @@ class CozoDb:
                     .withColumn("__seq", F.lit(0)))
             except Exception:
                 ck = None
-            respawn = None
-            with rel.lsm_lock:
-                rel.lsm_minor_inflight = False
-                rel.lsm_minor_thread = None
-                if (ck is None or len(rel.lsm_pending) < n
-                        or rel.lsm_pending[n - 1][1] is not prefix_union):
-                    return  # pending was reset wholesale meanwhile: discard
-                # splice: collapsed prefix + deltas appended since capture.
-                # Suffix seqs are strictly greater than the collapsed 0, so
-                # latest-wins ordering is preserved.
-                entries = [(ck, ck)]
-                u = ck
-                for d, _ in rel.lsm_pending[n:]:
-                    u = u.unionByName(d)
-                    entries.append((d, u))
-                rel.lsm_pending = entries
-                rel.lsm_minors += 1
-                rel.lsm_view_dirty = True
-                rel.pending_merges = rel.lsm_base_layers + len(entries)
-                if self._lsm_wants_major(rel) and not rel.lsm_compacting:
-                    respawn = self._lsm_freeze(rel)
-            if respawn is not None:
-                respawn.start()
+            finally:
+                # unconditional (BaseException included — a KeyboardInterrupt
+                # or fatal py4j error must not wedge inflight=True forever,
+                # which would disable collapses and unbound pending width)
+                with rel.lsm_lock:
+                    rel.lsm_minor_inflight = False
+                    rel.lsm_minor_thread = None
+                    if (ck is not None and len(rel.lsm_pending) >= n
+                            and rel.lsm_pending[n - 1][1] is prefix_union):
+                        # splice: collapsed prefix + deltas appended since
+                        # capture. Suffix seqs are strictly greater than
+                        # the collapsed 0, so latest-wins order holds.
+                        entries = [(ck, ck)]
+                        u = ck
+                        for d, _ in rel.lsm_pending[n:]:
+                            u = u.unionByName(d)
+                            entries.append((d, u))
+                        rel.lsm_pending = entries
+                        rel.lsm_minors += 1
+                        rel.lsm_view_dirty = True
+                        rel.pending_merges = (rel.lsm_base_layers
+                                              + len(entries))
+                        if (self._lsm_wants_major(rel)
+                                and not rel.lsm_compacting):
+                            self._lsm_freeze(rel)
+                    # else: pending was reset wholesale meanwhile — discard
 
         t = _threading.Thread(target=work, daemon=True,
                               name=f"cozo-lsm-minor-{rel.name}")
         rel.lsm_minor_inflight = True
+        # started HERE, under rel.lsm_lock, and published only after
+        # start(): any observer of lsm_minor_thread can join() it —
+        # publishing an unstarted thread made a racing backpressure join
+        # raise RuntimeError (r11 review). The worker cannot reset the
+        # fields underneath us — its finally block needs rel.lsm_lock.
+        t.start()
         rel.lsm_minor_thread = t
         return t
 
@@ -2824,11 +2835,12 @@ class CozoDb:
     def _lsm_freeze(self, rel: StoredRelation) -> "_threading.Thread":
         """Freeze the current flat view as the new lsm_base (the LSM
         memtable-freeze: lazy, zero jobs on the caller) and reset the
-        pending log on top of it. Callers hold rel.lsm_lock. Returns the
-        UNSTARTED worker thread — created and published here, under the
-        lock, so a concurrent writer can never observe lsm_compacting=True
-        with lsm_thread=None and skip the backpressure join; the caller
-        starts it after releasing the lock."""
+        pending log on top of it. Callers hold rel.lsm_lock. The worker
+        thread is created, published AND STARTED here, under the lock —
+        a concurrent writer can never observe lsm_compacting=True with
+        lsm_thread=None, and any thread it observes is joinable (r11: an
+        unstarted published thread made a racing backpressure join raise
+        RuntimeError)."""
         frozen = rel.df
         rel.lsm_base = frozen
         rel.lsm_base_layers = 0
@@ -2839,6 +2851,11 @@ class CozoDb:
         rel.pending_merges = 0
         rel.lsm_compacting = True
         t = self._make_lsm_worker(rel, frozen)
+        # start BEFORE publishing: a lock-free reader (test helpers) that
+        # observes lsm_thread non-None must always be able to join() it.
+        # The worker cannot reset the fields underneath us — its finally
+        # block needs rel.lsm_lock, which we hold.
+        t.start()
         rel.lsm_thread = t
         return t
 
@@ -2849,29 +2866,32 @@ class CozoDb:
         compaction (RocksDB background threads via cozorocks) — this is
         the Spark analogue."""
         def work():
+            ck = None
             try:
                 ck = _checkpoint(frozen)
             except Exception:
                 ck = None
-            respawn = None
-            with rel.lsm_lock:
-                rel.lsm_compacting = False
-                rel.lsm_thread = None
-                if ck is None or rel.lsm_base is not frozen:
-                    return  # state was reset wholesale meanwhile: discard
-                rel.lsm_base = ck
-                # raw flat_df on purpose: `rel.df` would rebuild a dirty
-                # view over the OLD base just to discard it below
-                if rel.flat_df is frozen and not rel.lsm_view_dirty:
-                    rel.df = ck       # no mutations since the freeze
-                elif rel.lsm_pending:
-                    # re-root the view on the ck leaf at the next read
-                    rel.lsm_view_dirty = True
-                if self._lsm_wants_major(rel):
-                    # writers outpaced this pass: chain the next compaction
-                    respawn = self._lsm_freeze(rel)
-            if respawn is not None:
-                respawn.start()
+            finally:
+                # unconditional (BaseException included): lsm_compacting
+                # stuck True with a dead thread would block every future
+                # major and let pending stack forever
+                with rel.lsm_lock:
+                    rel.lsm_compacting = False
+                    rel.lsm_thread = None
+                    if ck is not None and rel.lsm_base is frozen:
+                        rel.lsm_base = ck
+                        # raw flat_df on purpose: `rel.df` would rebuild a
+                        # dirty view over the OLD base just to discard it
+                        if rel.flat_df is frozen and not rel.lsm_view_dirty:
+                            rel.df = ck   # no mutations since the freeze
+                        elif rel.lsm_pending:
+                            # re-root the view on the ck leaf at next read
+                            rel.lsm_view_dirty = True
+                        if self._lsm_wants_major(rel):
+                            # writers outpaced this pass: chain the next
+                            # compaction (freeze starts its own worker)
+                            self._lsm_freeze(rel)
+                    # else: state was reset wholesale meanwhile — discard
 
         return _threading.Thread(target=work, daemon=True,
                                  name=f"cozo-lsm-compact-{rel.name}")
@@ -2898,7 +2918,6 @@ class CozoDb:
         view (still one join + one window) up to _LSM_MAX_LAG thresholds,
         then the writer waits for the compactor (backpressure)."""
         spawn_worker = None
-        spawn_minor = None
         wait_thread = None
         wait_minor = None
         with rel.lsm_lock:
@@ -2956,14 +2975,13 @@ class CozoDb:
                     # r10); a tighter cap made burst writers block on the
                     # first cold collapse for no read-side benefit.
                     if not rel.lsm_minor_inflight:
-                        spawn_minor = self._lsm_minor_begin(rel)
+                        self._lsm_minor_begin(rel)  # starts its own worker
                     elif rel.pending_merges >= 4 * self._COMPACT_EVERY:
                         wait_minor = rel.lsm_minor_thread
+        # freeze/minor-begin start their workers under the lock (r11) —
+        # nothing to start here; the locals only gate the joins below
         if spawn_worker is not None:
-            spawn_worker.start()
             return
-        if spawn_minor is not None:
-            spawn_minor.start()
         if wait_minor is not None:
             wait_minor.join(600)  # backpressure: collapse fell behind
             if wait_minor.is_alive():
@@ -2986,9 +3004,7 @@ class CozoDb:
                     "on the flat view past the lag cap", rel.name)
             with rel.lsm_lock:
                 if self._lsm_wants_major(rel) and not rel.lsm_compacting:
-                    spawn_worker = self._lsm_freeze(rel)
-            if spawn_worker is not None:
-                spawn_worker.start()
+                    self._lsm_freeze(rel)  # starts its own worker
 
     def _lsm_wants_major(self, rel: StoredRelation) -> bool:
         """Major (background) compaction triggers: enough minor collapses

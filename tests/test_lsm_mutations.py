@@ -440,3 +440,27 @@ def test_seq_monotonic_across_collapse_install(spark, monkeypatch):
     assert got[1] == 30, f"stale value resurrected: {got[1]}"
     _wait_no_compaction(rel)
     assert _rows(db)[1] == 30
+
+
+def test_view_broadcast_gate_honors_class_attr(spark, monkeypatch):
+    """r11 review fix: the lazy view's broadcast decision must read the
+    CozoDb class attribute (the advertised tuning knob), not a module
+    constant — otherwise lowering the gate never exercises the shuffle
+    anti-join branch and raising it still stops broadcasting at 100k."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    def hinted(rel):
+        # the broadcast() hint survives as ResolvedHint in the LOGICAL
+        # plan (the optimizer consumes it into the join strategy later)
+        return "ResolvedHint" in rel.df._jdf.queryExecution() \
+            .logical().toString()
+
+    db = _db(spark)
+    rel = db.relations["lsm_t"]
+    db.run_script("?[k, v] <- [[1, 1], [2, 2], [3, 3]] :put lsm_t {k => v}")
+    assert hinted(rel), "small delta should broadcast the pending keyset"
+    monkeypatch.setattr(CozoDb, "_LSM_BROADCAST_ROWS", 2)
+    db.run_script("?[k, v] <- [[4, 4], [5, 5], [6, 6]] :put lsm_t {k => v}")
+    assert not hinted(rel), \
+        "over-gate delta must take the shuffle anti-join branch"
+    assert _rows(db) == {i: (i if 1 <= i <= 6 else 0) for i in range(7)} | {0: 0}

@@ -141,3 +141,35 @@ def test_prefix_differential_fuzz(spark):
             p = mk()
             assert _rows(db.run_script_df(script, p)) == \
                 _literal(db, script, p), (script, p)
+
+
+def test_txn_shadow_sweep_spares_base_caches(spark):
+    """r11 review fix: the write-path cache sweep is scoped to the
+    RECORDING db's identity. A MultiTransaction's shadow db mirrors the
+    base's relation names exactly — its mutations must not wipe the base
+    db's skeleton/template entries (they are still valid for the base
+    until commit), and base mutations must still sweep the base's own."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = _db(spark)
+    s = """
+    contrib[a, s] := *edge{fr: a, to: b}, s = b * $w
+    ?[a, sum(s)] := contrib[a, s]
+    """
+    db.run_script_df(s, {"w": 2})
+    key = db._skel_key(s, {"w": 2})
+    assert key in CozoDb._skel_cache
+    db.run_script("?[k, v] <- [[1, 1]] :create txn_t {k => v}")
+    # :create changed the registry -> the base entry was swept; rebuild it
+    db.run_script_df(s, {"w": 3})
+    assert key in CozoDb._skel_cache
+    with db.multi_transaction() as tx:
+        tx.run_script("?[k, v] <- [[2, 2]] :put txn_t {k => v}")
+        # the SHADOW's mutation swept only shadow-scoped entries
+        assert key in CozoDb._skel_cache, \
+            "txn shadow mutation wiped the base db's skeleton cache"
+        # and the base entry still binds correctly mid-txn
+        assert _rows(db.run_script_df(s, {"w": 5})) == _literal(db, s, {"w": 5})
+    # post-commit the registry frames changed -> base sweep on next write
+    db.run_script("?[k, v] <- [[3, 3]] :put txn_t {k => v}")
+    assert _rows(db.run_script_df(s, {"w": 7})) == _literal(db, s, {"w": 7})
