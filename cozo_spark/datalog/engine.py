@@ -965,14 +965,24 @@ class CozoDb:
                     if res is not None:
                         return res
             self._had_eager_eval = False
+            pre = self._version_vector()
             res = self._run_program(parsed)
             if (key is not None and not self._had_eager_eval
-                    and isinstance(res, DataFrame)):
+                    and isinstance(res, DataFrame)
+                    and pre == self._version_vector()):
+                # version guard: a concurrent writer mutating DURING this
+                # evaluation would make the put-time snapshot postdate the
+                # plan — recording it would let a later same-state get hit
+                # a stale plan. Skip caching instead (r11).
                 self._plan_cache_put(key, res)
             return res
         # imperative program
         from cozo_spark.datalog.imperative import run_imperative
         return run_imperative(self, parsed)
+
+    def _version_vector(self):
+        return tuple(sorted((n, r.created_seq, r.version)
+                            for n, r in self.relations.items()))
 
     # Fixed rules whose plan construction is lazy AND whose output is a
     # deterministic function of their inputs/options — safe to serve from
@@ -1029,17 +1039,21 @@ class CozoDb:
     def _rel_snapshot(self):
         # access_level and the index set change read semantics WITHOUT
         # swapping rel.df — they must invalidate cached plans too.
-        # r11: RAW flat_df identity + the dirty flag, NOT rel.df — the
-        # property would force a lazy view rebuild of every dirty relation
-        # on every cache check, even relations the plan never reads. A
-        # dirty flag in the snapshot is exactly as invalidating: a
-        # mutation flips it (entry goes stale), the rebuild at next read
-        # changes the id (entry stays stale). A relation that is dirty at
-        # snapshot time was never read by the cached plan — evaluation
-        # forces any scanned relation clean — so a hit on a
-        # dirty-matching snapshot is sound.
+        # r11: RAW flat_df identity + the LOGICAL VERSION, NOT rel.df —
+        # the property would force a lazy view rebuild of every dirty
+        # relation on every cache check, even relations the plan never
+        # reads. The version counter bumps on every logical mutation
+        # (put/rm/update/import), so same (id, version) means the
+        # relation's CONTENT is what the plan was compiled against;
+        # content-preserving swaps (compaction installs, ::compact, txn
+        # publish) change the id instead. The dirty FLAG is deliberately
+        # NOT in the snapshot: an extended-seed interleaving fuzz caught a
+        # stale cache hit where an entry recorded mid-evaluation as
+        # (id, dirty=True) matched a LATER dirty state whose pending log
+        # had gained a newer delta — (id, dirty) does not identify a
+        # state, (id, version) does.
         return tuple(sorted(
-            (name, id(rel.flat_df), rel.lsm_view_dirty,
+            (name, id(rel.flat_df), rel.version,
              tuple(c.name for c in rel.keys),
              rel.keys_trusted, rel.access_level,
              tuple(sorted(rel.indices)))
@@ -1164,11 +1178,14 @@ class CozoDb:
                         CozoDb._skel_neg.add(skey)
                 return None
         self._had_eager_eval = False
+        pre = self._version_vector()
         res = self._bind_skeleton(ent, params, parsed)
-        if isinstance(res, DataFrame) and not self._had_eager_eval:
+        if (isinstance(res, DataFrame) and not self._had_eager_eval
+                and pre == self._version_vector()):
             # same-value repeats then hit the exact per-value cache first
             # (template binds run the fixpoint eagerly — never cached, so
-            # a hit can't hide executed work; same policy as run_script_df)
+            # a hit can't hide executed work; same policy as run_script_df,
+            # including the mid-evaluation mutation guard)
             self._plan_cache_put(key, res)
         return res
 

@@ -19,7 +19,10 @@ import time
 import pytest
 
 
-SEEDS = [7, 23, 101]
+# seed 13 caught a real stale-plan-cache race in an extended sweep (the
+# dirty-flag snapshot matched a later state whose pending log had gained
+# a newer delta) — keep it in the committed set
+SEEDS = [7, 13, 23, 101]
 OPS_PER_ROUND = 60
 
 
@@ -97,3 +100,39 @@ def test_async_lsm_interleaving_fuzz(spark, monkeypatch, seed):
             break
         time.sleep(0.05)
     check()
+
+
+def test_mid_evaluation_mutation_never_caches_stale_plan(spark, monkeypatch):
+    """Deterministic regression for the seed-13 fuzz catch: a mutation
+    landing between a read's plan construction and its plan-cache record
+    (in the fuzz: the async splice marking the view dirty mid-collect,
+    then a put on the same still-unrebuilt flat_df) must not produce a
+    cache entry that a LATER state can hit. The snapshot now carries the
+    logical version (not the dirty flag — (id, dirty) does not identify a
+    state), and the put is guarded by a version-vector equality check
+    around the evaluation."""
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    db.run_script("?[k, v] <- [[1, 10]] :create mt {k => v}")
+    script = "?[k, v] := *mt{k, v}"
+
+    orig = CozoDb._run_program
+    state = {"armed": True}
+
+    def hijack(self, prog, **kw):
+        res = orig(self, prog, **kw)
+        if state["armed"] and getattr(prog.opts, "store_op", None) is None:
+            state["armed"] = False  # the nested put must run unhijacked
+            self.run_script("?[k, v] <- [[1, 99]] :put mt {k => v}")
+        return res
+
+    monkeypatch.setattr(CozoDb, "_run_program", hijack)
+    first = {r[0]: r[1] for r in db.run_script_df(script).collect()}
+    monkeypatch.setattr(CozoDb, "_run_program", orig)
+    # the hijacked read's plan predates the put — either answer set is a
+    # consistent point-in-time view; what matters is the NEXT read
+    assert first in ({1: 10}, {1: 99})
+    got = {r[0]: r[1] for r in db.run_script_df(script).collect()}
+    assert got == {1: 99}, \
+        f"stale cached plan served after the mutation: {got}"
