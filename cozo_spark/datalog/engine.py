@@ -1166,7 +1166,17 @@ class CozoDb:
         if ent is not None and not self._skel_entry_valid(ent):
             ent = None
         if ent is None:
+            pre = self._version_vector()
             ent = self._build_skeleton(script, params)
+            if (ent is not None and ent is not _SKEL_RETRY
+                    and pre != self._version_vector()):
+                # a concurrent mutation landed mid-build: the recorded
+                # snapshot postdates some cached translations, so a later
+                # same-state get could hit a stale skeleton. Serve this
+                # call from the fresh build but drop the cache write
+                # (same guard as the per-value plan cache, r11).
+                with CozoDb._plan_cache_lock:
+                    CozoDb._skel_cache.pop(skey, None)
             if ent is None or ent is _SKEL_RETRY:
                 # only STRUCTURAL ineligibility is cached — a skeleton that
                 # failed to EVALUATE (e.g. a relation that doesn't exist
