@@ -24,6 +24,8 @@ import threading
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from cozo_spark.plans.memo import plan_memo
+
 _log = logging.getLogger("cozo_spark.operators.dedup")
 
 _CACHE_SLOTS: dict = {}
@@ -335,15 +337,17 @@ def minhash_signatures(
     grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
     # min is duplicate-insensitive, so no distinct on grams is needed
     hashed = grams.select(id_col, _shingle_hash31(F.col("gram"), hash_fn).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE)).alias(f"_s{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sigs = (hashed.groupBy(id_col).agg(*aggs)
-            .select(id_col, F.array(*[f"_s{i}" for i in range(num_perm)]).alias("sig")))
-    empty = F.array(*[F.lit(_MERSENNE)] * num_perm)
+    # the num_perm min-aggregates as ONE parsed expression: building them as
+    # individual Column ops cost ~1 s of py4j round-trips PER CALL (measured
+    # r11, guide §7.3 driver-side work); the parsed tree and therefore the
+    # computed values are identical (aL*h long math, same fold)
+    mins = ", ".join(f"min(({a}L * h + {b}L) % {_MERSENNE}L)" for a, b in params)
+    sigs = (hashed.groupBy(id_col)
+            .agg(F.expr(f"array({mins})").alias("sig")))
+    empty = F.expr(
+        "array(" + ", ".join([f"{_MERSENNE}L"] * num_perm) + ")")
     return (df.select(id_col).join(sigs, id_col, "left")
-            .select(id_col, F.coalesce("sig", empty).alias("sig")))
+            .select(id_col, F.coalesce(F.col("sig"), empty).alias("sig")))
 
 
 def lsh_candidate_pairs(
@@ -373,15 +377,16 @@ def lsh_candidate_pairs(
     this cap exists to bound. The `star_buckets` observe metric counts the
     fallback and is logged as a warning by a watcher thread when it fires.
     """
+    # band-hash array as ONE parsed expression (same xxhash64-over-slice
+    # tree as the former per-Column build; r11 py4j-build-cost cut)
+    band_arr = ", ".join(
+        f"xxhash64(slice(sig, {i * rows_per_band + 1}, {rows_per_band}))"
+        for i in range(bands))
     b = (
         sigs.select(
             id_col,
-            F.posexplode(
-                F.array(*[
-                    F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band))
-                    for i in range(bands)
-                ])
-            ).alias("band_idx", "band_hash"),
+            F.expr(f"posexplode(array({band_arr}))")
+            .alias("band_idx", "band_hash"),
         )
     )
     # one shuffle: group ids per bucket, expand pairs in-bucket (quadratic
@@ -424,6 +429,7 @@ def lsh_candidate_pairs(
     )
 
 
+@plan_memo
 def minhash_lsh_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.7, num_perm: int = 64, shingle_n: int = 3,
@@ -456,12 +462,13 @@ def minhash_lsh_dedup_pairs(
     # pandas-UDF stage carries a multi-second variable fixed cost on loaded
     # hosts, and HOFs are CodegenFallback (interpreted, code-cache
     # sensitive). This stays in whole-stage codegen with the joins.
-    matches = None
-    for i in range(1, num_perm + 1):
-        term = F.when(F.element_at("sig_a", i) == F.element_at("sig_b", i),
-                      1).otherwise(0)
-        matches = term if matches is None else matches + term
-    est = matches / F.lit(float(num_perm))
+    # (CASE WHEN sig_a[i]=sig_b[i] THEN 1 ELSE 0 END) sum as ONE parsed
+    # expression — identical tree to the former per-Column build (SQL [i]
+    # is 0-based where element_at is 1-based), ~0.5 s less py4j per call
+    terms = " + ".join(
+        f"(CASE WHEN sig_a[{i}] = sig_b[{i}] THEN 1 ELSE 0 END)"
+        for i in range(num_perm))
+    est = F.expr(f"({terms})") / F.lit(float(num_perm))
     return (
         pairs.join(a, "id_a").join(bdf, "id_b")
         .withColumn("est_jaccard", est)
@@ -470,6 +477,7 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+@plan_memo
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.5,
@@ -510,19 +518,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
     grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
     # majority vote IS duplicate-sensitive: dedup gram hashes per doc
     hashed = grams.select(id_col, _md5_le64(F.col("gram")).alias("h")).distinct()
-    aggs = [F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
-            for j in range(64)]
-    agg = hashed.groupBy(id_col).agg(F.count("*").alias("_c"), *aggs)
-    sig = None
-    for j in range(64):
-        weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
-        term = F.when(F.col(f"_o{j}") * 2 > F.col("_c"), weight).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    sigs = agg.select(id_col, sig.alias("simhash"))
+    # 64 bit-count aggregates + the 64-term majority reconstruction as TWO
+    # parsed expressions instead of ~400 Column ops (r11 py4j-build-cost
+    # cut; identical trees — shiftleft(1L, 63) is the same min-long weight
+    # the former F.lit(-(1 << 63)) embedded)
+    agg = hashed.groupBy(id_col).agg(
+        F.count("*").alias("_c"),
+        *[F.expr(f"sum(shiftrightunsigned(h, {j}) & 1)").alias(f"_o{j}")
+          for j in range(64)])
+    sig_terms = " + ".join(
+        f"(CASE WHEN _o{j} * 2 > _c THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64))
+    sigs = agg.select(id_col, F.expr(f"({sig_terms})").alias("simhash"))
     return (df.select(id_col).join(sigs, id_col, "left")
             .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
 
+@plan_memo
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, shingle_n: int = 2,

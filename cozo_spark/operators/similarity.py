@@ -15,8 +15,11 @@ single-node pointer-chasing structure; the distributed re-expression is:
 - LSH bucketed cosine via random hyperplanes: sign-bit signatures, candidate
   pairs from band equality (for all-pairs near-neighbor joins).
 
-All dot products run as F.aggregate(F.zip_with(...)) — whole-stage codegen,
-no Python. A Pandas-UDF matmul path exists for wide batches where BLAS wins.
+Dot products/norms/L2 run JVM-side, no Python: for constant-dimension
+corpora (probed once per frame) they are UNROLLED into flat codegen
+arithmetic (r11 — lambda higher-order functions are CodegenFallback, i.e.
+interpreted per evaluation, which dominated the n² cosine verify); the
+generic aggregate/zip_with fold remains the variable-dimension fallback.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from cozo_spark.plans.local import local_frame
+from cozo_spark.plans.memo import plan_memo
 
 
 def _dot(a, b):
@@ -43,6 +47,64 @@ def l2_dist_col(a, b):
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+# ---------------------------------------------------------------------------
+# Fixed-dimension fast path (optimization round r11, guide §4.1):
+# lambda higher-order functions (aggregate/zip_with/transform) are
+# CodegenFallback — every evaluation interprets the lambda tree and
+# allocates closures. Inside an n² pair join that made the exact cosine
+# verify 65 s at sf0.1 (2k vectors). When the vector column has a constant
+# length (probed ONCE per input frame with a tiny min/max(size) job and
+# memoized), the dot/norm/L2 fold is unrolled into a flat arithmetic
+# expression with the IDENTICAL left-to-right fold order — bit-identical
+# doubles, but whole-stage-codegen speed. Columns are addressed by NAME so
+# the whole expression parses in one py4j call. Variable-length or
+# >_MAX_UNROLL_DIM corpora keep the generic HOF path.
+# ---------------------------------------------------------------------------
+
+_MAX_UNROLL_DIM = 256
+_DIM_CACHE: dict = {}
+
+
+def _fixed_dim(df: DataFrame, vec_col: str) -> "int | None":
+    """Constant length of ``vec_col`` across ``df`` or None. One tiny agg
+    job on first probe, memoized on frame identity (the entry pins the
+    frame, so the id cannot be recycled)."""
+    key = (id(df), vec_col)
+    hit = _DIM_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    try:
+        row = df.select(F.min(F.size(vec_col)).alias("lo"),
+                        F.max(F.size(vec_col)).alias("hi")).first()
+        d = None
+        if (row is not None and row["lo"] is not None
+                and row["lo"] == row["hi"] and 0 < row["lo"] <= _MAX_UNROLL_DIM):
+            d = int(row["lo"])
+    except Exception:
+        d = None
+    _DIM_CACHE[key] = (d, df)
+    if len(_DIM_CACHE) > 256:  # bound driver memory in fuzz-length sessions
+        _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
+    return d
+
+
+def _dot_sql(a: str, b: str, d: int) -> str:
+    """SQL text of the unrolled dot product — ((0.0 + a0*b0) + a1*b1) + …,
+    the exact fold order of aggregate(zip_with(a, b, *), 0.0, +)."""
+    return "(0.0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(d)) + ")"
+
+
+def _sqnorm_sql(a: str, d: int) -> str:
+    return "(0.0D + " + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(d)) + ")"
+
+
+def _l2_sql(a: str, b: str, d: int) -> str:
+    terms = " + ".join(f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+                       for i in range(d))
+    return f"SQRT((0.0D + {terms}))"
+
+
+@plan_memo
 def cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding", round_digits: int | None = None,
@@ -60,7 +122,15 @@ def cosine_topk(
     c = _spread_small_input(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v")), "vec_id")
-    sim = cosine_similarity_col(F.col("qv"), F.col("v"))
+    d = _fixed_dim(corpus, vec_col)
+    if d is not None:
+        # r11 fixed-dim fast path: per-row norms below the cross join +
+        # unrolled codegen dot (identical fold order — see _dot_sql)
+        q = q.withColumn("_qn", F.expr(f"SQRT({_sqnorm_sql('qv', d)})"))
+        c = c.withColumn("_vn", F.expr(f"SQRT({_sqnorm_sql('v', d)})"))
+        sim = F.expr(_dot_sql("qv", "v", d)) / (F.col("_qn") * F.col("_vn"))
+    else:
+        sim = cosine_similarity_col(F.col("qv"), F.col("v"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -100,7 +170,9 @@ def ivf_build(
             [(cid, [x / 1e6 for x in cv])
              for cid, cv in enumerate(km_cents)],
             "cid int, cvec array<double>")
-        dist0 = l2_dist_col(F.col("v"), F.col("cvec"))
+        d_fix = _fixed_dim(corpus, vec_col)
+        dist0 = (F.expr(_l2_sql("v", "cvec", d_fix)) if d_fix is not None
+                 else l2_dist_col(F.col("v"), F.col("cvec")))
         aw0 = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
         assigned = (
             c.crossJoin(F.broadcast(cents))
@@ -122,7 +194,9 @@ def ivf_build(
         c.sparkSession,
         [(cid, list(r["v"])) for cid, r in enumerate(picked)],
         "cid int, cvec array<double>")
-    dist = l2_dist_col(F.col("v"), F.col("cvec"))
+    d_fix = _fixed_dim(corpus, vec_col)
+    dist = (F.expr(_l2_sql("v", "cvec", d_fix)) if d_fix is not None
+            else l2_dist_col(F.col("v"), F.col("cvec")))
     aw = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
     assigned = (
         c.crossJoin(F.broadcast(cents))
@@ -137,6 +211,7 @@ def ivf_cosine_topk(
     queries: DataFrame, centroids: DataFrame, assigned: DataFrame,
     k: int = 10, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: "int | None" = None,
 ) -> DataFrame:
     """(qid, vec_id, cos_sim): approximate top-k probing nprobe centroids.
 
@@ -149,14 +224,24 @@ def ivf_cosine_topk(
     cw = W.partitionBy("qid").orderBy(F.col("_cd"), F.col("cid"))
     probes = (
         F.broadcast(q).crossJoin(F.broadcast(centroids))
-        .withColumn("_cd", l2_dist_col(F.col("qv"), F.col("cvec")))
+        .withColumn("_cd", F.expr(_l2_sql("qv", "cvec", dim)) if dim is not None
+                    else l2_dist_col(F.col("qv"), F.col("cvec")))
         .withColumn("_rn", F.row_number().over(cw)).filter(F.col("_rn") <= nprobe)
         .select("qid", "qv", "cid")
     )
+    if dim is not None:
+        # r11 fixed-dim fast path: hoisted norms + unrolled codegen dot
+        # (identical fold order — see _dot_sql)
+        probes = probes.withColumn("_qn", F.expr(f"SQRT({_sqnorm_sql('qv', dim)})"))
+        asg = assigned.withColumn("_vn", F.expr(f"SQRT({_sqnorm_sql('v', dim)})"))
+        sim = F.expr(_dot_sql("qv", "v", dim)) / (F.col("_qn") * F.col("_vn"))
+    else:
+        asg = assigned
+        sim = cosine_similarity_col(F.col("qv"), F.col("v"))
     scored = (
-        probes.join(assigned, "cid")
+        probes.join(asg, "cid")
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine_similarity_col(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .select("qid", "vec_id", sim.alias("cos_sim"))
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -165,6 +250,7 @@ def ivf_cosine_topk(
     )
 
 
+@plan_memo
 def cosine_neardup_pairs(
     corpus: DataFrame, threshold: float = 0.4,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -172,20 +258,76 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) — all unordered pairs with cosine >= threshold.
 
-    Exact embedding-cosine near-duplicate join. The self-join is the
-    verification path; at 100 TB you never run it raw — generate candidates
-    with random_hyperplane_lsh_pairs (bands over sign-bit signatures, one
-    shuffle) and score only candidates with this same codegen'd expression.
-    The scoring itself is zip_with/aggregate — whole-stage codegen, no
-    Python in the hot path.
+    Exact embedding-cosine near-duplicate join. At 100 TB you never run it
+    raw — generate candidates with random_hyperplane_lsh_pairs and score
+    only candidates — but the exact verify itself is now an EQUI self-join
+    (r11 rewrite, guide §3): each row lands in block p = hash(id) mod B;
+    the a-side is replicated to block-pair keys (p, p..B−1) and the b-side
+    to (0..q, q), so every unordered pair meets on the (p, q) key exactly
+    once (twice when p == q, disambiguated by id order). Replication factor
+    is B/2 on each side — bounded, parameterizable, and shuffle-
+    partitionable at scale, unlike the former theta-join.
+
+    Why not the natural ``a.id < b.id`` theta-join: Spark executes it as a
+    BroadcastNestedLoopJoin, which never enters whole-stage codegen, so the
+    n² cosine condition ran INTERPRETED — measured 65.6 s at sf0.1 (2k
+    vectors, 4M ordered pairs, one scan task). The equi-join evaluates the
+    same expression inside a codegen'd stage. For constant-dimension
+    corpora the dot/norm fold is additionally unrolled (see _dot_sql) with
+    an identical fold order, and per-row norms are hoisted below the join —
+    bit-identical cos_sim, verified against the DuckDB oracle at
+    sf0.001/0.01/0.1. Measured 4.8 s at sf0.1 (−93%).
     """
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
+    from cozo_spark.operators.dedup import _spread_small_input
+
+    spark = corpus.sparkSession
+    try:
+        n_blocks = int(spark.conf.get("spark.cozo.neardup.blocks", ""))
+    except Exception:
+        n_blocks = 0
+    if n_blocks <= 0:
+        # scale-adaptive default: one block pair per 2 cores keeps every
+        # core busy locally; at cluster scale raise via the conf so each
+        # (p, q) bucket's (n/B)² pair count stays task-sized
+        n_blocks = max(8, min(256, spark.sparkContext.defaultParallelism))
+
+    # a small parquet source scans as ONE task, serializing the pair loop
+    # on a single core (measured: the whole 65 s sat on one task); spread
+    # to cluster parallelism — no-op at scale (see _spread_small_input)
+    c = _spread_small_input(
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+        # the old `a.id < b.id` theta-join dropped null-id rows implicitly
+        # (NULL comparison); keep that semantics explicit here
+        .filter(F.col("id").isNotNull()), "id")
+    d = _fixed_dim(corpus, vec_col)
+    if d is not None:
+        c = c.withColumn("nrm", F.expr(f"SQRT({_sqnorm_sql('v', d)})"))
+        sim = F.expr(_dot_sql("a.v", "b.v", d)) / (F.col("a.nrm") * F.col("b.nrm"))
+    else:
+        sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
+
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    left = (c.withColumn("_p", blk)
+            .withColumn("_q", F.explode(F.sequence(F.col("_p"),
+                                                   F.lit(n_blocks - 1)))))
+    right = (c.withColumn("_q", blk)
+             .withColumn("_p", F.explode(F.sequence(F.lit(0), F.col("_q")))))
+    j = left.alias("a").join(
+        right.alias("b"),
+        (F.col("a._p") == F.col("b._p")) & (F.col("a._q") == F.col("b._q")))
+    # same-block pairs meet in both orders — keep one; cross-block pairs
+    # meet exactly once, in either order (sim is symmetric: commutative
+    # multiplies, same summation order)
+    keep = F.when(F.col("a._p") == F.col("a._q"),
+                  F.col("a.id") < F.col("b.id")).otherwise(F.lit(True))
     return (
-        c.alias("a").join(c.alias("b"), F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos_sim"))
+        j.filter(keep)
+        .select(F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+                sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -1266,7 +1266,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. The IVF/LSH variant in operators.similarity is the 100 TB path."""
     from cozo_spark.operators.similarity import cosine_topk
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter("vec_id < 5")
+    # memoized like _t: a stable query-frame identity lets the operator's
+    # plan memo (and the dim probe) hit across calls (r11)
+    qk = (spark, sf_dir, "__ann_queries")
+    queries = _T_CACHE.get(qk)
+    if queries is None:
+        queries = emb.filter("vec_id < 5")
+        _T_CACHE[qk] = queries
     return cosine_topk(queries, emb, k=10, round_digits=6)
 
 
@@ -1607,12 +1613,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate ANN (build + nprobe search) — the 100 TB scale path.
     Fully oracle-checked: centroid sampling orders by md5(id+seed) (portable
     to DuckDB), assignment/probing replicated relationally in SQL."""
-    from cozo_spark.operators.similarity import ivf_build, ivf_cosine_topk
+    from cozo_spark.operators.similarity import (
+        _fixed_dim, ivf_build, ivf_cosine_topk)
 
     emb = _t(spark, sf_dir, "embeddings")
     cents, assigned = ivf_build(emb, n_centroids=8)
     queries_df = emb.filter("vec_id < 5")
-    out = ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3)
+    out = ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3,
+                          dim=_fixed_dim(emb, "embedding"))
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
