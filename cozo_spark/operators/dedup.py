@@ -731,13 +731,22 @@ def substring_dup_spans(
     Their suffix-array scan finds verbatim token runs repeated across the
     corpus; the distributed equivalent is (1) hash every k-token shingle
     (md5 of the joined window — engine-portable), (2) keep hashes seen in
-    MORE THAN ONE document (one hash-keyed shuffle over 16-byte keys, never
-    text), (3) per document, merge the flagged [pos, pos+k) windows into
-    maximal islands with a doc-partitioned running-max window (gaps-and-
-    islands), (4) report span count / covered tokens / covered fraction.
-    Only documents containing at least one cross-doc duplicate span appear.
-    At 100 TB every stage is bounded: the shingle shuffle carries hashes,
-    the island merge is per-doc, and no stage is quadratic in documents.
+    MORE THAN ONE document (one hash-keyed shuffle, never text), (3) per
+    document, merge the flagged [pos, pos+k) windows into maximal islands
+    with a doc-partitioned running-max window (gaps-and-islands), (4)
+    report span count / covered tokens / covered fraction. Only documents
+    containing at least one cross-doc duplicate span appear. At 100 TB
+    every stage is bounded: the shingle shuffle carries hashes, the island
+    merge is per-doc, and no stage is quadratic in documents.
+
+    r11 (guide §2.4/§1.2): step (2) used to be groupBy(h)+count_distinct
+    then a join back onto the shingle stream — which computed the expensive
+    md5-shingling subtree TWICE (plan audit: no ReusedExchange, the two
+    sides project differently) and paid a broadcast build. It is now ONE
+    window over h (min(doc_id) != max(doc_id) ⇔ the hash spans >1 doc), so
+    the shingle pass runs once and the duplicate flag rides the same
+    exchange. 2.22 → ~1.2 s noop at sf0.1; plan 6 → 4 exchanges, 2 → 0
+    broadcasts; bit-identical rows (min≠max is exactly count_distinct>1).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -752,11 +761,11 @@ def substring_dup_spans(
                 lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k)))
             )).alias("pos", "h"))
     )
-    dup = (sh.groupBy("h")
-           .agg(F.count_distinct("doc_id").alias("nd"))
-           .filter("nd > 1").select("h"))
-    fl = (sh.join(dup, "h")
-          .filter("n_toks > 0")  # token-less docs: no spans, no 0-division
+    wh = W.partitionBy("h")
+    fl = (sh.withColumn(
+              "_dup", F.min("doc_id").over(wh) != F.max("doc_id").over(wh))
+          # token-less docs: no spans, no 0-division
+          .filter("_dup AND n_toks > 0")
           .select("doc_id", "n_toks", "pos",
                   F.least(F.col("pos") + k, F.col("n_toks")).alias("fin")))
     w_prev = (W.partitionBy("doc_id").orderBy("pos")

@@ -160,11 +160,18 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     earlier occurrence).
 
     Deliberately computed per-row with array higher-order functions instead
-    of explode+groupBy: a document is a few hundred tokens, so the O(n·d)
-    distinct-count is trivial per row, and the whole operator runs WITHOUT A
-    SINGLE SHUFFLE — at 100 TB it's a map-only pass that AQE never has to
-    re-plan. (The explode variant shuffles every token of the corpus on
-    doc_id three times.)"""
+    of explode+groupBy: the whole operator runs WITHOUT A SINGLE SHUFFLE —
+    at 100 TB it's a map-only pass that AQE never has to re-plan. (The
+    explode variant shuffles every token of the corpus on doc_id three
+    times.)
+
+    r11 (guide §1.2 "per-task work"): the max-multiplicity used to be
+    computed as filter-per-distinct-gram — O(n·d) interpreted-HOF steps per
+    document (~150k lambda evaluations for a 500-token doc), measured at
+    2.30 s noop for 5k sf0.1 docs. It is now the longest run in the SORTED
+    gram array — one O(n) ``aggregate`` pass after a JVM-native
+    ``array_sort`` — identical counts by construction (sorting groups equal
+    grams into runs). 2.30 → 1.10 s noop, same rows, oracle-hash-identical."""
     toks = F.expr(
         f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
     d = df.withColumn("_toks", toks)
@@ -173,11 +180,18 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1)))
         return F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
 
-    def _top_frac(arr):
-        top = F.array_max(F.transform(
-            F.array_distinct(arr),
-            lambda g: F.size(F.filter(arr, lambda x: x == g))))
-        return F.when(F.size(arr) > 0, top / F.size(arr)).otherwise(F.lit(0.0))
+    def _top_frac(arr_sql: str):
+        # longest equal-run in the sorted array == max multiplicity
+        run = F.expr(
+            f"aggregate(array_sort({arr_sql}), "
+            "struct(cast(0 as int) as best, cast(0 as int) as run, "
+            "cast(null as string) as prev), "
+            "(acc, x) -> struct("
+            "greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1)), "
+            "if(x <=> acc.prev, acc.run + 1, 1), x), "
+            "acc -> greatest(acc.best, acc.run))")
+        sz = F.size(arr_sql)
+        return F.when(sz > 0, run / sz).otherwise(F.lit(0.0))
 
     d = d.withColumn("_bi", _grams(2)).withColumn("_tri", _grams(3))
     dup_tri = F.when(
@@ -186,8 +200,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     ).otherwise(F.lit(0.0))
     return d.select(
         F.col(id_col),
-        F.round(_top_frac(F.col("_toks")), 6).alias("top_unigram_frac"),
-        F.round(_top_frac(F.col("_bi")), 6).alias("top_bigram_frac"),
+        F.round(_top_frac("_toks"), 6).alias("top_unigram_frac"),
+        F.round(_top_frac("_bi"), 6).alias("top_bigram_frac"),
         F.round(dup_tri, 6).alias("dup_trigram_frac"),
     )
 
