@@ -15,11 +15,10 @@ single-node pointer-chasing structure; the distributed re-expression is:
 - LSH bucketed cosine via random hyperplanes: sign-bit signatures, candidate
   pairs from band equality (for all-pairs near-neighbor joins).
 
-Dot products/norms/L2 run JVM-side, no Python: for constant-dimension
-corpora (probed once per frame) they are UNROLLED into flat codegen
-arithmetic (r11 — lambda higher-order functions are CodegenFallback, i.e.
-interpreted per evaluation, which dominated the n² cosine verify); the
-generic aggregate/zip_with fold remains the variable-dimension fallback.
+Dot products/norms/L2 run JVM-side, no Python, as aggregate/zip_with
+higher-order folds — measured FASTER than flat unrolled arithmetic at
+d=64 (see the scoring-expression note below); per-row norms are hoisted
+below pair joins so they are computed per row, never per pair.
 """
 
 from __future__ import annotations
@@ -48,60 +47,21 @@ def l2_dist_col(a, b):
 
 
 # ---------------------------------------------------------------------------
-# Fixed-dimension fast path (optimization round r11, guide §4.1):
-# lambda higher-order functions (aggregate/zip_with/transform) are
-# CodegenFallback — every evaluation interprets the lambda tree and
-# allocates closures. Inside an n² pair join that made the exact cosine
-# verify 65 s at sf0.1 (2k vectors). When the vector column has a constant
-# length (probed ONCE per input frame with a tiny min/max(size) job and
-# memoized), the dot/norm/L2 fold is unrolled into a flat arithmetic
-# expression with the IDENTICAL left-to-right fold order — bit-identical
-# doubles, but whole-stage-codegen speed. Columns are addressed by NAME so
-# the whole expression parses in one py4j call. Variable-length or
-# >_MAX_UNROLL_DIM corpora keep the generic HOF path.
+# Scoring-expression note (r11, measured twice — the second time properly):
+# an earlier r11 pass unrolled the dot/norm/L2 folds into flat 64-term
+# arithmetic expressions on the theory that lambda higher-order functions
+# (aggregate/zip_with/transform) are CodegenFallback and therefore slow.
+# Interleaved A/B on the 2M-pair neardup join at sf0.1 showed the OPPOSITE
+# once the join itself was an equi-join: the unrolled 64-term expression
+# ran at ~76 ns/element (superlinear in term count — the generated method
+# grows past what the JIT optimizes well) vs ~9 ns/element for the HOF
+# fold, whose per-element loop lives in one small reusable evaluator.
+# Measured: neardup 4.42 → 0.72 s, ann_cosine_topk 0.52 → 0.20 s,
+# ann_ivf_topk 1.01 → 0.68 s, ann_pq_topk 0.79 → 0.70 s. The HOF fold is
+# the original (((0 + t0) + t1) + …) order, so results are bit-identical.
+# What SURVIVES from that pass: per-row norms hoisted below the pair join
+# (norms are per-row, never per-pair) and the block-pair equi-join itself.
 # ---------------------------------------------------------------------------
-
-_MAX_UNROLL_DIM = 256
-_DIM_CACHE: dict = {}
-
-
-def _fixed_dim(df: DataFrame, vec_col: str) -> "int | None":
-    """Constant length of ``vec_col`` across ``df`` or None. One tiny agg
-    job on first probe, memoized on frame identity (the entry pins the
-    frame, so the id cannot be recycled)."""
-    key = (id(df), vec_col)
-    hit = _DIM_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    try:
-        row = df.select(F.min(F.size(vec_col)).alias("lo"),
-                        F.max(F.size(vec_col)).alias("hi")).first()
-        d = None
-        if (row is not None and row["lo"] is not None
-                and row["lo"] == row["hi"] and 0 < row["lo"] <= _MAX_UNROLL_DIM):
-            d = int(row["lo"])
-    except Exception:
-        d = None
-    _DIM_CACHE[key] = (d, df)
-    if len(_DIM_CACHE) > 256:  # bound driver memory in fuzz-length sessions
-        _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
-    return d
-
-
-def _dot_sql(a: str, b: str, d: int) -> str:
-    """SQL text of the unrolled dot product — ((0.0 + a0*b0) + a1*b1) + …,
-    the exact fold order of aggregate(zip_with(a, b, *), 0.0, +)."""
-    return "(0.0D + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(d)) + ")"
-
-
-def _sqnorm_sql(a: str, d: int) -> str:
-    return "(0.0D + " + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(d)) + ")"
-
-
-def _l2_sql(a: str, b: str, d: int) -> str:
-    terms = " + ".join(f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
-                       for i in range(d))
-    return f"SQRT((0.0D + {terms}))"
 
 
 @plan_memo
@@ -122,15 +82,12 @@ def cosine_topk(
     c = _spread_small_input(
         corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v")), "vec_id")
-    d = _fixed_dim(corpus, vec_col)
-    if d is not None:
-        # r11 fixed-dim fast path: per-row norms below the cross join +
-        # unrolled codegen dot (identical fold order — see _dot_sql)
-        q = q.withColumn("_qn", F.expr(f"SQRT({_sqnorm_sql('qv', d)})"))
-        c = c.withColumn("_vn", F.expr(f"SQRT({_sqnorm_sql('v', d)})"))
-        sim = F.expr(_dot_sql("qv", "v", d)) / (F.col("_qn") * F.col("_vn"))
-    else:
-        sim = cosine_similarity_col(F.col("qv"), F.col("v"))
+    # per-row norms hoisted below the cross join (norms are per-row, never
+    # per-pair); the HOF dot/norm folds are the measured-fast path (see the
+    # scoring-expression note above)
+    q = q.withColumn("_qn", _norm(F.col("qv")))
+    c = c.withColumn("_vn", _norm(F.col("v")))
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("_qn") * F.col("_vn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -170,9 +127,7 @@ def ivf_build(
             [(cid, [x / 1e6 for x in cv])
              for cid, cv in enumerate(km_cents)],
             "cid int, cvec array<double>")
-        d_fix = _fixed_dim(corpus, vec_col)
-        dist0 = (F.expr(_l2_sql("v", "cvec", d_fix)) if d_fix is not None
-                 else l2_dist_col(F.col("v"), F.col("cvec")))
+        dist0 = l2_dist_col(F.col("v"), F.col("cvec"))
         aw0 = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
         assigned = (
             c.crossJoin(F.broadcast(cents))
@@ -194,9 +149,7 @@ def ivf_build(
         c.sparkSession,
         [(cid, list(r["v"])) for cid, r in enumerate(picked)],
         "cid int, cvec array<double>")
-    d_fix = _fixed_dim(corpus, vec_col)
-    dist = (F.expr(_l2_sql("v", "cvec", d_fix)) if d_fix is not None
-            else l2_dist_col(F.col("v"), F.col("cvec")))
+    dist = l2_dist_col(F.col("v"), F.col("cvec"))
     aw = W.partitionBy("vec_id").orderBy(F.col("_d"), F.col("cid"))
     assigned = (
         c.crossJoin(F.broadcast(cents))
@@ -211,7 +164,6 @@ def ivf_cosine_topk(
     queries: DataFrame, centroids: DataFrame, assigned: DataFrame,
     k: int = 10, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    dim: "int | None" = None,
 ) -> DataFrame:
     """(qid, vec_id, cos_sim): approximate top-k probing nprobe centroids.
 
@@ -224,20 +176,14 @@ def ivf_cosine_topk(
     cw = W.partitionBy("qid").orderBy(F.col("_cd"), F.col("cid"))
     probes = (
         F.broadcast(q).crossJoin(F.broadcast(centroids))
-        .withColumn("_cd", F.expr(_l2_sql("qv", "cvec", dim)) if dim is not None
-                    else l2_dist_col(F.col("qv"), F.col("cvec")))
+        .withColumn("_cd", l2_dist_col(F.col("qv"), F.col("cvec")))
         .withColumn("_rn", F.row_number().over(cw)).filter(F.col("_rn") <= nprobe)
         .select("qid", "qv", "cid")
     )
-    if dim is not None:
-        # r11 fixed-dim fast path: hoisted norms + unrolled codegen dot
-        # (identical fold order — see _dot_sql)
-        probes = probes.withColumn("_qn", F.expr(f"SQRT({_sqnorm_sql('qv', dim)})"))
-        asg = assigned.withColumn("_vn", F.expr(f"SQRT({_sqnorm_sql('v', dim)})"))
-        sim = F.expr(_dot_sql("qv", "v", dim)) / (F.col("_qn") * F.col("_vn"))
-    else:
-        asg = assigned
-        sim = cosine_similarity_col(F.col("qv"), F.col("v"))
+    # norms hoisted below the probe join (per-row, never per-pair)
+    probes = probes.withColumn("_qn", _norm(F.col("qv")))
+    asg = assigned.withColumn("_vn", _norm(F.col("v")))
+    sim = _dot(F.col("qv"), F.col("v")) / (F.col("_qn") * F.col("_vn"))
     scored = (
         probes.join(asg, "cid")
         .filter(F.col("qid") != F.col("vec_id"))
@@ -269,14 +215,15 @@ def cosine_neardup_pairs(
     partitionable at scale, unlike the former theta-join.
 
     Why not the natural ``a.id < b.id`` theta-join: Spark executes it as a
-    BroadcastNestedLoopJoin, which never enters whole-stage codegen, so the
-    n² cosine condition ran INTERPRETED — measured 65.6 s at sf0.1 (2k
-    vectors, 4M ordered pairs, one scan task). The equi-join evaluates the
-    same expression inside a codegen'd stage. For constant-dimension
-    corpora the dot/norm fold is additionally unrolled (see _dot_sql) with
-    an identical fold order, and per-row norms are hoisted below the join —
+    BroadcastNestedLoopJoin that evaluates the n² cosine condition row-pair
+    at a time with no partition parallelism on a small-file corpus —
+    measured 65.6 s at sf0.1 (2k vectors, 4M ordered pairs, one scan task).
+    The block-pair equi-join spreads the same work across B(B+1)/2 keyed
+    buckets. Scoring uses the HOF dot with per-row norms hoisted below the
+    join (see the scoring-expression note above — the unrolled fixed-dim
+    variant measured 6x SLOWER here and was removed). Same fold order,
     bit-identical cos_sim, verified against the DuckDB oracle at
-    sf0.001/0.01/0.1. Measured 4.8 s at sf0.1 (−93%).
+    sf0.001/0.01/0.1. Measured 65.6 → 0.72 s at sf0.1.
     """
     from cozo_spark.operators.dedup import _spread_small_input
 
@@ -300,12 +247,8 @@ def cosine_neardup_pairs(
         # the old `a.id < b.id` theta-join dropped null-id rows implicitly
         # (NULL comparison); keep that semantics explicit here
         .filter(F.col("id").isNotNull()), "id")
-    d = _fixed_dim(corpus, vec_col)
-    if d is not None:
-        c = c.withColumn("nrm", F.expr(f"SQRT({_sqnorm_sql('v', d)})"))
-        sim = F.expr(_dot_sql("a.v", "b.v", d)) / (F.col("a.nrm") * F.col("b.nrm"))
-    else:
-        sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
+    c = c.withColumn("nrm", _norm(F.col("v")))
+    sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
 

@@ -1613,14 +1613,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate ANN (build + nprobe search) — the 100 TB scale path.
     Fully oracle-checked: centroid sampling orders by md5(id+seed) (portable
     to DuckDB), assignment/probing replicated relationally in SQL."""
-    from cozo_spark.operators.similarity import (
-        _fixed_dim, ivf_build, ivf_cosine_topk)
+    from cozo_spark.operators.similarity import ivf_build, ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     cents, assigned = ivf_build(emb, n_centroids=8)
     queries_df = emb.filter("vec_id < 5")
-    out = ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3,
-                          dim=_fixed_dim(emb, "embedding"))
+    out = ivf_cosine_topk(queries_df, cents, assigned, k=10, nprobe=3)
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
