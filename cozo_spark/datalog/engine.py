@@ -2497,6 +2497,57 @@ class CozoDb:
         meet = {r: any(isinstance(h, HeadAggr) for cl in clause_map[r] for h in cl.head)
                 for r in scc}
 
+        # r11 (guide §2.4): a RECURSIVE clause re-executes the full plan of
+        # every stored relation / lower-stratum rule it scans on EVERY
+        # epoch (scan + flat-view derivation + distinct, once per epoch —
+        # at scale that is diameter(G) redundant full scans). Materialize
+        # each such input once per fixpoint and resolve reads through the
+        # checkpointed blocks. Applications restricted by constants or a
+        # validity spec are left lazy so their filters keep pushing down to
+        # the scan (magic-set seeded recursions stay pruned).
+        static_ck: dict = {}
+
+        def _rel_reads(atom, out):
+            if isinstance(atom, RelApply):
+                restricted = (atom.validity is not None
+                              or any(not isinstance(a, Var) for a in atom.args))
+                out.append((atom.name, restricted))
+            elif isinstance(atom, NamedRelApply):
+                restricted = (atom.validity is not None
+                              or any(v is not None and not isinstance(v, Var)
+                                     for v in atom.pairs.values()))
+                out.append((atom.name, restricted))
+            elif isinstance(atom, RuleApply):
+                if atom.name not in scc:
+                    out.append((atom.name,
+                                any(not isinstance(a, Var) for a in atom.args)))
+            elif isinstance(atom, Negation):
+                _rel_reads(atom.atom, out)
+            elif isinstance(atom, Conj):
+                for a in atom.atoms:
+                    _rel_reads(a, out)
+            elif isinstance(atom, Disj):
+                for a in atom.branches:
+                    _rel_reads(a, out)
+
+        _reads: list = []
+        for _r in scc:
+            for _cl in clause_map.get(_r, []):
+                if any(isinstance(a, RuleApply) and a.name in scc
+                       for a in _cl.body):
+                    for a in _cl.body:
+                        _rel_reads(a, _reads)
+        _restricted = {nm for nm, rs in _reads if rs}
+        for nm, _rs in _reads:
+            if nm in static_ck or nm in _restricted:
+                continue
+            try:
+                src = stores[nm] if nm in stores else self._resolve_relation(nm)
+            except QueryError:
+                src = None
+            if src is not None:
+                static_ck[nm] = _checkpoint(src)
+
         # :limit early exit (QueryLimiter eval.rs:33-61, applied db.rs:1529-1539):
         # Datalog is monotone within a stratum, so any entry row derived from
         # *partial* recursive totals is in the final result — when the query is
@@ -2557,7 +2608,7 @@ class CozoDb:
                         parts.append((cl, occ_idx))
             outs = []
             for cl, occ in parts:
-                overrides = {}
+                overrides = dict(static_ck)
                 skip = False
                 occ_seen = -1
                 body = []
@@ -2627,11 +2678,11 @@ class CozoDb:
                     new_deltas[r] = None
                     continue
                 if meet[r]:
-                    merged, changed = self._meet_merge(
+                    merged, changed, n_changed = self._meet_merge(
                         clause_map[r][0].head, totals[r], cand,
                         n_total=total_rows[r])
-                    new_totals[r] = _checkpoint(merged)
-                    new_deltas[r], n_changed = _checkpoint_count(changed)
+                    new_totals[r] = merged
+                    new_deltas[r] = changed
                     # upper bound (changed includes improved existing keys):
                     # safe for the broadcast-threshold decision
                     total_rows[r] += n_changed
@@ -2671,8 +2722,15 @@ class CozoDb:
     def _meet_merge(self, head, total: Optional[DataFrame], cand: DataFrame,
                     n_total: int = 0):
         """Merge candidate rows into a meet-aggregated total; return
-        (merged, changed_rows) — the MeetAggrStore pattern (temp_store.rs:99-215).
-        Operates on canonical positional columns (_c0.._cN)."""
+        (merged_ck, changed_ck, n_changed) — the MeetAggrStore pattern
+        (temp_store.rs:99-215). Operates on canonical positional columns
+        (_c0.._cN).
+
+        Both outputs are checkpointed HERE, in dependency order: merged is
+        materialized first and the changed-row anti-join reads the
+        checkpointed blocks — the previous shape checkpointed the two
+        frames independently, so the union+groupBy merge subtree executed
+        TWICE per epoch (once per materialization; guide §2.4)."""
         keys = [f"_c{i}" for i, h in enumerate(head) if isinstance(h, HeadVar)]
         aggs = [(f"_c{i}", AGGREGATIONS[h.aggr])
                 for i, h in enumerate(head) if isinstance(h, HeadAggr)]
@@ -2702,16 +2760,20 @@ class CozoDb:
                 agg_exprs.append(spec.build(F.col(c_name)).alias(c_name))
         merged = both.groupBy(*keys).agg(*agg_exprs) if keys else both.agg(*agg_exprs)
         merged = merged.select(*[f"_c{i}" for i in range(len(head))])
+        from cozo_spark.datalog.fixpoint import (_BROADCAST_FRONTIER,
+            _anti_all_cols, _checkpoint, _checkpoint_count)
+
         if total is None:
-            return merged, merged
+            ck, n = _checkpoint_count(merged)
+            return ck, ck, n
         # changed = merged rows not present in total: both are sets (one row
         # per key), so a null-safe left-anti == exceptAll, and the anti side
         # can broadcast while the total is small (same trick as _eval_recursive)
-        from cozo_spark.datalog.fixpoint import _BROADCAST_FRONTIER, _anti_all_cols
-
+        merged = _checkpoint(merged)
         changed = _anti_all_cols(merged, total,
                                  broadcast=n_total < _BROADCAST_FRONTIER)
-        return merged, changed
+        changed, n = _checkpoint_count(changed)
+        return merged, changed, n
 
     # -- output stage (db.rs:1455-1685) ---------------------------------------------------
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 # Frontier row-count below which we hint broadcast for the delta join.
 _BROADCAST_FRONTIER = 2_000_000
 
+
 _OBS_SEQ = itertools.count()
 
 
@@ -186,14 +187,24 @@ def semi_naive(
     base: DataFrame,
     step: Callable[[DataFrame], DataFrame],
     max_iterations: int = 200,
+    base_rows: "int | None" = None,
 ) -> DataFrame:
     """Least fixpoint of ``T(R) = base ∪ step(R)`` under set semantics.
 
     ``step`` receives the *delta* (frontier) DataFrame and must return
     candidate new tuples with the same schema. Dedup against the running
     total implements Datalog set semantics (RegularTempStore, temp_store.rs:34-66).
+
+    ``base_rows``: callers that already materialized ``base`` as a
+    checkpointed SET (distinct + checkpoint, counting rows in the same
+    action) pass its row count here; epoch 0 then reuses that
+    materialization instead of re-deduplicating and re-checkpointing the
+    same data (guide §2.4 — one materialization, not two).
     """
-    total, total_rows = _checkpoint_count(base.distinct())
+    if base_rows is not None:
+        total, total_rows = base, base_rows
+    else:
+        total, total_rows = _checkpoint_count(base.distinct())
     delta = total
     n = total_rows
     for epoch in range(max_iterations):
@@ -209,6 +220,13 @@ def semi_naive(
         # instead of two; at scale it degrades gracefully to a shuffle anti.
         # ONE action per epoch: the checkpoint materialization carries the
         # fixpoint-detection count as an observed metric.
+        # (r11 negative result, kept for the record: chaining k epochs
+        # lazily into one action with per-level observed counts was tried
+        # and REVERTED — on cyclic graphs level candidate counts never
+        # reach zero, so the batch's convergence shortcut cannot fire, and
+        # each batch pays k chained shuffles plus k-deep re-derivation of
+        # already-known rows: measured 2.5x SLOWER on the sf0.1 bench
+        # graph.)
         delta, n = _checkpoint_count(_anti_all_cols(
             candidates, total, broadcast=total_rows < _BROADCAST_FRONTIER))
         total_rows += n
@@ -226,9 +244,16 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     """reach(x,y) := edge(x,y); reach(x,y) := reach(x,z), edge(z,y).
 
     The canonical recursive Datalog program (reference README quick-start).
-    Joins frontier.dst = edges.src per epoch; edges stay partitioned once.
+    Joins frontier.dst = edges.src per epoch.
+
+    The edge set is materialized ONCE (distinct + checkpoint, counted in
+    the same action) and every epoch joins against the checkpointed blocks:
+    the closed-over plan would otherwise re-run the scan + distinct shuffle
+    of the static join side on every epoch (guide §2.4) — at 100 TB that is
+    diameter(G) redundant full scans of the edge relation.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e, n_edges = _checkpoint_count(e0.distinct())
 
     def step(frontier: DataFrame) -> DataFrame:
         return (
@@ -237,4 +262,4 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
             .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst"))
         )
 
-    return semi_naive(e, step)
+    return semi_naive(e, step, base_rows=n_edges)

@@ -89,8 +89,10 @@ def _norm_edges(edges: DataFrame, weighted: bool = False) -> DataFrame:
 
 
 def _nodes(e: DataFrame) -> DataFrame:
-    return e.select(F.col("src").alias("node")).unionByName(
-        e.select(F.col("dst").alias("node"))).distinct()
+    # one pass over the edge subtree (explode both endpoints) instead of a
+    # union that embeds — and executes — the edge plan twice (guide §2.4)
+    return (e.select(F.explode(F.array("src", "dst")).alias("node"))
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
@@ -103,10 +105,15 @@ def degree_centrality(edges: DataFrame) -> DataFrame:
     out, in) marker row — a single shuffle on node id replaces the former
     two groupBys + distinct + two joins (r6; measured ~2x at sf0.1)."""
     e = _norm_edges(edges)
-    marks = (e.select(F.col("src").alias("node"),
-                      F.lit(1).alias("o"), F.lit(0).alias("i"))
-             .unionAll(e.select(F.col("dst").alias("node"),
-                                F.lit(0).alias("o"), F.lit(1).alias("i"))))
+    # inline-explode both endpoints from ONE pass over the edge subtree:
+    # the former unionAll of two selects embedded the (possibly expensive —
+    # scan + distinct) edge plan twice, and Catalyst does not de-duplicate
+    # union branches (r11 plan audit: two scans + two exchanges; guide §2.4)
+    marks = e.select(F.inline(F.array(
+        F.struct(F.col("src").alias("node"),
+                 F.lit(1).alias("o"), F.lit(0).alias("i")),
+        F.struct(F.col("dst").alias("node"),
+                 F.lit(0).alias("o"), F.lit(1).alias("i")))))
     return (marks.groupBy("node")
             .agg(F.sum("o").alias("out_degree"),
                  F.sum("i").alias("in_degree"))
@@ -121,8 +128,12 @@ def degree_centrality(edges: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def bfs_reach(edges: DataFrame, starts: DataFrame) -> DataFrame:
-    """(start, reached): all nodes reachable from each start node."""
-    e = _norm_edges(edges)
+    """(start, reached): all nodes reachable from each start node.
+
+    The static join side (the edge list) is checkpointed once up front:
+    the closed-over plan would otherwise re-run the edge scan on every
+    epoch of the fixpoint (guide §2.4)."""
+    e = _checkpoint(_norm_edges(edges))
     seed = (
         starts.select(F.col(starts.columns[0]).alias("start"))
         .join(e, F.col("start") == e.src)
@@ -148,9 +159,14 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
     """
     e = _checkpoint(_norm_edges(edges).select(
         F.col("src").alias("esrc"), F.col("dst").alias("edst")))
-    best = _checkpoint(e.select(F.col("esrc").alias("src"), F.col("edst").alias("dst"),
-                                F.lit(1).cast("long").alias("hops")))
+    # a plain projection over the checkpointed edge blocks — a second
+    # eager checkpoint here was a whole extra driver action buying nothing
+    # (the projection re-derives per epoch for pennies; r11 guide §1)
+    best = e.select(F.col("esrc").alias("src"), F.col("edst").alias("dst"),
+                    F.lit(1).cast("long").alias("hops"))
     delta = best
+    from pyspark.sql import Observation
+
     for _ in range(max_hops):
         cand = (
             delta.join(e, delta.dst == e.esrc)
@@ -160,9 +176,13 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
         # one full-outer join merges the meet-update and the improvement
         # delta (MeetAggrStore::merge_in, temp_store.rs:182-215): new best =
         # least(candidate, previous), delta = rows whose value improved.
-        # One checkpoint materializes both views of the epoch.
+        # ONE action materializes both views of the epoch AND the
+        # convergence test: the improved-row count rides the checkpoint as
+        # an observed metric (the separate delta.isEmpty() job it replaces
+        # was one extra scheduler round-trip per epoch — guide §1/§2.4).
         best_r = best.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
                              F.col("hops").alias("bhops"))
+        obs = Observation(f"__cozo_sh_{next(_OBS_SEQ)}")
         merged = _checkpoint(
             cand.join(best_r, (cand.src == best_r.bsrc) & (cand.dst == best_r.bdst), "full_outer")
             .select(
@@ -172,10 +192,11 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
                 (cand.hops.isNotNull()
                  & (F.col("bhops").isNull() | (cand.hops < F.col("bhops")))).alias("_imp"),
             )
+            .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_imp"))
         )
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
-        if delta.isEmpty():
+        if int(obs.get["n_imp"] or 0) == 0:
             break
     return best
 
@@ -207,6 +228,9 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
     delta = best
     limit = max(max_iterations, extend_to) if extend_to else max_iterations
     converged, it = False, 0
+    n_imp = 1
+    from pyspark.sql import Observation
+
     while it < limit:
         cand = (
             delta.join(e, delta.node == e.esrc)
@@ -214,9 +238,12 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
             .groupBy("start", "node").agg(F.min("cost").alias("cost"))
         )
         # merged meet-update + improvement delta in one full-outer join
-        # (same pattern as shortest_hops; MeetAggrStore::merge_in)
+        # (same pattern as shortest_hops; MeetAggrStore::merge_in); the
+        # convergence count rides the checkpoint as an observed metric —
+        # one action per epoch, no separate isEmpty job
         best_r = best.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"),
                              F.col("cost").alias("bcost"))
+        obs = Observation(f"__cozo_sp_{next(_OBS_SEQ)}")
         merged = _checkpoint(
             cand.join(best_r, (cand.start == best_r.bstart) & (cand.node == best_r.bnode), "full_outer")
             .select(
@@ -226,11 +253,13 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
                 (cand.cost.isNotNull()
                  & (F.col("bcost").isNull() | (cand.cost < F.col("bcost")))).alias("_imp"),
             )
+            .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_imp"))
         )
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
         it += 1
-        if delta.isEmpty():
+        n_imp = int(obs.get["n_imp"] or 0)
+        if n_imp == 0:
             converged = True
             break
         if it == max_iterations and extend_to and extend_to > max_iterations:
@@ -238,7 +267,7 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
                 "shortest_path_costs: still improving at max_iterations=%d — "
                 "auto-extending (exact caller) up to %d rounds",
                 max_iterations, limit)
-    unconverged = not converged and not delta.isEmpty()
+    unconverged = not converged and n_imp > 0
     if unconverged:
         _log.warning(
             "shortest_path_costs: iteration cap %d exhausted before "
@@ -338,24 +367,29 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
         base = base.unionByName(extra).distinct()
     labels = _checkpoint(base.select("node", F.col("node").alias("component")))
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("component"))
             .groupBy("node").agg(F.min("component").alias("nmin"))
         )
+        # a label changes exactly when a strictly smaller neighbor-min
+        # arrives; the changed count rides the checkpoint as an observed
+        # metric, so the former convergence-test join + limit(1).count()
+        # job (a second action per round) is gone (guide §1/§2.4)
         new_labels = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"))
+            .select("node",
+                    F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"),
+                    F.coalesce(F.col("nmin") < F.col("component"), F.lit(False)).alias("_chg"))
         )
-        new_labels = _checkpoint(new_labels)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        obs = Observation(f"__cozo_cc_{next(_OBS_SEQ)}")
+        new_labels = _checkpoint(new_labels.observe(
+            obs, F.sum(F.col("_chg").cast("long")).alias("c")))
+        labels = new_labels.drop("_chg")
+        if int(obs.get["c"] or 0) == 0:
             break
     return labels
 
@@ -415,22 +449,25 @@ def _min_reach_label(e: DataFrame, max_iterations: int, nodes: DataFrame | None 
     (needed when isolated nodes have no remaining edges)."""
     base = nodes if nodes is not None else _nodes(e)
     labels = _checkpoint(base.select("node", F.col("node").alias("label")))
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         prop = (
             e.join(labels, e.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node").agg(F.min("label").alias("pmin"))
         )
+        # changed count observed on the checkpoint action (one action per
+        # round — see connected_components)
+        obs = Observation(f"__cozo_mr_{next(_OBS_SEQ)}")
         new_labels = _checkpoint(
             labels.join(prop, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("pmin", F.col("label"))).alias("label"))
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
+            .select("node",
+                    F.least(F.col("label"), F.coalesce("pmin", F.col("label"))).alias("label"),
+                    F.coalesce(F.col("pmin") < F.col("label"), F.lit(False)).alias("_chg"))
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("c")))
+        labels = new_labels.drop("_chg")
+        if int(obs.get["c"] or 0) == 0:
             break
     return labels
 

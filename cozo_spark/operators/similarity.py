@@ -291,9 +291,20 @@ def random_hyperplane_lsh_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     v = F.col(vec_col).cast("array<double>")
+
+    def _dlit(x: float) -> str:
+        # repr roundtrips exactly; plain decimals need the D suffix so the
+        # SQL parser yields DOUBLE (not DECIMAL), scientific notation is
+        # already DOUBLE
+        s = repr(float(x))
+        return s if ("e" in s or "E" in s) else s + "D"
+
     bits = []
     for i in range(n_bits):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        # one parsed expression per plane instead of `dim` F.lit py4j
+        # round-trips (n_bits·dim driver calls — pure build cost, guide
+        # §1.2 step 2); the parsed tree matches the former F.array of lits
+        lit_plane = F.expr(f"array({','.join(_dlit(x) for x in planes[i])})")
         bits.append(F.when(_dot(v, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
@@ -506,10 +517,15 @@ def kmeans_lloyd(
             return _assign_join(df, cents)
         dists = []
         for cid in range(len(cents)):
-            lit_c = F.array(*[F.lit(int(v)) for v in cents[cid]])
-            d2 = F.aggregate(
-                F.zip_with("x6", lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"), lambda a, x: a + x)
+            # one parsed expression per centroid instead of dim F.lit py4j
+            # round-trips (k·dim driver calls dominated the BUILD time of
+            # the whole query at ~1ms each — guide §1.2 step 2); the parsed
+            # tree is identical to the former F.aggregate(F.zip_with(...))
+            arr = ",".join(f"{int(v)}L" for v in cents[cid])
+            d2 = F.expr(
+                f"aggregate(zip_with(x6, array({arr}), "
+                f"(x, y) -> (x - y) * (x - y)), "
+                f"CAST(0 AS BIGINT), (a, x) -> a + x)")
             dists.append(d2)
         least = F.least(*dists) if len(dists) > 1 else dists[0]
         cid_col = None

@@ -239,14 +239,21 @@ def keyword_topk(df: DataFrame, k: int = 3, text_col: str = "text",
     window on id."""
     toks = F.expr(
         f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
-    n_docs = df.count()
+    # N as a broadcast 1-row aggregate instead of an eager df.count():
+    # the count was a synchronous driver ACTION inside query construction
+    # (an extra scan + job before the query even ran — guide §5 "the
+    # driver should do almost no data work"); the double cast is the same
+    # float(n) the literal embedded, so scores are bit-identical
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "score", F.round(F.col("_tf") * F.lit(float(n_docs)) / F.col("_df"), 6))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+        "score", F.round(F.col("_tf") * F.col("_n_docs") / F.col("_df"), 6)))
     w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,182 @@
+"""Round-11 optimization regressions: the fixpoint-family internals changed
+(one observed action per epoch instead of checkpoint + separate convergence
+job; static join sides materialized once; py4j literal arrays replaced by
+parsed expressions). These tests pin the OUTPUTS of every touched loop on
+shapes that need several epochs, so the fused convergence tests cannot stop
+early or late without failing here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def chain_edges(spark):
+    # 0->1->2->...->9 plus a side branch and a disconnected pair: transitive
+    # closure needs 9 epochs, components needs several label rounds
+    edges = [(i, i + 1) for i in range(9)] + [(2, 20), (20, 21), (30, 31)]
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _py_closure(edges):
+    reach = set(edges)
+    while True:
+        new = {(a, d) for (a, b) in reach for (c, d) in edges if b == c} - reach
+        if not new:
+            return reach
+        reach |= new
+
+
+def test_transitive_closure_deep_chain(spark, chain_edges):
+    from cozo_spark.datalog.fixpoint import transitive_closure
+
+    got = _rows(transitive_closure(chain_edges), "src", "dst")
+    want = sorted(_py_closure([(r.src, r.dst) for r in chain_edges.collect()]))
+    assert got == want
+
+
+def test_bfs_reach_deep_chain(spark, chain_edges):
+    from cozo_spark.fixed_rules.graphs import bfs_reach
+
+    starts = spark.createDataFrame([(0,), (30,)], "n long")
+    got = _rows(bfs_reach(chain_edges, starts), "start", "reached")
+    closure = _py_closure([(r.src, r.dst) for r in chain_edges.collect()])
+    want = sorted((s, d) for (s, d) in closure if s in (0, 30))
+    assert got == want
+
+
+def test_shortest_hops_converges_exactly(spark, chain_edges):
+    from cozo_spark.fixed_rules.graphs import shortest_hops
+
+    got = _rows(shortest_hops(chain_edges, max_hops=50), "src", "dst", "hops")
+
+    # reference BFS driver-side
+    from collections import deque
+
+    edges = [(r.src, r.dst) for r in chain_edges.collect()]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = []
+    srcs = {a for a, _ in edges}
+    for s in srcs:
+        dist = {}
+        dq = deque([(s, 0)])
+        while dq:
+            n, d = dq.popleft()
+            for m in adj.get(n, []):
+                if m not in dist:
+                    dist[m] = d + 1
+                    dq.append((m, d + 1))
+        want += [(s, m, d) for m, d in dist.items()]
+    assert got == sorted(want)
+
+
+def test_shortest_path_costs_unweighted(spark, chain_edges):
+    from cozo_spark.fixed_rules.graphs import shortest_path_costs
+
+    starts = spark.createDataFrame([(0,)], "n long")
+    got = _rows(shortest_path_costs(chain_edges.select(
+        "src", "dst", F.lit(1.0).alias("w")), starts), "start", "node", "cost")
+    want = [(0, 0, 0.0)] + [(0, j, float(j)) for j in range(1, 10)] \
+        + [(0, 20, 3.0), (0, 21, 4.0)]
+    assert got == sorted(want)
+
+
+def test_connected_components_multi(spark, chain_edges):
+    from cozo_spark.fixed_rules.graphs import connected_components
+
+    got = _rows(connected_components(chain_edges), "node", "component")
+    comp_a = sorted({i for i in range(10)} | {20, 21})
+    want = sorted([(n, 0) for n in comp_a] + [(30, 30), (31, 30)])
+    assert got == want
+
+
+def test_scc_cycle_plus_chain(spark):
+    from cozo_spark.fixed_rules.graphs import strongly_connected_components
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _rows(strongly_connected_components(df), "node", "component")
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6)]
+
+
+def test_semi_naive_base_rows_matches_default(spark):
+    from cozo_spark.datalog.fixpoint import (_checkpoint_count, semi_naive)
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 2)], "src long, dst long")
+
+    def mk_step(frame):
+        def step(frontier):
+            return (frontier.alias("r")
+                    .join(frame.alias("e"), F.col("r.dst") == F.col("e.src"))
+                    .select(F.col("r.src").alias("src"),
+                            F.col("e.dst").alias("dst")))
+        return step
+
+    plain = semi_naive(e, mk_step(e))
+    ck, n = _checkpoint_count(e.distinct())
+    assert n == 2
+    pre = semi_naive(ck, mk_step(ck), base_rows=n)
+    assert _rows(plain, "src", "dst") == _rows(pre, "src", "dst")
+
+
+def test_kmeans_expr_literals_match_join_path(spark):
+    # the F.expr literal path (k <= KMEANS_LITERAL_MAX_K) must agree with
+    # the broadcast-join argmin path on the same input
+    import cozo_spark.operators.similarity as S
+
+    data = [(i, [float((i * 7 + j * 3) % 11) for j in range(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cents_lit, assign_lit = S.kmeans_lloyd(df, k=3, iters=2)
+    old_max = S.KMEANS_LITERAL_MAX_K
+    S.KMEANS_LITERAL_MAX_K = 0  # force the join path
+    try:
+        cents_join, assign_join = S.kmeans_lloyd(df, k=3, iters=2)
+    finally:
+        S.KMEANS_LITERAL_MAX_K = old_max
+    assert cents_lit == cents_join
+    assert _rows(assign_lit, "vec_id", "cid") == _rows(assign_join, "vec_id", "cid")
+
+
+def test_keyword_topk_lazy_ndocs(spark):
+    from cozo_spark.operators.text import keyword_topk
+
+    docs = [(1, "alpha beta beta gamma"), (2, "alpha delta"),
+            (3, "beta beta beta zeta"), (4, "epsilon")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _rows(keyword_topk(df, k=2), "doc_id", "term", "score", "rank")
+    # score = tf * (N / df_term), N=4: checked by hand
+    by_doc = {}
+    for d, t, s, r in got:
+        by_doc.setdefault(d, []).append((t, s, r))
+    assert by_doc[4] == [("epsilon", 4.0, 1)]
+    assert sorted(by_doc[3]) == [("beta", 6.0, 1), ("zeta", 4.0, 2)]
+    # doc 1: beta 2*4/2=4.0 ties gamma 1*4/1=4.0 — term breaks the tie
+    assert sorted(by_doc[1], key=lambda x: x[2]) == [
+        ("beta", 4.0, 1), ("gamma", 4.0, 2)]
+
+
+def test_random_hyperplane_expr_planes(spark):
+    from cozo_spark.operators.similarity import random_hyperplane_lsh_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    data = [(0, list(base)), (1, list(base * 1.01)),
+            (2, list(-base)), (3, list(rng.standard_normal(8)))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in data],
+        "vec_id long, embedding array<double>")
+    pairs = _rows(random_hyperplane_lsh_pairs(df, n_bits=16, bands=4, dim=8),
+                  "id_a", "id_b")
+    # near-identical vectors must collide in at least one band
+    assert (0, 1) in pairs
