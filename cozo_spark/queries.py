@@ -2738,6 +2738,15 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
                            lambda t: t != "")).alias("tok"))
+    # r11 negative result, kept for the record: pre-aggregating to per-doc
+    # (doc, tok) counts before the frequency join ("aggregate before you
+    # shuffle") was tried and REVERTED — every reference to the tf
+    # aggregation re-executes its whole subtree (the broadcast builds are
+    # not shared with the stream side; plan audit: 4 -> 6 tokenize
+    # subtrees, 0 ReusedExchange), and caching tf inside the query would
+    # be cross-run result caching via the CacheManager's canonical-plan
+    # lookup. The occurrence-stream join below keeps tokenization at its
+    # minimum 2 executions for this shape.
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n"))
     scored = (toks.join(F.broadcast(freq), "tok")
