@@ -2511,16 +2511,17 @@ class CozoDb:
             if isinstance(atom, RelApply):
                 restricted = (atom.validity is not None
                               or any(not isinstance(a, Var) for a in atom.args))
-                out.append((atom.name, restricted))
+                out.append((atom.name, restricted, len(atom.args), set()))
             elif isinstance(atom, NamedRelApply):
                 restricted = (atom.validity is not None
                               or any(v is not None and not isinstance(v, Var)
                                      for v in atom.pairs.values()))
-                out.append((atom.name, restricted))
+                out.append((atom.name, restricted, 0, set(atom.pairs)))
             elif isinstance(atom, RuleApply):
                 if atom.name not in scc:
                     out.append((atom.name,
-                                any(not isinstance(a, Var) for a in atom.args)))
+                                any(not isinstance(a, Var) for a in atom.args),
+                                len(atom.args), set()))
             elif isinstance(atom, Negation):
                 _rel_reads(atom.atom, out)
             elif isinstance(atom, Conj):
@@ -2537,16 +2538,41 @@ class CozoDb:
                        for a in _cl.body):
                     for a in _cl.body:
                         _rel_reads(a, _reads)
-        _restricted = {nm for nm, rs in _reads if rs}
-        for nm, _rs in _reads:
+        _restricted = {nm for nm, rs, _np, _nc in _reads if rs}
+        _need: dict = {}
+        for nm, _rs, n_pos, named in _reads:
+            cur = _need.setdefault(nm, [0, set()])
+            cur[0] = max(cur[0], n_pos)
+            cur[1] |= named
+        for nm in _need:
             if nm in static_ck or nm in _restricted:
                 continue
             try:
                 src = stores[nm] if nm in stores else self._resolve_relation(nm)
             except QueryError:
                 src = None
-            if src is not None:
-                static_ck[nm] = _checkpoint(src)
+            if src is None:
+                continue
+            # checkpoint only the columns the SCC's atoms can touch (the
+            # positional prefix + named columns), keeping PK / uniqueness
+            # columns so distinct-elision claims survive — a wide stored
+            # relation (multi-KB payload columns) must not be materialized
+            # at full width to serve a prefix read (r11 review finding;
+            # guide §2.3 "project before the exchange")
+            cols = src.columns
+            n_pos, named = _need[nm]
+            keep = set(cols[:n_pos]) | named
+            if nm in stores:
+                upos = self._resolve_rule_unique(nm)
+                if upos:
+                    keep |= {cols[i] for i in upos if i < len(cols)}
+            else:
+                for k in (self._resolve_keys(nm) or []):
+                    keep.add(k)
+            sel = [c for c in cols if c in keep]
+            if sel and len(sel) < len(cols):
+                src = src.select(*sel)
+            static_ck[nm] = _checkpoint(src)
 
         # :limit early exit (QueryLimiter eval.rs:33-61, applied db.rs:1529-1539):
         # Datalog is monotone within a stratum, so any entry row derived from

@@ -183,6 +183,22 @@ def _checkpoint_count_bytes(df: DataFrame) -> "tuple[DataFrame, int, int]":
     return out, int(got["n"]), int(got["b"] or 0)
 
 
+def _checkpoint_sum(df: DataFrame, flag_col: str) -> "tuple[DataFrame, int]":
+    """Checkpoint + sum of a boolean flag column in ONE action — the
+    convergence-test sibling of ``_checkpoint_count``: iterative loops
+    (meet merges, label propagation) mark per-row change in ``flag_col``
+    and read the changed-row total from the same materialization instead
+    of running a second isEmpty/count job per epoch (r11; the fused form
+    micro-benched 191 ms vs 247 ms for checkpoint + isEmpty and 358 ms
+    for checkpoint + limit(1).count())."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"__cozo_cs_{next(_OBS_SEQ)}")
+    out = _checkpoint(df.observe(
+        obs, F.sum(F.col(flag_col).cast("long")).alias("s")))
+    return out, int(obs.get["s"] or 0)
+
+
 def semi_naive(
     base: DataFrame,
     step: Callable[[DataFrame], DataFrame],

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from cozo_spark.datalog.fixpoint import (_OBS_SEQ, _checkpoint,
-    _checkpoint_count, _checkpoint_count_bytes, semi_naive)
+    _checkpoint_count, _checkpoint_count_bytes, _checkpoint_sum, semi_naive)
 
 _log = logging.getLogger("cozo_spark.graphs")
 
@@ -165,8 +165,6 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
     best = e.select(F.col("esrc").alias("src"), F.col("edst").alias("dst"),
                     F.lit(1).cast("long").alias("hops"))
     delta = best
-    from pyspark.sql import Observation
-
     for _ in range(max_hops):
         cand = (
             delta.join(e, delta.dst == e.esrc)
@@ -177,13 +175,13 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
         # delta (MeetAggrStore::merge_in, temp_store.rs:182-215): new best =
         # least(candidate, previous), delta = rows whose value improved.
         # ONE action materializes both views of the epoch AND the
-        # convergence test: the improved-row count rides the checkpoint as
-        # an observed metric (the separate delta.isEmpty() job it replaces
-        # was one extra scheduler round-trip per epoch — guide §1/§2.4).
+        # convergence test (the improved-row count rides the checkpoint as
+        # an observed metric — _checkpoint_sum; the separate
+        # delta.isEmpty() job it replaces was one extra scheduler
+        # round-trip per epoch, guide §1/§2.4).
         best_r = best.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
                              F.col("hops").alias("bhops"))
-        obs = Observation(f"__cozo_sh_{next(_OBS_SEQ)}")
-        merged = _checkpoint(
+        merged, n_imp = _checkpoint_sum(
             cand.join(best_r, (cand.src == best_r.bsrc) & (cand.dst == best_r.bdst), "full_outer")
             .select(
                 F.coalesce(cand.src, F.col("bsrc")).alias("src"),
@@ -191,12 +189,10 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
                 F.least(cand.hops, F.col("bhops")).alias("hops"),
                 (cand.hops.isNotNull()
                  & (F.col("bhops").isNull() | (cand.hops < F.col("bhops")))).alias("_imp"),
-            )
-            .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_imp"))
-        )
+            ), "_imp")
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
-        if int(obs.get["n_imp"] or 0) == 0:
+        if n_imp == 0:
             break
     return best
 
@@ -229,8 +225,6 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
     limit = max(max_iterations, extend_to) if extend_to else max_iterations
     converged, it = False, 0
     n_imp = 1
-    from pyspark.sql import Observation
-
     while it < limit:
         cand = (
             delta.join(e, delta.node == e.esrc)
@@ -243,8 +237,7 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
         # one action per epoch, no separate isEmpty job
         best_r = best.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"),
                              F.col("cost").alias("bcost"))
-        obs = Observation(f"__cozo_sp_{next(_OBS_SEQ)}")
-        merged = _checkpoint(
+        merged, n_imp = _checkpoint_sum(
             cand.join(best_r, (cand.start == best_r.bstart) & (cand.node == best_r.bnode), "full_outer")
             .select(
                 F.coalesce(cand.start, F.col("bstart")).alias("start"),
@@ -252,13 +245,10 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
                 F.least(cand.cost, F.col("bcost")).alias("cost"),
                 (cand.cost.isNotNull()
                  & (F.col("bcost").isNull() | (cand.cost < F.col("bcost")))).alias("_imp"),
-            )
-            .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_imp"))
-        )
+            ), "_imp")
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
         it += 1
-        n_imp = int(obs.get["n_imp"] or 0)
         if n_imp == 0:
             converged = True
             break
@@ -367,8 +357,6 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
         base = base.unionByName(extra).distinct()
     labels = _checkpoint(base.select("node", F.col("node").alias("component")))
-    from pyspark.sql import Observation
-
     for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und.src == labels.node)
@@ -385,11 +373,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                     F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"),
                     F.coalesce(F.col("nmin") < F.col("component"), F.lit(False)).alias("_chg"))
         )
-        obs = Observation(f"__cozo_cc_{next(_OBS_SEQ)}")
-        new_labels = _checkpoint(new_labels.observe(
-            obs, F.sum(F.col("_chg").cast("long")).alias("c")))
+        new_labels, n_chg = _checkpoint_sum(new_labels, "_chg")
         labels = new_labels.drop("_chg")
-        if int(obs.get["c"] or 0) == 0:
+        if n_chg == 0:
             break
     return labels
 
@@ -449,8 +435,6 @@ def _min_reach_label(e: DataFrame, max_iterations: int, nodes: DataFrame | None 
     (needed when isolated nodes have no remaining edges)."""
     base = nodes if nodes is not None else _nodes(e)
     labels = _checkpoint(base.select("node", F.col("node").alias("label")))
-    from pyspark.sql import Observation
-
     for _ in range(max_iterations):
         prop = (
             e.join(labels, e.src == labels.node)
@@ -459,15 +443,14 @@ def _min_reach_label(e: DataFrame, max_iterations: int, nodes: DataFrame | None 
         )
         # changed count observed on the checkpoint action (one action per
         # round — see connected_components)
-        obs = Observation(f"__cozo_mr_{next(_OBS_SEQ)}")
-        new_labels = _checkpoint(
+        new_labels, n_chg = _checkpoint_sum(
             labels.join(prop, "node", "left")
             .select("node",
                     F.least(F.col("label"), F.coalesce("pmin", F.col("label"))).alias("label"),
-                    F.coalesce(F.col("pmin") < F.col("label"), F.lit(False)).alias("_chg"))
-            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("c")))
+                    F.coalesce(F.col("pmin") < F.col("label"), F.lit(False)).alias("_chg")),
+            "_chg")
         labels = new_labels.drop("_chg")
-        if int(obs.get["c"] or 0) == 0:
+        if n_chg == 0:
             break
     return labels
 

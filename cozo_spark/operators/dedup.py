@@ -29,6 +29,7 @@ from cozo_spark.plans.memo import plan_memo
 _log = logging.getLogger("cozo_spark.operators.dedup")
 
 _CACHE_SLOTS: dict = {}
+_CACHE_GEN: dict = {}
 _CACHE_LOCK = threading.Lock()
 
 
@@ -62,6 +63,12 @@ def _cache_rotating(df: DataFrame, slot: str) -> DataFrame:
             except Exception:
                 pass
             _CACHE_SLOTS.pop(slot, None)
+            # rotation invalidates any memoized plan built over the
+            # unpersisted table: consumers key their plan_memo on this
+            # generation, so a later identical call rebuilds (and
+            # re-caches) instead of serving a plan that silently lost its
+            # cached subtree (r11 review finding)
+            _CACHE_GEN[slot] = _CACHE_GEN.get(slot, 0) + 1
         out = df.cache()
         _CACHE_SLOTS[slot] = out
     return out
@@ -429,7 +436,7 @@ def lsh_candidate_pairs(
     )
 
 
-@plan_memo
+@plan_memo(extra_key=lambda *a, **k: _CACHE_GEN.get("minhash_sigs", 0))
 def minhash_lsh_dedup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.7, num_perm: int = 64, shingle_n: int = 3,
@@ -534,7 +541,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
             .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
 
 
-@plan_memo
+@plan_memo(extra_key=lambda *a, **k: _CACHE_GEN.get("simhash_sigs", 0))
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, shingle_n: int = 2,

@@ -196,7 +196,8 @@ def ivf_cosine_topk(
     )
 
 
-@plan_memo
+@plan_memo(extra_key=lambda corpus, *a, **k: corpus.sparkSession.conf.get(
+    "spark.cozo.neardup.blocks", ""))
 def cosine_neardup_pairs(
     corpus: DataFrame, threshold: float = 0.4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -44,7 +44,7 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--queries", default="")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--attempts", type=int, default=3)
+    ap.add_argument("--attempts", type=lambda v: max(1, int(v)), default=3)
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--out", default="")

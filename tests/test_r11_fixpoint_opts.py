@@ -180,3 +180,71 @@ def test_random_hyperplane_expr_planes(spark):
                   "id_a", "id_b")
     # near-identical vectors must collide in at least one band
     assert (0, 1) in pairs
+
+
+def test_plan_memo_conf_invalidation(spark):
+    # changing the documented tuning conf must invalidate the memoized plan
+    from cozo_spark.operators.similarity import cosine_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(j == i % 4) for j in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    conf = spark.conf
+    old = conf.get("spark.cozo.neardup.blocks", None)
+    try:
+        conf.unset("spark.cozo.neardup.blocks")
+        p1 = cosine_neardup_pairs(df, threshold=0.9)
+        p1b = cosine_neardup_pairs(df, threshold=0.9)
+        assert p1 is p1b  # memo hit with unchanged conf
+        conf.set("spark.cozo.neardup.blocks", "3")
+        p2 = cosine_neardup_pairs(df, threshold=0.9)
+        assert p2 is not p1  # conf change rebuilds
+        assert _rows(p1, "id_a", "id_b") == _rows(p2, "id_a", "id_b")
+    finally:
+        conf.unset("spark.cozo.neardup.blocks")
+        if old is not None:
+            conf.set("spark.cozo.neardup.blocks", old)
+
+
+def test_plan_memo_rotating_cache_generation(spark):
+    # interleaving a different input rotates the signature cache; the memo
+    # must NOT serve the old plan (its cached subtree was unpersisted)
+    import cozo_spark.operators.dedup as D
+
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(6)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(i, f"zeta eta theta iota {i}") for i in range(6)],
+        "doc_id long, text string")
+    p1 = D.minhash_lsh_dedup_pairs(a, threshold=0.2)
+    gen0 = D._CACHE_GEN.get("minhash_sigs", 0)
+    D.minhash_lsh_dedup_pairs(b, threshold=0.2)
+    assert D._CACHE_GEN.get("minhash_sigs", 0) > gen0  # rotation bumped
+    p3 = D.minhash_lsh_dedup_pairs(a, threshold=0.2)
+    assert p3 is not p1  # rebuilt (and re-cached) instead of stale memo
+    # and the rebuilt plan now memo-hits under the post-rotation generation
+    p4 = D.minhash_lsh_dedup_pairs(a, threshold=0.2)
+    assert p4 is p3
+    assert _rows(p1, "id_a", "id_b") == _rows(p3, "id_a", "id_b")
+
+
+def test_recursive_static_ck_prunes_wide_columns(spark):
+    # a recursive clause reading a 2-ary prefix of a wide relation must
+    # not change results when the unused wide column is pruned from the
+    # once-per-fixpoint materialization
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1, "x" * 1000) for i in range(6)],
+        "src long, dst long, payload string")
+    db.register_dataframe("edge", edges)
+    out = db.run_script_df("""
+    reach[a, b] := *edge[a, b]
+    reach[a, c] := reach[a, b], *edge[b, c]
+    ?[src, dst] := reach[src, dst]
+    """)
+    got = _rows(out, "src", "dst")
+    want = sorted((i, j) for i in range(6) for j in range(i + 1, 7))
+    assert got == want
