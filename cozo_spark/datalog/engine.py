@@ -2531,20 +2531,28 @@ class CozoDb:
                 for a in atom.branches:
                     _rel_reads(a, out)
 
-        _reads: list = []
+        _reads: list = []   # reads in RECURSIVE clauses: decide what to materialize
+        _width: list = []   # reads in ALL SCC clauses: the width the checkpoint must keep
         for _r in scc:
             for _cl in clause_map.get(_r, []):
-                if any(isinstance(a, RuleApply) and a.name in scc
-                       for a in _cl.body):
-                    for a in _cl.body:
+                rec = any(isinstance(a, RuleApply) and a.name in scc
+                          for a in _cl.body)
+                for a in _cl.body:
+                    _rel_reads(a, _width)
+                    if rec:
                         _rel_reads(a, _reads)
         _restricted = {nm for nm, rs, _np, _nc in _reads if rs}
+        # width needs come from EVERY clause in the SCC — base (epoch-0)
+        # clauses are translated against the same static_ck overrides as the
+        # recursive ones, so a base clause reading more columns than the
+        # recursive prefix must widen the materialization, not hit a pruned
+        # frame ("too many arguments")
         _need: dict = {}
-        for nm, _rs, n_pos, named in _reads:
+        for nm, _rs, n_pos, named in _width:
             cur = _need.setdefault(nm, [0, set()])
             cur[0] = max(cur[0], n_pos)
             cur[1] |= named
-        for nm in _need:
+        for nm in dict.fromkeys(nm for nm, _rs, _np, _nc in _reads):
             if nm in static_ck or nm in _restricted:
                 continue
             try:

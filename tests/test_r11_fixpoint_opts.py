@@ -232,19 +232,59 @@ def test_plan_memo_rotating_cache_generation(spark):
 def test_recursive_static_ck_prunes_wide_columns(spark):
     # a recursive clause reading a 2-ary prefix of a wide relation must
     # not change results when the unused wide column is pruned from the
-    # once-per-fixpoint materialization
+    # once-per-fixpoint materialization. keys=["src","dst"] is what arms
+    # the pruning: with default keys (= all columns) every column is a key
+    # column and nothing can be dropped.
+    import cozo_spark.datalog.engine as E
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
     edges = spark.createDataFrame(
         [(i, i + 1, "x" * 1000) for i in range(6)],
         "src long, dst long, payload string")
-    db.register_dataframe("edge", edges)
-    out = db.run_script_df("""
-    reach[a, b] := *edge[a, b]
-    reach[a, c] := reach[a, b], *edge[b, c]
-    ?[src, dst] := reach[src, dst]
-    """)
-    got = _rows(out, "src", "dst")
+    db.register_dataframe("edge", edges, keys=["src", "dst"])
+    widths: list = []
+    orig = E._checkpoint
+
+    def spy(df, *a, **k):
+        widths.append(tuple(df.columns))
+        return orig(df, *a, **k)
+
+    E._checkpoint = spy
+    try:
+        out = db.run_script_df("""
+        reach[a, b] := *edge[a, b]
+        reach[a, c] := reach[a, b], *edge[b, c]
+        ?[src, dst] := reach[src, dst]
+        """)
+        got = _rows(out, "src", "dst")
+    finally:
+        E._checkpoint = orig
     want = sorted((i, j) for i in range(6) for j in range(i + 1, 7))
+    assert got == want
+    # the static materialization of *edge really dropped the payload column
+    assert ("src", "dst") in widths
+    assert not any("payload" in w for w in widths)
+
+
+def test_recursive_static_ck_keeps_base_clause_width(spark):
+    # base (epoch-0) clauses translate against the same static_ck overrides
+    # as the recursive ones: a base clause reading MORE columns than the
+    # recursive prefix must widen the materialization, not fail with
+    # "too many arguments" against a pruned frame
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1, f"p{i}") for i in range(4)],
+        "src long, dst long, payload string")
+    db.register_dataframe("edge", edges, keys=["src", "dst"])
+    out = db.run_script_df("""
+    reach[a, b, p] := *edge[a, b, p]
+    reach[a, c, p] := reach[a, b, p], *edge[b, c]
+    ?[a, b, p] := reach[a, b, p]
+    """)
+    got = _rows(out, "a", "b", "p")
+    # payload travels with the path's first hop; closure over 0->1->2->3->4
+    want = sorted((i, j, f"p{i}") for i in range(4) for j in range(i + 1, 5))
     assert got == want
