@@ -798,14 +798,25 @@ _EDGES_SQL = """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # memoized like _t: the lazy edge plan costs ~60 py4j ops to build
+    # (~0.1 s warm), and four headline graph queries rebuild it per call;
+    # a stable frame identity also lets the engine's compiled-plan cache
+    # key on it across calls (r11). No data is cached — every action still
+    # computes from the parquet scan.
+    ek = (spark, sf_dir, "__graph_edges")
+    hit = _T_CACHE.get(ek)
+    if hit is not None:
+        return hit
     o = _t(spark, sf_dir, "orders")
-    return (
+    df = (
         o.filter((F.col("o_orderkey") % 20 == 0)
                  & (F.col("o_custkey") % 50 != F.col("o_orderkey") % 50))
         .select((F.col("o_custkey") % 50).cast("long").alias("src"),
                 (F.col("o_orderkey") % 50).cast("long").alias("dst"))
         .distinct()
     )
+    _T_CACHE[ek] = df
+    return df
 
 
 @query(

@@ -288,3 +288,39 @@ def test_recursive_static_ck_keeps_base_clause_width(spark):
     # payload travels with the path's first hop; closure over 0->1->2->3->4
     want = sorted((i, j, f"p{i}") for i in range(4) for j in range(i + 1, 5))
     assert got == want
+
+
+def test_edges_memo_identity_and_rerun(spark, tmp_path):
+    # the lazy _edges frame is memoized per (session, sf_dir): same object
+    # across calls, distinct objects across dirs — and a memo hit must NOT
+    # skip fixpoint re-execution (the memo caches a plan, never results)
+    import cozo_spark.datalog.fixpoint as FX
+    from cozo_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    e1 = Q._edges(spark, sf)
+    e2 = Q._edges(spark, sf)
+    assert e1 is e2
+    sf2 = "/root/testdata/sf0.01"
+    assert Q._edges(spark, sf2) is not e1
+
+    calls = []
+    orig = FX._checkpoint
+
+    def spy(df):
+        calls.append(1)
+        return orig(df)
+
+    FX._checkpoint = spy
+    try:
+        a = _rows(Q.QUERIES["graph_reachability"](spark, sf), "src", "dst")
+        n_first = len(calls)
+        calls.clear()
+        b = _rows(Q.QUERIES["graph_reachability"](spark, sf), "src", "dst")
+        n_second = len(calls)
+    finally:
+        FX._checkpoint = orig
+    assert a == b
+    # the second (memo-hit) call re-ran every materialization action
+    assert n_first >= 2
+    assert n_second == n_first
