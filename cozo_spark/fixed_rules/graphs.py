@@ -169,26 +169,30 @@ def shortest_hops(edges: DataFrame, max_hops: int = 64) -> DataFrame:
         cand = (
             delta.join(e, delta.dst == e.esrc)
             .select("src", F.col("edst").alias("dst"), (F.col("hops") + 1).alias("hops"))
-            .groupBy("src", "dst").agg(F.min("hops").alias("hops"))
         )
-        # one full-outer join merges the meet-update and the improvement
-        # delta (MeetAggrStore::merge_in, temp_store.rs:182-215): new best =
-        # least(candidate, previous), delta = rows whose value improved.
-        # ONE action materializes both views of the epoch AND the
-        # convergence test (the improved-row count rides the checkpoint as
-        # an observed metric — _checkpoint_sum; the separate
-        # delta.isEmpty() job it replaces was one extra scheduler
-        # round-trip per epoch, guide §1/§2.4).
-        best_r = best.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"),
-                             F.col("hops").alias("bhops"))
+        # The meet-update and the improvement delta in ONE hash aggregation
+        # (MeetAggrStore::merge_in, temp_store.rs:182-215): min over the
+        # candidate∪previous union is min(min(cand), prev), and since the
+        # previous best holds exactly one row per key, min over the
+        # old-tagged rows IS the previous value — so the improved flag
+        # (prev missing, or new min strictly below prev) is computable per
+        # key inside the same aggregate. This replaces the former
+        # cand-groupBy + full-outer SortMergeJoin (one extra exchange plus
+        # two sorts per epoch, guide §2/§3); the union also shuffles RAW
+        # candidate rows exactly once, with map-side partial aggregation.
+        # ONE action still materializes the epoch AND the convergence test
+        # (the improved-row count rides the checkpoint as an observed
+        # metric — _checkpoint_sum).
         merged, n_imp = _checkpoint_sum(
-            cand.join(best_r, (cand.src == best_r.bsrc) & (cand.dst == best_r.bdst), "full_outer")
+            cand.select("src", "dst", "hops", F.lit(False).alias("_old"))
+            .unionByName(best.select("src", "dst", "hops", F.lit(True).alias("_old")))
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"),
+                 F.min(F.when(F.col("_old"), F.col("hops"))).alias("_prev"))
             .select(
-                F.coalesce(cand.src, F.col("bsrc")).alias("src"),
-                F.coalesce(cand.dst, F.col("bdst")).alias("dst"),
-                F.least(cand.hops, F.col("bhops")).alias("hops"),
-                (cand.hops.isNotNull()
-                 & (F.col("bhops").isNull() | (cand.hops < F.col("bhops")))).alias("_imp"),
+                "src", "dst", "hops",
+                (F.col("_prev").isNull()
+                 | (F.col("hops") < F.col("_prev"))).alias("_imp"),
             ), "_imp")
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
@@ -229,22 +233,23 @@ def shortest_path_costs(edges: DataFrame, starts: DataFrame,
         cand = (
             delta.join(e, delta.node == e.esrc)
             .select("start", F.col("edst").alias("node"), (F.col("cost") + F.col("weight")).alias("cost"))
-            .groupBy("start", "node").agg(F.min("cost").alias("cost"))
         )
-        # merged meet-update + improvement delta in one full-outer join
-        # (same pattern as shortest_hops; MeetAggrStore::merge_in); the
-        # convergence count rides the checkpoint as an observed metric —
-        # one action per epoch, no separate isEmpty job
-        best_r = best.select(F.col("start").alias("bstart"), F.col("node").alias("bnode"),
-                             F.col("cost").alias("bcost"))
+        # merged meet-update + improvement delta in ONE hash aggregation
+        # over the candidate∪previous union (same derivation as
+        # shortest_hops: one previous row per key makes the old-tagged min
+        # the previous value); replaces the cand-groupBy + full-outer
+        # SortMergeJoin. The convergence count rides the checkpoint as an
+        # observed metric — one action per epoch, no separate isEmpty job
         merged, n_imp = _checkpoint_sum(
-            cand.join(best_r, (cand.start == best_r.bstart) & (cand.node == best_r.bnode), "full_outer")
+            cand.select("start", "node", "cost", F.lit(False).alias("_old"))
+            .unionByName(best.select("start", "node", "cost", F.lit(True).alias("_old")))
+            .groupBy("start", "node")
+            .agg(F.min("cost").alias("cost"),
+                 F.min(F.when(F.col("_old"), F.col("cost"))).alias("_prev"))
             .select(
-                F.coalesce(cand.start, F.col("bstart")).alias("start"),
-                F.coalesce(cand.node, F.col("bnode")).alias("node"),
-                F.least(cand.cost, F.col("bcost")).alias("cost"),
-                (cand.cost.isNotNull()
-                 & (F.col("bcost").isNull() | (cand.cost < F.col("bcost")))).alias("_imp"),
+                "start", "node", "cost",
+                (F.col("_prev").isNull()
+                 | (F.col("cost") < F.col("_prev"))).alias("_imp"),
             ), "_imp")
         delta = merged.filter("_imp").drop("_imp")
         best = merged.drop("_imp")
@@ -358,22 +363,27 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         base = base.unionByName(extra).distinct()
     labels = _checkpoint(base.select("node", F.col("node").alias("component")))
     for _ in range(max_iterations):
-        neighbor_min = (
+        neighbor = (
             und.join(labels, und.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("component"))
-            .groupBy("node").agg(F.min("component").alias("nmin"))
         )
-        # a label changes exactly when a strictly smaller neighbor-min
-        # arrives; the changed count rides the checkpoint as an observed
-        # metric, so the former convergence-test join + limit(1).count()
-        # job (a second action per round) is gone (guide §1/§2.4)
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node",
-                    F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias("component"),
-                    F.coalesce(F.col("nmin") < F.col("component"), F.lit(False)).alias("_chg"))
-        )
-        new_labels, n_chg = _checkpoint_sum(new_labels, "_chg")
+        # a label changes exactly when a strictly smaller neighbor label
+        # arrives. Neighbor votes and current labels merge in ONE hash
+        # aggregation over their union (labels hold one row per node, so
+        # the old-tagged min IS the current label — same derivation as
+        # shortest_hops); this replaces the former neighbor groupBy + left
+        # join (one exchange + one join per round, guide §2/§3). The
+        # changed count rides the checkpoint as an observed metric, so
+        # there is still exactly one action per round (guide §1/§2.4)
+        new_labels, n_chg = _checkpoint_sum(
+            neighbor.select("node", "component", F.lit(False).alias("_old"))
+            .unionByName(labels.select("node", "component", F.lit(True).alias("_old")))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"),
+                 F.min(F.when(F.col("_old"), F.col("component"))).alias("_prev"))
+            .select("node", "component",
+                    (F.col("component") < F.col("_prev")).alias("_chg")),
+            "_chg")
         labels = new_labels.drop("_chg")
         if n_chg == 0:
             break
@@ -439,15 +449,18 @@ def _min_reach_label(e: DataFrame, max_iterations: int, nodes: DataFrame | None 
         prop = (
             e.join(labels, e.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
-            .groupBy("node").agg(F.min("label").alias("pmin"))
         )
-        # changed count observed on the checkpoint action (one action per
-        # round — see connected_components)
+        # union + one hash aggregation instead of prop groupBy + left join
+        # (see connected_components); changed count observed on the
+        # checkpoint action — one action per round
         new_labels, n_chg = _checkpoint_sum(
-            labels.join(prop, "node", "left")
-            .select("node",
-                    F.least(F.col("label"), F.coalesce("pmin", F.col("label"))).alias("label"),
-                    F.coalesce(F.col("pmin") < F.col("label"), F.lit(False)).alias("_chg")),
+            prop.select("node", "label", F.lit(False).alias("_old"))
+            .unionByName(labels.select("node", "label", F.lit(True).alias("_old")))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"),
+                 F.min(F.when(F.col("_old"), F.col("label"))).alias("_prev"))
+            .select("node", "label",
+                    (F.col("label") < F.col("_prev")).alias("_chg")),
             "_chg")
         labels = new_labels.drop("_chg")
         if n_chg == 0:
