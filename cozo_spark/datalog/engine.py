@@ -995,6 +995,12 @@ class CozoDb:
         "HtmlStrip", "UrlDedup", "MinHashPairs", "NgramContamination",
         "PackSequences", "QualityScores", "LanguageId", "PiiRedact",
         "RepetitionSignals", "BalancedSample",
+        # DegreeCentrality builds one pure lazy plan (inline-explode +
+        # groupBy, graphs.py) — no strategy count, no jobs at plan time —
+        # so the compiled-plan cache applies like any other lazy rule
+        # (r11; the _had_eager_eval guard would refuse the entry anyway if
+        # that ever changed)
+        "DegreeCentrality",
     })
     _PLAN_CACHE_MAX = 64
     _plan_cache: dict = {}  # key -> (df, headers, spark, rel_snapshot)
@@ -2760,15 +2766,28 @@ class CozoDb:
         (temp_store.rs:99-215). Operates on canonical positional columns
         (_c0.._cN).
 
-        Both outputs are checkpointed HERE, in dependency order: merged is
-        materialized first and the changed-row anti-join reads the
-        checkpointed blocks — the previous shape checkpointed the two
-        frames independently, so the union+groupBy merge subtree executed
-        TWICE per epoch (once per materialization; guide §2.4)."""
+        Both outputs come out of ONE action when every aggregation is in
+        the null-ignoring meet family (min/max/and/or/bit_and/bit_or, plus
+        sticky choice): the total holds exactly one row per key, so
+        ``spec(value WHERE old)`` inside the same groupBy IS the previous
+        value, and changed = "no old row, or some value differs
+        (null-safe)" — the exact set the all-columns anti-join computed
+        (keys are equal within a group by construction). Aggregations
+        whose builders do not skip null inputs when wrapped in
+        ``when(_old, v)`` (min_by-over-struct shapes: shortest, min_cost;
+        collect shapes: union, intersection) keep the two-action
+        merge-then-anti path — for them the fused old-value aggregate
+        would be wrong, not just slower (r11; guide §1 "one action").
+        The pre-r11 shape checkpointed merged and changed independently,
+        executing the union+groupBy subtree twice per epoch (guide §2.4)."""
         keys = [f"_c{i}" for i, h in enumerate(head) if isinstance(h, HeadVar)]
         aggs = [(f"_c{i}", AGGREGATIONS[h.aggr])
                 for i, h in enumerate(head) if isinstance(h, HeadAggr)]
         sticky = any(spec.name == "choice" for _, spec in aggs)
+        _NULL_SKIPPING_MEETS = {"min", "max", "and", "or", "bit_and", "bit_or"}
+        fused = total is not None and all(
+            spec.name in _NULL_SKIPPING_MEETS or (spec.name == "choice" and sticky)
+            for _, spec in aggs)
         if sticky:
             # MeetAggrChoice (aggr.rs:968-984) only updates from Null: once
             # a key has a value it NEVER changes. Prefer the total's row via
@@ -2782,21 +2801,59 @@ class CozoDb:
             both = cand if total is None else total.unionByName(cand)
         dtypes = dict(both.dtypes)
         agg_exprs = []
+        cmp_pairs = []  # (new_col, old_col) for the fused changed test
         for c_name, spec in aggs:
             if spec.name == "choice" and sticky:
                 agg_exprs.append(
                     F.min_by(F.col(c_name),
                              F.struct(F.col("__prio"), F.col(c_name))).alias(c_name))
+                # sticky: merged keeps the old value whenever one exists, so
+                # the column can never differ when __oldcnt fires — excluded
+                # from the comparison
                 continue
             try:
                 agg_exprs.append(spec.build(F.col(c_name), dtype=dtypes.get(c_name)).alias(c_name))
             except TypeError:
                 agg_exprs.append(spec.build(F.col(c_name)).alias(c_name))
+        from cozo_spark.datalog.fixpoint import (_BROADCAST_FRONTIER,
+            _anti_all_cols, _checkpoint, _checkpoint_count, _checkpoint_sum)
+
+        if fused:
+            # tag provenance: the OLD side is the total (union order above:
+            # sticky puts total first via t, non-sticky total first too)
+            tagged_total = (total.withColumn("__prio", F.lit(0))
+                            if sticky else total).withColumn("__old", F.lit(True))
+            tagged_cand = (cand.withColumn("__prio", F.lit(1))
+                           if sticky else cand).withColumn("__old", F.lit(False))
+            both = tagged_total.unionByName(tagged_cand)
+            dtypes = dict(both.dtypes)
+            for c_name, spec in aggs:
+                if spec.name == "choice" and sticky:
+                    continue
+                old_v = F.when(F.col("__old"), F.col(c_name))
+                try:
+                    oe = spec.build(old_v, dtype=dtypes.get(c_name))
+                except TypeError:
+                    oe = spec.build(old_v)
+                agg_exprs.append(oe.alias(f"__oldv{c_name}"))
+                cmp_pairs.append((c_name, f"__oldv{c_name}"))
+            agg_exprs.append(
+                F.max(F.when(F.col("__old"), F.lit(1))).alias("__oldcnt"))
+            merged = (both.groupBy(*keys).agg(*agg_exprs)
+                      if keys else both.agg(*agg_exprs))
+            same = F.lit(True)
+            for new_c, old_c in cmp_pairs:
+                same = same & F.col(new_c).eqNullSafe(F.col(old_c))
+            out_cols = [f"_c{i}" for i in range(len(head))]
+            merged = merged.select(
+                *out_cols,
+                (F.col("__oldcnt").isNull() | ~same).alias("__chg"))
+            merged, n = _checkpoint_sum(merged, "__chg")
+            changed = merged.filter("__chg").select(*out_cols)
+            return merged.select(*out_cols), changed, n
+
         merged = both.groupBy(*keys).agg(*agg_exprs) if keys else both.agg(*agg_exprs)
         merged = merged.select(*[f"_c{i}" for i in range(len(head))])
-        from cozo_spark.datalog.fixpoint import (_BROADCAST_FRONTIER,
-            _anti_all_cols, _checkpoint, _checkpoint_count)
-
         if total is None:
             ck, n = _checkpoint_count(merged)
             return ck, ck, n

@@ -324,3 +324,93 @@ def test_edges_memo_identity_and_rerun(spark, tmp_path):
     # the second (memo-hit) call re-ran every materialization action
     assert n_first >= 2
     assert n_second == n_first
+
+
+def test_degree_centrality_plan_cache(spark):
+    # DegreeCentrality is lazy + deterministic, so the compiled-plan cache
+    # may serve its plan across CozoDb instances holding the SAME frames —
+    # and a hit returns a lazy plan (actions still recompute), never stale
+    # results for different frames
+    from cozo_spark.datalog.engine import CozoDb
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long")
+    script = ("?[node, total_degree, out_degree, in_degree]"
+              " <~ DegreeCentrality(*edge[])")
+
+    db1 = CozoDb(spark)
+    db1.register_dataframe("edge", edges)
+    out1 = db1.run_script_df(script)
+    db2 = CozoDb(spark)
+    db2.register_dataframe("edge", edges)
+    out2 = db2.run_script_df(script)
+    assert out2 is out1  # plan served from the compiled-plan cache
+    want = [(0, 2, 2, 0), (1, 2, 1, 1), (2, 2, 0, 2)]
+    assert _rows(out1, "node", "total_degree", "out_degree", "in_degree") == want
+
+    # different frame identity -> no hit, correct fresh results
+    edges3 = spark.createDataFrame([(5, 6)], "src long, dst long")
+    db3 = CozoDb(spark)
+    db3.register_dataframe("edge", edges3)
+    out3 = db3.run_script_df(script)
+    assert out3 is not out1
+    assert _rows(out3, "node", "total_degree") == [(5, 1), (6, 1)]
+
+
+def test_meet_merge_fused_single_action(spark):
+    # min-meet recursion: each meet epoch is ONE checkpoint action (the
+    # changed flag rides the merge aggregation), and multi-epoch results
+    # are unchanged
+    import cozo_spark.datalog.fixpoint as FX
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)] + [(0, 3, 10.0)],
+        "src long, dst long, w double")
+    db.register_dataframe("edge", edges, keys=["src", "dst"])
+
+    calls = []
+    orig = FX._checkpoint
+
+    def spy(df):
+        calls.append(1)
+        return orig(df)
+
+    FX._checkpoint = spy
+    try:
+        out = db.run_script_df("""
+        sp[a, b, min(c)] := *edge[a, b, c]
+        sp[a, c, min(d)] := sp[a, b, d1], *edge[b, c, w], d = d1 + w
+        ?[a, b, d] := sp[a, b, d]
+        """)
+        got = _rows(out, "a", "b", "d")
+        n_actions = len(calls)
+    finally:
+        FX._checkpoint = orig
+    # chain 0..6 + shortcut 0->3 (cost 10, never better than 3 hops of 1.0)
+    want = sorted((i, j, float(j - i)) for i in range(6)
+                  for j in range(i + 1, 7))
+    assert got == want
+    # 6 hops => >= 6 meet epochs; the two-action shape would need ~2x —
+    # bound it: static edge ckpt + base + one per epoch (+ slack 2)
+    assert n_actions <= 6 + 4
+
+
+def test_meet_merge_fallback_non_null_skipping(spark):
+    # shortest (min_by over a struct) cannot ride the fused old-value
+    # aggregate — it must take the anti-join path and stay correct
+    from cozo_spark.datalog.engine import CozoDb
+
+    db = CozoDb(spark)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    db.register_dataframe("edge", edges, keys=["src", "dst"])
+    out = db.run_script_df("""
+    p[a, b, shortest(pt)] := *edge[a, b], pt = [a, b]
+    p[a, c, shortest(pt)] := p[a, b, p1], *edge[b, c], pt = concat(p1, [c])
+    ?[a, b, pt] := p[a, b, pt]
+    """)
+    got = _rows(out, "a", "b", "pt")
+    assert (0, 2, [0, 2]) in got   # the direct edge beats 0->1->2
+    assert (0, 1, [0, 1]) in got and (1, 2, [1, 2]) in got
