@@ -2788,11 +2788,19 @@ class CozoDb:
         fused = total is not None and all(
             spec.name in _NULL_SKIPPING_MEETS or (spec.name == "choice" and sticky)
             for _, spec in aggs)
-        if sticky:
-            # MeetAggrChoice (aggr.rs:968-984) only updates from Null: once
-            # a key has a value it NEVER changes. Prefer the total's row via
-            # a priority column — without this, min-as-choice keeps
-            # "improving" and a path-building recursion churns forever.
+        # sticky: MeetAggrChoice (aggr.rs:968-984) only updates from Null —
+        # once a key has a value it NEVER changes. Prefer the total's row
+        # via a priority column; without this, min-as-choice keeps
+        # "improving" and a path-building recursion churns forever.
+        if fused:
+            # tag provenance: __old marks the total's rows so the previous
+            # value and the changed flag come out of the same aggregation
+            tagged_total = (total.withColumn("__prio", F.lit(0))
+                            if sticky else total).withColumn("__old", F.lit(True))
+            tagged_cand = (cand.withColumn("__prio", F.lit(1))
+                           if sticky else cand).withColumn("__old", F.lit(False))
+            both = tagged_total.unionByName(tagged_cand)
+        elif sticky:
             t = (total.withColumn("__prio", F.lit(0))
                  if total is not None else None)
             c = cand.withColumn("__prio", F.lit(1))
@@ -2819,14 +2827,6 @@ class CozoDb:
             _anti_all_cols, _checkpoint, _checkpoint_count, _checkpoint_sum)
 
         if fused:
-            # tag provenance: the OLD side is the total (union order above:
-            # sticky puts total first via t, non-sticky total first too)
-            tagged_total = (total.withColumn("__prio", F.lit(0))
-                            if sticky else total).withColumn("__old", F.lit(True))
-            tagged_cand = (cand.withColumn("__prio", F.lit(1))
-                           if sticky else cand).withColumn("__old", F.lit(False))
-            both = tagged_total.unionByName(tagged_cand)
-            dtypes = dict(both.dtypes)
             for c_name, spec in aggs:
                 if spec.name == "choice" and sticky:
                     continue
