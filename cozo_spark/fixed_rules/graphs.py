@@ -297,8 +297,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 10,
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = _checkpoint(e.distinct())
-    nodes = _checkpoint(_nodes(e))
-    n = nodes.count()
+    # node count rides the checkpoint action (guide §1 "one action")
+    nodes, n = _checkpoint_count(_nodes(e))
     out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("odeg"))
     # graph structure reused every round — checkpoint once
     links = _checkpoint(
@@ -410,10 +410,12 @@ def strongly_connected_components(edges: DataFrame, nodes: DataFrame | None = No
     if nodes is not None:
         extra = nodes.select(F.col(nodes.columns[0]).alias("node"))
         base_n = base_n.unionByName(extra).distinct()
-    remaining_n = _checkpoint(base_n)
+    remaining_n, n_rem = _checkpoint_count(base_n)
     parts = []
     for _ in range(max_iterations):
-        if remaining_n.isEmpty():
+        # the remaining-node count rides each peel's checkpoint action —
+        # the former per-round isEmpty() was a whole extra job (guide §1)
+        if n_rem == 0:
             break
         f = _min_reach_label(remaining_e, max_iterations, nodes=remaining_n)
         b = _min_reach_label(
@@ -424,7 +426,8 @@ def strongly_connected_components(edges: DataFrame, nodes: DataFrame | None = No
             .filter(F.col("f.label") == F.col("b.label"))
             .select("node", F.col("f.label").alias("component")))
         parts.append(scc)
-        remaining_n = _checkpoint(remaining_n.join(scc, "node", "left_anti"))
+        remaining_n, n_rem = _checkpoint_count(
+            remaining_n.join(scc, "node", "left_anti"))
         remaining_e = _checkpoint(
             remaining_e
             .join(scc.select(F.col("node").alias("src")), "src", "left_anti")
@@ -647,10 +650,10 @@ def betweenness_centrality_sampled(
         e0 = e0.unionAll(e0.select(F.col("edst").alias("esrc"),
                                    F.col("esrc").alias("edst")))
     e = _checkpoint(e0)
-    nodes = _checkpoint(
+    # node count rides the checkpoint action (guide §1 "one action")
+    nodes, n = _checkpoint_count(
         e.select(F.col("esrc").alias("node"))
         .unionByName(e.select(F.col("edst").alias("node"))).distinct())
-    n = nodes.count()
     spark = edges.sparkSession
     ntype = dict(nodes.dtypes)["node"]
     if n == 0:
@@ -823,10 +826,10 @@ def closeness_centrality_dist(
     if undirected:
         e0 = e0.unionAll(e0.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"), "weight"))
-    nodes = _checkpoint(
+    # node count rides the checkpoint action (guide §1 "one action")
+    nodes, n = _checkpoint_count(
         e0.select(F.col("src").alias("node"))
         .unionByName(e0.select(F.col("dst").alias("node"))).distinct())
-    n = nodes.count()
     spark = edges.sparkSession
     ntype = dict(nodes.dtypes)["node"]
     if n == 0:
@@ -971,8 +974,9 @@ def louvain_communities(
     import os as _os
     _dbg = _os.environ.get("COZO_LOUVAIN_DEBUG")
     nodes0 = g.select(F.col("a").alias("node")).distinct()
-    mapping = _checkpoint(nodes0.select("node", F.col("node").alias("super")))
-    n_nodes = mapping.count()
+    # node count rides the checkpoint action (guide §1 "one action")
+    mapping, n_nodes = _checkpoint_count(
+        nodes0.select("node", F.col("node").alias("super")))
     for _level in range(max_levels):
         if _dbg:
             print(f"[louvain] level {_level} n_nodes={n_nodes}", flush=True)
