@@ -530,8 +530,10 @@ def top_sort(edges: DataFrame, max_iterations: int = 10_000) -> DataFrame:
     layer_idx = 0
     while layer_idx < max_iterations:
         with_in = remaining_edges.select(F.col("dst").alias("node")).distinct()
-        zero_in = _checkpoint(remaining_nodes.join(with_in, "node", "left_anti"))
-        if zero_in.isEmpty():
+        # layer emptiness rides the layer's own checkpoint (guide §1)
+        zero_in, n_zero = _checkpoint_count(
+            remaining_nodes.join(with_in, "node", "left_anti"))
+        if n_zero == 0:
             break
         layers.append(zero_in.select(F.lit(layer_idx).alias("layer"), "node"))
         remaining_nodes = _checkpoint(remaining_nodes.join(zero_in, "node", "left_anti"))
@@ -1125,11 +1127,12 @@ def minimum_spanning_forest_boruvka(
                           F.col("cb").alias("other"))
                .unionByName(lab.select(F.col("cb").alias("c"), "ea", "eb",
                                        "weight", F.col("ca").alias("other"))))
-        chosen = _checkpoint(
+        # round emptiness rides the round's own checkpoint (guide §1)
+        chosen, n_chosen = _checkpoint_count(
             sym.groupBy("c").agg(
                 F.min_by(F.struct("ea", "eb", "weight", "other"),
                          F.struct("weight", "ea", "eb")).alias("pick")))
-        if chosen.isEmpty():
+        if n_chosen == 0:
             break
         picked = (chosen.select("pick.ea", "pick.eb", "pick.weight")
                   .distinct())
