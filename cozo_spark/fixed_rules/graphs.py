@@ -505,10 +505,19 @@ def label_propagation(edges: DataFrame, iterations: int = 10,
             freq.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
             .select("node", F.col("label").alias("new_label"))
         )
-        labels = _checkpoint(
+        # early exit on convergence: once no label changes, every further
+        # round is a provable no-op (same votes → same winners), so the
+        # output is identical and the remaining rounds' actions are saved.
+        # The changed count rides the round's own checkpoint (guide §1).
+        labels, n_chg = _checkpoint_sum(
             labels.join(new_best, "node", "left")
-            .select("node", F.coalesce("new_label", "label").alias("label"))
-        )
+            .select("node",
+                    F.coalesce("new_label", "label").alias("label"),
+                    (F.coalesce("new_label", "label")
+                     != F.col("label")).alias("_chg")), "_chg")
+        labels = labels.drop("_chg")
+        if n_chg == 0:
+            break
     return labels.select("label", "node")
 
 

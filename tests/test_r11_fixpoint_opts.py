@@ -414,3 +414,31 @@ def test_meet_merge_fallback_non_null_skipping(spark):
     got = _rows(out, "a", "b", "pt")
     assert (0, 2, [0, 2]) in got   # the direct edge beats 0->1->2
     assert (0, 1, [0, 1]) in got and (1, 2, [1, 2]) in got
+
+
+def test_label_propagation_early_exit(spark):
+    # a converged LPA stops early: remaining rounds are provable no-ops
+    import cozo_spark.datalog.fixpoint as FX
+    from cozo_spark.fixed_rules.graphs import label_propagation
+
+    # directed star into 0: with the sync self-vote, every node adopts
+    # label 0 in round 1 and round 2 proves the fixpoint
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0)], "src long, dst long")
+    calls = []
+    orig = FX._checkpoint
+
+    def spy(df):
+        calls.append(1)
+        return orig(df)
+
+    FX._checkpoint = spy
+    try:
+        out = sorted(tuple(r) for r in
+                     label_propagation(edges, iterations=10,
+                                       undirected=False).collect())
+    finally:
+        FX._checkpoint = orig
+    assert out == [(0, 0), (0, 1), (0, 2)]
+    # far fewer than 10 round-checkpoints ran (2 setup + 2 rounds)
+    assert len(calls) <= 6
