@@ -460,6 +460,46 @@ _TYPE_MAP = {
 }
 
 
+def _pure_projection_rows(df: DataFrame, static_ck: dict,
+                          static_ck_rows: dict) -> Optional[int]:
+    """Row count of ``df`` WITHOUT an action, when ``df`` is provably a
+    pure column projection/rename over exactly one of the fixpoint's
+    already-counted static checkpoints.
+
+    The analyzed plan must be a straight chain of Project/SubqueryAlias
+    nodes (both preserve row counts; generators surface as Generate,
+    dedup as Deduplicate, filters as Filter — all rejected) down to a
+    single leaf, and that leaf must be the SAME materialized relation
+    (``sameResult`` on the checkpoint's analyzed LogicalRDD) as a counted
+    static input. Returns None on any doubt — callers then pay the
+    ordinary checkpoint+count action, so this is a pure fast path.
+    """
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(64):
+            kids = node.children()
+            n = kids.size()
+            if n == 0:
+                break
+            if n != 1 or node.getClass().getSimpleName() not in (
+                    "Project", "SubqueryAlias"):
+                return None
+            node = kids.apply(0)
+        else:
+            return None
+        if node.children().size() != 0:
+            return None
+        for nm, ck in static_ck.items():
+            rows = static_ck_rows.get(nm)
+            if rows is None:
+                continue
+            if node.sameResult(ck._jdf.queryExecution().analyzed()):
+                return rows
+        return None
+    except Exception:
+        return None
+
+
 def _col_type(s: Optional[str]) -> T.DataType:
     if s is None:
         return T.StringType()
@@ -2512,6 +2552,7 @@ class CozoDb:
         # validity spec are left lazy so their filters keep pushing down to
         # the scan (magic-set seeded recursions stay pruned).
         static_ck: dict = {}
+        static_ck_rows: dict = {}
 
         def _rel_reads(atom, out):
             if isinstance(atom, RelApply):
@@ -2586,7 +2627,14 @@ class CozoDb:
             sel = [c for c in cols if c in keep]
             if sel and len(sel) < len(cols):
                 src = src.select(*sel)
-            static_ck[nm] = _checkpoint(src)
+            # counted in the same materialization action: epoch 0 reuses
+            # the count (and the blocks) when a base clause is a pure
+            # projection of this relation — see _pure_projection_rows.
+            # ck=_checkpoint routes through THIS module's global so test
+            # spies on engine._checkpoint keep seeing the materialization.
+            from cozo_spark.datalog.fixpoint import _checkpoint_count as _ckc
+            static_ck[nm], static_ck_rows[nm] = _ckc(
+                src, ck=lambda d: _checkpoint(d))
 
         # :limit early exit (QueryLimiter eval.rs:33-61, applied db.rs:1529-1539):
         # Datalog is monotone within a stratum, so any entry row derived from
@@ -2681,14 +2729,26 @@ class CozoDb:
                 out = out.unionByName(p)
             return out.distinct()
 
-        # epoch 0: base clauses (checkpoint + count fused into one action)
+        # epoch 0: base clauses (checkpoint + count fused into one action).
+        # When the base is a pure column projection/rename of an
+        # already-materialized static input (the canonical TC shape
+        # `reach[a,b] := *edge[a,b]` with distinct elided by uniqueness),
+        # its rows ARE the checkpointed blocks: re-materializing them was a
+        # whole extra driver action re-writing identical data (guide §1
+        # "one action" — measured ~130 ms/action on the bench host).
+        # Projections preserve row counts, so the static checkpoint's
+        # observed count serves as the epoch-0 count with zero extra jobs.
         from cozo_spark.datalog.fixpoint import _checkpoint_count
 
         total_rows: dict[str, int] = {}
         for r in sorted(scc):
             base = eval_rule(r, use_delta=False)
             if base is not None:
-                base, total_rows[r] = _checkpoint_count(base)
+                reused = _pure_projection_rows(base, static_ck, static_ck_rows)
+                if reused is not None:
+                    total_rows[r] = reused
+                else:
+                    base, total_rows[r] = _checkpoint_count(base)
             else:
                 total_rows[r] = 0
             totals[r] = base

@@ -139,7 +139,7 @@ def _resolve_ck_dir(spark) -> "str | None":
     return ck_dir or os.environ.get("COZO_SPARK_CHECKPOINT_DIR")
 
 
-def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+def _checkpoint_count(df: DataFrame, ck=None) -> tuple[DataFrame, int]:
     """Checkpoint + row count in ONE action: an Observation attached
     before the eager checkpoint collects count(*) during the same
     materialization job, halving the fixpoint's per-epoch action count
@@ -149,11 +149,16 @@ def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     ``checkpoint(eager=True)`` — verified on this Spark in
     tests/test_verdict_r7.py — so both checkpoint modes share the
     single-action path (r7; reliable mode previously paid a second
-    count job)."""
+    count job).
+
+    ``ck``: the checkpoint callable (default: this module's
+    ``_checkpoint``). Callers with their own monkeypatch-friendly seam
+    (the engine's module-global ``_checkpoint``, spied by tests) pass it
+    so instrumentation keeps seeing every materialization."""
     from pyspark.sql import Observation
 
     obs = Observation(f"__cozo_ck_{next(_OBS_SEQ)}")
-    out = _checkpoint(df.observe(obs, F.count(F.lit(1)).alias("n")))
+    out = (ck or _checkpoint)(df.observe(obs, F.count(F.lit(1)).alias("n")))
     return out, int(obs.get["n"])
 
 

@@ -841,7 +841,7 @@ def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df(
         "?[node, total_degree, out_degree, in_degree] <~ DegreeCentrality(*edge[])")
     return df.select(
@@ -984,7 +984,7 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df(
         "?[node, centrality] <~ BetweennessCentralityDist(*edge[])")
     return df.select(F.col("node").cast("long").alias("node"),
@@ -1010,7 +1010,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df("""
     und[a, b] := *edge[x, y], a = min(x, y), b = max(x, y)
     ?[count(a)] := und[a, b], und[b, c], a < b, und[a, c]
@@ -1036,7 +1036,7 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df(
         "?[a, count_unique(c)] := *edge[a, b], *edge[b, c], c != a")
     return df.select(df["a"].alias("start"), df[df.columns[1]].alias("n2"))
@@ -1066,10 +1066,12 @@ def graph_three_hop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = CozoDb(spark)
     db.register_dataframe(
         "friends", _edges(spark, sf_dir).select(F.col("src").alias("fr"),
-                                                F.col("dst").alias("to")))
+                                                F.col("dst").alias("to")),
+        keys=["fr", "to"])
     db.register_dataframe("user", _t(spark, sf_dir, "customer")
                           .select(F.col("c_custkey").alias("uid"),
-                                  F.col("c_acctbal").alias("bal")))
+                                  F.col("c_acctbal").alias("bal")),
+                          keys=["uid"])
     return db.run_script_df("""
     l1[to] := *friends{fr: $id, to}
     l2[to] := l1[fr], *friends{fr, to}
@@ -1098,7 +1100,8 @@ def graph_pattern_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = CozoDb(spark)
     db.register_dataframe(
         "friends", _edges(spark, sf_dir).select(F.col("src").alias("fr"),
-                                                F.col("dst").alias("to")))
+                                                F.col("dst").alias("to")),
+        keys=["fr", "to"])
     return db.run_script_df("""
     ?[count_unique(n)] := *friends{fr: $id, to: n2},
                           *friends{fr: n2, to: n3},
@@ -1124,7 +1127,7 @@ def graph_cycle3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df(
         "?[count(a)] := *edge[a, b], *edge[b, c], *edge[c, a], a < b, a < c")
     return df.toDF("n_cycles")
@@ -1146,7 +1149,7 @@ def datalog_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df("""
     ?[a, count_unique(c)] := *edge[a, b], *edge[b, c], c != a
     """)
@@ -1846,7 +1849,7 @@ def datalog_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     return db.run_script_df("""
     reach[a, b] := *edge[a, b]
     reach[a, c] := reach[a, b], *edge[b, c]
@@ -1875,7 +1878,7 @@ def datalog_magic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     return db.run_script_df("""
     reach[a, b] := *edge[a, b]
     reach[a, c] := reach[a, b], *edge[b, c]
@@ -1903,7 +1906,7 @@ def datalog_shortest_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     return db.run_script_df("""
     sp[b, min(d)] := *edge[1, b], d = 1
     sp[c, min(d)] := sp[b, d1], *edge[b, c], d = d1 + 1
@@ -2333,7 +2336,7 @@ def datalog_magic_var_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     db.register_dataframe("seednation", _t(spark, sf_dir, "nation"),
                           keys=["n_nationkey"])
     out = db.run_script_df("""
@@ -2874,7 +2877,7 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cozo_spark.datalog.engine import CozoDb
 
     db = CozoDb(spark)
-    db.register_dataframe("edge", _edges(spark, sf_dir))
+    db.register_dataframe("edge", _edges(spark, sf_dir), keys=["src", "dst"])
     df = db.run_script_df(
         "?[start, it, path] <~ RandomWalkDist(*edge[], steps: 6, "
         "iterations: 2, seed: 42)")

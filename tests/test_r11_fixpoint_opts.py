@@ -442,3 +442,87 @@ def test_label_propagation_early_exit(spark):
     assert out == [(0, 0), (0, 1), (0, 2)]
     # far fewer than 10 round-checkpoints ran (2 setup + 2 rounds)
     assert len(calls) <= 6
+
+
+def test_epoch0_reuses_static_checkpoint(spark):
+    # r11 session 8: when the base clause is a pure projection of an
+    # already-materialized static input (the canonical TC shape with
+    # TRUSTED keys eliding the set-semantics dedup), epoch 0 must reuse
+    # the static checkpoint's blocks and observed count instead of
+    # re-materializing identical data — one driver action saved per
+    # fixpoint call. The chain needs 9 epochs, so action counts are:
+    # 1 static + 9 delta epochs + 1 empty epoch = 11 (was 12).
+    import cozo_spark.datalog.engine as E
+    import cozo_spark.datalog.fixpoint as FX
+    from cozo_spark.datalog.engine import CozoDb
+
+    edges = [(i, i + 1) for i in range(9)] + [(2, 20), (20, 21), (30, 31)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    calls = [0]
+    orig_e, orig_f = E._checkpoint, FX._checkpoint
+
+    def spy(df, *a, **k):
+        calls[0] += 1
+        return orig_f(df, *a, **k)
+
+    E._checkpoint = spy
+    FX._checkpoint = spy
+    try:
+        db = CozoDb(spark)
+        db.register_dataframe("edge", edf, keys=["src", "dst"])
+        calls[0] = 0
+        out = db.run_script_df("""
+        reach[a, b] := *edge[a, b]
+        reach[a, c] := reach[a, b], *edge[b, c]
+        ?[src, dst] := reach[src, dst]
+        """)
+        got = _rows(out, "src", "dst")
+        n_trusted = calls[0]
+
+        # UNTRUSTED registration (possible duplicates): the base clause
+        # plan carries a Deduplicate, so the reuse must NOT fire and the
+        # base must still materialize+count on its own action.
+        db2 = CozoDb(spark)
+        db2.register_dataframe("edge", edf)  # no keys: dedup required
+        calls[0] = 0
+        out2 = db2.run_script_df("""
+        reach[a, b] := *edge[a, b]
+        reach[a, c] := reach[a, b], *edge[b, c]
+        ?[src, dst] := reach[src, dst]
+        """)
+        got2 = _rows(out2, "src", "dst")
+        n_untrusted = calls[0]
+    finally:
+        E._checkpoint = orig_e
+        FX._checkpoint = orig_f
+
+    want = sorted(_py_closure(edges))
+    assert got == want and got2 == want
+    assert n_untrusted == n_trusted + 1  # exactly the base action saved
+    assert n_trusted == 11  # 1 static ck + 9 growing epochs + 1 empty
+
+
+def test_epoch0_reuse_rejects_filtered_base(spark):
+    # a restricted base clause changes the row set: reuse must not fire
+    # and results must match the semantics (filter applies to the BASE
+    # only; recursion still extends through every edge).
+    from cozo_spark.datalog.engine import CozoDb
+
+    edges = [(i, i + 1) for i in range(6)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    db = CozoDb(spark)
+    db.register_dataframe("edge", edf, keys=["src", "dst"])
+    out = db.run_script_df("""
+    reach[a, b] := *edge[a, b], a >= 2
+    reach[a, c] := reach[a, b], *edge[b, c]
+    ?[src, dst] := reach[src, dst]
+    """)
+    got = _rows(out, "src", "dst")
+    base = [(a, b) for (a, b) in edges if a >= 2]
+    reach = set(base)
+    while True:
+        new = {(a, d) for (a, b) in reach for (c, d) in edges if b == c} - reach
+        if not new:
+            break
+        reach |= new
+    assert got == sorted(reach)
