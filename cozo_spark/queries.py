@@ -89,6 +89,43 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _lazy_memo(tz_sensitive: bool = False):
+    """Memoize a PURE-LAZY query builder per (session, sf_dir) — the
+    ``_t``/``_edges`` idiom lifted to the whole query frame. Only for
+    builders that run NO Spark action at build time: the memo caches a
+    lazy plan, never data, so every action on the returned frame still
+    computes from the parquet inputs (pinned by
+    test_lazy_query_memo_reruns). Removes the residual per-call py4j
+    plan construction (15-65 ms/call measured on the cache-hit engine
+    dispatch + post-projection Column ops, guide §7.3 "driver-side
+    work") — the prepared-statement steady state the engine path already
+    gets from its compiled-plan cache.
+
+    ``tz_sensitive``: builders whose plan bakes in the session timezone
+    (NTZ→LTZ casts, build-time instants) key on the current
+    ``spark.sql.session.timeZone`` so a mid-session tz change misses the
+    memo instead of serving stale semantics."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # no default value: conf.get VALIDATES defaults in Spark 4 and
+            # "" is not a timezone; the key itself is always set
+            tz = (spark.conf.get("spark.sql.session.timeZone")
+                  if tz_sensitive else None)
+            key = (spark, sf_dir, "__q_" + fn.__name__, tz)
+            hit = _T_CACHE.get(key)
+            if hit is not None:
+                return hit
+            df = fn(spark, sf_dir)
+            _T_CACHE[key] = df
+            return df
+        wrapper.__wrapped__ = fn
+        return wrapper
+    return deco
+
+
 # ---------------------------------------------------------------------------
 # §2.1 rows 1: InlineFixedRA — constant relation (ra.rs:737-831)
 # ---------------------------------------------------------------------------
@@ -172,6 +209,7 @@ def join_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.r_name, n.n_name
     """,
 )
+@_lazy_memo()
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-deep multiway equi-join (InnerJoin ra.rs:2028-2400) + group agg.
 
@@ -355,6 +393,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     """,
 )
+@_lazy_memo()
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count/sum/mean/min/max/count_unique (aggr.rs:420-680) — TPC-H Q1 shape.
 
@@ -833,6 +872,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nodes n LEFT JOIN outs o ON n.node = o.node LEFT JOIN ins i ON n.node = i.node
     """,
 )
+@_lazy_memo()
 def graph_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DegreeCentrality fixed rule (algos/degree_centrality.rs:76) invoked
     THROUGH the engine's `<~` UDTF surface — the driver gate exercises the
@@ -1407,6 +1447,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders WHERE o_custkey < 100
     """,
 )
+@_lazy_memo()
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate over an ordered window frame — beyond the reference
     (it has no window functions, SURVEY §2.4); native Spark Window."""
@@ -1439,6 +1480,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess GROUP BY 1, 2
     """,
 )
+@_lazy_memo(tz_sensitive=True)
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap): lag → new-session flag →
     cumulative sum — the batch analogue of a session window in Structured

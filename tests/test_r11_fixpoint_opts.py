@@ -526,3 +526,33 @@ def test_epoch0_reuse_rejects_filtered_base(spark):
             break
         reach |= new
     assert got == sorted(reach)
+
+
+def test_lazy_query_memo_reruns(spark):
+    # r11 session 8: pure-lazy headline builders are memoized per
+    # (session, sf_dir) — same object across calls, distinct across dirs,
+    # and a memo hit still computes from parquet (the memo holds a plan,
+    # never data: a count on the memoized frame launches fresh jobs).
+    from cozo_spark import queries as Q
+
+    sf, sf2 = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    for name in ["agg_basic", "join_multiway", "window_running_sum",
+                 "graph_degree_centrality", "sessionize"]:
+        d1 = Q.QUERIES[name](spark, sf)
+        d2 = Q.QUERIES[name](spark, sf)
+        assert d1 is d2, name
+        assert Q.QUERIES[name](spark, sf2) is not d1, name
+        # two actions on the memoized frame agree and really run
+        assert d1.count() == d2.count()
+
+    # tz-sensitive builders key on the session timezone: flipping it must
+    # MISS the memo (the plan bakes in NTZ->LTZ cast semantics)
+    s1 = Q.QUERIES["sessionize"](spark, sf)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        s2 = Q.QUERIES["sessionize"](spark, sf)
+        assert s2 is not s1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert Q.QUERIES["sessionize"](spark, sf) is s1
