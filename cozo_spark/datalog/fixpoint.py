@@ -139,7 +139,7 @@ def _resolve_ck_dir(spark) -> "str | None":
     return ck_dir or os.environ.get("COZO_SPARK_CHECKPOINT_DIR")
 
 
-def _checkpoint_count(df: DataFrame, ck=None) -> tuple[DataFrame, int]:
+def _checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
     """Checkpoint + row count in ONE action: an Observation attached
     before the eager checkpoint collects count(*) during the same
     materialization job, halving the fixpoint's per-epoch action count
@@ -151,14 +151,15 @@ def _checkpoint_count(df: DataFrame, ck=None) -> tuple[DataFrame, int]:
     single-action path (r7; reliable mode previously paid a second
     count job).
 
-    ``ck``: the checkpoint callable (default: this module's
-    ``_checkpoint``). Callers with their own monkeypatch-friendly seam
-    (the engine's module-global ``_checkpoint``, spied by tests) pass it
-    so instrumentation keeps seeing every materialization."""
+    The one-positional-arg signature is a monkeypatch seam: test spies
+    wrap it to count per-epoch delta materializations. Callers with
+    their own checkpoint seam (the engine's static-side materialization)
+    must NOT route through this function — they inline the Observation
+    pattern against their own ``_checkpoint`` global instead (r12)."""
     from pyspark.sql import Observation
 
     obs = Observation(f"__cozo_ck_{next(_OBS_SEQ)}")
-    out = (ck or _checkpoint)(df.observe(obs, F.count(F.lit(1)).alias("n")))
+    out = _checkpoint(df.observe(obs, F.count(F.lit(1)).alias("n")))
     return out, int(obs.get["n"])
 
 

@@ -73,7 +73,15 @@ def _reaches(start: str, goal: str, deps: dict) -> bool:
 
 def magic_restrict(prog, clause_map: dict) -> None:
     """Mutate clause_map in place: filter base clauses of qualifying
-    recursive rules down to the constants their callers ask for."""
+    recursive rules down to the constants their callers ask for.
+
+    Records the set of restricted rule names on ``prog.magic_restricted``
+    so the recursive evaluator can tell that an SCC's fixpoint is
+    seed-bounded: its per-epoch deltas are O(reachable-from-seed), so
+    the full static relations it scans must NOT be materialized up front
+    (r12 — a magic-seeded recursion over a 100 TB edge relation touches
+    only the seed's slice; an eager full-relation checkpoint would undo
+    the entire point of the rewrite)."""
     # every rule application, grouped by target, with the calling rule
     apps: dict[str, list[tuple[str, RuleApply, RuleClause]]] = {}
     deps: dict[str, set] = {}
@@ -93,6 +101,9 @@ def magic_restrict(prog, clause_map: dict) -> None:
         for rule in prog.rules.values() if isinstance(rule, FixedApply)
         for inp in rule.inputs if getattr(inp, "kind", None) == "rule"
     }
+
+    restricted_rules: set = set()
+    prog.magic_restricted = restricted_rules
 
     for r, clauses in list(clause_map.items()):
         if not clauses or r in fixed_inputs or r.startswith("__magic_"):
@@ -180,6 +191,7 @@ def magic_restrict(prog, clause_map: dict) -> None:
                     if any(a.name == r for a in refs):
                         continue  # recursive clause: restriction flows through
                     cl.body.append(RuleApply(mname, (Var(hv),)))
+                restricted_rules.add(r)
                 continue
             for cl, hv in zip(clauses, head_vars):
                 refs = []
@@ -193,6 +205,7 @@ def magic_restrict(prog, clause_map: dict) -> None:
                     cond = Cond(Call("is_in", (
                         Var(hv), ListEx(tuple(Const(s) for s in uniq)))))
                 cl.body.append(cond)
+                restricted_rules.add(r)
 
 
 def _atom_outputs(atom) -> set:
