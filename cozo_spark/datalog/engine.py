@@ -460,6 +460,10 @@ _TYPE_MAP = {
 }
 
 
+# hit/miss telemetry for the epoch-0 projection fast path (ADVICE r11)
+_PURE_PROJ_STATS = {"calls": 0, "hits": 0}
+
+
 def _pure_projection_rows(df: DataFrame, static_ck: dict,
                           static_ck_rows: dict) -> Optional[int]:
     """Row count of ``df`` WITHOUT an action, when ``df`` is provably a
@@ -473,7 +477,14 @@ def _pure_projection_rows(df: DataFrame, static_ck: dict,
     (``sameResult`` on the checkpoint's analyzed LogicalRDD) as a counted
     static input. Returns None on any doubt — callers then pay the
     ordinary checkpoint+count action, so this is a pure fast path.
+
+    Observability (ADVICE r11): the module-level ``_PURE_PROJ_STATS``
+    hit/miss counters make a silent fast-path regression visible (e.g. a
+    Spark upgrade renaming the Project/SubqueryAlias nodes this matches
+    by getSimpleName) — a fail-safe miss is correct but slower, and
+    otherwise leaves no signal.
     """
+    _PURE_PROJ_STATS["calls"] += 1
     try:
         node = df._jdf.queryExecution().analyzed()
         for _ in range(64):
@@ -494,6 +505,7 @@ def _pure_projection_rows(df: DataFrame, static_ck: dict,
             if rows is None:
                 continue
             if node.sameResult(ck._jdf.queryExecution().analyzed()):
+                _PURE_PROJ_STATS["hits"] += 1
                 return rows
         return None
     except Exception:
@@ -2203,7 +2215,10 @@ class CozoDb:
             elif isinstance(rule, FixedApply):
                 stores[name] = self._eval_fixed_rule(rule, stores)
             else:
-                stores[name] = self._eval_clauses_once(name, clause_map[name], stores)
+                cls, ov = self._window_fuse(name, clause_map[name],
+                                            prog, clause_map, stores)
+                stores[name] = self._eval_clauses_once(
+                    name, cls, stores, overrides=ov)
             return
         # recursive SCC: semi-naive fixpoint with delta substitution
         for r in scc:
@@ -2211,6 +2226,197 @@ class CozoDb:
             if not isinstance(rule, list):
                 raise QueryError(f"const/fixed rule {r!r} cannot be recursive")
         self._eval_recursive(scc, clause_map, stores, prog)
+
+    # duplicate-insensitive head aggregations the join-back fuse may turn
+    # into window functions (multiplicity of the match stream cannot matter)
+    _WINFUSE_AGGRS = frozenset({"min", "max"})
+
+    def _window_fuse(self, name: str, clauses: list, prog: Program,
+                     clause_map: dict, stores: dict):
+        """Fuse "single-clause min/max aggregation + join-back" into a
+        window function over the aggregated store (r12, guide §2.4 — a
+        window partitioned like a preceding aggregation needs no second
+        pass; VERDICT r11 #7).
+
+        Pattern, per consuming clause C of rule ``name``:
+
+            y[k.., agg(v)] := x[a1..an]     # single clause, plain distinct
+                                            # vars, every agg in {min,max}
+            C: ..., x[b1..bm], y[g.., m..], ...
+
+        where each group arg ``g`` of the y-application is the SAME var C
+        binds at that key's position of x, and every agg var ``m`` is
+        fresh in C's body. Then y holds one row per group of an
+        aggregation over the very frame C already reads, and the
+        join-back equals attaching ``agg(v) OVER (PARTITION BY keys)`` to
+        x's resolved frame — computed BEFORE C's own filters, exactly
+        like the separate store. min/max are duplicate-insensitive, so
+        the match-stream-multiset subtlety of head aggregation cannot
+        bite. The win: x's whole subtree executes ONCE instead of twice —
+        Catalyst cannot dedupe it itself when x's plan carries
+        nondeterministic expressions (e.g. ReorderSort's
+        monotonically_increasing_id rank). Returns (clauses, overrides);
+        on no match the originals come back untouched (pure fast path —
+        any doubt bails to the ordinary join)."""
+        out_clauses: list = []
+        overrides: dict = {}
+        changed = False
+        for cl in clauses:
+            body = list(cl.body)
+            cl_changed = False
+            for y_app in [a for a in body if isinstance(a, RuleApply)]:
+                if not any(a is y_app for a in body):
+                    continue  # consumed by an earlier fuse in this clause
+                ydef = prog.rules.get(y_app.name)
+                ycls = clause_map.get(y_app.name)
+                if (not isinstance(ydef, list) or not ycls
+                        or len(ycls) != 1 or y_app.name == name):
+                    continue
+                ycl = ycls[0]
+                if len(ycl.body) != 1 or not isinstance(ycl.body[0], RuleApply):
+                    continue
+                x_app_y = ycl.body[0]
+                xname = x_app_y.name
+                if xname == y_app.name or xname not in stores:
+                    continue
+                xargs = x_app_y.args
+                if (not all(isinstance(a, Var) for a in xargs)
+                        or len({a.name for a in xargs if a.name != "_"})
+                        != sum(1 for a in xargs if a.name != "_")):
+                    continue
+                # head: group HeadVars bound by xargs + min/max HeadAggrs
+                pos_of = {a.name: i for i, a in enumerate(xargs)
+                          if a.name != "_"}
+                if len(y_app.args) != len(ycl.head):
+                    continue
+                groups: list = []   # (head_idx, x_pos)
+                aggs: list = []     # (head_idx, aggr, x_pos_of_arg)
+                ok = True
+                for i, h in enumerate(ycl.head):
+                    if isinstance(h, HeadVar):
+                        if h.name not in pos_of:
+                            ok = False
+                            break
+                        groups.append((i, pos_of[h.name]))
+                    elif isinstance(h, HeadAggr):
+                        if (h.aggr not in self._WINFUSE_AGGRS or h.extra
+                                or h.var not in pos_of):
+                            ok = False
+                            break
+                        aggs.append((i, h.aggr, pos_of[h.var]))
+                    else:
+                        ok = False
+                        break
+                if not ok or not aggs:
+                    continue
+                # exactly one x application in C, enough args for the keys
+                x_apps_c = [a for a in body
+                            if isinstance(a, RuleApply) and a.name == xname]
+                if len(x_apps_c) != 1:
+                    continue
+                x_app_c = x_apps_c[0]
+                for i, p in groups:
+                    g = y_app.args[i]
+                    if (not isinstance(g, Var) or g.name == "_"
+                            or p >= len(x_app_c.args)
+                            or x_app_c.args[p] != g):
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                # every agg output var must be BOUND only by the y atom —
+                # reads in Cond/Unify expressions are the normal consumer
+                # pattern and stay valid against the window column
+                rest_vars = self._body_binding_names(
+                    [a for a in body if a is not y_app])
+                if rest_vars is None:  # unrecognized atom: bail, stay exact
+                    continue
+                mvars = []
+                for i, _aggr, _p in aggs:
+                    m = y_app.args[i]
+                    if (not isinstance(m, Var) or m.name == "_"
+                            or m.name in rest_vars
+                            or any(m.name == mv for mv in mvars)):
+                        ok = False
+                        break
+                    mvars.append(m.name)
+                if not ok:
+                    continue
+                # build the window-augmented frame over x's store
+                from pyspark.sql import Window as _W
+                xf = stores[xname]
+                cols = xf.columns
+                if any(p >= len(cols) for _i, p in groups) or any(
+                        p >= len(cols) for _i, _a, p in aggs):
+                    continue
+                part = [F.col(cols[p]) for _i, p in groups]
+                win = _W.partitionBy(*part) if part else _W.partitionBy()
+                wcols = []
+                dts = dict(xf.dtypes)
+                for j, (_i, aggr, p) in enumerate(aggs):
+                    spec = AGGREGATIONS[aggr]
+                    try:
+                        c = spec.build(F.col(cols[p]), dtype=dts.get(cols[p]))
+                    except TypeError:
+                        c = spec.build(F.col(cols[p]))
+                    wcols.append(c.over(win).alias(f"__wf{j}"))
+                # deterministic per program position, so the compiled-plan
+                # cache sees identical rewrites on identical scripts
+                alias = f"__winfuse_{xname}_{len(overrides)}"
+                overrides[alias] = xf.select("*", *wcols)
+                new_args = (list(x_app_c.args)
+                            + [Var("_")] * (len(cols) - len(x_app_c.args))
+                            + [y_app.args[i] for i, _a, _p in aggs])
+                body = [RuleApply(alias, new_args) if a is x_app_c
+                        else a for a in body if a is not y_app]
+                changed = cl_changed = True
+            out_clauses.append(RuleClause(cl.head, body) if cl_changed else cl)
+        if not changed:
+            return clauses, None
+        return out_clauses, overrides
+
+    @staticmethod
+    def _body_binding_names(atoms: list) -> Optional[set]:
+        """Variable names occurring in BINDING positions of the atoms
+        (positional/named apply args, Unify targets; negation bodies are
+        over-approximated as binding to stay conservative). Reads inside
+        Cond / Unify expressions are excluded — a window-fused column
+        serves those identically. Returns None if an atom type is not
+        recognized (callers must then stay exact)."""
+        out: set = set()
+
+        def walk(atom) -> bool:
+            if isinstance(atom, (RuleApply, RelApply)):
+                for a in atom.args:
+                    if isinstance(a, Var):
+                        out.add(a.name)
+                    elif not isinstance(a, Const):
+                        out.update(expr_vars(a))
+                return True
+            if isinstance(atom, NamedRelApply):
+                for col, e in atom.pairs.items():
+                    if e is None:
+                        out.add(col)
+                    else:
+                        out.update(expr_vars(e))
+                return True
+            if isinstance(atom, Unify):
+                out.add(atom.var)
+                return True
+            if isinstance(atom, Cond):
+                return True
+            if isinstance(atom, Negation):
+                return walk(atom.atom)
+            if isinstance(atom, Conj):
+                return all(walk(a) for a in atom.atoms)
+            if isinstance(atom, Disj):
+                return all(walk(a) for a in atom.branches)
+            return False
+
+        for a in atoms:
+            if not walk(a):
+                return None
+        return out
 
     def _references(self, clauses: list, name: str) -> bool:
         found = [False]
@@ -2443,6 +2649,11 @@ class CozoDb:
         deltas and totals of the fixpoint are both deduplicated sets."""
         if name.startswith("__rec_"):
             name = name[len("__rec_"):].rsplit("_", 1)[0]
+        elif name.startswith("__winfuse_"):
+            # the window-fuse frame is the source store plus appended
+            # window columns: same rows, so the source's key positions
+            # (all < the source arity) keep their claim (r12)
+            name = name[len("__winfuse_"):].rsplit("_", 1)[0]
         return getattr(self, "_rule_unique", {}).get(name)
 
     def _search(self, rel_name: str, idx_name: str, opts: dict):

@@ -25,7 +25,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-_T_CACHE: dict = {}
+import weakref as _weakref
+
+# per-SESSION memo store (ADVICE r11): entries are reachable only through a
+# weak reference to their SparkSession, so a stopped-and-dropped session's
+# cached lazy plans are garbage-collected with it instead of accumulating
+# for the life of the process. The facade keeps the historical
+# ``_T_CACHE[(spark, ...)]`` call-site shape.
+_T_CACHE_BY_SESSION: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+class _TCache:
+    def get(self, key):
+        d = _T_CACHE_BY_SESSION.get(key[0])
+        return None if d is None else d.get(key[1:])
+
+    def __setitem__(self, key, value):
+        _T_CACHE_BY_SESSION.setdefault(key[0], {})[key[1:]] = value
+
+
+_T_CACHE = _TCache()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -22,13 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from cozo_spark import queries as Q  # noqa: E402
 from cozo_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "agg_basic", "join_multiway", "scan_filter_project", "sort_topk",
-    "reorder_sort_rank", "validity_asof", "neg_join_anti",
-    "graph_reachability", "graph_shortest_hops", "graph_degree_centrality",
-    "dedup_exact", "text_word_topk", "ann_cosine_topk", "minhash_lsh_pairs",
-    "sessionize", "window_running_sum", "datalog_recursion",
-]
+from bench import HEADLINE  # noqa: E402  (single source of truth)
 
 
 def main() -> None:

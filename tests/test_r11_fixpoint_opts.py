@@ -499,7 +499,10 @@ def test_epoch0_reuses_static_checkpoint(spark):
     want = sorted(_py_closure(edges))
     assert got == want and got2 == want
     assert n_untrusted == n_trusted + 1  # exactly the base action saved
-    assert n_trusted == 11  # 1 static ck + 9 growing epochs + 1 empty
+    # ~1 static ck + one per growing epoch + 1 empty; a small band instead
+    # of an exact count so unrelated cadence changes (e.g. the periodic
+    # re-checkpoint threshold) don't break this pin (ADVICE r11)
+    assert 10 <= n_trusted <= 14, n_trusted
 
 
 def test_epoch0_reuse_rejects_filtered_base(spark):
