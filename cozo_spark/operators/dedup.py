@@ -268,19 +268,25 @@ def _md5_le64(c):
     return F.conv(le, 16, -10).cast("long")
 
 
-def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int,
+                 keep_empty: bool = False) -> DataFrame:
     """(id, gram) rows: lowercase word n-grams, built JVM-side and
     MAP-ONLY — zero shuffles (higher-order functions are CodegenFallback
     and Pandas UDFs carry variable multi-second stage costs; the previous
     window-lead formulation shuffled + sorted the token stream per doc).
     Docs with fewer than n words yield their single shorter gram; token-less
-    docs yield no rows."""
+    docs yield no rows — unless ``keep_empty``, which emits ONE (id, NULL)
+    sentinel row per token-less doc (outer generators) so a downstream
+    per-doc aggregation covers every doc without a join-back to the
+    source (r12: the join-back was a full-table exchange + broadcast
+    barrier at scale)."""
     ws = F.array_remove(F.split(F.lower(F.col(text_col)), "\\s+"), "")
     base = (_spread_small_input(df.select(F.col(id_col), F.col(text_col)),
                                 id_col)
             .select(F.col(id_col), ws.alias("_ws")))
     if n == 1:
-        return base.select(id_col, F.explode("_ws").alias("gram"))
+        gen = F.explode_outer if keep_empty else F.explode
+        return base.select(id_col, gen("_ws").alias("gram"))
     # MAP-ONLY shingling (r7, replaces the window-lead formulation whose
     # partitionBy-doc shuffle + sort was ~half the signature-build cost):
     # arrays_zip over n shifted slices of the token array gives the struct
@@ -293,14 +299,20 @@ def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
         F.slice("_ws", i + 1,
                 F.greatest(F.size("_ws") - i, F.lit(0))).alias(f"_w{i}")
         for i in range(1, n)]
+    gen = F.posexplode_outer if keep_empty else F.posexplode
     g = base.select(
         id_col, F.size("_ws").alias("_nw"),
-        F.posexplode(F.arrays_zip(*shifted)).alias("_pos", "_g"))
+        gen(F.arrays_zip(*shifted)).alias("_pos", "_g"))
     # full grams only, except: a doc shorter than n words keeps its single
     # (shorter) leading gram — concat_ws skips the null tail
     keep = (F.col(f"_g._w{n-1}").isNotNull()
             | ((F.col("_nw") < n) & (F.col("_pos") == 0)))
     gram = F.concat_ws(" ", *[F.col(f"_g._w{i}") for i in range(n)])
+    if keep_empty:
+        # the outer generator's sentinel row (empty/null token array) has
+        # NULL pos; keep it, with a NULL gram (not concat_ws's "")
+        keep = keep | F.col("_pos").isNull()
+        gram = F.when(F.col("_pos").isNotNull(), gram)
     return g.filter(keep).select(id_col, gram.alias("gram"))
 
 
@@ -338,23 +350,33 @@ def minhash_signatures(
     Shingle hash = low 64 bits of md5 (little-endian bytes 8:16 — exactly
     DuckDB's ``md5_number_lower``, so the whole pipeline is SQL-checkable),
     folded to [0, 2^31). Docs with no tokens get the identity signature
-    [M]*num_perm.
+    [M]*num_perm — via a sentinel (id, NULL) gram row folded to M inside
+    the one aggregation (r12), NOT a LeftOuter join-back to the source:
+    the join-back was a broadcast barrier plus a SECOND scan of the
+    document table, a full-table exchange at 100 TB scale.
     """
     params = _perm_params(num_perm, seed)
-    grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
+    grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col,
+                         shingle_n, keep_empty=True)
     # min is duplicate-insensitive, so no distinct on grams is needed
-    hashed = grams.select(id_col, _shingle_hash31(F.col("gram"), hash_fn).alias("h"))
+    h = _shingle_hash31(F.col("gram"), hash_fn)
+    if hash_fn != "md5":
+        # xxhash64(NULL) returns the seed, not NULL — keep the token-less
+        # sentinel NULL so nvl below folds it to the identity value
+        h = F.when(F.col("gram").isNotNull(), h)
+    hashed = grams.select(id_col, h.alias("h"))
     # the num_perm min-aggregates as ONE parsed expression: building them as
     # individual Column ops cost ~1 s of py4j round-trips PER CALL (measured
     # r11, guide §7.3 driver-side work); the parsed tree and therefore the
-    # computed values are identical (aL*h long math, same fold)
-    mins = ", ".join(f"min(({a}L * h + {b}L) % {_MERSENNE}L)" for a, b in params)
-    sigs = (hashed.groupBy(id_col)
+    # computed values are identical (aL*h long math, same fold).
+    # nvl(_, M): only the token-less sentinel row is NULL, and no real
+    # shingle can reach M ((a*h+b) % M < M), so non-empty docs are untouched
+    # and empty docs aggregate to the identity signature.
+    mins = ", ".join(
+        f"min(nvl(({a}L * h + {b}L) % {_MERSENNE}L, {_MERSENNE}L))"
+        for a, b in params)
+    return (hashed.groupBy(id_col)
             .agg(F.expr(f"array({mins})").alias("sig")))
-    empty = F.expr(
-        "array(" + ", ".join([f"{_MERSENNE}L"] * num_perm) + ")")
-    return (df.select(id_col).join(sigs, id_col, "left")
-            .select(id_col, F.coalesce(F.col("sig"), empty).alias("sig")))
 
 
 def lsh_candidate_pairs(
@@ -519,11 +541,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
     bit_j(sig) = majority over DISTINCT shingles of bit_j(md5_le64(shingle)).
     Fully JVM-side: distinct (id, gram-hash) rows, then one hash-aggregate
     with 64 codegen'd conditional sums; map-side partial aggregation
-    collapses each doc before the shuffle. Token-less docs get simhash 0.
+    collapses each doc before the shuffle. Token-less docs get simhash 0 —
+    via a sentinel (id, NULL) gram row whose NULL bit-sums drive every
+    majority CASE to its 0 branch (r12), NOT a LeftOuter join-back to the
+    source (which was a broadcast barrier + second document-table scan).
     The hash is DuckDB's md5_number_lower (signed int64), so the whole
     pipeline is SQL-checkable."""
-    grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col, shingle_n)
+    grams = _word_ngrams(df.select(id_col, text_col), text_col, id_col,
+                         shingle_n, keep_empty=True)
     # majority vote IS duplicate-sensitive: dedup gram hashes per doc
+    # (md5(NULL) is NULL, so the token-less sentinel survives as one NULL h)
     hashed = grams.select(id_col, _md5_le64(F.col("gram")).alias("h")).distinct()
     # 64 bit-count aggregates + the 64-term majority reconstruction as TWO
     # parsed expressions instead of ~400 Column ops (r11 py4j-build-cost
@@ -533,12 +560,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shing
         F.count("*").alias("_c"),
         *[F.expr(f"sum(shiftrightunsigned(h, {j}) & 1)").alias(f"_o{j}")
           for j in range(64)])
+    # a token-less doc's only row has h NULL: every _o{j} aggregates to NULL,
+    # NULL * 2 > _c is NULL ⇒ CASE takes ELSE 0L ⇒ simhash 0, same as the
+    # former coalesce(simhash, 0) after the join-back
     sig_terms = " + ".join(
         f"(CASE WHEN _o{j} * 2 > _c THEN shiftleft(1L, {j}) ELSE 0L END)"
         for j in range(64))
-    sigs = agg.select(id_col, F.expr(f"({sig_terms})").alias("simhash"))
-    return (df.select(id_col).join(sigs, id_col, "left")
-            .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash")))
+    return agg.select(id_col, F.expr(f"({sig_terms})").alias("simhash"))
 
 
 @plan_memo(extra_key=lambda *a, **k: _CACHE_GEN.get("simhash_sigs", 0))

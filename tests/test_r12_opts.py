@@ -306,3 +306,41 @@ def test_window_fuse_max_and_multi_agg(spark):
     """).collect())
     assert got == [("a", 3, 7.0, 12.0), ("b", 5, 3.0, 9.0),
                    ("c", 6, 5.0, 5.0)]
+
+
+def test_minhash_simhash_sentinel_no_join_back(spark):
+    """r12: minhash_signatures / simhash cover token-less docs via a
+    sentinel (id, NULL) gram row through the ONE aggregation — the former
+    LeftOuter join-back (broadcast barrier + a second scan of the document
+    table) must be gone from both plans, and the token-less outputs must
+    keep their documented values (identity signature / simhash 0)."""
+    from cozo_spark.operators.dedup import _MERSENNE, minhash_signatures, simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),            # empty text
+        (3, "   \t  "),     # whitespace only
+        (4, None),          # NULL text
+        (5, "one two"),     # shorter than shingle_n=3 -> single short gram
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for hash_fn in ("md5", "xxhash64"):
+        sigs_df = minhash_signatures(df, hash_fn=hash_fn)
+        plan = sigs_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan, f"join-back resurfaced ({hash_fn}): {plan}"
+        sig = {r["doc_id"]: r["sig"] for r in sigs_df.collect()}
+        assert set(sig) == {1, 2, 3, 4, 5, 6}  # every doc covered
+        for empty_doc in (2, 3, 4):
+            assert sig[empty_doc] == [_MERSENNE] * 64
+        assert sig[1] == sig[6] and all(v < _MERSENNE for v in sig[1])
+        assert all(v < _MERSENNE for v in sig[5])
+
+    sh_df = simhash(df)
+    plan = sh_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, f"join-back resurfaced (simhash): {plan}"
+    sh = {r["doc_id"]: r["simhash"] for r in sh_df.collect()}
+    assert set(sh) == {1, 2, 3, 4, 5, 6}
+    assert sh[2] == 0 and sh[3] == 0 and sh[4] == 0
+    assert sh[1] == sh[6] and sh[1] != 0
