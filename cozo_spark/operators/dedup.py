@@ -229,9 +229,18 @@ def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
-def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+def _shingles(df: DataFrame, text_col: str, n: int,
+              id_col: str | None = None) -> DataFrame:
     """Explode each doc into its distinct word n-gram shingles, pre-hashed to
-    64-bit (xxhash64, JVM-side) so downstream never touches strings."""
+    64-bit (xxhash64, JVM-side) so downstream never touches strings.
+
+    ``id_col`` routes the input through _spread_small_input first (r12):
+    the split/transform/explode/xxhash64 map work otherwise runs inside
+    the scan stage, which for a small single-row-group parquet file is ONE
+    task — single-threaded shingling no matter how many cores. No-op at
+    real scale (source partitions >= parallelism)."""
+    if id_col is not None:
+        df = _spread_small_input(df, id_col)
     words = F.split(F.lower(F.col(text_col)), "\\s+")
     # sliding word windows via transform over index sequence
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
@@ -518,7 +527,8 @@ def ngram_jaccard_pairs(
     verification pass or at moderate cardinality; the LSH path is the
     candidate generator at scale.
     """
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(
+    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n,
+                   id_col=id_col).select(
         F.col(id_col).alias("id"), F.col("_gram_hash").alias("g")).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
@@ -737,10 +747,12 @@ def ngram_contamination(
     contamination check (n-gram overlap). Grams are hashed JVM-side
     (xxhash64) so the join shuffles 8-byte keys, never text; the bench side
     is typically small enough to broadcast."""
-    shc = (_shingles(corpus.select(id_col, text_col), text_col, shingle_n)
+    shc = (_shingles(corpus.select(id_col, text_col), text_col, shingle_n,
+                     id_col=id_col)
            .select(F.col(id_col).alias("doc_id"), F.col("_gram_hash").alias("g"))
            .distinct())
-    shb = (_shingles(bench.select(id_col, text_col), text_col, shingle_n)
+    shb = (_shingles(bench.select(id_col, text_col), text_col, shingle_n,
+                     id_col=id_col)
            .select(F.col(id_col).alias("bench_id"), F.col("_gram_hash").alias("g"))
            .distinct())
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -783,7 +795,11 @@ def substring_dup_spans(
     exchange. 2.22 → ~1.2 s noop at sf0.1; plan 6 → 4 exchanges, 2 → 0
     broadcasts; bit-identical rows (min≠max is exactly count_distinct>1).
     """
-    toks = docs.select(
+    # r12: spread the doc rows first — the tokenize + per-window md5 map
+    # below otherwise runs inside the scan stage, ONE task for a small
+    # single-row-group parquet (single-threaded shingling); no-op at real
+    # scale where the source already has >= parallelism partitions
+    toks = _spread_small_input(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"),
                  lambda t: t != "").alias("toks"))

@@ -117,7 +117,16 @@ def ivf_build(
     time in a production pipeline, so queries never pay it.
     Returns (centroids(cid, cvec), assigned(id, vec, cid)).
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    from cozo_spark.operators.dedup import _spread_small_input
+
+    # r12: spread first — the argmin distance scoring below otherwise runs
+    # inside a ONE-task scan stage for a small single-row-group parquet,
+    # and the vec_id hash partitioning feeds the assignment window without
+    # a new exchange. No-op at real scale.
+    c = _spread_small_input(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v")),
+        "vec_id")
     if refine_iters > 0:
         km_cents, _ = kmeans_lloyd(corpus, k=n_centroids,
                                    iters=refine_iters, id_col=id_col,
@@ -375,6 +384,15 @@ def pq_build(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # r12: spread before the encode below — the subspace explode +
+    # broadcast join + argmin otherwise run in the ONE-task scan stage,
+    # and vec_id hash partitioning satisfies BOTH encode groupBys
+    # (vec_id, s) and (vec_id), so neither needs an exchange. No-op at
+    # real scale. (The codebook sample above reads the unspread c: an
+    # orderBy+limit needs no fan-out.)
+    from cozo_spark.operators.dedup import _spread_small_input
+
+    c = _spread_small_input(c, "vec_id")
     cb = {(s, i): list(r["v"][s * sub:(s + 1) * sub])
           for i, r in enumerate(rows) for s in range(m)}
     codebook = local_frame(

@@ -236,7 +236,16 @@ def keyword_topk(df: DataFrame, k: int = 3, text_col: str = "text",
     (+, *, / are correctly rounded; ln is not), so results hash-match any
     other engine — swap in ``ln(N/df)`` when cross-engine exactness doesn't
     matter. Two shuffles: term df (map-side combined), then per-doc top-k
-    window on id."""
+    window on id.
+
+    r12: the input is spread by id first (_spread_small_input — no-op at
+    real scale): a small single-row-group parquet scans as ONE task, so
+    the tokenize+explode ran single-threaded; the id hash-partitioning
+    also satisfies the (id, term) groupBy AND the final per-doc window, so
+    both lose their exchange."""
+    from cozo_spark.operators.dedup import _spread_small_input
+
+    df = _spread_small_input(df, id_col)
     toks = F.expr(
         f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')")
     # N as a broadcast 1-row aggregate instead of an eager df.count():

@@ -2807,8 +2807,15 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rare/garbage tokens; ln() is avoided deliberately because libm ulp
     differences would break cross-engine hashing, while ratios integerized
     at 1e12 sum exactly). Two shuffles: token-frequency aggregation (the
-    frequency table is broadcast back) and the per-doc mean."""
-    docs = _t(spark, sf_dir, "documents")
+    frequency table is broadcast back) and the per-doc mean — r12: the
+    doc rows are spread by doc_id first (single-row-group parquet scans
+    as ONE task, serializing both tokenize passes; no-op at real scale),
+    and the spread's hash partitioning makes the final per-doc groupBy
+    exchange-free."""
+    from cozo_spark.operators.dedup import _spread_small_input
+
+    docs = _spread_small_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),

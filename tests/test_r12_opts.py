@@ -344,3 +344,36 @@ def test_minhash_simhash_sentinel_no_join_back(spark):
     assert set(sh) == {1, 2, 3, 4, 5, 6}
     assert sh[2] == 0 and sh[3] == 0 and sh[4] == 0
     assert sh[1] == sh[6] and sh[1] != 0
+
+
+def test_spread_small_input_fans_out_heavy_map_stages(spark):
+    """r12: the shingle/tokenize/encode map work of substring_dup_spans,
+    _shingles consumers, keyword_topk and the ANN builds runs AFTER a
+    doc/vec-level spread — a small single-row-group parquet scans as ONE
+    task, which serialized those stages on one core. Pin (a) the spread
+    fans a 1-partition source out to defaultParallelism, (b) it is a
+    no-op when the source already has enough partitions (the real-scale
+    shape), and (c) spread changes no results on a representative
+    operator."""
+    from cozo_spark.operators.dedup import (_spread_small_input,
+                                            substring_dup_spans)
+
+    one = spark.createDataFrame(
+        [(i, f"tok{i} " * 12) for i in range(40)],
+        "doc_id long, text string").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    spread = _spread_small_input(one, "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = one.repartition(spark.sparkContext.defaultParallelism + 3, "doc_id")
+    assert _spread_small_input(wide, "doc_id") is wide  # no added shuffle
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, dup_text), (2, dup_text + " extra tail words here"),
+         (3, "unrelated content entirely different words " * 3)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_dup_spans"], r["n_dup_tokens"])
+            for r in substring_dup_spans(docs).collect()}
+    assert set(rows) == {1, 2}  # doc 3 shares no 8-token window
+    assert rows[1] == (1, 10)   # the whole 10-token doc is one dup span
